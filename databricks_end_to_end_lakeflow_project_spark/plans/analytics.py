@@ -1,0 +1,223 @@
+"""Headline analytical queries (the engine's flagship workload).
+
+These are the star-schema queries the reference's gold layer answers
+(fact ⋈ small dims → aggregate; SURVEY.md §2.3 J3, §2.4), re-expressed on
+the TPC-H-ish testdata so they are oracle-checkable. They exercise the full
+batch relational core in one plan each: parquet scan with predicate
+pushdown + column pruning, broadcast hash joins against small dimensions,
+partial (map-side) aggregation, and top-k sort.
+
+Money aggregates use the exact-decimal pattern from
+``functions.compat`` so results are bit-identical to the DuckDB oracle
+(and run-to-run deterministic at cluster scale) — see that module's
+docstring.
+
+Scale notes (100 TB): every query here keeps small dims broadcast,
+aggregates before sorting (sort input is #groups, not #rows), and filters
+on fact-scan columns so Parquet row-group min/max skipping engages.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.functions.compat import (
+    SQL_CHARGE,
+    SQL_DISC_PRICE,
+    charge,
+    disc_price,
+    dsum,
+    money,
+)
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region/nation and order-month over the star schema.
+
+    Mirrors the reference's fact-over-dims star join
+    (`FACT_Gold_Layer.py:113-121` joins fact → 3 dims on business keys)
+    with an aggregation on top. nation (25 rows) and region (5) are
+    explicitly broadcast; customer is left to Catalyst/AQE, which
+    broadcasts it at test SFs and picks shuffle joins at cluster scale.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    return (
+        lineitem.filter(F.col("l_shipdate") >= "1995-06-01")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            dsum(disc_price()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "region_name", "nation_name", "order_month")
+    )
+
+
+FLAGSHIP_ORACLE = f"""
+SELECT
+  r_name AS region_name,
+  n_name AS nation_name,
+  EXTRACT(month FROM o_orderdate) AS order_month,
+  ROUND(SUM({SQL_DISC_PRICE}), 2)::DOUBLE AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, 1, 2, 3
+"""
+
+query("flagship_star_revenue", FLAGSHIP_ORACLE)(flagship)
+
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT
+      l_returnflag, l_linestatus,
+      ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS sum_qty,
+      ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE AS sum_base_price,
+      ROUND(SUM({SQL_DISC_PRICE}), 2)::DOUBLE AS sum_disc_price,
+      ROUND(SUM({SQL_CHARGE}), 2)::DOUBLE AS sum_charge,
+      ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE / COUNT(*), 4) AS avg_qty,
+      ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / COUNT(*), 4) AS avg_price,
+      ROUND(SUM(CAST(l_discount AS DECIMAL(18,2)))::DOUBLE / COUNT(*), 4) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide-aggregation scan.
+
+    One pass over the fact table, two grouping columns with tiny
+    cardinality → partial aggregation collapses almost everything
+    map-side; the shuffle moves only (#groups × #partitions) rows.
+    Averages are computed as exact-decimal SUM / COUNT so the double
+    division is IEEE-identical in Spark and DuckDB.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(money("l_quantity")).alias("sum_qty"),
+            dsum(money("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price()).alias("sum_disc_price"),
+            dsum(charge()).alias("sum_charge"),
+            F.round(F.sum(money("l_quantity")).cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(money("l_extendedprice")).cast("double") / cnt, 4).alias("avg_price"),
+            F.round(F.sum(money("l_discount")).cast("double") / cnt, 4).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    f"""
+    SELECT
+      l_orderkey,
+      ROUND(SUM({SQL_DISC_PRICE}), 2)::DOUBLE AS revenue,
+      o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → top-k.
+
+    The segment filter prunes customer before the join (Catalyst pushes
+    it below); the final top-k compiles to TakeOrderedAndProject over the
+    aggregated (small) output, never a full sort of the fact.
+    """
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(disc_price()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT
+      n_name AS nation_name,
+      ROUND(SUM({SQL_DISC_PRICE}), 2)::DOUBLE AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, nation_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with a compound join condition."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(su),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(dsum(disc_price()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation_name")
+    )

@@ -1,0 +1,62 @@
+"""Query registry: the single source of truth wiring operator
+implementations to the driver contract in ``__spark_entry__.py``.
+
+Every operator module registers its demonstration queries with
+:func:`query`. Each entry is a callable ``(spark, sf_dir) -> DataFrame``
+plus (when SQL-expressible) a DuckDB oracle SQL string computing the same
+result over the same parquet tables. The driver hash-compares the two at
+sf=0.01 — names and column aliases must match exactly on both sides.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+# modules that register queries on import
+_QUERY_MODULES = [
+    "databricks_end_to_end_lakeflow_project_spark.plans.analytics",
+    "databricks_end_to_end_lakeflow_project_spark.operators.relational",
+    "databricks_end_to_end_lakeflow_project_spark.operators.windows",
+    "databricks_end_to_end_lakeflow_project_spark.functions.scalar",
+    "databricks_end_to_end_lakeflow_project_spark.operators.cdc",
+    "databricks_end_to_end_lakeflow_project_spark.operators.dedup",
+    "databricks_end_to_end_lakeflow_project_spark.operators.similarity",
+    "databricks_end_to_end_lakeflow_project_spark.operators.textops",
+    "databricks_end_to_end_lakeflow_project_spark.streaming.windows",
+]
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name``; ``oracle`` is the DuckDB-equivalent
+    ANSI SQL (omit for non-SQL-expressible operators → rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _collect() -> None:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _collect()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _collect()
+    return dict(_ORACLES)

@@ -1,0 +1,127 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 (or --sf-dir) side-by-side with
+its ``oracle_sql()`` via DuckDB and compares row count, column-name set,
+and order-insensitive values (exact string canonicalization — the driver
+hashes values, so exact match is the bar; float diffs are reported to
+judge rounding risk).
+
+Usage: python tools/check_oracle.py [--sf-dir DIR] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # 12 significant digits: catches real mismatches, absorbs last-bit fp noise
+        return f"{v:.12g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols, rows) -> list[tuple[str, ...]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+    from databricks_end_to_end_lakeflow_project_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    qs = e.queries()
+    oracles = e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(args.sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    names = args.names or sorted(qs)
+    failures = 0
+    for name in names:
+        try:
+            sdf = qs[name](spark, args.sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(srows)} rows (no oracle)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures += 1
+            continue
+
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            failures += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            failures += 1
+            continue
+        sc = canon_rows(scols, [tuple(r) for r in srows])
+        dc = canon_rows(dcols, drows)
+        if sc != dc:
+            bad = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch; first diffs: {bad}")
+            failures += 1
+            continue
+        print(f"OK    {name}: {len(srows)} rows")
+
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
