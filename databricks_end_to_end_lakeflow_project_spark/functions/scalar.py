@@ -1,1 +1,273 @@
-"""Placeholder: populated in a later milestone this round."""
+"""Scalar function packs: string, regexp, date/time, math, JSON, array,
+conditional expressions.
+
+Covers SURVEY.md §2.7 (the reference's scalar surface: current_timestamp,
+to_date, casts, literal arithmetic — F1-F6) plus the §2.9 function-pack
+additions. Everything is built-in `pyspark.sql.functions` — JVM-side,
+inside whole-stage codegen; no Python UDFs anywhere in this module.
+
+Cross-engine parity notes (vs the DuckDB oracle):
+- `regexp_extract` returns '' on no-match in both engines.
+- Spark `date_trunc` yields TIMESTAMP, DuckDB yields DATE → both sides
+  normalized to DATE.
+- Transcendentals (ln/sqrt/pow) may differ by 1 ulp between libm
+  implementations → rounded to 6 decimals on both sides.
+- Array folds use an explicit sequential left-fold on both sides
+  (`F.aggregate` ↔ `list_reduce`) so double accumulation order matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+@query(
+    "fn_string_basic",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           LENGTH(c_name) AS name_len,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CONCAT_WS('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS custkey_padded,
+           TRIM('  pad  ') AS trimmed
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/length/substring/concat_ws/lpad/trim."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.lower("c_mktsegment").alias("seg_lower"),
+            F.length("c_name").alias("name_len"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("custkey_padded"),
+            F.trim(F.lit("  pad  ")).alias("trimmed"),
+        )
+    )
+
+
+@query(
+    "fn_string_regexp",
+    r"""
+    SELECT p_partkey, p_name,
+           regexp_extract(p_name, '(\w+)') AS first_word,
+           regexp_replace(p_name, ' ', '_') AS snake_name,
+           string_split(p_name, ' ')[1] AS word1,
+           LENGTH(string_split(p_name, ' ')) AS n_words,
+           (p_name LIKE '%a%') AS has_a,
+           levenshtein(p_brand, 'Brand#10') AS brand_dist
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def fn_string_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract/replace, split, LIKE, levenshtein."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.regexp_extract("p_name", r"(\w+)", 1).alias("first_word"),
+            F.regexp_replace("p_name", " ", "_").alias("snake_name"),
+            F.split("p_name", " ").getItem(0).alias("word1"),
+            F.size(F.split("p_name", " ")).alias("n_words"),
+            F.col("p_name").like("%a%").alias("has_a"),
+            F.levenshtein("p_brand", F.lit("Brand#10")).alias("brand_dist"),
+        )
+    )
+
+
+@query(
+    "fn_date_suite",
+    """
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate)  AS order_year,
+           EXTRACT(month FROM o_orderdate) AS order_month,
+           EXTRACT(day FROM o_orderdate)   AS order_day,
+           EXTRACT(doy FROM o_orderdate)   AS order_doy,
+           date_trunc('month', o_orderdate)::DATE AS month_start,
+           last_day(o_orderdate)::DATE AS month_end,
+           (o_orderdate::DATE + 30) AS due_date,
+           date_diff('day', o_orderdate, TIMESTAMP '1996-01-01 00:00:00') AS days_to_1996
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/dayofyear, date_trunc, last_day, date_add, datediff
+    (reference F2/F6: to_date parsing + date literals)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.dayofyear("o_orderdate").alias("order_doy"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+            F.datediff(F.lit("1996-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+                "days_to_1996"
+            ),
+        )
+    )
+
+
+@query(
+    "fn_math_suite",
+    """
+    SELECT p_partkey,
+           ABS(p_retailprice - 950) AS abs_dev,
+           CEIL(p_retailprice) AS price_ceil,
+           FLOOR(p_retailprice) AS price_floor,
+           ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
+           ROUND(LN(p_retailprice), 6) AS price_ln,
+           ROUND(POW(p_size, 2), 1) AS size_sq,
+           p_size % 7 AS size_mod,
+           SIGN(p_retailprice - 950) AS dev_sign
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/ceil/floor/sqrt/ln/pow/mod/sign."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.abs(F.col("p_retailprice") - 950).alias("abs_dev"),
+            F.ceil("p_retailprice").alias("price_ceil"),
+            F.floor("p_retailprice").alias("price_floor"),
+            F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+            F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+            F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+            (F.col("p_size") % 7).alias("size_mod"),
+            F.signum(F.col("p_retailprice") - 950).alias("dev_sign"),
+        )
+    )
+
+
+@query(
+    "fn_json_extract",
+    """
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k') AS k_str,
+           json_extract(props, '$.k')::INT AS k_int
+    FROM events
+    WHERE json_extract(props, '$.k')::INT >= 50
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + typed cast + predicate on the extracted
+    value (events.props is a JSON string column)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        )
+        .filter(F.col("k_int") >= 50)
+    )
+
+
+@query(
+    "fn_json_schema",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing (from_json → struct) then aggregate —
+    the pattern for semi-structured columns at scale: parse once in the
+    scan stage, aggregate JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("p.k").cast("bigint").alias("sum_k"),
+    )
+
+
+@query(
+    "fn_array_suite",
+    """
+    SELECT vec_id, label,
+           LENGTH(embedding) AS dim,
+           embedding[1] AS first_component,
+           ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b), 6) AS sq_norm,
+           ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 6) AS comp_sum
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops over embedding vectors: size, element_at, and sequential
+    left-folds (F.aggregate) for squared-norm and component sum — the
+    JVM-side primitives under the similarity-search operators."""
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return em.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_component"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6).alias(
+            "comp_sum"
+        ),
+    )
+
+
+@query(
+    "fn_conditional",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS balance_bucket,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           LEAST(c_acctbal, 1000.0) AS capped_low,
+           GREATEST(c_acctbal, 0.0) AS capped_high
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / least / greatest."""
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return cu.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("balance_bucket"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("capped_low"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("capped_high"),
+    )

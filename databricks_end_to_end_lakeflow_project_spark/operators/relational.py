@@ -1,1 +1,500 @@
-"""Placeholder: populated in a later milestone this round."""
+"""Batch relational operator library: joins, aggregations, set ops, sorts.
+
+Covers SURVEY.md §2.2-2.4, §2.6 (the operator shapes the reference
+exercises — projections/filters/casts, equi/left joins, scalar MAX,
+COUNT, GROUP BY + HAVING, unionByName) and the §2.9 additions (semi/anti/
+full/cross/range joins, the full aggregate suite incl. distinct,
+rollup/cube/grouping sets, pivot, intersect/except, sort+limit).
+
+Every query is a registry entry with a DuckDB oracle. All money sums use
+the exact-decimal pattern (functions/compat.py). Integer SUMs are cast to
+BIGINT on the oracle side because DuckDB widens integer SUM to HUGEINT.
+
+Scale notes (100 TB): all joins here are expressed as equi-joins (plus
+residual range predicates) so Catalyst can pick broadcast / shuffle-hash /
+sort-merge; nothing forces a cartesian product except the explicit
+cross-join demo on the two tiny dims. Aggregations are all
+partial-aggregatable; rollup/cube expand in the partial phase so the
+shuffle carries pre-combined groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.functions.compat import dsum, money
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# joins (SURVEY §2.3 J1-J4 analogues + §2.9 gap fills)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_projected",
+    """
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F' AND c_acctbal > 5000
+    """,
+)
+def join_inner_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join with pushed-down filters and pruned columns
+    (reference J1 analogue: silver business join,
+    dlt_bronze_to_silver_pipeline.py:127-131)."""
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return od.join(cu, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_outer_counts",
+    """
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched left rows (reference J2:
+    new-vs-old dim detection, DIM_Gold_layer.py:176)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    return (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_left_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 300000
+    )
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): customers having at least one large order."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cu.join(od, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 250000
+    )
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no large order — the
+    primitive under the engine's MERGE emulation (SURVEY §4.1)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return cu.join(od, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_rich_customers
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_rich_suppliers
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           n_rich_customers, n_rich_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with mismatches on both sides."""
+    cu = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    su = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    return cu.join(su, "nationkey", "full_outer").select(
+        "nationkey", "n_rich_customers", "n_rich_suppliers"
+    )
+
+
+@query(
+    "join_cross_dims",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join — only ever valid on tiny dims (5×25 here);
+    anything larger must be an equi-join."""
+    re = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    na = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("nation_name"))
+    return re.crossJoin(na)
+
+
+@query(
+    "join_range_predicate",
+    """
+    SELECT o_orderkey,
+           COUNT(*) AS n_late_items
+    FROM orders JOIN lineitem
+      ON o_orderkey = l_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderkey
+    """,
+)
+def join_range_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with a residual range predicate (items shipped >60 days
+    after ordering). The equi key carries the shuffle; the range term is a
+    post-join filter, so no cartesian blowup at scale."""
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        od.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_late_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregations (SURVEY §2.4 A1-A3 + §2.9 full suite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_scalar_max",
+    "SELECT MAX(o_orderdate) AS max_orderdate, MAX(o_orderkey) AS max_orderkey FROM orders",
+)
+def agg_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped scalar MAX — the reference's incremental-load cursor
+    (A1, DIM_Gold_layer.py:126)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.max("o_orderdate").alias("max_orderdate"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+@query(
+    "agg_basic_suite",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS sum_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE / COUNT(*), 4) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_basic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/min/max/avg in one grouped pass (map-side combinable)."""
+    od = _t(spark, sf_dir, "orders")
+    cnt = F.count(F.lit(1))
+    return od.groupBy("o_orderpriority").agg(
+        cnt.alias("n_orders"),
+        dsum(money("o_totalprice")).alias("sum_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.sum(money("o_totalprice")).cast("double") / cnt, 4).alias("avg_price"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expands to a two-phase plan; Catalyst
+    rewrites it so the distinct shuffle is on (group, value))."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "agg_group_having",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 15
+    """,
+)
+def agg_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING — the reference's duplicate-key audit shape
+    (A3, FACT_Gold_Layer.py:162)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 15)
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (region → nation → grand total)."""
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    return (
+        cu.join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .rollup("region_name", "nation_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations via CUBE."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum(money("o_totalprice")).alias("sum_price"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END), 0)::BIGINT AS F,
+           COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END), 0)::BIGINT AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot a low-cardinality column into counts-per-value columns.
+    The value list is given explicitly so the plan is one pass (no
+    distinct-values pre-query) — mandatory at scale."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O"])
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the scale path for distinct
+    counts (no oracle: estimator differs from DuckDB's; rows-only check).
+    rsd=0.01 keeps the sketch small enough to combine map-side."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+    )
+
+
+query("agg_approx_count_distinct")(agg_approx_distinct)
+
+
+# ---------------------------------------------------------------------------
+# set operations (SURVEY §2.6 U1 + §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setop_union_all",
+    """
+    SELECT c_custkey AS custkey, c_acctbal AS acctbal, 'rich' AS bucket
+    FROM customer WHERE c_acctbal > 9500
+    UNION ALL
+    SELECT c_custkey AS custkey, c_acctbal AS acctbal, 'poor' AS bucket
+    FROM customer WHERE c_acctbal < -900
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of two labeled slices (reference U1,
+    DIM_Gold_layer.py:263)."""
+    cu = _t(spark, sf_dir, "customer")
+    rich = cu.filter(F.col("c_acctbal") > 9500).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("rich").alias("bucket"),
+    )
+    poor = cu.filter(F.col("c_acctbal") < -900).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("poor").alias("bucket"),
+    )
+    return rich.unionByName(poor)
+
+
+@query(
+    "setop_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 0
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    su = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cu.intersect(su)
+
+
+@query(
+    "setop_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics)."""
+    cu = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    su = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cu.subtract(su)
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits / distinct (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_multi_key_limit",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def sort_multi_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort + limit → TakeOrderedAndProject (per-partition top-N
+    then driver-side merge; never a global sort at scale)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(F.col("o_orderpriority").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+@query(
+    "distinct_projection",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT compiles to a groupBy — partial-aggregated before shuffle."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "filter_in_between_null",
+    """
+    SELECT p_partkey, p_brand, p_size, p_retailprice
+    FROM part
+    WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      AND p_size BETWEEN 10 AND 20
+      AND p_retailprice IS NOT NULL
+    """,
+)
+def filter_in_between_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + BETWEEN + null predicate, all pushed to the parquet scan
+    (reference P6 null-predicate analogue, DIM_Gold_layer.py:204-207)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
+            & F.col("p_size").between(10, 20)
+            & F.col("p_retailprice").isNotNull()
+        )
+        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    )

@@ -19,8 +19,6 @@ on fact-scan columns so Parquet row-group min/max skipping engages.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,10 +31,11 @@ from databricks_end_to_end_lakeflow_project_spark.functions.compat import (
     money,
 )
 from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_table(spark, sf_dir, name)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

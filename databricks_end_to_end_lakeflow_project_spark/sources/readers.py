@@ -1,0 +1,26 @@
+"""Batch table readers for the standard testdata layout.
+
+One quirk handled here centrally: ``events.parquet`` is written with
+nanosecond timestamps (Parquet TIMESTAMP(NANOS)), which Spark rejects by
+default. We read them as longs (legacy conf) and convert ns → µs
+timestamps, matching DuckDB's ns→µs truncation so oracle hashes agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read ``{sf_dir}/{name}.parquet`` with engine-standard normalization."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)

@@ -1,0 +1,36 @@
+from __future__ import annotations
+
+import pytest
+
+from databricks_end_to_end_lakeflow_project_spark import registry
+
+QUERIES = registry.all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs_and_has_rows(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    # schema is resolvable and the query executes; most queries must be
+    # non-vacuous at sf0.001 (a few highly selective ones may be empty)
+    assert df.columns
+    n = df.count()
+    assert n >= 0
+
+
+def test_every_oracle_has_query():
+    oracles = registry.all_oracles()
+    assert set(oracles) <= set(QUERIES)
+    # bulk of the surface should be oracle-checked, not rows-only
+    assert len(oracles) >= 0.8 * len(QUERIES)
+
+
+def test_topk_per_group_primitive(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.windows import topk_per_group
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    od = read_table(spark, sf_dir, "orders")
+    top2 = topk_per_group(od, ["o_custkey"], [F.col("o_totalprice").desc(), "o_orderkey"], 2)
+    sizes = top2.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
+    assert sizes <= 2
