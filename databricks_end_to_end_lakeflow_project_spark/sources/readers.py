@@ -21,6 +21,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer division: ns values exceed 2^53, double division
+            # would round the microsecond (seen live as ±1 µs vs DuckDB)
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         return df
     return spark.read.parquet(path)

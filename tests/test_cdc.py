@@ -1,0 +1,119 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+    ManagedParquetTable,
+    latest_by_key,
+    merge_upsert_plan,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture
+def base_rows():
+    return [
+        ("A", "v1", _ts("2024-01-01T00:00:00")),
+        ("B", "v1", _ts("2024-01-01T00:00:00")),
+        ("C", "v1", _ts("2024-01-01T00:00:00")),
+    ]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "key string, val string, seq timestamp")
+
+
+def test_latest_by_key_picks_max_sequence(spark):
+    df = _df(
+        spark,
+        [
+            ("A", "old", _ts("2024-01-01T00:00:00")),
+            ("A", "new", _ts("2024-01-02T00:00:00")),
+            ("B", "only", _ts("2024-01-01T00:00:00")),
+        ],
+    )
+    out = {r["key"]: r["val"] for r in latest_by_key(df, ["key"], ["seq"]).collect()}
+    assert out == {"A": "new", "B": "only"}
+
+
+def test_latest_by_key_tiebreaker_deterministic(spark):
+    df = spark.createDataFrame(
+        [("A", "x", 1, 1), ("A", "y", 1, 2)], "key string, val string, seq int, tid int"
+    )
+    out = latest_by_key(df, ["key"], ["seq"], ["tid"]).collect()
+    assert len(out) == 1 and out[0]["val"] == "y"
+
+
+def test_upsert_insert_update_latest_wins(spark, tmp_path, base_rows):
+    t = ManagedParquetTable(spark, str(tmp_path / "t"), keys=["key"], sequence_by="seq")
+    t.upsert(_df(spark, base_rows))
+    updates = _df(
+        spark,
+        [
+            ("A", "v2", _ts("2024-01-02T00:00:00")),  # newer → wins
+            ("B", "stale", _ts("2023-12-31T00:00:00")),  # older → ignored
+            ("D", "new", _ts("2024-01-02T00:00:00")),  # new key → insert
+        ],
+    )
+    t.upsert(updates)
+    state = {r["key"]: r["val"] for r in t.read().collect()}
+    assert state == {"A": "v2", "B": "v1", "C": "v1", "D": "new"}
+
+
+def test_upsert_equal_sequence_update_wins(spark, tmp_path, base_rows):
+    # reference semantics: whenMatchedUpdateAll(condition="src.seq >= trg.seq")
+    t = ManagedParquetTable(spark, str(tmp_path / "t"), keys=["key"], sequence_by="seq")
+    t.upsert(_df(spark, base_rows))
+    t.upsert(_df(spark, [("A", "same-ts-update", _ts("2024-01-01T00:00:00"))]))
+    state = {r["key"]: r["val"] for r in t.read().collect()}
+    assert state["A"] == "same-ts-update"
+
+
+def test_upsert_idempotent(spark, tmp_path, base_rows):
+    t = ManagedParquetTable(spark, str(tmp_path / "t"), keys=["key"], sequence_by="seq")
+    updates = _df(spark, [("A", "v2", _ts("2024-01-02T00:00:00"))])
+    t.upsert(_df(spark, base_rows))
+    t.upsert(updates)
+    first = sorted(map(tuple, t.read().collect()))
+    t.upsert(updates)  # re-apply same batch
+    assert sorted(map(tuple, t.read().collect())) == first
+
+
+def test_upsert_key_uniqueness_with_intra_batch_dups(spark, tmp_path, base_rows):
+    t = ManagedParquetTable(spark, str(tmp_path / "t"), keys=["key"], sequence_by="seq")
+    t.upsert(_df(spark, base_rows))
+    # two changes for the same key in one batch → only the latest applies
+    t.upsert(
+        _df(
+            spark,
+            [
+                ("A", "mid", _ts("2024-01-02T00:00:00")),
+                ("A", "final", _ts("2024-01-03T00:00:00")),
+            ],
+        )
+    )
+    rows = t.read().filter(F.col("key") == "A").collect()
+    assert len(rows) == 1 and rows[0]["val"] == "final"
+    counts = t.read().groupBy("key").count().filter("count > 1").collect()
+    assert counts == []
+
+
+def test_merge_plan_no_sequence_updates_always_win(spark, base_rows):
+    target = _df(spark, base_rows)
+    updates = _df(spark, [("A", "forced", _ts("2020-01-01T00:00:00"))])
+    out = {r["key"]: r["val"] for r in merge_upsert_plan(target, updates, ["key"], None).collect()}
+    assert out["A"] == "forced"
+
+
+def test_overwrite_swap_preserves_readability(spark, tmp_path, base_rows):
+    t = ManagedParquetTable(spark, str(tmp_path / "t"), keys=["key"], sequence_by="seq")
+    t.upsert(_df(spark, base_rows))
+    assert t.exists()
+    t.overwrite(_df(spark, [("Z", "z", _ts("2024-01-01T00:00:00"))]))
+    assert [r["key"] for r in t.read().collect()] == ["Z"]
