@@ -1,0 +1,173 @@
+"""DLT-style declarative pipeline runtime (batch-incremental execution).
+
+Re-expression of the reference's 9-node DLT pipeline surface
+(SURVEY.md §2.8 T5; `dlt_bronze_to_silver_pipeline.py` registers 4
+expectation-gated views, 4 streaming tables maintained by SCD1 CDC flows,
+and a joined view):
+
+- ``@pipeline.view`` — named transform; may carry expectations.
+- ``pipeline.create_streaming_table(name)`` — a managed target table.
+- ``pipeline.create_auto_cdc_flow(target, source, keys, sequence_by,
+  stored_as_scd_type=1)`` — per-run: dedup source to latest-per-key and
+  MERGE into the target (operators/cdc.py kernel).
+
+Execution model: ``run()`` resolves the dataset graph by demand
+(memoized recursion over ``ctx.read`` calls — the same dependency
+discovery trick DLT does statically), applies expectations with metrics,
+executes CDC flows in registration order, and materializes any requested
+tables. Each ``run()`` is one incremental batch: re-running after new
+source data arrives upserts the delta (idempotent for unchanged input —
+the reference's `trigger(once=True)` job pattern, T1).
+
+Scale notes: views are lazy DataFrames — nothing materializes twice; CDC
+flows shuffle once on the business key; targets are ManagedParquetTables
+which can be partitioned for pruned rewrites.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from databricks_end_to_end_lakeflow_project_spark.operators.cdc import ManagedParquetTable
+from databricks_end_to_end_lakeflow_project_spark.pipeline.expectations import (
+    ExpectationResult,
+    Policy,
+    apply_expectations,
+)
+
+
+@dataclass
+class _View:
+    name: str
+    fn: Callable[["Pipeline"], DataFrame]
+    expectations: dict[str, str] = field(default_factory=dict)
+    policy: Policy = Policy.DROP
+
+
+@dataclass
+class _CdcFlow:
+    target: str
+    source: str
+    keys: list[str]
+    sequence_by: str
+    stored_as_scd_type: int = 1
+    except_columns: list[str] = field(default_factory=list)
+
+
+class Pipeline:
+    """Registry + topological executor for a medallion pipeline."""
+
+    def __init__(self, spark: SparkSession, storage_root: str) -> None:
+        self.spark = spark
+        self.storage_root = storage_root
+        self._views: dict[str, _View] = {}
+        self._tables: dict[str, ManagedParquetTable] = {}
+        self._flows: list[_CdcFlow] = []
+        self._cache: dict[str, DataFrame] = {}
+        self._resolving: list[str] = []
+        self.metrics: dict[str, ExpectationResult] = {}
+
+    # -- registration -------------------------------------------------------
+
+    def view(
+        self,
+        name: str | None = None,
+        expectations: dict[str, str] | None = None,
+        policy: Policy = Policy.DROP,
+    ):
+        """Decorator: register a named view. The function receives this
+        pipeline and returns a DataFrame (use ``p.read`` inside for
+        dependencies — that's how the DAG edges are discovered)."""
+
+        def deco(fn: Callable[[Pipeline], DataFrame]):
+            vname = name or fn.__name__
+            self._views[vname] = _View(vname, fn, dict(expectations or {}), policy)
+            return fn
+
+        return deco
+
+    def create_streaming_table(
+        self,
+        name: str,
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
+        """Declare a managed target table (reference S9)."""
+        self._tables[name] = ManagedParquetTable(
+            self.spark,
+            os.path.join(self.storage_root, name),
+            partition_by=partition_by,
+        )
+
+    def create_auto_cdc_flow(
+        self,
+        *,
+        target: str,
+        source: str,
+        keys: Sequence[str],
+        sequence_by: str,
+        stored_as_scd_type: int = 1,
+        except_column_list: Sequence[str] = (),
+    ) -> None:
+        """Register an APPLY CHANGES edge (reference W1). SCD Type 1 only,
+        like the reference; the sequence column is retained in the target
+        so re-runs can apply the latest-wins merge condition."""
+        if stored_as_scd_type != 1:
+            raise NotImplementedError("only SCD Type 1 is supported (as in the reference)")
+        if target not in self._tables:
+            raise KeyError(f"unknown streaming table {target!r}; declare it first")
+        self._flows.append(
+            _CdcFlow(target, source, list(keys), sequence_by, stored_as_scd_type,
+                     list(except_column_list))
+        )
+
+    # -- resolution ---------------------------------------------------------
+
+    def read(self, name: str) -> DataFrame:
+        """Read a sibling dataset (view or managed table) — reference S5
+        (`dlt.readStream("bookings_silver")`)."""
+        if name in self._cache:
+            return self._cache[name]
+        if name in self._views:
+            if name in self._resolving:
+                raise ValueError(f"cycle in pipeline graph at {name!r}: {self._resolving}")
+            self._resolving.append(name)
+            try:
+                v = self._views[name]
+                df = v.fn(self)
+                df, metrics = apply_expectations(
+                    df, v.expectations, v.policy, dataset=name,
+                    collect_metrics=bool(v.expectations),
+                )
+                if metrics:
+                    self.metrics[name] = metrics
+            finally:
+                self._resolving.pop()
+            self._cache[name] = df
+            return df
+        if name in self._tables:
+            return self._tables[name].read()
+        raise KeyError(f"unknown dataset {name!r}")
+
+    def table(self, name: str) -> ManagedParquetTable:
+        return self._tables[name]
+
+    # -- execution ----------------------------------------------------------
+
+    def run(self, materialize: Sequence[str] = ()) -> None:
+        """One incremental batch: execute all CDC flows (dedup + upsert),
+        then force any ``materialize`` views (for side-effect-only runs).
+        View cache is cleared first so a second ``run()`` observes new
+        source data."""
+        self._cache.clear()
+        self.metrics.clear()
+        for flow in self._flows:
+            src = self.read(flow.source)
+            if flow.except_columns:
+                src = src.drop(*flow.except_columns)
+            self._tables[flow.target].upsert(src, flow.keys, flow.sequence_by)
+        for name in materialize:
+            self.read(name).count()

@@ -1,0 +1,88 @@
+"""Data-quality expectations: declarative row gates with violation metrics.
+
+Re-expression of DLT expectations (SURVEY.md §2.2 P9 / §2.8 T6; reference
+`dlt_bronze_to_silver_pipeline.py:6-12` uses `@dlt.expect_all_or_drop`
+with four NOT-NULL rules, and `README.md:94` names the `expect`,
+`expect_or_drop`, `expect_all_or_fail` variants).
+
+Implementation: each rule is a SQL boolean expression. Violation counts
+are computed with conditional aggregation in ONE pass over the batch
+(no per-rule scans), then the gated DataFrame is returned according to
+the policy. At 100 TB the metrics pass and the filtered write share the
+scan when the caller materializes both from the same cached/exchanged
+stage; metrics are map-side combinable counters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class Policy(str, Enum):
+    WARN = "warn"  # keep all rows, record violations (dlt.expect)
+    DROP = "drop"  # drop violating rows (dlt.expect_or_drop / expect_all_or_drop)
+    FAIL = "fail"  # raise if any violation (dlt.expect_all_or_fail)
+
+
+class ExpectationFailed(Exception):
+    pass
+
+
+@dataclass
+class ExpectationResult:
+    dataset: str
+    policy: Policy
+    passed_rows: int
+    failed_rows: int
+    per_rule_failures: dict[str, int] = field(default_factory=dict)
+
+
+def apply_expectations(
+    df: DataFrame,
+    rules: dict[str, str],
+    policy: Policy = Policy.DROP,
+    dataset: str = "<anonymous>",
+    collect_metrics: bool = True,
+) -> tuple[DataFrame, ExpectationResult | None]:
+    """Gate ``df`` with ``rules`` ({name: sql_bool_expr}); all rules must
+    hold for a row to pass. Returns (gated_df, metrics).
+
+    With ``collect_metrics=False`` no action is triggered here (pure plan
+    transformation) — streaming callers use this and account metrics per
+    micro-batch instead.
+    """
+    if not rules:
+        return df, None
+    preds = [F.expr(e) for e in rules.values()]
+    all_ok = preds[0]
+    for p in preds[1:]:
+        all_ok = all_ok & p
+
+    metrics = None
+    if collect_metrics:
+        aggs = [
+            F.sum(F.when(~F.coalesce(F.expr(e), F.lit(False)), 1).otherwise(0)).alias(name)
+            for name, e in rules.items()
+        ]
+        aggs.append(F.count(F.lit(1)).alias("__total"))
+        row = df.agg(*aggs).collect()[0]
+        total = row["__total"]
+        per_rule = {name: int(row[name] or 0) for name in rules}
+        failed = df.filter(~F.coalesce(all_ok, F.lit(False))).count() if len(rules) > 1 else max(per_rule.values())
+        metrics = ExpectationResult(
+            dataset=dataset,
+            policy=policy,
+            passed_rows=total - failed,
+            failed_rows=failed,
+            per_rule_failures=per_rule,
+        )
+        if policy is Policy.FAIL and failed:
+            raise ExpectationFailed(f"{dataset}: {failed} rows violate expectations {per_rule}")
+
+    if policy is Policy.WARN:
+        return df, metrics
+    return df.filter(F.coalesce(all_ok, F.lit(False))), metrics

@@ -1,0 +1,281 @@
+"""The flight-booking medallion lakehouse, end to end — this engine's
+idiomatic build of everything the reference project does.
+
+Maps 1:1 onto the reference's architecture (SURVEY.md §1, §3):
+
+| layer  | reference                                   | here                          |
+|--------|---------------------------------------------|-------------------------------|
+| raw    | CSVs per entity dir (Setup.py:25-28)        | ``raw_root/{entity}/*.csv``   |
+| bronze | Auto Loader → Delta (bronze_ingest_autoloader.py) | checkpointed stream → parquet |
+| silver | DLT views + SCD1 CDC tables (dlt_bronze_to_silver_pipeline.py) | Pipeline views + auto CDC flows |
+| gold   | DIM_Gold_layer.py / FACT_Gold_Layer.py      | build_dim / build_fact        |
+
+The silver DAG replicates the reference's 9 datasets: 4 expectation-gated
+staging views, 4 SCD1 tables (keyed by booking_id / flight_id /
+passenger_id / airport_id, sequenced by ``modifiedDate``), and the
+``business_silver`` 4-way join view (`dlt_bronze_to_silver_pipeline.py`
+entire file; DAG pictured in the reference's images/dlt_pipeline.png).
+
+``clock`` is injectable wherever the reference calls
+``current_timestamp()`` (SURVEY §2.7 F1 flags the nondeterminism), so
+golden tests replay runs deterministically.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.operators.cdc import ManagedParquetTable
+from databricks_end_to_end_lakeflow_project_spark.pipeline.dag import Pipeline
+from databricks_end_to_end_lakeflow_project_spark.plans.gold import (
+    DimConfig,
+    FactConfig,
+    FactDimSpec,
+    build_dim,
+    build_fact,
+)
+from databricks_end_to_end_lakeflow_project_spark.streaming.ingest import (
+    INGEST_FILE_COL,
+    INGEST_TIME_COL,
+    RESCUE_COL,
+    ingest_csv_stream,
+)
+
+ENTITIES = ["bookings", "flights", "customers", "airports"]
+
+BOOKING_RULES = {
+    "valid_booking_id": "booking_id IS NOT NULL",
+    "valid_passenger_id": "passenger_id IS NOT NULL",
+    "valid_flight_id": "flight_id IS NOT NULL",
+    "valid_airport_id": "airport_id IS NOT NULL",
+}
+
+
+class FlightLakehouse:
+    """Bronze→silver→gold runtime for the flight star schema."""
+
+    def __init__(self, spark: SparkSession, raw_root: str, storage_root: str) -> None:
+        self.spark = spark
+        self.raw_root = raw_root
+        self.storage_root = storage_root
+        self.bronze_root = os.path.join(storage_root, "bronze")
+        self.silver = self._build_silver_pipeline()
+        self.gold_root = os.path.join(storage_root, "gold")
+
+    # -- bronze -------------------------------------------------------------
+
+    def ingest_bronze(self, clock: dt.datetime | None = None) -> dict[str, int]:
+        """Drain new raw CSV files into bronze, one checkpointed stream per
+        entity (the reference's per-entity job fan-out, SourceParameters.py).
+        Rows are stamped with the drain's ingest time (or ``clock``), which
+        silver uses as the CDC sequence.
+        """
+        batches = {}
+        for entity in ENTITIES:
+            src = os.path.join(self.raw_root, entity)
+            if not os.path.isdir(src):
+                continue
+            batches[entity] = ingest_csv_stream(
+                self.spark,
+                src_dir=src,
+                target_dir=os.path.join(self.bronze_root, entity),
+                checkpoint_dir=os.path.join(self.storage_root, "_checkpoints", entity),
+                schema_dir=os.path.join(self.storage_root, "_schemas", entity),
+                clock=clock,
+            )
+        return batches
+
+    def _bronze(self, entity: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.bronze_root, entity))
+
+    # -- silver -------------------------------------------------------------
+
+    def _build_silver_pipeline(self) -> Pipeline:
+        p = Pipeline(self.spark, os.path.join(self.storage_root, "silver"))
+        lake = self
+
+        # staging views (reference :12-24, :39-51, :67-77, :93-104)
+        @p.view(name="bookings_raw", expectations=BOOKING_RULES)
+        def bookings_raw(pl: Pipeline) -> DataFrame:
+            return (
+                lake._bronze("bookings")
+                .withColumn("amount", F.col("amount").cast("double"))
+                .withColumn("booking_date", F.to_date("booking_date"))
+                .withColumn("modifiedDate", F.col(INGEST_TIME_COL))
+                .drop(RESCUE_COL, INGEST_TIME_COL, INGEST_FILE_COL)
+            )
+
+        @p.view(name="flights_raw")
+        def flights_raw(pl: Pipeline) -> DataFrame:
+            return (
+                lake._bronze("flights")
+                .withColumn("flight_date", F.to_date("flight_date"))
+                .withColumn("modifiedDate", F.col(INGEST_TIME_COL))
+                .drop(RESCUE_COL, INGEST_TIME_COL, INGEST_FILE_COL)
+            )
+
+        @p.view(name="customers_raw")
+        def customers_raw(pl: Pipeline) -> DataFrame:
+            return (
+                lake._bronze("customers")
+                .withColumn("modifiedDate", F.col(INGEST_TIME_COL))
+                .drop(RESCUE_COL, INGEST_TIME_COL, INGEST_FILE_COL)
+            )
+
+        @p.view(name="airports_raw")
+        def airports_raw(pl: Pipeline) -> DataFrame:
+            return (
+                lake._bronze("airports")
+                .withColumn("modifiedDate", F.col(INGEST_TIME_COL))
+                .drop(RESCUE_COL, INGEST_TIME_COL, INGEST_FILE_COL)
+            )
+
+        # SCD1 streaming tables + CDC flows (reference :27-36, :54-64,
+        # :80-90, :107-117)
+        for table, source, keys in [
+            ("bookings_silver", "bookings_raw", ["booking_id"]),
+            ("flights_silver", "flights_raw", ["flight_id"]),
+            ("customers_silver", "customers_raw", ["passenger_id"]),
+            ("airports_silver", "airports_raw", ["airport_id"]),
+        ]:
+            p.create_streaming_table(table)
+            p.create_auto_cdc_flow(
+                target=table, source=source, keys=keys, sequence_by="modifiedDate"
+            )
+
+        # joined business view (reference :121-133)
+        @p.view(name="business_silver")
+        def business_silver(pl: Pipeline) -> DataFrame:
+            return (
+                pl.read("bookings_silver")
+                .drop("modifiedDate")
+                .join(pl.read("flights_silver").drop("modifiedDate"), "flight_id")
+                .join(pl.read("customers_silver").drop("modifiedDate"), "passenger_id")
+                .join(pl.read("airports_silver").drop("modifiedDate"), "airport_id")
+            )
+
+        return p
+
+    def run_silver(self) -> None:
+        """One silver batch: apply expectations and upsert all four SCD1
+        tables (modifiedDate comes from the bronze ingest stamp)."""
+        self.silver.run()
+
+    # -- gold ---------------------------------------------------------------
+
+    def _gold_table(self, name: str) -> ManagedParquetTable:
+        return ManagedParquetTable(self.spark, os.path.join(self.gold_root, name))
+
+    DIMS = {
+        "DimFlights": DimConfig("DimFlights", ["flight_id"], "DimFlightsKey"),
+        "DimCustomers": DimConfig("DimCustomers", ["passenger_id"], "DimCustomersKey"),
+        "DimAirports": DimConfig("DimAirports", ["airport_id"], "DimAirportsKey"),
+    }
+    DIM_SOURCES = {
+        "DimFlights": "flights_silver",
+        "DimCustomers": "customers_silver",
+        "DimAirports": "airports_silver",
+    }
+
+    def build_gold(self, clock: dt.datetime | None = None) -> None:
+        """Build the three dimensions then the fact (reference E3 order)."""
+        for name, cfg in self.DIMS.items():
+            build_dim(
+                self.silver.read(self.DIM_SOURCES[name]),
+                self._gold_table(name),
+                cfg,
+                clock=clock,
+            )
+        fact_cfg = FactConfig(
+            name="Fact_Bookings",
+            grain_keys=["booking_id"],
+            measures=["amount", "booking_date"],
+            dims=[
+                FactDimSpec(
+                    self._gold_table("DimCustomers"),
+                    {"passenger_id": "passenger_id"},
+                    "DimCustomersKey",
+                ),
+                FactDimSpec(
+                    self._gold_table("DimFlights"), {"flight_id": "flight_id"}, "DimFlightsKey"
+                ),
+                FactDimSpec(
+                    self._gold_table("DimAirports"), {"airport_id": "airport_id"}, "DimAirportsKey"
+                ),
+            ],
+        )
+        build_fact(
+            self.silver.read("bookings_silver"),
+            self._gold_table("Fact_Bookings"),
+            fact_cfg,
+            clock=clock,
+        )
+
+    def run_all(self, clock: dt.datetime | None = None) -> None:
+        """Raw → bronze → silver → gold in one call (one 'job run')."""
+        self.ingest_bronze(clock)
+        self.run_silver()
+        self.build_gold(clock)
+
+
+# ---------------------------------------------------------------------------
+# registry query: end-to-end medallion replay, golden-oracle checked
+# ---------------------------------------------------------------------------
+
+import tempfile  # noqa: E402
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query  # noqa: E402
+from databricks_end_to_end_lakeflow_project_spark.sources import flight_fixtures  # noqa: E402
+
+_T1 = dt.datetime(2025, 8, 1, 0, 0, 0)
+_T2 = dt.datetime(2025, 8, 2, 0, 0, 0)
+
+
+def _expected_dim_airports_values() -> str:
+    """Golden final state of DimAirports after base→scd replay, derived
+    from the deterministic fixture formulas: scd attributes win for
+    changed keys, surrogates are 1..50 in airport_id order, create_date
+    from run 1, update/modified dates reflect the reprocessing run."""
+    rows = []
+    for i in range(1, 51):
+        scd = i in flight_fixtures.AIRPORT_SCD_IDS
+        aid, name, city, country = flight_fixtures.airport_row(i, scd=scd)
+        modified = _T2 if scd else _T1
+        rows.append(
+            f"('{aid}', '{name}', '{city}', '{country}', {i}, "
+            f"TIMESTAMP '{_T1}', TIMESTAMP '{_T2}', TIMESTAMP '{modified}')"
+        )
+    return ",\n      ".join(rows)
+
+
+DIM_AIRPORTS_GOLDEN_ORACLE = f"""
+    SELECT * FROM (VALUES
+      {_expected_dim_airports_values()}
+    ) AS t(airport_id, airport_name, city, country, DimAirportsKey,
+           create_date, update_date, modifiedDate)
+"""
+
+
+@query("pipeline_medallion_scd_replay", DIM_AIRPORTS_GOLDEN_ORACLE)
+def pipeline_medallion_scd_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full medallion replay (ignores sf_dir — input is the deterministic
+    flight fixture set): base load then SCD drop, two complete
+    raw→bronze→silver→gold runs, returning the final DimAirports state.
+    Hash-checked against a golden VALUES oracle, so this single query
+    verifies ingest checkpointing, expectations, SCD1 CDC, surrogate
+    assignment, and audit-column semantics end to end."""
+    root = tempfile.mkdtemp(prefix="flight_demo_")
+    raw = os.path.join(root, "raw")
+    flight_fixtures.write_base(raw)
+    lake = FlightLakehouse(spark, raw, os.path.join(root, "lake"))
+    lake.run_all(clock=_T1)
+    flight_fixtures.write_scd(raw)
+    lake.run_all(clock=_T2)
+    return lake._gold_table("DimAirports").read().select(
+        "airport_id", "airport_name", "city", "country", "DimAirportsKey",
+        "create_date", "update_date", "modifiedDate",
+    )

@@ -1,0 +1,195 @@
+"""Gold layer: config-driven dimension and fact builders (star schema).
+
+Re-expression of the reference's two gold notebooks (SURVEY.md §3-E3):
+
+- `DIM_Gold_layer.py` — generic incremental dimension builder: CDC-cursor
+  slice, new-vs-old split via left join on business keys, surrogate key
+  assignment, audit columns, latest-wins merge. Config block at `:13-41`.
+- `FACT_Gold_Layer.py` — config-driven fact builder: star left-joins to
+  each dimension to fetch surrogate keys (dimension specs `:35-51`),
+  incremental slice, merge on the fact grain (`:174-192`).
+
+Deliberate deviations (documented in SURVEY §3/§4):
+- conventional cursor semantics — missing target loads from epoch, an
+  existing target loads from MAX(target.cdc_col); the reference's branch
+  is inverted (comments vs code disagree at `DIM_Gold_layer.py:121-134`);
+- deterministic surrogate keys — `max_key + row_number() over business-key
+  order` instead of `monotonically_increasing_id` (`:238`), so rebuilds
+  are reproducible (and oracle-testable);
+- an injectable ``clock`` instead of bare `current_timestamp()`
+  (`:239-240`) for the audit columns, same reason;
+- no string-SQL codegen — the same config dicts drive DataFrame plans
+  directly (`FACT_Gold_Layer.py:84-123` builds the query as f-strings).
+
+Scale notes: dims stay small → every star join broadcasts the dim side
+(explicit `F.broadcast`). The surrogate-assignment window only sees NEW
+business keys in the batch (≪ table). Fact upsert shuffles once on the
+grain key; partition the fact target by a date column for pruned rewrites.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+    ManagedParquetTable,
+    latest_by_key,
+)
+
+EPOCH = "1900-01-01 00:00:00"
+
+
+def _clock_col(clock: dt.datetime | None) -> F.Column:
+    return F.lit(clock).cast("timestamp") if clock is not None else F.current_timestamp()
+
+
+@dataclass
+class DimConfig:
+    """Mirrors the reference's dim config block (`DIM_Gold_layer.py:13-41`):
+    business key columns, surrogate key name, CDC sequence column."""
+
+    name: str
+    business_keys: list[str]
+    surrogate_key: str
+    cdc_col: str = "modifiedDate"
+
+
+def build_dim(
+    source: DataFrame,
+    target: ManagedParquetTable,
+    cfg: DimConfig,
+    clock: dt.datetime | None = None,
+) -> DataFrame:
+    """One incremental dimension build; returns the upserted batch.
+
+    Pipeline: cursor slice → latest-per-key dedup → old/new split →
+    surrogate assignment + audit stamps → latest-wins upsert.
+    """
+    spark = target.spark
+
+    # 1. cursor (conventional semantics; see module docstring)
+    if target.exists():
+        last_load = target.read().agg(F.max(cfg.cdc_col)).collect()[0][0]
+    else:
+        last_load = None
+    src = source.filter(F.col(cfg.cdc_col) >= F.lit(last_load).cast("timestamp")) if last_load else source
+
+    # 2. one change per business key (W1 dedup)
+    src = latest_by_key(src, cfg.business_keys, [cfg.cdc_col])
+
+    # 3. old-vs-new split via left join on business keys (reference J2)
+    now = _clock_col(clock)
+    if target.exists():
+        existing = target.read().select(
+            *cfg.business_keys, cfg.surrogate_key, "create_date"
+        )
+        max_key = (
+            target.read().agg(F.max(cfg.surrogate_key)).collect()[0][0] or 0
+        )
+    else:
+        existing = None
+        max_key = 0
+
+    if existing is not None:
+        joined = src.join(F.broadcast(existing), cfg.business_keys, "left")
+        old = joined.filter(F.col(cfg.surrogate_key).isNotNull()).withColumn(
+            "update_date", now
+        )
+        new = joined.filter(F.col(cfg.surrogate_key).isNull()).drop(
+            cfg.surrogate_key, "create_date"
+        )
+    else:
+        old = None
+        new = src
+
+    # 4. deterministic surrogate keys for new business keys only: the
+    # window sees just this batch's inserts, so the global (unpartitioned)
+    # row_number is over a small frame even at cluster scale
+    w = Window.orderBy(*[F.col(k) for k in cfg.business_keys])
+    new = (
+        new.withColumn(cfg.surrogate_key, F.lit(max_key) + F.row_number().over(w))
+        .withColumn("create_date", now)
+        .withColumn("update_date", now)
+    )
+    batch = new if old is None else old.unionByName(new.select(*old.columns))
+
+    # 5. latest-wins upsert on the business key
+    target.keys = cfg.business_keys
+    target.sequence_by = cfg.cdc_col
+    target.upsert(batch)
+    return batch
+
+
+@dataclass
+class FactDimSpec:
+    """One dimension edge of the star (reference dimension specs,
+    `FACT_Gold_Layer.py:35-51`): which fact columns join to which dim
+    business keys, and which surrogate key to fetch."""
+
+    dim: ManagedParquetTable
+    join_on: dict[str, str]  # fact column -> dim business-key column
+    surrogate_key: str
+
+
+@dataclass
+class FactConfig:
+    name: str
+    grain_keys: list[str]  # business grain of the fact (merge keys)
+    measures: list[str]
+    cdc_col: str = "modifiedDate"
+    dims: list[FactDimSpec] = field(default_factory=list)
+
+
+def build_fact(
+    source: DataFrame,
+    target: ManagedParquetTable,
+    cfg: FactConfig,
+    clock: dt.datetime | None = None,
+) -> DataFrame:
+    """One incremental fact build: cursor slice → dedup to grain →
+    broadcast star joins to fetch surrogate keys → upsert on the grain.
+
+    Unmatched dimension rows keep a NULL surrogate key (the reference's
+    LEFT JOIN semantics — FIXTURES.md notes bookings contain passenger ids
+    beyond the dim on purpose).
+    """
+    if target.exists():
+        last_load = target.read().agg(F.max(cfg.cdc_col)).collect()[0][0]
+        src = source.filter(F.col(cfg.cdc_col) >= F.lit(last_load).cast("timestamp"))
+    else:
+        src = source
+    src = latest_by_key(src, cfg.grain_keys, [cfg.cdc_col])
+
+    out = src
+    surrogate_cols = []
+    for spec in cfg.dims:
+        dim_cols = list(dict.fromkeys([*spec.join_on.values(), spec.surrogate_key]))
+        # prefix dim columns: fact and dim business keys share names in a
+        # star schema (airport_id = airport_id), prefixing keeps the join
+        # unambiguous and makes cleanup a simple drop
+        pref = f"__{spec.surrogate_key}__"
+        dim = spec.dim.read().select(
+            *[F.col(c).alias(pref + c) for c in dim_cols]
+        )
+        cond = None
+        for fcol, dcol in spec.join_on.items():
+            c = F.col(fcol) == F.col(pref + dcol)
+            cond = c if cond is None else (cond & c)
+        out = (
+            out.join(F.broadcast(dim), cond, "left")
+            .withColumn(spec.surrogate_key, F.col(pref + spec.surrogate_key))
+            .drop(*[pref + c for c in dim_cols])
+        )
+        surrogate_cols.append(spec.surrogate_key)
+
+    keep = [*cfg.grain_keys, *cfg.measures, cfg.cdc_col, *surrogate_cols]
+    batch = out.select(*keep).withColumn("update_date", _clock_col(clock))
+
+    target.keys = cfg.grain_keys
+    target.sequence_by = cfg.cdc_col
+    target.upsert(batch)
+    return batch
