@@ -1,0 +1,101 @@
+"""Structured Streaming tests: stream == batch for windows, bounded-state
+dedup, custom stateful operator across micro-batches, exactly-once upsert
+sink."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.operators.cdc import ManagedParquetTable
+from databricks_end_to_end_lakeflow_project_spark.streaming import structured as st
+from databricks_end_to_end_lakeflow_project_spark.streaming.windows import tumbling_agg
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+@pytest.fixture
+def events_dir(spark, tmp_path):
+    """Two parquet files (→ two micro-batches with maxFilesPerTrigger=1)."""
+    rows1 = [(1, _ts(5), 10, "click", 1.0), (2, _ts(10), 10, "view", 2.0), (3, _ts(65), 20, "click", 3.0)]
+    rows2 = [(4, _ts(70), 10, "click", 4.0), (5, _ts(130), 20, "view", 5.0)]
+    d = str(tmp_path / "events")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_stream_tumbling_equals_batch_for_closed_windows(spark, events_dir):
+    stream = st.stream_from_dir(spark, events_dir)
+    name = f"tumbling_{uuid.uuid4().hex[:6]}"
+    got = st.run_to_memory(st.watermarked_tumbling(stream), name, output_mode="append")
+    batch = tumbling_agg(spark.read.parquet(events_dir))
+    got_rows = sorted(map(tuple, got.collect()))
+    batch_rows = sorted(map(tuple, batch.collect()))
+    # append mode emits a window only once the watermark passes its end:
+    # the final window (containing the max event time) stays open forever
+    # in a finite stream, so streamed == batch minus that trailing window
+    max_start = max(r[0] for r in batch_rows)
+    closed = [r for r in batch_rows if r[0] < max_start]
+    assert got_rows == closed
+    assert len(batch_rows) - len(got_rows) == 1
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    d = str(tmp_path / "dups")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = [(1, _ts(0), 1, "a", 1.0), (1, _ts(1), 1, "a", 1.0), (2, _ts(2), 1, "b", 2.0)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    stream = st.stream_from_dir(spark, d)
+    out = st.run_to_memory(
+        st.dedup_within_watermark(stream, ["event_id"]), f"dedup_{uuid.uuid4().hex[:6]}"
+    )
+    assert out.count() == 2
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+
+
+def test_stateful_running_totals_across_batches(spark, events_dir):
+    # force 2 micro-batches so state must carry across them
+    stream = st.stream_from_dir(spark, events_dir, max_files_per_trigger=1)
+    out = st.run_to_memory(
+        st.running_totals_per_user(stream), f"state_{uuid.uuid4().hex[:6]}", output_mode="update"
+    )
+    rows = out.collect()
+    # final (latest) emission per user must equal the full-data totals
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[10] == (3, 7.0)  # 1.0 + 2.0 + 4.0
+    assert final[20] == (2, 8.0)  # 3.0 + 5.0
+    # user 10 appears in both micro-batches → at least 2 emissions
+    assert sum(1 for r in rows if r["user_id"] == 10) >= 2
+
+
+def test_stream_upsert_exactly_once(spark, tmp_path):
+    d = str(tmp_path / "changes")
+    schema = "key string, val string, seq timestamp"
+    rows = [
+        ("A", "v1", _ts(0)),
+        ("A", "v2", _ts(10)),
+        ("B", "v1", _ts(5)),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    table = ManagedParquetTable(spark, str(tmp_path / "target"))
+    stream = st.stream_from_dir(
+        spark, d, schema=spark.read.parquet(d).schema
+    )
+    ckpt = str(tmp_path / "ckpt")
+    st.stream_upsert_into(stream, table, ["key"], "seq", ckpt)
+    state = {r["key"]: r["val"] for r in table.read().collect()}
+    assert state == {"A": "v2", "B": "v1"}
+    # re-run with same checkpoint: no new data → state unchanged (exactly once)
+    st.stream_upsert_into(stream, table, ["key"], "seq", ckpt)
+    state2 = {r["key"]: r["val"] for r in table.read().collect()}
+    assert state2 == state
