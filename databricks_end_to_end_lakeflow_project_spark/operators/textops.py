@@ -1,1 +1,176 @@
-"""Placeholder: populated in a later milestone this round."""
+"""Text-analysis operators for training-data pipelines: token statistics,
+quality scoring, language ID, document fingerprinting.
+
+North-star additions (SURVEY.md §2.9; no reference citation — the
+reference has no text operators). All implementations are JVM-side array/
+string expressions (split → higher-order functions), no Python UDFs: at
+100 TB these run inside whole-stage codegen as a pure scan → project
+pipeline with zero shuffles.
+
+Tokenization contract (shared with every oracle): tokens = split of
+trimmed text on single spaces. Real corpora would swap in a regex/BPE
+tokenizer here; the operator shapes are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+# tiny demonstration lexicons (a real deployment ships per-language tables)
+LEXICONS = {
+    "en": ["the", "a", "fast", "slow", "big", "small"],
+    "fr": ["le", "la", "les", "et", "vite"],
+    "es": ["el", "los", "rapido", "y"],
+    "de": ["der", "die", "das", "und", "schnell"],
+}
+
+STOPWORDS = ["the", "a"]
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), " ")
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+@query(
+    "text_stats",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents)
+    SELECT doc_id, lang,
+           LENGTH(w) AS n_tokens,
+           LENGTH(list_distinct(w)) AS n_uniq_tokens,
+           ROUND(list_reduce(list_transform(w, x -> LENGTH(x)::DOUBLE), (a, b) -> a + b)
+                 / LENGTH(w), 4) AS avg_token_len,
+           ROUND(LENGTH(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE / LENGTH(w), 4)
+             AS stopword_ratio
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: counts, uniqueness, mean token
+    length, stopword ratio — the raw features for quality filtering."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_uniq_tokens"),
+        F.round(
+            F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
+            / F.size(w),
+            4,
+        ).alias("avg_token_len"),
+        F.round(stopword_hits(w, STOPWORDS).cast("double") / F.size(w), 4).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+@query(
+    "text_quality_score",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id,
+             LENGTH(w)::DOUBLE AS n_tokens,
+             LENGTH(list_distinct(w))::DOUBLE / LENGTH(w) AS uniq_ratio,
+             LENGTH(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE / LENGTH(w) AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+               + 0.4 * uniq_ratio
+               + 0.2 * (1.0 - stop_ratio), 4) AS quality_score
+    FROM s
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + lexical diversity +
+    low stopword density (the standard pretraining-filter shape)."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    n = F.size(w).cast("double")
+    uniq_ratio = F.size(F.array_distinct(w)).cast("double") / n
+    stop_ratio = stopword_hits(w, STOPWORDS).cast("double") / n
+    score = (
+        0.4 * F.least(n / 100.0, F.lit(1.0)) + 0.4 * uniq_ratio + 0.2 * (1.0 - stop_ratio)
+    )
+    return docs.select("doc_id", F.round(score, 4).alias("quality_score"))
+
+
+def _langid_sql_hits() -> str:
+    parts = []
+    for lang, lex in LEXICONS.items():
+        inlist = ", ".join(f"'{w}'" for w in lex)
+        parts.append(f"LENGTH(list_filter(w, x -> x IN ({inlist}))) AS hits_{lang}")
+    return ",\n           ".join(parts)
+
+
+@query(
+    "text_langid",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    h AS (
+      SELECT doc_id,
+           {_langid_sql_hits()}
+      FROM t
+    )
+    SELECT doc_id, hits_en, hits_fr, hits_es, hits_de,
+           CASE
+             WHEN hits_en = 0 AND hits_fr = 0 AND hits_es = 0 AND hits_de = 0 THEN 'unknown'
+             WHEN hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+             WHEN hits_fr >= hits_es AND hits_fr >= hits_de THEN 'fr'
+             WHEN hits_es >= hits_de THEN 'es'
+             ELSE 'de'
+           END AS predicted_lang
+    FROM h
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-hit language ID (n-gram-free heuristic): count hits per
+    language lexicon, argmax with a deterministic preference order.
+    The oracle replicates the scoring rule exactly — the operator is
+    specified by its formula, not by ground-truth labels."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    out = docs.select("doc_id", *[
+        stopword_hits(w, lex).alias(f"hits_{lang}") for lang, lex in LEXICONS.items()
+    ])
+    h = {lang: F.col(f"hits_{lang}") for lang in LEXICONS}
+    pred = (
+        F.when((h["en"] == 0) & (h["fr"] == 0) & (h["es"] == 0) & (h["de"] == 0), "unknown")
+        .when((h["en"] >= h["fr"]) & (h["en"] >= h["es"]) & (h["en"] >= h["de"]), "en")
+        .when((h["fr"] >= h["es"]) & (h["fr"] >= h["de"]), "fr")
+        .when(h["es"] >= h["de"], "es")
+        .otherwise("de")
+    )
+    return out.withColumn("predicted_lang", pred)
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: MD5 over the sorted distinct
+    token set. Word-shuffled copies of a document collide — the cheap
+    first-pass signal before MinHash; MD5 so any engine reproduces it."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(w)), " ")).alias("fingerprint"),
+    )

@@ -1,0 +1,87 @@
+"""LLM-data operator tests: dedup family consistency (LSH vs brute
+force), similarity recall, text ops, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.operators import dedup, multimodal, similarity
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairset(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_subset_of_exact_with_high_recall(spark):
+    exact = _pairset(dedup.dedup_ngram_jaccard_pairs(spark, SF))
+    lsh = _pairset(dedup.dedup_minhash_lsh_pairs(spark, SF))
+    assert lsh <= exact  # verification step guarantees no false positives
+    if exact:
+        assert len(lsh) / len(exact) >= 0.9
+
+
+def test_simhash_pairs_overlap_jaccard_near_dups(spark):
+    docs = read_table(spark, SF, "documents")
+    sim = _pairset(dedup.simhash_pairs(docs, max_hamming=6))
+    exact = _pairset(dedup.dedup_ngram_jaccard_pairs(spark, SF))
+    # different sketch, same phenomenon: most Jaccard near-dups are within
+    # small simhash hamming distance
+    if exact:
+        assert len(sim & exact) / len(exact) >= 0.7
+
+
+def test_ann_buckets_subset_and_recall(spark):
+    exact = _pairset(similarity.sim_embedding_near_dup_pairs(spark, SF), "vec_a", "vec_b")
+    ann = _pairset(similarity.sim_ann_hyperplane_buckets(spark, SF), "vec_a", "vec_b")
+    assert ann <= exact
+    if exact:
+        assert len(ann) / len(exact) >= 0.9
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    em = read_table(spark, SF, "embeddings")
+    rows = em.collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = V[0]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in V.items()
+        if vid != 0
+    }
+    expected = sorted(sims, key=lambda k: (-round(sims[k], 6), k))[:10]
+    got = [r["vec_id"] for r in similarity.sim_cosine_topk(spark, SF).collect()]
+    assert got == expected
+
+
+def test_multimodal_decode_stub_raises_without_codec():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_meta(b"bytes")
+
+
+def test_multimodal_frame_sampling(spark):
+    docs = read_table(spark, SF, "documents").limit(20)
+    media = multimodal.documents_as_media(docs)
+    frames = multimodal.sample_frames(media, every_n_bytes=100)
+    joined = (
+        frames.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.max("frame_offset").alias("max_off"))
+        .join(media.select("doc_id", "byte_len"), "doc_id")
+    )
+    for r in joined.collect():
+        expected = (r["byte_len"] + 99) // 100
+        assert r["n_frames"] == expected
+        assert r["max_off"] == (expected - 1) * 100
+    probe = frames.select(F.octet_length("frame_probe").alias("n")).agg(F.max("n")).collect()[0][0]
+    assert probe <= 16
+
+
+def test_media_table_schema(spark):
+    media = multimodal.documents_as_media(read_table(spark, SF, "documents"))
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert media.filter(F.col("byte_len") != F.octet_length("payload")).count() == 0
