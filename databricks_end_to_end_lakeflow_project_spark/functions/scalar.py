@@ -271,3 +271,36 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("capped_low"),
         F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("capped_high"),
     )
+
+
+@query(
+    "fn_map_suite",
+    """
+    SELECT event_id,
+           CAST(len(json_keys(props)) + 1 AS INT) AS n_keys,
+           json_extract(props, '$.k')::INT AS k_val,
+           list_contains(json_keys(props), 'k') AS has_k,
+           array_to_string(list_sort(list_append(json_keys(props), 'etype_len')), ',') AS keys_csv,
+           CAST(LENGTH(event_type) * 2 AS INT) AS etype_len_x2
+    FROM events WHERE event_id < 2000
+    """,
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function pack: from_json→map, create_map, map_concat,
+    map_keys, map_contains_key, element_at, transform_values — the
+    semi-structured map surface (§2.9). The oracle mirrors each result
+    through DuckDB's JSON functions since its MAP type hashes
+    differently."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json("props", "map<string,int>")
+    m2 = F.map_concat(m, F.create_map(F.lit("etype_len"), F.length("event_type")))
+    return ev.select(
+        "event_id",
+        F.size(m2).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.map_contains_key(m, "k").alias("has_k"),
+        F.array_join(F.array_sort(F.map_keys(m2)), ",").alias("keys_csv"),
+        F.element_at(F.transform_values(m2, lambda k, v: v * 2), "etype_len").alias(
+            "etype_len_x2"
+        ),
+    )

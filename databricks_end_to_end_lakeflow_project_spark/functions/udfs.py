@@ -1,0 +1,157 @@
+"""User-defined function surface: Arrow-vectorized pandas UDFs (scalar +
+grouped-agg), `applyInPandas` grouped transforms, and `mapInPandas`
+batch iterators.
+
+SURVEY.md §2.9 UDF/UDAF additions — the reference itself contains no
+UDFs (its entire scalar surface is built-ins, §2.7), but a complete
+engine needs the escape hatch for semantics the built-ins can't express.
+
+Scale notes (100 TB): every UDF here is Arrow-batched (pandas_udf /
+applyInPandas / mapInPandas) — columnar blocks cross the JVM↔Python
+boundary once per batch, not once per row (~10-100× over row UDFs).
+The grouped forms shuffle once on the group key, identical to a
+groupBy; the scalar/map forms are narrow (no shuffle). Each query's
+semantics is deliberately SQL-expressible so the DuckDB oracle proves
+the UDF path bit-for-bit: sums are over exact integers (no fp
+accumulation-order drift between pandas and the oracle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+
+@pandas_udf(T.IntegerType())
+def _acctbal_bucket(balance: pd.Series) -> pd.Series:
+    """Vectorized scalar UDF: 1000-wide balance bucket (floor division)."""
+    return np.floor(balance / 1000.0).astype("int32")
+
+
+@query(
+    "udf_pandas_scalar",
+    """
+    SELECT CAST(FLOOR(c_acctbal / 1000.0) AS INT) AS bucket,
+           COUNT(*) AS n_customers,
+           MIN(c_custkey) AS min_custkey
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF in the row pipeline, then a JVM-side aggregate —
+    the hybrid pattern: Python only for the expression Spark lacks,
+    everything around it stays in whole-stage codegen."""
+    cu = read_table(spark, sf_dir, "customer")
+    return (
+        cu.withColumn("bucket", _acctbal_bucket("c_acctbal"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+    )
+
+
+@pandas_udf(T.LongType())
+def _sum_qty_grouped(qty: pd.Series) -> int:
+    """Grouped-agg pandas UDF: exact integer sum (quantities are integral)."""
+    return int(qty.astype("int64").sum())
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): partial batches per group
+    arrive as a pandas Series; result is one scalar per group."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _sum_qty_grouped("l_quantity").alias("sum_qty")
+    )
+
+
+def _order_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group pandas transform: order-count + exact cent total + span."""
+    cents = np.rint(pdf["o_totalprice"].to_numpy() * 100).astype("int64")
+    return pd.DataFrame(
+        {
+            "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+            "n_orders": [len(pdf)],
+            "total_cents": [int(cents.sum())],
+            "first_date": [pdf["o_orderdate"].min()],
+            "last_date": [pdf["o_orderdate"].max()],
+        }
+    )
+
+
+@query(
+    "udf_apply_in_pandas",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped transform: each group materializes as one
+    pandas DataFrame in Python — the pattern for per-group logic that
+    is genuinely imperative (model scoring, per-entity fitting). Money
+    is summed in integer cents so pandas and the oracle agree exactly."""
+    od = read_table(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").applyInPandas(
+        _order_stats,
+        schema=(
+            "o_orderpriority string, n_orders long, total_cents long, "
+            "first_date timestamp, last_date timestamp"
+        ),
+    )
+
+
+def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: whitespace token count + char count per document."""
+    for pdf in batches:
+        toks = pdf["text"].str.split().str.len().fillna(0).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": toks,
+                "n_chars": pdf["text"].str.len().astype("int64"),
+            }
+        )
+
+
+@query(
+    "udf_map_in_pandas",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas partition-batch iterator — the streaming-friendly
+    Arrow path used by the multimodal decode operators; output schema is
+    declared up front, batches flow without a shuffle."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_tokenize_batches, schema="doc_id long, n_tokens long, n_chars long")

@@ -1,0 +1,125 @@
+"""As-of (temporal) join: for each left row, the most recent right row
+at-or-before its timestamp, per key.
+
+SURVEY.md §2.9 gap fill — the reference has no as-of/temporal joins
+(§2.3 "Not present"). Implemented Spark-first with the union + ordered
+window + ``last(ignorenulls)`` plan rather than a range join:
+
+Scale notes (100 TB): a naive range-join (``l.ts >= r.ts`` + window to
+keep the max) is a near-cartesian explosion per key. The union plan
+shuffles BOTH sides ONCE on the join key, sorts within partitions by
+(ts, side), and resolves each left row with a running ``last`` — cost is
+one shuffle + one sort, identical asymptotics to a sort-merge join, no
+intermediate blowup, no skew amplification beyond the key's own row
+count. This is the standard distributed as-of strategy (same shape as
+Flink temporal joins / kdb aj re-expressed relationally).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+_SIDE = "__asof_side"  # 0 = right (visible to later lefts), 1 = left
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row keeps all its columns and gains
+    ``right_cols`` + ``right_ts`` from the latest ``right`` row with
+    ``right_ts <= left_ts`` (``<`` when ``strict``) and equal ``on`` keys;
+    NULLs when no prior right row exists.
+
+    ``right`` must be unique per (*on, right_ts*) — pre-aggregate
+    otherwise (ties would make the matched payload nondeterministic).
+    """
+    on = list(on)
+    right_cols = [c for c in right_cols if c not in on and c != right_ts]
+
+    lhs = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in left.columns if c not in on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(right_ts),
+    )
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+        *[F.col(c) for c in right_cols],
+        F.col(right_ts),
+    )
+
+    # strict (<): right rows at ts == left ts must NOT be visible → order
+    # them after the left row instead of before.
+    side_order = F.col(_SIDE).desc() if strict else F.col(_SIDE).asc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    resolved = lhs.unionByName(rhs).select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}") for c in [*right_cols, right_ts]],
+    )
+    keep = [c for c in left.columns if c not in on]
+    return (
+        resolved.filter(F.col(_SIDE) == 1)
+        .select(
+            *on,
+            *keep,
+            *[F.col(f"__m_{c}").alias(c) for c in [right_ts, *right_cols]],
+        )
+    )
+
+
+@query(
+    "join_asof_backward",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_ts, c.click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase event matched to the user's
+    most recent at-or-before click (DuckDB ``ASOF LEFT JOIN`` oracle)."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_value"],
+    )

@@ -25,6 +25,9 @@ _QUERY_MODULES = [
     "databricks_end_to_end_lakeflow_project_spark.plans.analytics",
     "databricks_end_to_end_lakeflow_project_spark.plans.flight_pipeline",
     "databricks_end_to_end_lakeflow_project_spark.operators.relational",
+    "databricks_end_to_end_lakeflow_project_spark.operators.asof",
+    "databricks_end_to_end_lakeflow_project_spark.functions.udfs",
+    "databricks_end_to_end_lakeflow_project_spark.streaming.structured",
     "databricks_end_to_end_lakeflow_project_spark.operators.windows",
     "databricks_end_to_end_lakeflow_project_spark.functions.scalar",
     "databricks_end_to_end_lakeflow_project_spark.operators.cdc",

@@ -15,6 +15,9 @@ exactly-once upsert sinks (idempotent merge + checkpointed offsets).
 
 from __future__ import annotations
 
+import os
+import tempfile
+import uuid
 from collections.abc import Callable, Sequence
 from typing import Any
 
@@ -25,6 +28,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from databricks_end_to_end_lakeflow_project_spark.operators.cdc import ManagedParquetTable
+from databricks_end_to_end_lakeflow_project_spark.registry import query
 from databricks_end_to_end_lakeflow_project_spark.streaming.windows import tumbling_agg
 
 EVENT_SCHEMA = T.StructType(
@@ -116,6 +120,103 @@ def running_totals_per_user(stream_events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- registry queries: true streaming runs over the sf tables ----------------
+
+
+def _stream_dir_for(sf_dir: str, table: str) -> str:
+    """Spark's file streaming source lists a DIRECTORY; the testdata
+    tables are single parquet files. Build (once) a tmp dir holding a
+    symlink to the file and stream from that."""
+    base = os.path.join(
+        tempfile.gettempdir(), "lakeflow_streams", sf_dir.strip("/").replace("/", "_"), table
+    )
+    os.makedirs(base, exist_ok=True)
+    link = os.path.join(base, f"{table}.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return base
+
+
+_EVENT_NS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as raw ns
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def stream_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the testdata events table, with the same
+    TIMESTAMP(NANOS) → µs normalization as `sources.readers.read_table`."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = stream_from_dir(spark, _stream_dir_for(sf_dir, "events"), schema=_EVENT_NS_SCHEMA)
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+_CENTS_SCHEMA = "user_id long, n_events long, total_cents long"
+_CENTS_STATE = "n long, cents long"
+
+
+def _running_cents(key, batches, state: GroupState):
+    """Stateful per-user (count, cent-total): integer state, so results
+    commute across any micro-batch split (oracle-exact)."""
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        cents += int(pdf["value_cents"].sum())
+    state.update((n, cents))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+
+
+@query(
+    "stream_stateful_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end: events streamed
+    through `applyInPandasWithState`, drained with availableNow into a
+    memory sink; the last (monotone-max) emission per user equals the
+    batch GROUP BY — which is exactly what the oracle computes."""
+    stream = stream_events_table(spark, sf_dir).withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    totals = stream.groupBy("user_id").applyInPandasWithState(
+        _running_cents,
+        outputStructType=_CENTS_SCHEMA,
+        stateStructType=_CENTS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_to_memory(totals, f"sst_{uuid.uuid4().hex[:8]}", output_mode="update")
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_cents").alias("total_cents")
+    )
+
+
+@query(
+    "stream_watermark_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` on (user_id, event_type) run as a
+    real stream; key columns only are returned (which duplicate's payload
+    survives is engine-dependent, the key set is not)."""
+    stream = stream_events_table(spark, sf_dir)
+    deduped = dedup_within_watermark(stream, ["user_id", "event_type"], delay="365 days").select(
+        "user_id", "event_type"
+    )
+    drained = run_to_memory(deduped, f"swd_{uuid.uuid4().hex[:8]}")
+    return drained.distinct()
 
 
 # -- exactly-once upsert sink ------------------------------------------------

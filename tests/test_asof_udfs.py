@@ -1,0 +1,55 @@
+"""As-of join semantics (at-or-before, strict, no-match, key isolation)
+and UDF-suite sanity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.operators.asof import asof_join
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def _frames(spark):
+    trades = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(20), 101.0), (2, _ts(10), 50.0), (3, _ts(5), 9.0)],
+        "sym int, trade_ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [(1, _ts(9), 99.5), (1, _ts(10), 99.9), (1, _ts(15), 100.5), (2, _ts(11), 49.0)],
+        "sym int, quote_ts timestamp, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_at_or_before(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(trades, quotes, ["sym"], "trade_ts", "quote_ts", ["bid"])
+    rows = {(r["sym"], r["trade_ts"]): (r["quote_ts"], r["bid"]) for r in out.collect()}
+    assert out.count() == trades.count()  # left join: every left row kept
+    # equal timestamp matches (10:00 quote visible to 10:00 trade)
+    assert rows[(1, _ts(10))] == (_ts(10), 99.9)
+    # latest at-or-before, not first
+    assert rows[(1, _ts(20))] == (_ts(15), 100.5)
+    # key isolation: sym 2 never sees sym 1 quotes; 11:00 quote is after
+    assert rows[(2, _ts(10))] == (None, None)
+    # key with no right rows at all
+    assert rows[(3, _ts(5))] == (None, None)
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(trades, quotes, ["sym"], "trade_ts", "quote_ts", ["bid"], strict=True)
+    rows = {(r["sym"], r["trade_ts"]): (r["quote_ts"], r["bid"]) for r in out.collect()}
+    assert rows[(1, _ts(10))] == (_ts(9), 99.5)  # equal-ts quote no longer visible
+
+
+def test_asof_keeps_left_payload_columns(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(trades, quotes, ["sym"], "trade_ts", "quote_ts", ["bid"])
+    assert set(out.columns) == {"sym", "trade_ts", "price", "quote_ts", "bid"}
+    assert out.filter(F.col("price").isNull()).count() == 0
