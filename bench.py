@@ -22,13 +22,22 @@ if _REPO not in sys.path:
 from databricks_end_to_end_lakeflow_project_spark.session import get_spark  # noqa: E402
 from databricks_end_to_end_lakeflow_project_spark import registry  # noqa: E402
 
-# Headline set: the flagship star join + the canonical agg/join/topk shapes.
-# Extended per-round as operator families land.
+# Headline set: the flagship star join + the canonical agg/join/topk shapes,
+# plus one representative per operator family (window, as-of, CDC merge,
+# event-time window, LLM-ops dedup/similarity, Arrow UDF path).
 HEADLINE = [
     "flagship_star_revenue",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "win_topk_per_group",
+    "join_asof_backward",
+    "cdc_merge_upsert",
+    "stream_tumbling_window",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk",
+    "udf_map_in_pandas",
+    "text_quality_score",
 ]
 
 

@@ -63,18 +63,33 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(sh: Column) -> Column:
-    """64-permutation MinHash signature of a shingle array."""
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+def shingle_hashes(sh: Column) -> Column:
+    """Hash each shingle once: array<long> in [0, P)."""
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
 
-    def _perm(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % _P
 
+def minhash_signatures(sh_df: DataFrame) -> DataFrame:
+    """(doc_id, sh) → (doc_id, sig: array<long>[64]).
+
+    Explode the hashed shingles and take the 64 permutation minima as 64
+    ``min()`` aggregates in ONE groupBy — map-side partial aggregation
+    keeps the shuffle at 64 longs per doc regardless of document length,
+    and every operator is primitive long math inside whole-stage codegen.
+    (Higher-order-function formulations — 64 ``array_min(transform(...))``
+    expressions, or one nested transform over a permutation sequence —
+    measured 10-100× slower: the former re-hashes every shingle per
+    permutation and overflows codegen's method-size limit, the latter
+    drops to interpreted lambda evaluation.)"""
+    hashed = sh_df.select("doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("h"))
     mins = []
     for i in range(_N_PERM):
         a, b = _perm_params(i)
-        mins.append(F.array_min(F.transform(base, _perm(a, b))))
-    return F.array(*mins)
+        mins.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}"))
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(_N_PERM)]).alias("sig"))
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -161,11 +176,12 @@ def dedup_minhash_lsh_pairs(
     sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= 3).select(
         "doc_id", shingles(F.col("text")).alias("sh")
     )
-    sig = sh.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+    sig = minhash_signatures(sh)
 
+    # bands carry ONLY (doc_id, band key) — the shingle arrays stay out of
+    # the explode and the bucket shuffle (16× payload amplification saved)
     bands = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -185,7 +201,7 @@ def dedup_minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash")
 
     # guard against pathological hot buckets (boilerplate corpora): cap
     # bucket size; anything larger is a degenerate cluster handled by the
@@ -196,21 +212,22 @@ def dedup_minhash_lsh_pairs(
         ["band_id", "band_hash"],
     )
 
-    left = bands.select(
-        "band_id", "band_hash", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    )
-    right = bands.select(
-        "band_id", "band_hash", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-    )
+    left = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
+    right = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
     candidates = (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+    # fetch shingles only for surviving candidate pairs, then verify
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
     j = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
-        candidates.withColumn("jaccard_sim", F.round(j, 4))
+        verified.withColumn("jaccard_sim", F.round(j, 4))
         .filter(j >= 0.8)
         .select("doc_a", "doc_b", "jaccard_sim")
     )
