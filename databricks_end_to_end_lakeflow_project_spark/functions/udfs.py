@@ -155,3 +155,36 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared up front, batches flow without a shuffle."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(_tokenize_batches, schema="doc_id long, n_tokens long, n_chars long")
+
+
+class _SplitSentences:
+    """Python UDTF: one row per '. '-delimited sentence with its index."""
+
+    def eval(self, text: str):
+        for i, sent in enumerate((text or "").split(". "), start=1):
+            yield i, sent
+
+
+@query(
+    "udf_udtf_sentences",
+    """
+    SELECT doc_id,
+           generate_subscripts(parts, 1) AS sent_idx,
+           unnest(parts) AS sentence
+    FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents WHERE doc_id < 50)
+    """,
+)
+def udf_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): text → (sent_idx, sentence) rows via
+    a LATERAL join — the one-row-to-many escape hatch (§2.9 UDTF). The
+    oracle mirrors the literal '. ' split with unnest + subscripts."""
+    from pyspark.sql.functions import udtf
+
+    split_sentences = udtf(_SplitSentences, returnType="sent_idx int, sentence string")
+    spark.udtf.register("split_sentences", split_sentences)
+    read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence FROM _udtf_docs d, LATERAL split_sentences(d.text) s"
+    )

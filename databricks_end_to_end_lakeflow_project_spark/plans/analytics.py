@@ -220,3 +220,113 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(disc_price()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "nation_name")
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2))), 4)::DOUBLE AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins.
+
+    The whole query is one parquet scan with every predicate pushed down
+    (date range engages row-group min/max skipping) and a single partial
+    sum — the cheapest possible distributed plan, and the yardstick for
+    scan throughput at 100 TB.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(money("l_extendedprice") * money("l_discount")), 4)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           ROUND(SUM({SQL_DISC_PRICE}), 2)::DOUBLE AS revenue,
+           n_name AS nation_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+
+    Both fact filters sit on scan columns; the customer join keys the
+    aggregation, and the top-k compiles to TakeOrderedAndProject."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(dsum(disc_price()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "nation_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via aggregate-then-filter
+    (HAVING on a SUM). The quantity threshold (150, vs TPC's 300) is
+    scaled to this generator's ~4 lineitems/order so the result is
+    non-vacuous at every test SF."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    total = dsum(money("l_quantity"))
+    return (
+        cu.join(od, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+        .agg(total.alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )

@@ -34,6 +34,22 @@ def test_simhash_pairs_overlap_jaccard_near_dups(spark):
         assert len(sim & exact) / len(exact) >= 0.7
 
 
+def test_ivf_topk_scores_match_brute_force(spark):
+    """Every IVF-returned neighbor must carry its exact brute-force cosine
+    and respect the brute-force ordering over the probed subset."""
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.sim_cosine_topk(spark, SF).collect()
+    }
+    ivf = similarity.sim_ivf_topk(spark, SF).collect()
+    assert len(ivf) == 10
+    sims = [r["cos_sim"] for r in ivf]
+    assert sims == sorted(sims, reverse=True)
+    for r in ivf:
+        if r["vec_id"] in exact:  # overlap with global top-10 → same score
+            assert r["cos_sim"] == exact[r["vec_id"]]
+
+
 def test_ann_buckets_subset_and_recall(spark):
     exact = _pairset(similarity.sim_embedding_near_dup_pairs(spark, SF), "vec_a", "vec_b")
     ann = _pairset(similarity.sim_ann_hyperplane_buckets(spark, SF), "vec_a", "vec_b")
