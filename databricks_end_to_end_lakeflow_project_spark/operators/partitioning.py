@@ -1,0 +1,115 @@
+"""Partitioning strategies: salted joins for skewed keys, partitioned
+sinks with partition-pruned reads, and explicit repartitioning.
+
+Scale notes (100 TB) — these are the knobs the rest of the engine
+assumes:
+
+- **Salted join**: a shuffle join on a skewed key puts one key's entire
+  row set on one reducer. Salting splits each key into S sub-keys —
+  the big side gets a deterministic content-hash salt, the small side is
+  replicated S× — bounding any reducer's share at 1/S of the hottest
+  key. AQE's skew-join split (enabled in session.py) handles moderate
+  skew at runtime; explicit salting is for the pathological tail where
+  one key exceeds an executor, and composes with any join type Spark
+  plans underneath (hash/SMJ). Results are bit-identical to the unsalted
+  join — which is exactly what the DuckDB oracle checks.
+- **Partitioned sink + pruning**: gold tables are laid out
+  ``PARTITIONED BY`` low-cardinality audit/filter columns so selective
+  reads list only matching directories (`PartitionFilters` in the scan,
+  zero I/O for pruned partitions) — the file-layout complement to
+  row-group min/max skipping.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.functions.compat import disc_price, dsum
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+_SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's rows scattered over ``num_salts``
+    sub-keys and the small side replicated to every sub-key.
+
+    The salt is a content hash of the big side's row (deterministic —
+    no rand(), so retried tasks and oracle replays agree); any salt
+    distribution is correct, uniform ones balance best."""
+    keys = list(keys)
+    big_salted = big.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts))
+    )
+    small_replicated = small.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return big_salted.join(small_replicated, [*keys, _SALT], how).drop(_SALT)
+
+
+@query(
+    "join_salted_skew",
+    f"""
+    SELECT o_orderpriority,
+           ROUND(SUM({'CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))'}), 2)::DOUBLE AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-dim join (8 salts) + aggregate; the oracle is the
+    plain unsalted join — salting must not change a single row."""
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    joined = salted_join(li, od, ["l_orderkey"], num_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        dsum(disc_price()).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "sink_partitioned_pruning",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned read-back:
+    orders written ``partitionBy(o_orderstatus)``, then only the 'F'
+    directory is read (the scan shows PartitionFilters, not a filter over
+    all rows). Oracle = the same aggregate straight off the source."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "lakeflow_partitioned",
+        sf_dir.strip("/").replace("/", "_"),
+        "orders_by_status",
+    )
+    od = read_table(spark, sf_dir, "orders")
+    od.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+    )

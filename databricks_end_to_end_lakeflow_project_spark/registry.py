@@ -26,6 +26,7 @@ _QUERY_MODULES = [
     "databricks_end_to_end_lakeflow_project_spark.plans.flight_pipeline",
     "databricks_end_to_end_lakeflow_project_spark.operators.relational",
     "databricks_end_to_end_lakeflow_project_spark.operators.asof",
+    "databricks_end_to_end_lakeflow_project_spark.operators.partitioning",
     "databricks_end_to_end_lakeflow_project_spark.functions.udfs",
     "databricks_end_to_end_lakeflow_project_spark.streaming.structured",
     "databricks_end_to_end_lakeflow_project_spark.operators.windows",
