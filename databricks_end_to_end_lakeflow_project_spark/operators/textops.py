@@ -174,3 +174,36 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.array_join(F.array_sort(F.array_distinct(w)), " ")).alias("fingerprint"),
     )
+
+
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit runs,
+# symbol runs (no backslash escapes that differ between Java and RE2)
+_BPE_ISH = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+_BPE_ISH_SQL = _BPE_ISH.replace("'", "''")
+
+
+@query(
+    "text_token_count_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_ISH_SQL}')) AS INT) AS n_bpe_tokens,
+           CAST(LENGTH(string_split(trim(text), ' ')) AS INT) AS n_ws_tokens,
+           ROUND(LENGTH(text)::DOUBLE
+                 / len(regexp_extract_all(text, '{_BPE_ISH_SQL}')), 4) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex (runs of
+    letters / digits / symbols + contractions) counted JVM-side — the
+    standard cheap estimate of LLM token cost per document, with
+    chars-per-token as the compression proxy. Whitespace count alongside
+    for the ratio features in quality filtering."""
+    docs = read_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_ISH), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.round(F.length("text").cast("double") / F.size(bpe), 4).alias("chars_per_token"),
+    )
