@@ -498,3 +498,70 @@ def filter_in_between_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_brand", "p_size", "p_retailprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# subquery shapes (§2.9: correlated EXISTS, scalar subquery)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subq_exists_late_orders",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def subq_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS over the fact table — orders in a
+    quarter having any lineitem shipped >60 days after order date.
+
+    Expressed via spark.sql so Catalyst's subquery decorrelation rewrites
+    it to a left-semi join (the same plan the DataFrame `left_semi` form
+    produces) — demonstrating the engine accepts the declarative SQL form
+    too."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_sq_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM _sq_orders
+        WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM _sq_lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "subq_scalar_above_avg",
+    """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part
+    WHERE p_retailprice > 1.05 * (SELECT AVG(p_retailprice) FROM part)
+    """,
+)
+def subq_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate: parts priced >1.5× the
+    mean (prices sit in a tight 900-1000 band, hence the 1.05 factor). The scalar aggregate evaluates once and broadcasts into
+    the scan filter — two passes over a column, no join shuffle."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_sq_part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM _sq_part
+        WHERE p_retailprice > 1.05 * (SELECT AVG(p_retailprice) FROM _sq_part)
+        """
+    )

@@ -207,3 +207,58 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
         F.round(F.length("text").cast("double") / F.size(bpe), 4).alias("chars_per_token"),
     )
+
+
+@query(
+    "pipeline_docs_quality_corpus",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS w,
+             md5(array_to_string(string_split(trim(text), ' ')[1:10], ' ')) AS fp
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, fp,
+             LENGTH(w) AS n_tokens,
+             LENGTH(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE / LENGTH(w) AS stop_ratio
+      FROM t WHERE LENGTH(w) >= 5
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE stop_ratio >= 0.02
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens
+    FROM kept GROUP BY lang
+    """,
+)
+def pipeline_docs_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation in ONE plan: length gate →
+    stopword-ratio quality gate → exact dedup (keep lowest doc_id per
+    fingerprint) → per-language corpus stats. The composition every
+    100 TB text pipeline runs nightly; each stage is a narrow transform
+    except the dedup window (one shuffle on the fingerprint) and the
+    final tiny aggregation."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    scored = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(w).alias("n_tokens"),
+            (stopword_hits(w, STOPWORDS).cast("double") / F.size(w)).alias("stop_ratio"),
+            F.md5(F.concat_ws(" ", F.slice(w, 1, 10))).alias("fp"),
+        )
+        .filter(F.col("n_tokens") >= 5)
+        .filter(F.col("stop_ratio") >= 0.02)
+    )
+    kept = scored.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    ).filter(F.col("rn") == 1)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
