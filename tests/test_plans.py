@@ -1,0 +1,78 @@
+"""Physical-plan guards: the scale properties OPERATORS.md claims must be
+visible in the executed plans, not just intended."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark import registry
+from databricks_end_to_end_lakeflow_project_spark.operators.partitioning import (
+    sink_bucketed_colocated_join,
+    sink_partitioned_pruning,
+)
+
+SF = "/root/testdata/sf0.001"
+
+# brute-force baselines are deliberately non-equi (all-pairs) joins; the
+# cross-join demo is explicitly cartesian
+NON_EQUI_WHITELIST = {
+    "join_cross_dims",
+    "dedup_ngram_jaccard_pairs",
+    "sim_embedding_near_dup_pairs",
+    "join_range_predicate",  # range predicate only — intentional
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(registry.all_queries()))
+def test_no_accidental_cartesian(spark, name):
+    """No query outside the whitelist may plan a cartesian/nested-loop
+    join — the classic silent 100TB-killer."""
+    if name in NON_EQUI_WHITELIST:
+        pytest.skip("intentional all-pairs/cross join")
+    df = registry.all_queries()[name](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bucketed_join_has_no_join_shuffle(spark):
+    """With broadcast off, the co-bucketed join must sort-merge WITHOUT a
+    hash-partition exchange on either input: bucketing already satisfies
+    the join's distribution requirement."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = sink_bucketed_colocated_join(spark, SF)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_partitioned_read_prunes(spark):
+    """The status filter must appear as PartitionFilters (directory
+    pruning), not a row-level DataFilter."""
+    df = sink_partitioned_pruning(spark, SF)
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert "(o_orderstatus" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_flagship_pushes_filter_to_scan(spark):
+    """Predicate pushdown + column pruning on the fact scan."""
+    df = registry.all_queries()["flagship_star_revenue"](spark, SF)
+    plan = _plan(df)
+    scan = next(l for l in plan.splitlines() if "lineitem" in l and "FileScan" in l)
+    assert "GreaterThanOrEqual(l_shipdate" in scan
+    assert "l_comment" not in scan  # pruned (not even a column here, but guards regressions)
+    assert "ReadSchema" in scan
