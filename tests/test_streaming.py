@@ -99,3 +99,26 @@ def test_stream_upsert_exactly_once(spark, tmp_path):
     st.stream_upsert_into(stream, table, ["key"], "seq", ckpt)
     state2 = {r["key"]: r["val"] for r in table.read().collect()}
     assert state2 == state
+
+
+def test_replay_is_rate_limited_and_reaches_batch_state(spark):
+    """The replay harness must produce one micro-batch per time-slice
+    (real incrementality), and the replayed SCD1 table must equal
+    latest-per-key computed in one batch window."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import latest_by_key
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+    from databricks_end_to_end_lakeflow_project_spark.streaming.replay import replay_scd1
+
+    sf = "/root/testdata/sf0.001"
+    table, n_batches = replay_scd1(spark, sf, slices=6)
+    assert n_batches == 6
+    got = {
+        r["user_id"]: (r["ts"], r["value"])
+        for r in table.read().collect()
+    }
+    ev = read_table(spark, sf, "events")
+    want = {
+        r["user_id"]: (r["ts"], r["value"])
+        for r in latest_by_key(ev, ["user_id"], ["ts"], ["event_id"]).collect()
+    }
+    assert got == want
