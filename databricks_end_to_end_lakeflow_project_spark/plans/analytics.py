@@ -330,3 +330,161 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 150)
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
     )
+
+
+@query(
+    "q12_priority_shipping",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional (CASE) counting over a fact-to-fact
+    join — line counts split into high/low order priority per line
+    status. (The testdata has no l_shipmode; o_orderpriority's CASE split
+    is the operative pattern.) The shipdate filter is pushed into the
+    lineitem scan; CASE-sums partial-aggregate map-side, so the shuffle
+    carries 2 longs per (status × partition)."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    f"""
+    SELECT ROUND(
+             100.00 * SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_DISC_PRICE}
+                               ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE
+                    / SUM({SQL_DISC_PRICE})::DOUBLE, 4) AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one ship month — a
+    conditional-aggregate ratio over a fact ⋈ dimension join. part is
+    broadcast; both sums are exact decimals and the single double
+    division is IEEE-identical to the oracle's."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+        )
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price()).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'CHINA' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE
+                 / SUM(volume)::DOUBLE, 4) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             {SQL_DISC_PRICE} AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ) t
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's revenue
+    per order year — the widest star join in the suite (fact ⋈ orders ⋈ 5
+    dims, nation joined TWICE under different roles). All true dimensions
+    broadcast; the only shuffles are the lineitem⋈orders key exchange and
+    the tiny per-year aggregation. Share = conditional-decimal-sum /
+    decimal-sum, divided once in doubles (oracle-identical)."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    pt = _t(spark, sf_dir, "part")
+    sp = _t(spark, sf_dir, "supplier")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    rg = _t(spark, sf_dir, "region")
+    n1 = na.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    volume = disc_price()
+    china = F.when(F.col("supp_nation") == "CHINA", volume).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(
+            od.filter(
+                (F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(pt.filter(F.col("p_type") == "STANDARD")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(
+            F.broadcast(rg.filter(F.col("r_name") == "ASIA")),
+            F.col("c_rkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(china).cast("double") / F.sum(volume).cast("double"), 4
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
