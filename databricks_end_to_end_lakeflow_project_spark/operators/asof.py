@@ -123,3 +123,81 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="click_ts",
         right_cols=["click_value"],
     )
+
+
+def gapfill_spine(
+    df: DataFrame,
+    ts_col: str,
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """Dense time spine covering [min, max] of ``ts_col`` truncated to
+    ``unit``, one row per ``step``. Generated from the single (min, max)
+    aggregate row via `sequence` + `explode` — the spine costs one
+    all-to-one aggregate regardless of table size."""
+    bounds = df.agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("hi"),
+    )
+    return bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("bucket")
+    )
+
+
+@query(
+    "ts_gapfill_hourly",
+    """
+    WITH spine AS (
+      SELECT UNNEST(GENERATE_SERIES(
+               DATE_TRUNC('hour', (SELECT MIN(ts) FROM events)),
+               DATE_TRUNC('hour', (SELECT MAX(ts) FROM events)),
+               INTERVAL 1 HOUR)) AS bucket
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), counts AS (
+      SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT spine.bucket, types.event_type,
+           COALESCE(counts.n_events, 0) AS n_events,
+           COALESCE(counts.total_cents, 0) AS total_cents
+    FROM spine CROSS JOIN types
+    LEFT JOIN counts ON counts.bucket = spine.bucket
+                    AND counts.event_type = types.event_type
+    """,
+)
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill (resample to a dense grid): hourly event
+    counts per event type with missing (hour × type) buckets zero-filled —
+    the operator behind monitoring dashboards and regular-grid feature
+    frames, which a plain GROUP BY cannot produce (absent groups don't
+    exist to count).
+
+    Plan: aggregate once per (hour, type); build the dense spine from the
+    single (min, max) row; cross the spine with the distinct types (both
+    tiny → broadcast); left-join the real counts back. The only shuffle of
+    table-sized data is the initial aggregation — the spine side scales
+    with time-range × type-cardinality, not row count."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    spine = gapfill_spine(ev, "ts", "1 hour", "hour").crossJoin(
+        ev.select("event_type").distinct()
+    )
+    return (
+        spine.join(counts, ["bucket", "event_type"], "left")
+        .select(
+            "bucket",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_cents", F.lit(0)).alias("total_cents"),
+        )
+    )

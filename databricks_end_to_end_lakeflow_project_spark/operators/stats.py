@@ -1,0 +1,189 @@
+"""Statistical aggregates: moments, correlation/regression, exact
+percentiles, ordered string aggregation, and wide→long unpivot.
+
+§2.9 gap-fill additions beyond the reference's COUNT/MAX-only aggregate
+surface (SURVEY.md §2.4) — the descriptive-statistics layer any analytics
+engine needs for data profiling and quality monitoring.
+
+Oracle notes: Spark's `skewness`/`kurtosis` are POPULATION moments (g1,
+excess g2) while DuckDB's builtins are sample-corrected (G1, G2), so the
+oracle computes the population form explicitly from centered moments via a
+two-level aggregation — same math, independently expressed. All
+double-valued statistics are rounded before hashing; sums that feed means
+use the exact-decimal pattern where money is involved.
+
+Scale notes (100 TB): every statistic here is a partial-aggregatable
+moment sketch (sum of powers / co-moments), so map-side combine keeps
+shuffles at one row per group; `percentile`/`median` are the exception —
+they buffer per-group values and belong on bounded-cardinality groups (use
+`approx_percentile` for raw 100 TB columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+
+@query(
+    "agg_stats_moments",
+    """
+    WITH mu AS (
+      SELECT l_returnflag AS grp, AVG(l_quantity) AS m
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(AVG(POW(l_quantity - m, 3))
+                 / POW(AVG(POW(l_quantity - m, 2)), 1.5), 4) AS skew_qty,
+           ROUND(AVG(POW(l_quantity - m, 4))
+                 / POW(AVG(POW(l_quantity - m, 2)), 2) - 3, 4) AS kurt_qty
+    FROM lineitem JOIN mu ON l_returnflag = mu.grp
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics per return flag: sample stddev/variance plus
+    population skewness and excess kurtosis. One shuffle; every statistic
+    partial-aggregates as power sums. The oracle derives the population
+    moments explicitly (DuckDB's skewness/kurtosis builtins are
+    sample-corrected — different estimator, same data)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.stddev_samp(q), 4).alias("sd_qty"),
+            F.round(F.var_samp(q), 4).alias("var_qty"),
+            F.round(F.skewness(q), 4).alias("skew_qty"),
+            F.round(F.kurtosis(q), 4).alias("kurt_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_corr_regr",
+    """
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 2) AS slope_price_on_qty,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept_price_on_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: correlation, sample covariance, and
+    the least-squares line of price on quantity — all co-moment sketches
+    (partial-aggregatable, one shuffle)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(q, p), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp(q, p), 2).alias("covar_qty_price"),
+            F.round(F.regr_slope(p, q), 2).alias("slope_price_on_qty"),
+            F.round(F.regr_intercept(p, q), 2).alias("intercept_price_on_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_percentile_median",
+    """
+    SELECT o_orderpriority,
+           ROUND(MEDIAN(o_totalprice), 2) AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25), 2) AS p25,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.95), 2) AS p95
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per priority class.
+    `percentile` buffers each group's values — correct here because the
+    group count is 5; the 100 TB path for raw columns is
+    `approx_percentile` (t-digest sketch, partial-aggregatable)."""
+    od = read_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return (
+        od.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.median(p), 2).alias("p50"),
+            F.round(F.percentile(p, 0.25), 2).alias("p25"),
+            F.round(F.percentile(p, 0.95), 2).alias("p95"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "fn_listagg_ordered",
+    """
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def fn_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation (LISTAGG ... WITHIN GROUP):
+    collect_list → array_sort → concat_ws. The explicit sort makes the
+    result reduction-order-independent — collect_list alone is not
+    cluster-deterministic."""
+    na = read_table(spark, sf_dir, "nation")
+    return (
+        na.groupBy("n_regionkey")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "agg_unpivot_melt",
+    """
+    WITH wide AS (
+      SELECT o_orderpriority,
+             COUNT(*)::DOUBLE AS n_orders,
+             ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS total_value,
+             ROUND(AVG(o_totalprice), 2) AS avg_value
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, measure, value FROM wide
+    UNPIVOT (value FOR measure IN (n_orders, total_value, avg_value))
+    ORDER BY o_orderpriority, measure
+    """,
+)
+def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape: aggregate three measures per priority, then
+    `unpivot` (melt) them into (group, measure, value) rows — the inverse
+    of `agg_pivot`. Unpivot is a zero-shuffle narrow transform: each wide
+    row expands to #measures long rows in place."""
+    od = read_table(spark, sf_dir, "orders")
+    wide = od.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_value"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_value", "avg_value"],
+        "measure",
+        "value",
+    ).orderBy("o_orderpriority", "measure")

@@ -38,6 +38,7 @@ _QUERY_MODULES = [
     "databricks_end_to_end_lakeflow_project_spark.operators.multimodal",
     "databricks_end_to_end_lakeflow_project_spark.streaming.windows",
     "databricks_end_to_end_lakeflow_project_spark.streaming.replay",
+    "databricks_end_to_end_lakeflow_project_spark.operators.stats",
 ]
 
 

@@ -21,6 +21,7 @@ NON_EQUI_WHITELIST = {
     "dedup_ngram_jaccard_pairs",
     "sim_embedding_near_dup_pairs",
     "join_range_predicate",  # range predicate only — intentional
+    "ts_gapfill_hourly",  # spine × distinct types: both sides tiny by construction
 }
 
 
