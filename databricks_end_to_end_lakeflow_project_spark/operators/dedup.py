@@ -348,3 +348,115 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no tractable SQL oracle; correctness is asserted against the Jaccard
     baseline in tests/test_llmops.py)."""
     return simhash_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Distributed connected components by iterative min-label
+    propagation: every node's label converges to the smallest node id
+    reachable from it. Returns (node, component).
+
+    ``nodes``: single-column frame of node ids; ``edges``: (src, dst)
+    undirected pairs (any orientation). Each round joins current labels
+    across edges, takes the per-node min of (own label, neighbors'
+    labels), and stops when no label changed — O(graph diameter) rounds,
+    2 shuffles per round. Near-dup graphs have tiny diameters (clusters
+    are quasi-cliques), so this terminates in 2-3 rounds in practice.
+
+    Scale notes (100 TB): labels and edges shuffle on node id every
+    round; `localCheckpoint` truncates the growing lineage so round N's
+    plan does not replay rounds 1..N-1 (the classic iterative-algorithm
+    trap). The driver sees only a per-round changed-count.
+    """
+    # undirected: propagate along both orientations
+    fwd = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bidir = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    labels = nodes.select(F.col("node"), F.col("node").alias("component")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            bidir.join(labels, bidir["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    bidir.unpersist()
+    return labels
+
+
+_CLUSTER_ORACLE = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+               AS shingles
+      FROM toks WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.b AS node, r.lbl
+      FROM reach r JOIN edges e ON e.a = r.node
+      WHERE r.lbl < e.b
+    ), comp AS (
+      SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    ), sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT comp.node AS doc_id, comp.cluster_id, sizes.cluster_size,
+           comp.node = comp.cluster_id AS is_canonical
+    FROM comp JOIN sizes USING (cluster_id)
+"""
+
+
+@query("dedup_cluster_assign", _CLUSTER_ORACLE)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment — the step after pair generation in
+    every dedup pipeline: build the similarity graph from the (verified)
+    MinHash-LSH pairs, run connected components, and emit each document's
+    cluster id (smallest doc_id in its component), cluster size, and
+    whether the doc is the cluster's canonical survivor. Singleton docs
+    are their own cluster."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = connected_components(nodes, pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+    )

@@ -39,6 +39,7 @@ _QUERY_MODULES = [
     "databricks_end_to_end_lakeflow_project_spark.streaming.windows",
     "databricks_end_to_end_lakeflow_project_spark.streaming.replay",
     "databricks_end_to_end_lakeflow_project_spark.operators.stats",
+    "databricks_end_to_end_lakeflow_project_spark.sources.readers",
 ]
 
 

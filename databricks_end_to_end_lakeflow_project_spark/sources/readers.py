@@ -26,3 +26,80 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         return df
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# source-format breadth: JSON-lines and ORC round trips
+# ---------------------------------------------------------------------------
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query  # noqa: E402
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    return os.path.join(tempfile.gettempdir(), "lakeflow_sources", tag, fmt)
+
+
+def write_and_read(df: DataFrame, path: str, fmt: str) -> DataFrame:
+    """Materialize ``df`` as ``fmt`` (once — reused if present) and read it
+    back with the SAME explicit schema, exercising the non-parquet
+    source/sink paths. An explicit schema keeps the read one-pass: schema
+    inference over JSON is a full extra scan of the data — never let it
+    happen on a 100 TB source."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df.write.mode("overwrite").format(fmt).save(path)
+    return df.sparkSession.read.format(fmt).schema(df.schema).load(path)
+
+
+@query(
+    "source_json_roundtrip",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round trip: events → .json files → read with
+    explicit schema → aggregate; must equal the same aggregate straight
+    off parquet. Timestamps are excluded from the projection — Spark's
+    JSON writer serializes millisecond precision, so a µs-precision ts
+    column would NOT survive the round trip (a real interchange gotcha
+    this query documents by construction)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    back = write_and_read(ev, _roundtrip_dir(sf_dir, "json"), "json")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "source_orc_roundtrip",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round trip, timestamps included (ORC stores true
+    µs/ns timestamps, unlike JSON): events → .orc → read with schema →
+    per-type count + event-time bounds, equal to the parquet-direct
+    aggregate."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    back = write_and_read(ev, _roundtrip_dir(sf_dir, "orc"), "orc")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

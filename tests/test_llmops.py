@@ -101,3 +101,18 @@ def test_media_table_schema(spark):
     media = multimodal.documents_as_media(read_table(spark, SF, "documents"))
     assert dict(media.dtypes)["payload"] == "binary"
     assert media.filter(F.col("byte_len") != F.octet_length("payload")).count() == 0
+
+
+def test_connected_components_hand_graph(spark):
+    """Two components + a singleton; labels converge to min node id."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 9, 42]], "node long")
+    # chain 1-2-3, pair 7-8-9 via 9-7/8-9 (arbitrary orientation), 42 alone
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 7), (8, 9)], "src long, dst long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7, 42: 42}
