@@ -184,3 +184,28 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderdate").over(w).alias("first_order_date"),
         F.last("o_orderdate").over(w).alias("last_order_date"),
     )
+
+
+@query(
+    "win_cume_percent",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND(CUME_DIST()    OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey), 6) AS cume,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey), 6) AS pct_rank
+    FROM customer
+    """,
+)
+def win_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: cumulative distribution and percent
+    rank of account balance within each market segment — one window pass,
+    same shuffle/sort as the rank family. The custkey tiebreaker makes
+    both values deterministic on balance ties."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
