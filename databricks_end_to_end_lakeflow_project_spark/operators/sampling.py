@@ -1,0 +1,137 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+A 100 TB corpus pipeline needs *reproducible* sampling: train/val/test
+membership and per-source sampling rates must not change when the job
+reruns, the cluster resizes, or partitioning shifts. Seeded
+``df.sample()``/``sampleBy()`` does not give that guarantee across
+repartitionings (the Bernoulli draw is keyed to partition layout), so
+this module derives randomness from a **content hash of the row's stable
+key** (md5 of ``doc_id``): membership is a pure function of the row, at
+any scale, on any cluster — and is expressible in ANSI SQL, so both
+queries here are fully DuckDB-oracle-checked (unlike seeded sampling,
+which would be a rows-only check).
+
+The hash-uniform trick: lowercase hex md5 digits compare
+lexicographically in digit order (``'0'<'1'<…<'9'<'a'<…<'f'``), so the
+first k hex chars are a uniform draw over 16^k levels that both engines
+order identically — no integer conversion needed.
+
+These generalize the reference's quality-gating role (SURVEY.md §2.2 P9:
+expectations decide which rows continue downstream) to the corpus-
+curation setting of §2.9.
+
+Scale notes: both operators are single-pass scan + filter/project with a
+tiny-cardinality groupBy — partial aggregation collapses everything
+map-side; no joins, no windows, no extra shuffle beyond the final
+#groups-row exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def hash_hex(key: Column, nchars: int) -> Column:
+    """First ``nchars`` lowercase-hex chars of md5 of the key's string
+    rendering — a deterministic uniform draw over 16^nchars levels,
+    comparable as a string. Hashing the *string* form (not raw bytes)
+    keeps the draw identical across engines and integer widths."""
+    return F.substring(F.md5(key.cast("string").cast("binary")), 1, nchars)
+
+
+def split_assign(key: Column, train_16ths: int = 12, val_16ths: int = 2) -> Column:
+    """Deterministic train/val/test label from one hex digit of md5(key).
+
+    Default 12/2/2 sixteenths = 75% / 12.5% / 12.5%. Membership is a pure
+    function of the key — stable across reruns, partitionings, clusters.
+    """
+    d = hash_hex(key, 1)
+    train_max = format(train_16ths - 1, "x")
+    val_max = format(train_16ths + val_16ths - 1, "x")
+    return (
+        F.when(d <= train_max, F.lit("train"))
+        .when(d <= val_max, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def stratified_hash_sample(df: DataFrame, key: Column, rate_256ths: Column) -> DataFrame:
+    """Keep each row iff its 2-hex-char hash draw falls below the row's
+    per-stratum threshold (in 256ths). Exact-rate deterministic sampling."""
+    threshold = F.lpad(F.lower(F.hex(rate_256ths)), 2, "0")
+    return df.filter(hash_hex(key, 2) < threshold)
+
+
+@query(
+    "sample_split_train_val_test",
+    """
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM (
+      SELECT CASE
+               WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+               WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+               ELSE 'test'
+             END AS split,
+             n_chars
+      FROM documents
+    ) t
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split of the corpus by
+    content-hash of doc_id, with per-split document and character counts.
+    The split label is a pure row function — no shuffle until the 3-group
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(split_assign(F.col("doc_id")).alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "sample_stratified_by_lang",
+    """
+    SELECT lang, COUNT(*) AS n_sampled
+    FROM documents
+    WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40'
+                    WHEN 'fr' THEN '20' ELSE '10' END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus downsampling with per-language rates (en 50%,
+    de 25%, fr 12.5%, other languages 6.25%) — the language-rebalancing
+    step of an LLM data mixture, as a deterministic hash filter instead
+    of seeded Bernoulli sampling so the mixture is reproducible at any
+    scale and rerun."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 128)
+        .when(F.col("lang") == "de", 64)
+        .when(F.col("lang") == "fr", 32)
+        .otherwise(16)
+    )
+    return (
+        stratified_hash_sample(docs, F.col("doc_id"), rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )

@@ -209,3 +209,42 @@ def win_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@query(
+    "win_nth_value",
+    """
+    SELECT DISTINCT c_mktsegment,
+           NTH_VALUE(c_custkey, 2) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_richest,
+           NTH_VALUE(c_custkey, 3) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_richest
+    FROM customer
+    ORDER BY c_mktsegment
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full-partition frame: the 2nd and 3rd richest
+    customer per market segment (custkey tiebreak on balance ties).
+    DISTINCT collapses the per-row window output to one row per segment —
+    the window shuffles once on the (tiny-cardinality) segment key, and
+    the distinct is a partial-aggregated groupBy on 3 columns."""
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            F.nth_value("c_custkey", 2).over(w).alias("second_richest"),
+            F.nth_value("c_custkey", 3).over(w).alias("third_richest"),
+        )
+        .distinct()
+        .orderBy("c_mktsegment")
+    )

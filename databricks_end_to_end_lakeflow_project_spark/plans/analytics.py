@@ -415,7 +415,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     f"""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'CHINA' THEN volume
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
                           ELSE CAST(0 AS DECIMAL(18,4)) END)::DOUBLE
                  / SUM(volume)::DOUBLE, 4) AS mkt_share
     FROM (
@@ -459,7 +459,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
     volume = disc_price()
-    china = F.when(F.col("supp_nation") == "CHINA", volume).otherwise(
+    china = F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(
         F.lit(0).cast("decimal(18,4)")
     )
     return (

@@ -23,6 +23,7 @@ _ORACLES: dict[str, str] = {}
 # modules that register queries on import
 _QUERY_MODULES = [
     "databricks_end_to_end_lakeflow_project_spark.plans.analytics",
+    "databricks_end_to_end_lakeflow_project_spark.plans.analytics2",
     "databricks_end_to_end_lakeflow_project_spark.plans.flight_pipeline",
     "databricks_end_to_end_lakeflow_project_spark.operators.relational",
     "databricks_end_to_end_lakeflow_project_spark.operators.asof",
@@ -39,6 +40,7 @@ _QUERY_MODULES = [
     "databricks_end_to_end_lakeflow_project_spark.streaming.windows",
     "databricks_end_to_end_lakeflow_project_spark.streaming.replay",
     "databricks_end_to_end_lakeflow_project_spark.operators.stats",
+    "databricks_end_to_end_lakeflow_project_spark.operators.sampling",
     "databricks_end_to_end_lakeflow_project_spark.sources.readers",
 ]
 

@@ -1,0 +1,77 @@
+"""Deterministic-sampling invariants: the properties seeded Bernoulli
+sampling can NOT guarantee and the hash-based ops must."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+    split_assign,
+    stratified_hash_sample,
+)
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    return read_table(spark, SF, "documents")
+
+
+def test_split_partition_invariant(spark):
+    """Membership must be a pure row function: repartitioning the input
+    (the thing a cluster resize does) must not move any document across
+    splits."""
+    docs = _docs(spark)
+    a = docs.select("doc_id", split_assign(F.col("doc_id")).alias("s"))
+    b = docs.repartition(13).select("doc_id", split_assign(F.col("doc_id")).alias("s"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_split_rates_and_totality(spark):
+    """Every doc lands in exactly one split; fractions near 75/12.5/12.5
+    within binomial noise at n=500."""
+    docs = _docs(spark)
+    counts = dict(
+        docs.select(split_assign(F.col("doc_id")).alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    n = docs.count()
+    assert sum(counts.values()) == n
+    assert abs(counts["train"] / n - 0.75) < 0.08
+    assert abs(counts["val"] / n - 0.125) < 0.06
+    assert abs(counts["test"] / n - 0.125) < 0.06
+
+
+def test_stratified_rates(spark):
+    """Per-language sample rates approximate the configured 256ths."""
+    docs = _docs(spark)
+    rate = (
+        F.when(F.col("lang") == "en", 128)
+        .when(F.col("lang") == "de", 64)
+        .otherwise(32)
+    )
+    sampled = dict(
+        stratified_hash_sample(docs, F.col("doc_id"), rate)
+        .groupBy("lang").count().collect()
+    )
+    totals = dict(docs.groupBy("lang").count().collect())
+    for lang, want in [("en", 0.5), ("de", 0.25), ("fr", 0.125)]:
+        got = sampled.get(lang, 0) / totals[lang]
+        # n per language is only 60-220 docs → generous binomial tolerance
+        assert abs(got - want) < 0.14, (lang, got, want)
+
+
+def test_stratified_sample_is_subset_and_rerun_stable(spark):
+    """The sample is a subset of the corpus and identical when recomputed
+    — reproducibility across reruns is the point of hash sampling."""
+    docs = _docs(spark)
+    rate = F.lit(64)
+    s1 = stratified_hash_sample(docs, F.col("doc_id"), rate).select("doc_id")
+    s2 = stratified_hash_sample(docs.repartition(7), F.col("doc_id"), rate).select(
+        "doc_id"
+    )
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    assert s1.join(docs, "doc_id", "left_anti").count() == 0
