@@ -114,6 +114,82 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     return media.mapInPandas(_sample, schema="doc_id long, frame_offset long, frame_probe binary")
 
 
+def resize_images(
+    media: DataFrame,
+    scale_den: int = 2,
+    codec: Callable[[bytes], tuple[int, int]] = fake_image_codec,
+) -> DataFrame:
+    """Resize shape: decode dims, emit target dims + a payload stub for
+    the resized asset. A real deployment swaps the body for PIL
+    ``Image.resize``; the Spark contract (mapInPandas, Arrow batches,
+    binary out) is identical."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode_image_meta(p, codec) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] // scale_den for d in dims],
+                    "height": [d[1] // scale_den for d in dims],
+                    "payload": [
+                        bytes(p[: max(1, len(p) // scale_den)]) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(
+        _resize, schema="doc_id long, width int, height int, payload binary"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, 64*n AS frame_offset,
+           md5(substring(text, 64*n + 1, 16)) AS probe_md5
+    FROM documents
+    JOIN (SELECT unnest(range(0, 64)) AS n) t ON 64*n < length(text)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling registered end to end: every 64th byte offset of
+    each payload becomes a frame row with a 16-byte probe, checksummed.
+    The oracle recomputes probes with VARCHAR substrings — valid because
+    the corpus is pure ASCII (byte offset == char offset; asserted in
+    tests/test_llmops.py). Explosion happens inside mapInPandas so a
+    partition streams through Python once; no driver involvement."""
+    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n_bytes=64)
+    return frames.select(
+        "doc_id", "frame_offset", F.md5("frame_probe").alias("probe_md5")
+    )
+
+
+@query(
+    "multimodal_resize_plan",
+    """
+    SELECT doc_id,
+           ((64 + octet_length(encode(text)) % 512) // 2)::INT AS width,
+           ((64 + (octet_length(encode(text)) * 31) % 512) // 2)::INT AS height,
+           (GREATEST(octet_length(encode(text)) // 2, 1))::BIGINT AS resized_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-scale resize over the media table (fake codec): target dims
+    plus resized payload size, oracle-recomputed arithmetically from the
+    source bytes. Verifies the binary out-path of the resize kernel
+    (payload length survives the Arrow round trip)."""
+    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    return resize_images(media, scale_den=2).select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("long").alias("resized_bytes"),
+    )
+
+
 @query(
     "multimodal_image_features",
     """

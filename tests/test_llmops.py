@@ -116,3 +116,26 @@ def test_connected_components_hand_graph(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(nodes, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7, 42: 42}
+
+
+def test_corpus_is_ascii_so_byte_offsets_equal_char_offsets(spark):
+    """multimodal_frame_sample's oracle slices VARCHAR; the Spark side
+    slices bytes. Equivalence requires a pure-ASCII corpus — assert it."""
+    docs = read_table(spark, SF, "documents")
+    from pyspark.sql import functions as F
+
+    n_non_ascii = docs.filter(
+        F.octet_length(F.encode("text", "UTF-8")) != F.length("text")
+    ).count()
+    assert n_non_ascii == 0
+
+
+def test_multimodal_resize_halves_dims_and_payload(spark):
+    docs = read_table(spark, SF, "documents").limit(50)
+    media = multimodal.documents_as_media(docs)
+    src = {r["doc_id"]: r for r in multimodal.extract_image_features(media).collect()}
+    for r in multimodal.resize_images(media, scale_den=2).collect():
+        s = src[r["doc_id"]]
+        assert r["width"] == s["width"] // 2
+        assert r["height"] == s["height"] // 2
+        assert len(r["payload"]) == max(1, s["byte_len"] // 2)
