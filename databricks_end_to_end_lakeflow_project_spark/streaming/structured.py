@@ -244,3 +244,53 @@ def stream_upsert_into(
         .start()
     )
     q.awaitTermination()
+
+
+@query(
+    "stream_stream_interval_join",
+    """
+    SELECT c.user_id, COUNT(*) AS n_attributed
+    FROM events c
+    JOIN events p ON c.user_id = p.user_id
+                 AND p.ts >= c.ts
+                 AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (the true streaming form of
+    the reference's business_silver multi-stream join, SURVEY.md §2.3 J1 /
+    dlt_bronze_to_silver_pipeline.py:127-131): click→purchase attribution
+    — purchases within 30 minutes of a click by the same user.
+
+    Both sides carry a 1-hour watermark and the join condition bounds
+    event time on both ends, so Spark can expire join state: state size
+    is (watermark + interval) of data per side, not the whole stream —
+    the property that makes this viable on an unbounded 100 TB stream.
+    Inner join in append mode emits exactly the batch-join result once
+    both sides pass the watermark; drained with availableNow, the pair
+    set equals the oracle's batch self-join, aggregated per user after
+    the drain."""
+    clicks = (
+        stream_events_table(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_events_table(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    )
+    drained = run_to_memory(pairs, f"ssj_{uuid.uuid4().hex[:8]}")
+    return drained.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_attributed")
+    )

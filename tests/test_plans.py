@@ -22,6 +22,10 @@ NON_EQUI_WHITELIST = {
     "sim_embedding_near_dup_pairs",
     "join_range_predicate",  # range predicate only — intentional
     "ts_gapfill_hourly",  # spine × distinct types: both sides tiny by construction
+    # scalar-threshold patterns: the broadcast side is a 1-row aggregate,
+    # so the nested-loop join is O(n) at any scale
+    "q11_revenue_concentration",
+    "q22_dormant_customers",
 }
 
 
@@ -77,3 +81,23 @@ def test_flagship_pushes_filter_to_scan(spark):
     assert "GreaterThanOrEqual(l_shipdate" in scan
     assert "l_comment" not in scan  # pruned (not even a column here, but guards regressions)
     assert "ReadSchema" in scan
+
+
+def test_q15_scans_fact_once(spark):
+    """The CTE-consumed-twice shape must not scan lineitem twice: the
+    scalar MAX comes from a window over the post-aggregate frame."""
+    df = registry.all_queries()["q15_top_supplier"](spark, SF)
+    plan = _plan(df)
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l]
+    assert len(scans) == 1, plan
+
+
+def test_q19_part_join_is_broadcast_with_derived_pushdown(spark):
+    """The disjunctive-predicate join must broadcast the dim side, and
+    the scan of part must carry SOME pushed filter derived from the OR
+    (brand membership), not read the dim unfiltered."""
+    df = registry.all_queries()["q19_disjunctive_revenue"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    scan = next(l for l in plan.splitlines() if "FileScan" in l and "/part.parquet" in l)
+    assert "p_brand" in scan  # In(p_brand, [...]) pushed from the OR
