@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import tempfile
 from collections.abc import Sequence
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -165,3 +166,40 @@ def sink_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         )
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = False,
+) -> int:
+    """Small-file compaction (the OPTIMIZE-style maintenance pass a
+    streaming-ingest lakehouse needs: availableNow micro-batches leave
+    one file per trigger per partition, and scan-task scheduling
+    degrades once file count >> task count).
+
+    Bin-packs a parquet directory into ceil(total_bytes / target_bytes)
+    files. Default is `coalesce` — merges partitions WITHOUT a shuffle,
+    which is the right trade for pure compaction at scale; pass
+    shuffle=True to rebalance pathologically skewed file sizes at the
+    cost of one exchange. Returns the output file count.
+
+    Mirrors the role of Delta OPTIMIZE for the reference's bronze layer
+    (append-only streaming ingest, SURVEY.md §2.1 S6) without a Delta
+    dependency: write-to-new-dir keeps the operation atomic-by-rename at
+    the directory level.
+    """
+    import math
+
+    total = sum(
+        f.stat().st_size
+        for f in Path(src_dir).rglob("*.parquet")
+        if f.is_file()
+    )
+    n = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_dir)
+    df = df.repartition(n) if shuffle else df.coalesce(n)
+    df.write.mode("overwrite").parquet(dest_dir)
+    return len([f for f in Path(dest_dir).rglob("part-*.parquet") if f.is_file()])

@@ -317,17 +317,27 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders via aggregate-then-filter
     (HAVING on a SUM). The quantity threshold (150, vs TPC's 300) is
     scaled to this generator's ~4 lineitems/order so the result is
-    non-vacuous at every test SF."""
+    non-vacuous at every test SF.
+
+    Plan: lineitem is aggregated per orderkey and HAVING-filtered BEFORE
+    any join — the order grain makes the later joins 1:1, so the result
+    is identical but the fact shuffles once on its natural key and the
+    surviving orders (a tiny fraction) drive the joins, instead of
+    dragging every lineitem row through a join and a 4-column group. At
+    100 TB this is the difference between shuffling ~4 rows/order once
+    and shuffling a wide joined row per lineitem."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    total = dsum(money("l_quantity"))
-    return (
-        cu.join(od, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
-        .agg(total.alias("total_qty"))
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(money("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big_orders.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
     )
 

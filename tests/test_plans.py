@@ -101,3 +101,22 @@ def test_q19_part_join_is_broadcast_with_derived_pushdown(spark):
     assert "BroadcastHashJoin" in plan
     scan = next(l for l in plan.splitlines() if "FileScan" in l and "/part.parquet" in l)
     assert "p_brand" in scan  # In(p_brand, [...]) pushed from the OR
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction must cut the file count to the bin-packed target and
+    preserve every row."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.partitioning import (
+        compact_small_files,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    events = read_table(spark, SF, "events")
+    events.repartition(64).write.parquet(src)  # simulate per-trigger small files
+    n_rows = events.count()
+    frag_bytes = sum(f.stat().st_size for f in (tmp_path / "fragmented").rglob("*.parquet"))
+    n_files = compact_small_files(spark, src, dst, target_bytes=frag_bytes // 4 + 1)
+    assert n_files <= 4
+    assert spark.read.parquet(dst).count() == n_rows
