@@ -67,6 +67,7 @@ def merge_upsert_plan(
     updates: DataFrame,
     keys: Sequence[str],
     sequence_by: str | None,
+    delete_col: str | None = None,
 ) -> DataFrame:
     """Pure-DataFrame MERGE: latest-wins upsert of ``updates`` into
     ``target``; returns the new table contents.
@@ -75,23 +76,38 @@ def merge_upsert_plan(
     - not matched → insert;
     - matched → update iff ``updates.seq >= target.seq`` (tie → update);
     - with ``sequence_by=None`` updates always win on match.
+
+    ``delete_col`` names a boolean column on ``updates`` flagging delete
+    events (DLT ``apply_as_deletes``, supported by the reference's
+    `dlt.create_auto_cdc_flow` API though its pipeline never passes it):
+    the latest change per key decides — if that winner is a flagged
+    delete, the key leaves the table; an out-of-sequence delete (older
+    than the target's row) is ignored like any stale update.
     """
-    updates = updates.select(*target.columns)  # align column order/schema
+    cols = list(target.columns)
+    updates = updates.select(*cols, *( [delete_col] if delete_col else [] ))
     if sequence_by:
         updates = latest_by_key(updates, keys, [sequence_by])
         order = [F.col(sequence_by).desc_nulls_last(), F.col(_SRC).desc()]
     else:
         updates = updates.dropDuplicates(list(keys))
         order = [F.col(_SRC).desc()]
+    if delete_col:
+        target = target.withColumn(delete_col, F.lit(False))
     tagged = updates.withColumn(_SRC, F.lit(1)).unionByName(
         target.withColumn(_SRC, F.lit(0))
     )
     w = Window.partitionBy(*keys).orderBy(*order)
-    return (
+    merged = (
         tagged.withColumn(_RN, F.row_number().over(w))
         .filter(F.col(_RN) == 1)
         .drop(_RN, _SRC)
     )
+    if delete_col:
+        merged = merged.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    return merged
 
 
 class ManagedParquetTable:
@@ -144,9 +160,10 @@ class ManagedParquetTable:
         writer.parquet(self.path)
 
     def upsert(self, updates: DataFrame, keys: Sequence[str] | None = None,
-               sequence_by: str | None = None) -> None:
+               sequence_by: str | None = None, delete_col: str | None = None) -> None:
         """Latest-wins keyed upsert (reference S8). First write degrades to
-        a plain create (deduped to one row per key)."""
+        a plain create (deduped to one row per key; flagged deletes, if
+        ``delete_col`` is given, simply never materialize)."""
         keys = list(keys or self.keys)
         sequence_by = sequence_by or self.sequence_by
         if not keys:
@@ -157,9 +174,15 @@ class ManagedParquetTable:
                 if sequence_by
                 else updates.dropDuplicates(keys)
             )
+            if delete_col:
+                first = first.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
             self.overwrite(first)
             return
-        merged = merge_upsert_plan(self.read(), updates, keys, sequence_by)
+        merged = merge_upsert_plan(
+            self.read(), updates, keys, sequence_by, delete_col=delete_col
+        )
         self.overwrite(merged)
 
 
@@ -223,4 +246,42 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence → drop it for a pure attribute-comparison on the oracle side
     merged = merge_upsert_plan(target, latest_by_key(late, ["user_id"], ["ts"], ["event_id"]),
                                ["user_id"], "ts")
+    return merged.select("user_id", "event_type", "ts", "value")
+
+
+@query(
+    "cdc_merge_upsert_deletes",
+    """
+    SELECT user_id, event_type, ts, value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) t WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_merge_upsert_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with apply-as-deletes, oracle-checked: 'error' events are
+    delete markers. Target is built from the first half of the stream,
+    the second half is merged on top — the final state must equal
+    latest-per-key over the WHOLE stream minus keys whose latest change
+    is a delete, which is exactly what the oracle computes."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    is_del = (F.col("event_type") == "error").alias("__is_delete")
+    cutoff = ev.agg(F.percentile_approx("ts", 0.5).alias("c")).collect()[0][0]
+    base = ev.filter(F.col("ts") <= F.lit(cutoff)).withColumn("__is_delete", is_del)
+    late = ev.filter(F.col("ts") > F.lit(cutoff)).withColumn("__is_delete", is_del)
+    target_tbl = latest_by_key(base, ["user_id"], ["ts"], ["event_id"])
+    target = target_tbl.filter(~F.col("__is_delete")).drop("__is_delete")
+    merged = merge_upsert_plan(
+        target,
+        latest_by_key(late, ["user_id"], ["ts"], ["event_id"]),
+        ["user_id"],
+        "ts",
+        delete_col="__is_delete",
+    )
     return merged.select("user_id", "event_type", "ts", "value")

@@ -56,6 +56,7 @@ class _CdcFlow:
     sequence_by: str
     stored_as_scd_type: int = 1
     except_columns: list[str] = field(default_factory=list)
+    apply_as_deletes: str | None = None
 
 
 class Pipeline:
@@ -111,17 +112,23 @@ class Pipeline:
         sequence_by: str,
         stored_as_scd_type: int = 1,
         except_column_list: Sequence[str] = (),
+        apply_as_deletes: str | None = None,
     ) -> None:
         """Register an APPLY CHANGES edge (reference W1). SCD Type 1 only,
         like the reference; the sequence column is retained in the target
-        so re-runs can apply the latest-wins merge condition."""
+        so re-runs can apply the latest-wins merge condition.
+
+        ``apply_as_deletes`` names a boolean source column marking delete
+        events (the DLT API's parameter of the same name): when the latest
+        change for a key is a flagged delete, the key is removed from the
+        target."""
         if stored_as_scd_type != 1:
             raise NotImplementedError("only SCD Type 1 is supported (as in the reference)")
         if target not in self._tables:
             raise KeyError(f"unknown streaming table {target!r}; declare it first")
         self._flows.append(
             _CdcFlow(target, source, list(keys), sequence_by, stored_as_scd_type,
-                     list(except_column_list))
+                     list(except_column_list), apply_as_deletes)
         )
 
     # -- resolution ---------------------------------------------------------
@@ -168,6 +175,8 @@ class Pipeline:
             src = self.read(flow.source)
             if flow.except_columns:
                 src = src.drop(*flow.except_columns)
-            self._tables[flow.target].upsert(src, flow.keys, flow.sequence_by)
+            self._tables[flow.target].upsert(
+                src, flow.keys, flow.sequence_by, delete_col=flow.apply_as_deletes
+            )
         for name in materialize:
             self.read(name).count()

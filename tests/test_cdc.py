@@ -117,3 +117,72 @@ def test_overwrite_swap_preserves_readability(spark, tmp_path, base_rows):
     assert t.exists()
     t.overwrite(_df(spark, [("Z", "z", _ts("2024-01-01T00:00:00"))]))
     assert [r["key"] for r in t.read().collect()] == ["Z"]
+
+
+def _ddf(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, val string, seq timestamp, is_del boolean"
+    )
+
+
+def test_delete_removes_key(spark, base_rows):
+    target = _df(spark, base_rows)
+    updates = _ddf(spark, [("A", "x", _ts("2024-01-02T00:00:00"), True)])
+    out = merge_upsert_plan(target, updates, ["key"], "seq", delete_col="is_del")
+    got = {r["key"] for r in out.collect()}
+    assert got == {"B", "C"}
+
+
+def test_stale_delete_is_ignored(spark, base_rows):
+    """A delete with an OLDER sequence than the target row must not win."""
+    target = _df(spark, base_rows)
+    updates = _ddf(spark, [("A", "x", _ts("2023-12-31T00:00:00"), True)])
+    out = merge_upsert_plan(target, updates, ["key"], "seq", delete_col="is_del")
+    row = {r["key"]: r["val"] for r in out.collect()}
+    assert row["A"] == "v1"
+
+
+def test_delete_then_reinsert_in_one_batch(spark, base_rows):
+    """Within a batch, the LATEST change per key decides: delete then a
+    newer upsert → the key survives with the new value."""
+    target = _df(spark, base_rows)
+    updates = _ddf(
+        spark,
+        [
+            ("A", "gone", _ts("2024-01-02T00:00:00"), True),
+            ("A", "back", _ts("2024-01-03T00:00:00"), False),
+            ("B", "gone", _ts("2024-01-03T00:00:00"), True),
+        ],
+    )
+    out = merge_upsert_plan(target, updates, ["key"], "seq", delete_col="is_del")
+    row = {r["key"]: r["val"] for r in out.collect()}
+    assert row == {"A": "back", "C": "v1"}
+
+
+def test_delete_absent_key_is_noop(spark, base_rows):
+    target = _df(spark, base_rows)
+    updates = _ddf(spark, [("Z", "x", _ts("2024-01-02T00:00:00"), True)])
+    out = merge_upsert_plan(target, updates, ["key"], "seq", delete_col="is_del")
+    assert out.count() == 3
+
+
+def test_table_upsert_with_deletes_first_and_incremental(spark, tmp_path):
+    tbl = ManagedParquetTable(spark, str(tmp_path / "t"), keys=["key"], sequence_by="seq")
+    first = _ddf(
+        spark,
+        [
+            ("A", "v1", _ts("2024-01-01T00:00:00"), False),
+            ("B", "v1", _ts("2024-01-01T00:00:00"), True),  # never materializes
+        ],
+    )
+    tbl.upsert(first, delete_col="is_del")
+    assert {r["key"] for r in tbl.read().collect()} == {"A"}
+    second = _ddf(
+        spark,
+        [
+            ("A", "v2", _ts("2024-01-02T00:00:00"), True),
+            ("C", "v1", _ts("2024-01-02T00:00:00"), False),
+        ],
+    )
+    tbl.upsert(second, delete_col="is_del")
+    assert {r["key"] for r in tbl.read().collect()} == {"C"}
