@@ -257,3 +257,54 @@ def sim_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(c >= 0.42)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q[i] = round(x[i] / scale). Returns (q_array<int>, scale). 4× smaller
+    than float32 on disk/wire — at 100 TB of embeddings the difference
+    between a scan-bound and a network-bound ANN pass. All JVM-side."""
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    q = F.transform(vec, lambda x: F.round(x.cast("double") / scale).cast("int"))
+    return q, scale
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Integer dot product of two quantized vectors (long fold — exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@query("sim_quantized_cosine_topk")
+def sim_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors of vec_id=0 scored on int8-quantized vectors:
+    cos ≈ (s_a·s_b·intdot(q_a,q_b)) / (s_a‖q_a‖ · s_b‖q_b‖) — the scales
+    cancel in cosine, so the score is the integer-vector cosine. Returns
+    both the quantized and the exact score per neighbor; the quantization
+    error bound (|Δcos| < 2%) is asserted in tests/test_llmops.py.
+
+    Rows-only registry check: DuckDB reproduces the arithmetic but not
+    float32→double rounding at each element, so value-hash equality is
+    not the right bar for a lossy codec. The scale property is what
+    matters: the candidate scan reads 1/4 the bytes; integer folds
+    whole-stage-codegen like any arithmetic."""
+    em = read_table(spark, sf_dir, "embeddings")
+    q, s = quantize_int8(F.col("embedding"))
+    qem = em.select("vec_id", "label", "embedding", q.alias("q"), s.alias("s"))
+    target = qem.filter(F.col("vec_id") == 0).collect()[0]
+    qv = F.array(*[F.lit(int(x)) for x in target["q"]])
+    ev = F.array(*[F.lit(float(x)) for x in target["embedding"]])
+    qcos = int_dot(F.col("q"), qv).cast("double") / (
+        F.sqrt(int_dot(F.col("q"), F.col("q")).cast("double"))
+        * F.sqrt(F.lit(float(sum(int(x) * int(x) for x in target["q"]))))
+    )
+    scored = qem.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "label",
+        F.round(qcos, 6).alias("cos_q"),
+        F.round(cosine(F.col("embedding"), ev), 6).alias("cos_exact"),
+    )
+    return scored.orderBy(F.col("cos_q").desc(), "vec_id").limit(10)

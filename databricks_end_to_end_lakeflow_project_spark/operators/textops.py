@@ -14,7 +14,7 @@ tokenizer here; the operator shapes are identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
@@ -261,4 +261,87 @@ def pipeline_docs_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+@query(
+    "text_chunk_fixed",
+    """
+    SELECT doc_id, 180*n AS chunk_start,
+           length(substring(text, 180*n + 1, 200)) AS chunk_chars,
+           md5(substring(text, 180*n + 1, 200)) AS chunk_md5
+    FROM documents
+    JOIN (SELECT unnest(range(0, 64)) AS n) t ON 180*n < length(text)
+    WHERE length(text) > 0
+    """,
+)
+def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking with overlap — the context-window packing step
+    of an LLM training pipeline: 200-char chunks on a 180-char stride
+    (20-char overlap so no boundary text is ever lost to truncation).
+
+    Offsets come from `sequence()` + `posexplode` — pure JVM expression
+    work, one output row per chunk, no Python and no shuffle at all (the
+    explode is pipelined into the scan). Chunks are checksummed so the
+    oracle verifies content, not just counts; VARCHAR slicing matches
+    byte slicing because the corpus is ASCII (asserted in tests)."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    offsets = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(180)
+    )
+    chunk = F.substring(F.col("text"), F.col("chunk_start") + 1, 200)
+    return (
+        docs.select("doc_id", "text", F.explode(offsets).alias("chunk_start"))
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.length(chunk).alias("chunk_chars"),
+            F.md5(chunk.cast("binary")).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "text_top_tokens_per_lang",
+    """
+    SELECT lang, token, cnt, rn
+    FROM (
+      SELECT lang, token, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY cnt DESC, token
+             ) AS rn
+      FROM (
+        SELECT lang, token, COUNT(*) AS cnt
+        FROM (
+          SELECT lang, unnest(string_split(trim(text), ' ')) AS token
+          FROM documents
+        ) raw
+        WHERE token <> ''
+        GROUP BY lang, token
+      ) counted
+    ) ranked
+    WHERE rn <= 5
+    """,
+)
+def text_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency analysis: the 5 most common tokens per language
+    (the Zipf-head inspection every data-mixture audit starts with).
+
+    explode → two-level reduction: the (lang, token) count partial-
+    aggregates map-side, so the shuffle carries distinct tokens, not
+    token occurrences; the top-k window then runs on the already-tiny
+    per-language count frame. Token ties rank deterministically
+    (count DESC, token ASC)."""
+    docs = read_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "token", "cnt", "rn")
     )

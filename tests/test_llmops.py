@@ -139,3 +139,20 @@ def test_multimodal_resize_halves_dims_and_payload(spark):
         assert r["width"] == s["width"] // 2
         assert r["height"] == s["height"] // 2
         assert len(r["payload"]) == max(1, s["byte_len"] // 2)
+
+
+def test_quantized_cosine_within_2pct_of_exact(spark):
+    """int8 quantization must not move any cosine by more than 0.02, and
+    the quantized top-10 must share ≥8 of the exact top-10 (recall 0.8+
+    on this corpus — in practice it is 10/10)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        sim_cosine_topk,
+        sim_quantized_cosine_topk,
+    )
+
+    rows = sim_quantized_cosine_topk(spark, SF).collect()
+    for r in rows:
+        assert abs(r["cos_q"] - r["cos_exact"]) < 0.02, r
+    exact_ids = {r["vec_id"] for r in sim_cosine_topk(spark, SF).collect()}
+    quant_ids = {r["vec_id"] for r in rows}
+    assert len(exact_ids & quant_ids) >= 8
