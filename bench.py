@@ -30,14 +30,18 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q18_large_volume_customer",
     "win_topk_per_group",
     "join_asof_backward",
     "cdc_merge_upsert",
     "stream_tumbling_window",
+    "stream_stream_interval_join",
     "dedup_minhash_lsh_pairs",
     "sim_cosine_topk",
     "udf_map_in_pandas",
     "text_quality_score",
+    "text_chunk_fixed",
+    "sample_split_train_val_test",
 ]
 
 

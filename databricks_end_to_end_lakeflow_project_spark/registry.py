@@ -50,6 +50,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     ANSI SQL (omit for non-SQL-expressible operators → rows-only check)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        prev = _QUERIES.get(name)
+        if prev is not None and prev is not fn:
+            raise ValueError(
+                f"duplicate query name {name!r}: {prev.__module__}.{prev.__qualname__}"
+                f" vs {fn.__module__}.{fn.__qualname__}"
+            )
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
