@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -102,4 +103,60 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "source_csv_roundtrip",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE AS total_bal,
+           CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_names,
+           CAST(0 AS BIGINT) AS rescued_rows
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round trip — the reference's raw-ingest format
+    (SURVEY.md §2.1 S1): customer → .csv with header → read back with an
+    EXPLICIT schema in PERMISSIVE mode plus a `_rescued_data` corrupt-
+    record column (the OSS emulation of Auto Loader's rescue, same
+    mechanics as streaming/ingest.py) → aggregate; must equal the same
+    aggregate straight off parquet, and nothing may land in rescue.
+
+    The explicit schema keeps the read one-pass (CSV inference would scan
+    the 100 TB source twice), and the null_names column proves values —
+    not just counts — survived the text round trip."""
+    cu = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    path = _roundtrip_dir(sf_dir, "csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        cu.write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [*cu.schema.fields, T.StructField("_rescued_data", T.StringType())]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_rescued_data")
+        .csv(path)
+    )
+    # the rescue check lives INSIDE the aggregate (Spark forbids plans
+    # that reference only the corrupt-record column): the oracle pins
+    # rescued_rows to 0, so any schema drift fails the correctness gate
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_names"),
+        F.sum(F.when(F.col("_rescued_data").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("rescued_rows"),
     )
