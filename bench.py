@@ -60,12 +60,18 @@ def main() -> None:
     # warm the JVM + file listing once with the cheapest query
     qs[names[0]](spark, sf_dir).count()
 
+    # min-of-N damps same-machine load noise (±30% observed run-to-run);
+    # the min is the least-interfered measurement of the same fixed plan
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, repeat)):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

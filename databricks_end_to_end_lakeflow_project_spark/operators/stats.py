@@ -187,3 +187,61 @@ def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     ).orderBy("o_orderpriority", "measure")
+
+
+@query(
+    "profile_numeric_columns",
+    """
+    SELECT 'l_quantity' AS column_name, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+           ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE / COUNT(*), 6) AS mean_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*),
+           CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           MIN(l_extendedprice), MAX(l_extendedprice),
+           ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / COUNT(*), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*),
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           MIN(l_discount), MAX(l_discount),
+           ROUND(SUM(CAST(l_discount AS DECIMAL(18,2)))::DOUBLE / COUNT(*), 6)
+    FROM lineitem
+    """,
+)
+def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: per-column (count, nulls, min, max, mean) for the
+    fact table's numeric columns, in long form — the summary() / data-
+    quality-dashboard primitive.
+
+    ONE scan computes every per-column aggregate side by side (a wide
+    single-row aggregate — Spark evaluates all of them in the same
+    partial-agg pass); `stack` unpivots the row to long form afterwards,
+    so the plan costs one pass + a 3-row transpose regardless of how many
+    columns are profiled. Means divide exact-decimal sums by counts, so
+    values hash-match the oracle despite being doubles."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nn"),
+            F.min(c).alias(f"{c}__mn"),
+            F.max(c).alias(f"{c}__mx"),
+            F.round(
+                F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__mn, {c}__mx, {c}__mean" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS "
+        "(column_name, n, n_null, min_v, max_v, mean_v)"
+    )
