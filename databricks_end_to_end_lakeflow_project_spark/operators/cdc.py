@@ -83,6 +83,13 @@ def merge_upsert_plan(
     the latest change per key decides — if that winner is a flagged
     delete, the key leaves the table; an out-of-sequence delete (older
     than the target's row) is ignored like any stale update.
+
+    No tombstones are retained: an update arriving in a LATER batch with
+    a sequence older than an already-applied delete re-inserts the row
+    (the delete left nothing to compare against). DLT bounds this with a
+    tombstone retention window; here the contract is the usual streaming
+    one — feed batches in sequence order per key (the pipeline's
+    micro-batches do), and intra-batch disorder resolves correctly.
     """
     cols = list(target.columns)
     updates = updates.select(*cols, *( [delete_col] if delete_col else [] ))

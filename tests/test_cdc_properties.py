@@ -143,3 +143,70 @@ def test_managed_table_upsert_matches_model(spark, data):
         import shutil
 
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+# -- deletes -----------------------------------------------------------------
+
+DSCHEMA = "key string, seq int, val int, is_del boolean"
+
+_drows = st.lists(
+    st.tuples(st.sampled_from("ABCD"), st.integers(0, 50), st.booleans()),
+    min_size=1,
+    max_size=14,
+    unique_by=lambda t: (t[0], t[1]),
+).map(lambda triples: [(k, s, i, d) for i, (k, s, d) in enumerate(triples)])
+
+_drows_and_cuts = _drows.flatmap(
+    lambda rows: st.tuples(
+        st.just(rows),
+        st.lists(st.integers(1, max(1, len(rows))), max_size=3, unique=True).map(sorted),
+    )
+)
+
+
+def _model_merge_deletes(state: dict, batch: list) -> dict:
+    """Reference semantics with deletes: per key the batch's max-seq row
+    wins; if it wins against the table (seq >= target) and is a delete,
+    the key is removed; otherwise it upserts."""
+    latest = {}
+    for k, s, v, d in batch:
+        if k not in latest or s > latest[k][0]:
+            latest[k] = (s, v, d)
+    out = dict(state)
+    for k, (s, v, d) in latest.items():
+        if k not in out or s >= out[k][0]:
+            if d:
+                out.pop(k, None)
+            else:
+                out[k] = (s, v)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=_drows_and_cuts)
+def test_merge_with_deletes_matches_model(spark, data):
+    rows, cuts = data
+    batches = _split(rows, cuts)
+    state_df = spark.createDataFrame([], SCHEMA)
+    model = {}
+    for batch in batches:
+        state_df = merge_upsert_plan(
+            state_df,
+            spark.createDataFrame(batch, DSCHEMA),
+            ["key"],
+            "seq",
+            delete_col="is_del",
+        )
+        model = _model_merge_deletes(model, batch)
+        assert _to_state(state_df) == model
+
+    # idempotency holds with deletes too: a delete winner that already
+    # removed its key wins again and removes nothing new
+    again = merge_upsert_plan(
+        state_df,
+        spark.createDataFrame(batches[-1], DSCHEMA),
+        ["key"],
+        "seq",
+        delete_col="is_del",
+    )
+    assert _to_state(again) == model
