@@ -120,3 +120,17 @@ def test_compact_small_files(spark, tmp_path):
     n_files = compact_small_files(spark, src, dst, target_bytes=frag_bytes // 4 + 1)
     assert n_files <= 4
     assert spark.read.parquet(dst).count() == n_rows
+
+
+def test_q2_prunes_fact_before_min_aggregate(spark):
+    """The correlated-MIN join-back must semi-join-prune lineitem against
+    the filtered part dim BEFORE aggregating: both lineitem consumers read
+    through a BroadcastHashJoin LeftSemi, and the part scan carries the
+    pushed size filter."""
+    df = registry.all_queries()["q2_min_cost_supplier"](spark, SF)
+    plan = _plan(df)
+    assert "BuildRight, LeftSemi" in plan or "LeftSemi, BuildRight" in plan, plan
+    part_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "/part.parquet" in l
+    ]
+    assert part_scans and all("LessThanOrEqual(p_size,5)" in s for s in part_scans)
