@@ -134,3 +134,20 @@ def test_q2_prunes_fact_before_min_aggregate(spark):
         l for l in plan.splitlines() if "FileScan" in l and "/part.parquet" in l
     ]
     assert part_scans and all("LessThanOrEqual(p_size,5)" in s for s in part_scans)
+
+
+def test_compact_small_files_shuffle_path(spark, tmp_path):
+    """shuffle=True must rebalance via repartition and still preserve rows."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.partitioning import (
+        compact_small_files,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "comp")
+    ev = read_table(spark, SF, "events")
+    ev.repartition(16).write.parquet(src)
+    total = sum(f.stat().st_size for f in (tmp_path / "frag").rglob("*.parquet"))
+    n = compact_small_files(spark, src, dst, target_bytes=total + 1, shuffle=True)
+    assert n == 1
+    assert spark.read.parquet(dst).count() == ev.count()
