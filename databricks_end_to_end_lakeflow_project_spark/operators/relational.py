@@ -565,3 +565,48 @@ def subq_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_retailprice > 1.05 * (SELECT AVG(p_retailprice) FROM _sq_part)
         """
     )
+
+
+@query(
+    "setop_union_evolving_schema",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN tier IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_tier
+    FROM (
+      SELECT c_mktsegment, NULL AS tier
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_mktsegment,
+             CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END AS tier
+      FROM customer WHERE c_custkey % 2 = 1
+    ) t
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def setop_union_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union — the bronze-layer reality the reference's
+    rescue mode exists for (SURVEY.md §2.1 S1/T4): a newer extract adds a
+    `tier` column, the older one lacks it. `unionByName(
+    allowMissingColumns=True)` aligns by NAME and null-fills the missing
+    column — position-based `union` would silently misalign columns the
+    moment schemas drift, the classic corruption bug this operator
+    prevents. Zero-shuffle: the union concatenates partitions."""
+    cu = _t(spark, sf_dir, "customer")
+    old_extract = cu.filter(F.col("c_custkey") % 2 == 0).select("c_mktsegment")
+    new_extract = cu.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") > 5000, "gold").otherwise("std").alias("tier"),
+    )
+    return (
+        old_extract.unionByName(new_extract, allowMissingColumns=True)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("tier").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_tier"),
+        )
+        .orderBy("c_mktsegment")
+    )
