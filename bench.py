@@ -31,6 +31,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_volume_customer",
+    "q21_sole_late_supplier",
     "win_topk_per_group",
     "join_asof_backward",
     "cdc_merge_upsert",

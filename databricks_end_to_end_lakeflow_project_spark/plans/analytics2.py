@@ -21,8 +21,8 @@ first batch:
 Adaptations (testdata has no partsupp / l_commitdate / c_phone — see
 TESTDATA.md): q2/q16 use lineitem as the part↔supplier bridge, q9 derives
 cost as 5% of ``p_retailprice`` per unit, q22 uses ``c_nationkey`` as the
-country code. TPC-H q4/q20/q21's EXISTS shapes are covered by
-``subq_exists_late_orders`` (operators/relational.py).
+country code. TPC-H q4's EXISTS shape is ``subq_exists_late_orders``
+(operators/relational.py); q20/q21 live in ``plans/analytics3.py``.
 
 Money arithmetic follows functions/compat.py: exact decimals inside the
 aggregate, one double division at the end, so results are bit-identical

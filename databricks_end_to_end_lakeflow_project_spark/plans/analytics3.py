@@ -1,0 +1,173 @@
+"""Decision-support query shapes III: the last two TPC-H patterns.
+
+With these, every TPC-H query shape (q1-q22) has a registered analogue:
+q4's EXISTS is ``subq_exists_late_orders`` (operators/relational.py); the
+rest live in ``plans/analytics.py`` / ``plans/analytics2.py``. This
+module adds the two shapes previously only approximated:
+
+- q20 — nested-IN chain (supplier IN (… part IN (…))) with a grouped
+        HAVING threshold in the inner subquery
+- q21 — double correlated EXISTS / NOT EXISTS over the same fact table
+        ("suppliers who kept orders waiting"), the canonical
+        hardest-to-plan TPC-H query
+
+Adaptations to the driver testdata (TESTDATA.md; no partsupp /
+l_commitdate / l_receiptdate): q20's "excess availability" becomes a
+shipped-quantity threshold per (supplier, part); q21's "received late"
+becomes shipped >60 days after the order date.
+
+Scale design (100 TB): q21 is deliberately NOT executed as the classic
+pair of correlated self-joins — that plan scans and shuffles lineitem
+three times. The oracle keeps the classic EXISTS/NOT-EXISTS SQL (DuckDB
+verifies semantic equivalence); the Spark plan computes one aggregate per
+order — (#distinct suppliers, #distinct late suppliers, the sole late
+supplier) — in a single shuffle keyed on l_orderkey, then filters
+``n_supp > 1 AND n_late = 1``. One pass over the fact instead of three;
+at 1000 executors the rewrite's only wide exchange is the per-order
+aggregation that any form of this query needs anyway.
+
+Reference parity note: the reference's analytics surface is the gold
+star-join codegen (`/root/reference/DatabricksFlightProject/
+FACT_Gold_Layer.py:84-123`); these shapes extend it per SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+@query(
+    "q20_excess_shippers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3','NATION_7','NATION_11','NATION_19')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 50
+      )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested-IN chain — suppliers (in a nation set) who
+    shipped more than a threshold quantity of any 'small%' part in 1996.
+
+    Plan: innermost IN (parts by name prefix) is a broadcast semi-join
+    pruning lineitem BEFORE the group-by, so the aggregation keys only
+    qualifying (supplier, part) pairs; the middle IN reduces to a tiny
+    distinct supplier-key set, broadcast-semi-joined into the supplier
+    dim. The fact is scanned once with both the date filter and the name
+    prefix pushed ahead of the shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small")).select(
+        "p_partkey"
+    )
+    na = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11", "NATION_19")
+    )
+    qual_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(
+            F.broadcast(qual_supp),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    """
+    SELECT s_suppkey, s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_suppkey, s_name
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order, ranked by how many orders they held up.
+
+    The oracle states the classic double correlated EXISTS / NOT EXISTS;
+    the Spark plan is the single-shuffle rewrite (module docstring): per
+    order compute ``n_supp`` (distinct suppliers), ``n_late`` (distinct
+    late suppliers) and the late supplier's key (well-defined when
+    ``n_late = 1``), then keep orders with ``n_supp > 1 AND n_late = 1``.
+    DuckDB verifying hash-equality of the two forms IS the test that the
+    rewrite preserves EXISTS/NOT-EXISTS semantics.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    od = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late_supp",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            F.col("l_suppkey"),
+        ),
+    )
+    per_order = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("late_supp").alias("n_late"),
+        F.max("late_supp").alias("sole"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("sole")
+        .agg(F.count("*").alias("numwait"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+            F.col("sole") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )

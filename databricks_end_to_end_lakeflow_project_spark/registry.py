@@ -24,6 +24,7 @@ _ORACLES: dict[str, str] = {}
 _QUERY_MODULES = [
     "databricks_end_to_end_lakeflow_project_spark.plans.analytics",
     "databricks_end_to_end_lakeflow_project_spark.plans.analytics2",
+    "databricks_end_to_end_lakeflow_project_spark.plans.analytics3",
     "databricks_end_to_end_lakeflow_project_spark.plans.flight_pipeline",
     "databricks_end_to_end_lakeflow_project_spark.operators.relational",
     "databricks_end_to_end_lakeflow_project_spark.operators.asof",
