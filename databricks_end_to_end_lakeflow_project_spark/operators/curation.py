@@ -1,0 +1,372 @@
+"""Corpus-curation and behavioral-analytics operators for LLM training
+data pipelines: benchmark-contamination detection, Gopher-style
+repetition filtering, GPT-style sequence packing, temperature-scaled
+language mixtures, and event sessionization / funnel / retention.
+
+North-star additions (SURVEY.md §2.9; the reference has no analogue —
+its quality surface stops at NOT-NULL expectations,
+`dlt_bronze_to_silver_pipeline.py:6-12`). These generalize that gating
+role to the corpus-curation setting: which documents continue downstream
+and at what rate.
+
+Scale design (100 TB):
+
+- Repetition and contamination work on exploded n-grams keyed by
+  ``doc_id`` / gram — aggregations are partial-aggregatable and shuffle
+  group keys, not documents. The contamination join broadcasts the
+  (deduplicated, tiny) benchmark gram set.
+- Sequence packing uses a *sharded* running sum: documents are assigned
+  to 16 deterministic hash shards and the cumulative window runs inside
+  each shard, so no single-task global sort bottleneck; packing is still
+  a pure function of content hashes, reproducible on any cluster.
+- Sessionization is one window per ``user_id`` — the natural Spark
+  partitioning; no state beyond the sort buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+from databricks_end_to_end_lakeflow_project_spark.operators.sampling import hash_hex
+
+PACK_BUDGET = 2048  # tokens per packed training sequence bin
+SESSION_GAP_S = 1800  # 30 min inactivity ends a session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def grams_all(text: Column, n: int) -> Column:
+    """ALL word n-grams (non-distinct, order-preserving) of space-
+    tokenized text, as shifted-slice ``zip_with`` (see
+    ``dedup.shingles`` for why not transform-over-sequence)."""
+    w = F.split(F.trim(text), " ")
+    length = F.size(w) - (n - 1)
+    acc = F.slice(w, 1, length)
+    for k in range(1, n):
+        acc = F.zip_with(acc, F.slice(w, k + 1, length), lambda a, b: F.concat_ws(" ", a, b))
+    return acc
+
+
+@query(
+    "text_repetition_gopher",
+    """
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    bi AS (
+      SELECT doc_id, array_to_string(w[u.i:u.i+1], ' ') AS g
+      FROM toks, LATERAL unnest(range(1, len(w))) u(i)
+    ),
+    per_gram AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g),
+    per_doc AS (
+      SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM per_gram GROUP BY doc_id
+    ),
+    uniq AS (
+      SELECT doc_id,
+             ROUND(LENGTH(list_distinct(w))::DOUBLE / LENGTH(w), 4) AS uniq_token_ratio
+      FROM toks
+    )
+    SELECT d.doc_id,
+           ROUND(mx::DOUBLE / tot, 4) AS top_bigram_share,
+           uniq_token_ratio,
+           CASE WHEN mx::DOUBLE / tot > 0.1 THEN 1 ELSE 0 END AS is_repetitive
+    FROM per_doc d JOIN uniq USING (doc_id)
+    """,
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features per document: share of tokens in
+    the single most frequent bigram, distinct-token ratio, and a
+    repetitiveness flag (top-bigram share > 10%). Two partial-aggregatable
+    groupBys over exploded bigrams — shuffles carry (doc, gram) groups."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    per_gram = (
+        docs.select(
+            "doc_id",
+            F.round(F.size(F.array_distinct(w)).cast("double") / F.size(w), 4).alias(
+                "uniq_token_ratio"
+            ),
+            F.explode(grams_all(F.col("text"), 2)).alias("g"),
+        )
+        .groupBy("doc_id", "uniq_token_ratio", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    share = F.max("c").cast("double") / F.sum("c")
+    return per_gram.groupBy("doc_id", "uniq_token_ratio").agg(
+        F.round(share, 4).alias("top_bigram_share"),
+        F.when(share > 0.1, F.lit(1)).otherwise(F.lit(0)).alias("is_repetitive"),
+    ).select("doc_id", "top_bigram_share", "uniq_token_ratio", "is_repetitive")
+
+
+@query(
+    "dedup_contamination_ngram",
+    """
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(w[u.i:u.i+4], ' ') AS g
+      FROM toks, LATERAL unnest(range(1, len(w) - 3)) u(i)
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM grams
+      WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ),
+    corpus AS (
+      SELECT DISTINCT doc_id, g FROM grams
+      WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+    )
+    SELECT doc_id, COUNT(*) AS n_contaminated_grams
+    FROM corpus WHERE g IN (SELECT g FROM bench)
+    GROUP BY doc_id
+    """,
+)
+def dedup_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing any
+    5-gram with a held-out benchmark set (here: the deterministic 1/16
+    hash slice of the corpus standing in for an eval suite). The
+    benchmark gram set is distinct-reduced then BROADCAST to the corpus
+    side — at 100 TB the eval suites are MBs while the corpus is TBs, so
+    the join never shuffles the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        hash_hex(F.col("doc_id"), 1).alias("hd"),
+        F.explode(F.array_distinct(grams_all(F.col("text"), 5))).alias("g"),
+    )
+    bench = grams.filter(F.col("hd") == "0").select("g").distinct()
+    corpus = grams.filter(F.col("hd") != "0").select("doc_id", "g")
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+
+
+@query(
+    "pack_sequences_token_budget",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             LENGTH(string_split(trim(text), ' ')) AS ntok,
+             SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, ntok,
+             SUM(ntok) OVER (PARTITION BY shard ORDER BY hk, doc_id) AS cum
+      FROM d
+    ),
+    b AS (
+      SELECT shard,
+             CAST(FLOOR((cum - ntok) / {PACK_BUDGET}) AS BIGINT) AS bin_id, ntok
+      FROM c
+    )
+    SELECT shard, bin_id, COUNT(*) AS n_docs, SUM(ntok) AS n_tokens
+    FROM b GROUP BY shard, bin_id
+    """,
+)
+def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated in a
+    deterministic content-hash order and cut into fixed token-budget
+    bins (concat-and-chunk). Sharded by the first hash hex digit so the
+    running sum parallelizes 16 ways (at 100 TB: widen the shard prefix;
+    the window stays a single in-shard sort, never a global one)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("ntok"),
+        hash_hex(F.col("doc_id"), 1).alias("shard"),
+        hash_hex(F.col("doc_id"), 8).alias("hk"),
+    )
+    win = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    cum = F.sum("ntok").over(win)
+    return (
+        d.select(
+            "shard",
+            "ntok",
+            F.floor((cum - F.col("ntok")) / PACK_BUDGET).alias("bin_id"),
+        )
+        .groupBy("shard", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("ntok").alias("n_tokens"))
+    )
+
+
+@query(
+    "sample_temperature_mixture",
+    """
+    WITH per_lang AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(LENGTH(string_split(trim(text), ' '))) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    shares AS (
+      SELECT lang, n_docs, n_tokens,
+             n_tokens::DOUBLE / SUM(n_tokens) OVER () AS share,
+             SQRT(n_tokens::DOUBLE / SUM(n_tokens) OVER ()) AS wt
+      FROM per_lang
+    )
+    SELECT lang, n_docs,
+           ROUND(share, 4) AS token_share,
+           ROUND(wt / SUM(wt) OVER (), 4) AS temp_rate
+    FROM shares
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (alpha = 0.5, the multilingual
+    LM standard): sampling probability proportional to sqrt of the
+    language's token share, flattening head languages and boosting the
+    tail. One tiny groupBy then arithmetic over #languages rows — the
+    global windows run on an already-aggregated frame."""
+    docs = _t(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " "))).alias("n_tokens"),
+    )
+    total = per_lang.agg(F.sum("n_tokens").alias("tot"))
+    shares = per_lang.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_tokens").cast("double") / F.col("tot")).alias("share"),
+        F.sqrt(F.col("n_tokens").cast("double") / F.col("tot")).alias("wt"),
+    )
+    wt_total = shares.agg(F.sum("wt").alias("wt_tot"))
+    return shares.crossJoin(F.broadcast(wt_total)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("share"), 4).alias("token_share"),
+        F.round(F.col("wt") / F.col("wt_tot"), 4).alias("temp_rate"),
+    )
+
+
+@query(
+    "events_sessionize",
+    f"""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_events, SUM(new_session) AS n_sessions,
+           ROUND(COUNT(*)::DOUBLE / SUM(new_session), 4) AS events_per_session
+    FROM flagged GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity boundary) via one
+    window per user — the batch analogue of `F.session_window`, but with
+    the session count/density exposed per user. Partitioned on user_id:
+    exactly the key a 100 TB event log is naturally bucketed by."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    flagged = ev.select(
+        "user_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_S), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("new_session").alias("n_sessions"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("new_session"), 4).alias(
+            "events_per_session"
+        ),
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    """
+    WITH su AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    pu AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id),
+    j AS (SELECT su.user_id, t0, t1,
+                 CASE WHEN t1 >= t0 AND t1 <= t0 + INTERVAL 7 DAY THEN 1 ELSE 0 END AS conv
+          FROM su LEFT JOIN pu USING (user_id))
+    SELECT COUNT(*) AS n_signup_users,
+           SUM(conv) AS n_converted,
+           ROUND(SUM(conv)::DOUBLE / COUNT(*), 4) AS conv_rate,
+           ROUND(AVG(CASE WHEN conv = 1
+                          THEN FLOOR((epoch(t1) - epoch(t0)) / 60) END), 4)
+             AS avg_minutes_to_convert
+    FROM j
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup → purchase funnel with a 7-day conversion window: per-user
+    first-touch times (partial-agg MIN), one equi-join, then a single-row
+    summary. Delay is measured in whole minutes (integer floor) so the
+    average is reduction-order-exact across engines."""
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    conv = F.when(
+        (F.col("t1") >= F.col("t0"))
+        & (F.col("t1").cast("double") <= F.col("t0").cast("double") + 7 * 86400),
+        1,
+    ).otherwise(0)
+    j = su.join(pu, "user_id", "left").select("t0", "t1", conv.alias("conv"))
+    mins = F.floor((F.col("t1").cast("double") - F.col("t0").cast("double")) / 60)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.sum("conv").alias("n_converted"),
+        F.round(F.sum("conv").cast("double") / F.count(F.lit(1)), 4).alias("conv_rate"),
+        F.round(F.avg(F.when(F.col("conv") == 1, mins)), 4).alias(
+            "avg_minutes_to_convert"
+        ),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active_users
+    FROM events e JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    in each subsequent active week. The cohort frame is per-user MINs
+    (tiny vs the event log) and broadcasts back onto events; both dates
+    are week-truncated so the offset arithmetic is exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = ev.join(F.broadcast(first_seen), "user_id")
+    return (
+        joined.select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )

@@ -252,6 +252,45 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.distinct()
 
 
+@query(
+    "stream_static_enrich",
+    """
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the streaming event feed joined to
+    a batch dimension (customer → market segment) then aggregated in
+    complete mode. The static side is broadcast and re-resolved per
+    micro-batch — the standard lakehouse pattern for enriching a live
+    feed against slowly-changing reference data without stream-stream
+    state. Cent-integer money keeps the result reduction-order-exact."""
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    stream = stream_events_table(spark, sf_dir).withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    agg = (
+        stream.join(F.broadcast(cust), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("total_cents"),
+        )
+    )
+    drained = run_to_memory(
+        agg, f"sse_{uuid.uuid4().hex[:8]}", output_mode="complete",
+        state_partitions=STATE_PARTITIONS,
+    )
+    return drained
+
+
 # -- exactly-once upsert sink ------------------------------------------------
 
 

@@ -1,0 +1,95 @@
+"""Corpus-curation & behavioral-analytics invariants (operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.operators.curation import (
+    PACK_BUDGET,
+    dedup_contamination_ngram,
+    events_funnel_conversion,
+    events_retention_cohorts,
+    events_sessionize,
+    pack_sequences_token_budget,
+    sample_temperature_mixture,
+    text_repetition_gopher,
+)
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_repetition_features_bounded(spark):
+    """Shares and ratios are in (0, 1]; every document gets a row."""
+    rep = text_repetition_gopher(spark, SF)
+    n_docs = read_table(spark, SF, "documents").count()
+    assert rep.count() == n_docs
+    bad = rep.filter(
+        (F.col("top_bigram_share") <= 0)
+        | (F.col("top_bigram_share") > 1)
+        | (F.col("uniq_token_ratio") <= 0)
+        | (F.col("uniq_token_ratio") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_contamination_never_flags_benchmark_docs(spark):
+    """The benchmark slice itself (hash digit '0') must not appear as a
+    contaminated corpus document, and every hit count is positive."""
+    hits = dedup_contamination_ngram(spark, SF)
+    flagged_in_bench = hits.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1) == "0"
+    )
+    assert flagged_in_bench.count() == 0
+    assert hits.filter(F.col("n_contaminated_grams") <= 0).count() == 0
+    assert hits.count() > 0  # non-vacuous on this corpus
+
+
+def test_packing_preserves_tokens_and_caps_bins(spark):
+    """Packing must conserve total tokens exactly, and every bin except
+    possibly the last per shard stays within budget + one straddling doc."""
+    docs = read_table(spark, SF, "documents")
+    total = docs.select(
+        F.sum(F.size(F.split(F.trim(F.col("text")), " "))).alias("t")
+    ).collect()[0]["t"]
+    bins = pack_sequences_token_budget(spark, SF)
+    assert bins.agg(F.sum("n_tokens")).collect()[0][0] == total
+    # a bin holds < budget + the max single doc length that straddles in
+    max_doc = docs.select(
+        F.max(F.size(F.split(F.trim(F.col("text")), " "))).alias("m")
+    ).collect()[0]["m"]
+    assert bins.filter(F.col("n_tokens") >= PACK_BUDGET + max_doc).count() == 0
+
+
+def test_temperature_mixture_flattens_and_normalizes(spark):
+    rows = sample_temperature_mixture(spark, SF).collect()
+    assert abs(sum(r["temp_rate"] for r in rows) - 1.0) < 1e-2  # rates sum to ~1
+    for r in rows:  # sqrt scaling pulls every language toward uniform
+        if r["token_share"] > 1 / len(rows):
+            assert r["temp_rate"] <= r["token_share"] + 1e-9
+        else:
+            assert r["temp_rate"] >= r["token_share"] - 1e-9
+
+
+def test_sessionize_counts_consistent(spark):
+    """Sessions per user are between 1 and n_events; totals cover the log."""
+    s = events_sessionize(spark, SF)
+    ev = read_table(spark, SF, "events")
+    assert s.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    bad = s.filter(
+        (F.col("n_sessions") < 1) | (F.col("n_sessions") > F.col("n_events"))
+    )
+    assert bad.count() == 0
+
+
+def test_funnel_and_cohorts_shape(spark):
+    f = events_funnel_conversion(spark, SF).collect()[0]
+    assert 0 <= f["n_converted"] <= f["n_signup_users"]
+    assert 0.0 <= f["conv_rate"] <= 1.0
+    coh = events_retention_cohorts(spark, SF)
+    assert coh.filter(F.col("week_offset") < 0).count() == 0
+    # week-0 actives per cohort == cohort size (every user is active in
+    # the week of their own first event)
+    n_users = read_table(spark, SF, "events").select("user_id").distinct().count()
+    week0 = coh.filter(F.col("week_offset") == 0).agg(F.sum("n_active_users"))
+    assert week0.collect()[0][0] == n_users
