@@ -26,6 +26,7 @@ NON_EQUI_WHITELIST = {
     # so the nested-loop join is O(n) at any scale
     "q11_revenue_concentration",
     "q22_dormant_customers",
+    "sample_temperature_mixture",  # 1-row broadcast totals over #languages rows
 }
 
 
@@ -151,3 +152,26 @@ def test_compact_small_files_shuffle_path(spark, tmp_path):
     n = compact_small_files(spark, src, dst, target_bytes=total + 1, shuffle=True)
     assert n == 1
     assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    """The benchmark gram set must broadcast — the corpus side of the
+    contamination join is the 100TB side and must never shuffle."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.curation import (
+        dedup_contamination_ngram,
+    )
+
+    plan = _plan(dedup_contamination_ngram(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """Sessionization's window and per-user aggregate share one
+    hash-partitioning on user_id: the groupBy must reuse the window's
+    exchange, not add a second shuffle."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.curation import (
+        events_sessionize,
+    )
+
+    plan = _plan(events_sessionize(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
