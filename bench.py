@@ -43,6 +43,8 @@ HEADLINE = [
     "text_quality_score",
     "text_chunk_fixed",
     "sample_split_train_val_test",
+    "dedup_contamination_ngram",
+    "events_sessionize",
 ]
 
 

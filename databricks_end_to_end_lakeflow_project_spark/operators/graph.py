@@ -1,0 +1,116 @@
+"""Iterative graph analytics on the DataFrame API: PageRank over the
+product-affinity graph (parts co-ordered in the same order).
+
+North-star addition (SURVEY.md §2.9; the reference has no graph
+operators). Demonstrates the engine's pattern for ITERATIVE algorithms —
+the one workload class where a declarative single plan is impossible and
+a driver-side loop over DataFrame ops is the idiomatic Spark answer
+(same structure as GraphX/Pregel's superstep, but staying in
+DataFrame/Tungsten land).
+
+Scale design (100 TB):
+- The edge list and out-degrees are computed once and PERSISTED — every
+  iteration re-reads them from memory/disk cache instead of re-joining
+  the fact table.
+- Ranks are ``localCheckpoint``ed every few supersteps: without this the
+  lineage (and the physical plan Catalyst must analyze) doubles per
+  iteration — the classic iterative-Spark failure mode, O(2^n) planning
+  around iteration ~20.
+- Each superstep is one join (ranks ⋈ edges, partitioned on the rank
+  key) + one aggregation (contributions by dst) — 2 shuffles per
+  iteration, both on graph keys, never on payload.
+
+The DuckDB oracle unrolls the same 6 supersteps as chained CTEs
+(standard SQL forbids aggregation in a recursive term), proving the
+loop's arithmetic exactly: damping 0.15/0.85, uniform init 1.0,
+contribution = rank/out-degree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+N_ITER = 6
+DAMPING = 0.85
+
+
+def cooccurrence_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct directed edges between parts appearing in the same order
+    (both directions — the affinity graph is symmetric). One self-equi-
+    join on the order key; order groups are small (avg 4 items), so the
+    pair expansion is bounded per key."""
+    a = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = lineitem.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -> DataFrame:
+    """PageRank with uniform init 1.0 over the nodes of ``edges``.
+
+    Symmetric-edge graphs have no dangling nodes, so the update is the
+    textbook ``(1-d) + d * Σ rank(src)/deg(src)``. Returns
+    (node, pagerank)."""
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    for i in range(n_iter):
+        contribs = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("node"),
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("mass")).alias("rank"),
+        )
+        if (i + 1) % 3 == 0 and i + 1 < n_iter:
+            # truncate lineage so plan size stays constant per superstep
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def _unrolled_oracle(n_iter: int = N_ITER) -> str:
+    step = """
+    it{i} AS (
+      SELECT e.dst AS node,
+             0.15 + 0.85 * SUM(p.rank / d.deg) AS rank
+      FROM it{p} p JOIN edges e ON e.src = p.node JOIN deg d ON d.node = p.node
+      GROUP BY e.dst
+    )"""
+    chain = ",".join(step.format(i=i, p=i - 1) for i in range(1, n_iter + 1))
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    it0 AS (SELECT node, 1.0 AS rank FROM deg),
+    {chain}
+    SELECT node AS part_id, ROUND(rank, 6) AS pagerank
+    FROM it{n_iter} ORDER BY pagerank DESC, part_id LIMIT 50
+    """
+
+
+@query("graph_pagerank_parts", _unrolled_oracle())
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 parts by PageRank over the co-order affinity graph — the
+    'centrality of a product in the basket graph' analytic. 6 supersteps,
+    persisted edges/degrees, checkpointed ranks (see module docstring)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ranks = pagerank(cooccurrence_edges(li))
+    return (
+        ranks.select(F.col("node").alias("part_id"), F.round("rank", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "part_id")
+        .limit(50)
+    )

@@ -245,3 +245,23 @@ def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_expr}) AS "
         "(column_name, n, n_null, min_v, max_v, mean_v)"
     )
+
+
+@query("agg_approx_percentile")  # sketch-based: engine-specific → rows-only check
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of extended price per return flag via
+    Spark's Greenwald-Khanna quantile sketch (accuracy 1/10000). The
+    sketch is mergeable — partial per-partition summaries combine
+    map-side, so the shuffle carries sketches, not rows: the 100 TB
+    answer to percentiles (the exact `agg_percentile_median` query is
+    the small-data / oracle baseline). Accuracy vs exact percentiles is
+    bounded by `tests/test_stats.py`."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
+    ).select(
+        "l_returnflag",
+        F.col("approx_pcts")[0].alias("p50"),
+        F.col("approx_pcts")[1].alias("p95"),
+        F.col("approx_pcts")[2].alias("p99"),
+    )

@@ -1,0 +1,69 @@
+"""Iterative-graph invariants (operators/graph.py) and the sketch
+percentile registry query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.operators.graph import (
+    cooccurrence_edges,
+    graph_pagerank_parts,
+    pagerank,
+)
+from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+    agg_approx_percentile,
+)
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_edges_symmetric_no_self_loops(spark):
+    e = cooccurrence_edges(read_table(spark, SF, "lineitem"))
+    assert e.filter(F.col("src") == F.col("dst")).count() == 0
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert e.exceptAll(rev).count() == 0  # symmetric edge set
+
+
+def test_pagerank_bounds_and_mass(spark):
+    """Every rank ≥ the damping floor 0.15; with a symmetric graph (no
+    dangling mass) total rank stays ≈ node count through the iterations."""
+    e = cooccurrence_edges(read_table(spark, SF, "lineitem"))
+    n_nodes = e.select("src").distinct().count()
+    ranks = pagerank(e, n_iter=6)
+    assert ranks.filter(F.col("rank") < 0.15).count() == 0
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - n_nodes) / n_nodes < 0.02
+
+
+def test_pagerank_partition_invariant(spark):
+    """Repartitioning the fact input must not change the top-50 (ranks
+    are rounded to 6dp — far above float reduction-order noise)."""
+    a = graph_pagerank_parts(spark, SF).collect()
+    li = read_table(spark, SF, "lineitem").repartition(17)
+    b_ranks = pagerank(cooccurrence_edges(li))
+    b = (
+        b_ranks.select(
+            F.col("node").alias("part_id"), F.round("rank", 6).alias("pagerank")
+        )
+        .orderBy(F.desc("pagerank"), "part_id")
+        .limit(50)
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_approx_percentile_query_orders_correctly(spark):
+    """p50 ≤ p95 ≤ p99 per group, and each within the group's value range."""
+    rows = agg_approx_percentile(spark, SF).collect()
+    assert rows
+    li = read_table(spark, SF, "lineitem")
+    bounds = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[r["l_returnflag"]]
+        assert lo <= r["p50"] <= r["p95"] <= r["p99"] <= hi
