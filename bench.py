@@ -68,6 +68,10 @@ def main() -> None:
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     times: dict[str, float] = {}
     for name in names:
+        # drop persisted frames leaked by earlier queries (e.g. LSH shingle
+        # cache): accumulated storage memory evicts shuffle/exec memory and
+        # skews later measurements by 2-3x
+        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(max(1, repeat)):
             t0 = time.perf_counter()

@@ -82,6 +82,7 @@ def main() -> int:
     names = args.names or sorted(qs)
     failures = 0
     for name in names:
+        spark.catalog.clearCache()  # free persists leaked by prior queries
         try:
             sdf = qs[name](spark, args.sf_dir)
             srows = sdf.collect()
