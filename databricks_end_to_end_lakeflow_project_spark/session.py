@@ -73,7 +73,9 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+            df = read_table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -21,10 +21,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer division: ns values exceed 2^53, double division
             # would round the microsecond (seen live as ±1 µs vs DuckDB)
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # µs parquet timestamps arrive as TIMESTAMP_NTZ; with the
+            # session pinned to UTC this cast is value-preserving and
+            # restores the TIMESTAMP type the operator suite (and the
+            # DuckDB oracle's naive-epoch arithmetic) expects
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
