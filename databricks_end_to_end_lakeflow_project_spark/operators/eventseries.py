@@ -1,0 +1,168 @@
+"""Event-series analytics: OHLC resampling, path-transition matrices,
+and order-deterministic sequence pattern matching over the `events` table.
+
+Reference parity: the reference's event surface is the booking fact's
+`booking_date` time axis (`/root/reference/DatabricksFlightProject/
+dlt_bronze_to_silver_pipeline.py:22`); these operators extend that axis
+to the event-log shapes a production lakehouse serves (SURVEY.md §2.9
+additions). All three are single-shuffle plans keyed on the column a
+100 TB event log is naturally partitioned by (`user_id` or
+`(event_type, time-bucket)`), so they scale by adding executors — no
+driver-side iteration, no Python row loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+@query(
+    "ts_resample_ohlc",
+    """
+    WITH ranked AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS bucket,
+             value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM ranked
+    GROUP BY event_type, bucket
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to hourly OHLC bars per event type —
+    the classic time-series resample (open = first value in the bucket,
+    close = last, by (ts, event_id) order so ties are deterministic).
+
+    Plan shape: both row_number windows share one partitioning
+    ((event_type, bucket)), so Catalyst plans a single exchange with two
+    sorts, and the following groupBy on the same keys aggregates without
+    a second shuffle. At 100 TB the only data movement is the one
+    hash-partition on the bucket key; open/close/high/low/count are all
+    map-side-combinable after the windows.
+    """
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", F.col("ts"))
+    )
+    w_open = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "events_path_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    )
+    SELECT src, dst, COUNT(*) AS n_transitions,
+           ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY src), 4)
+             AS p_transition
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+)
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event paths:
+    count of each (src → dst) adjacent pair plus the row-normalized
+    transition probability.
+
+    The lead() window shuffles once on user_id (the event log's natural
+    key); the pair count is a tiny (|types|² rows) aggregate, and the
+    row normalization is a window over that already-small frame — at any
+    scale the heavy stage is the single user_id exchange.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_transitions"))
+    w_src = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_src),
+            4,
+        ).alias("p_transition"),
+    )
+
+
+@query(
+    "events_funnel_path_match",
+    """
+    SELECT user_id, COUNT(*) AS path_len,
+           CASE WHEN string_agg(event_type, '>' ORDER BY ts, event_id)
+                     LIKE '%signup%purchase%'
+                THEN 1 ELSE 0 END AS has_funnel
+    FROM events GROUP BY user_id
+    """,
+)
+def events_funnel_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite): per user,
+    build the time-ordered event-type path and flag whether a `signup`
+    is ever followed — at any distance — by a `purchase`.
+
+    Spark's collect_list is partition-order-nondeterministic, so the
+    path is made deterministic by collecting (ts, event_id, event_type)
+    structs and `array_sort`-ing them (struct comparison is
+    lexicographic by field order) before joining the types into the
+    path string — the distributed equivalent of DuckDB's ordered
+    string_agg. One shuffle on user_id; the pattern test is a scalar
+    LIKE on the aggregated row, never on raw events.
+    """
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("path_len"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq"),
+    )
+    path = F.array_join(
+        F.transform(F.col("seq"), lambda x: x["event_type"]), ">"
+    )
+    return per_user.select(
+        "user_id",
+        "path_len",
+        F.when(path.like("%signup%purchase%"), 1).otherwise(0).alias("has_funnel"),
+    )

@@ -265,3 +265,43 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_pcts")[1].alias("p95"),
         F.col("approx_pcts")[2].alias("p99"),
     )
+
+
+@query(
+    "agg_histogram_price_bins",
+    """
+    SELECT CAST(FLOOR(l_extendedprice / 10000) AS INT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi,
+           ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (), 4) AS share
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_histogram_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended price ($10k bins): per-bin
+    count, observed min/max, and share of total. The bin id is plain
+    arithmetic on the scan (no pre-pass for global min/max), so the
+    whole histogram is one map-side-combinable aggregate — one shuffle
+    of |bins| rows regardless of input size; the share normalization is
+    a window over the already-tiny binned frame."""
+    li = read_table(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    binned = li.groupBy(
+        F.floor(F.col("l_extendedprice") / 10000).cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
+    return binned.select(
+        "bin",
+        "n",
+        "lo",
+        "hi",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()), 4
+        ).alias("share"),
+    )

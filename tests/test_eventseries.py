@@ -1,0 +1,114 @@
+"""Event-series operators (operators/eventseries.py): value invariants
+and the single-shuffle plan shapes the 100 TB story depends on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+    events_funnel_path_match,
+    events_path_transitions,
+    ts_resample_ohlc,
+)
+from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+    agg_histogram_price_bins,
+)
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ohlc_bar_invariants(spark):
+    """Every bar: low <= open/close <= high; bars partition the events."""
+    bars = ts_resample_ohlc(spark, SF)
+    bad = bars.filter(
+        (F.col("low") > F.col("high"))
+        | (F.col("open") < F.col("low"))
+        | (F.col("open") > F.col("high"))
+        | (F.col("close") < F.col("low"))
+        | (F.col("close") > F.col("high"))
+    )
+    assert bad.count() == 0
+    total = bars.agg(F.sum("n_events")).collect()[0][0]
+    assert total == read_table(spark, SF, "events").count()
+
+
+def test_ohlc_single_exchange(spark):
+    """Both row_number windows and the groupBy share one hash partition
+    on (event_type, bucket) — one shuffle total."""
+    plan = _plan(ts_resample_ohlc(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_transitions_rows_normalize(spark):
+    """Per-src transition probabilities sum to ~1 and counts conserve
+    the number of adjacent pairs (n_events - n_users)."""
+    tr = events_path_transitions(spark, SF).cache()
+    sums = tr.groupBy("src").agg(F.sum("p_transition").alias("s")).collect()
+    assert all(abs(r["s"] - 1.0) < 0.01 for r in sums)
+    ev = read_table(spark, SF, "events")
+    n_pairs = ev.count() - ev.select("user_id").distinct().count()
+    assert tr.agg(F.sum("n_transitions")).collect()[0][0] == n_pairs
+    tr.unpersist()
+
+
+def test_funnel_path_consistent_with_min_ts_funnel(spark):
+    """A user has the path pattern signup…purchase iff some purchase
+    follows some signup — cross-check against direct min/max timestamps."""
+    got = events_funnel_path_match(spark, SF)
+    ev = read_table(spark, SF, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("t1"))
+    )
+    expect = (
+        ev.select("user_id")
+        .distinct()
+        .join(su, "user_id", "left")
+        .join(pu, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(
+                F.col("t0").isNotNull() & (F.col("t1") > F.col("t0")), 1
+            )
+            .otherwise(0)
+            .alias("expect_funnel"),
+        )
+    )
+    # path match is ">=" on position, ts compare is ">" on time; with
+    # unique event ids a purchase at the exact same ts as the signup is
+    # the only divergence — assert agreement modulo that edge
+    joined = got.join(expect, "user_id")
+    disagree = joined.filter(F.col("has_funnel") != F.col("expect_funnel"))
+    same_ts_edge = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id", "ts")
+        .agg(F.count_distinct("event_type").alias("k"))
+        .filter(F.col("k") == 2)
+        .select("user_id")
+    )
+    assert disagree.join(same_ts_edge, "user_id", "left_anti").count() == 0
+
+
+def test_histogram_partitions_rows(spark):
+    """Bin counts sum to the table size; shares sum to ~1; bin ranges
+    stay inside their arithmetic bounds."""
+    h = agg_histogram_price_bins(spark, SF).cache()
+    li_n = read_table(spark, SF, "lineitem").count()
+    assert h.agg(F.sum("n")).collect()[0][0] == li_n
+    assert abs(h.agg(F.sum("share")).collect()[0][0] - 1.0) < 0.01
+    bad = h.filter(
+        (F.col("lo") < F.col("bin") * 10000) | (F.col("hi") >= (F.col("bin") + 1) * 10000)
+    )
+    assert bad.count() == 0
+    h.unpersist()
