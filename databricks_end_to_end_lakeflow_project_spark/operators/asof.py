@@ -201,3 +201,158 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total_cents", F.lit(0)).alias("total_cents"),
         )
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance_us: int,
+) -> DataFrame:
+    """Nearest as-of join: every ``left`` row gains the ``right`` row
+    whose timestamp is CLOSEST in either direction, within
+    ``tolerance_us`` microseconds; ties (equal backward/forward
+    distance) resolve backward. NULL payload when nothing is in range.
+
+    Plan shape: the same union strategy as :func:`asof_join`, but both
+    direction resolutions come out of ONE exchange — the backward
+    candidate is ``last(right)`` over an ascending (ts, right-first)
+    sort and the forward candidate is ``first(right)`` over the
+    following frame of an ascending (ts, left-first) sort. Same
+    partitioning, two sorts, zero extra shuffles — at 100 TB this costs
+    exactly what a single sort-merge join costs, while the naive
+    two-asof-joins-then-self-join plan would shuffle three times.
+    """
+    on = list(on)
+    right_cols = [c for c in right_cols if c not in on and c != right_ts]
+
+    lhs = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in left.columns if c not in on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(right_ts),
+    )
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+        *[F.col(c) for c in right_cols],
+        F.col(right_ts),
+    )
+    payload = [*right_cols, right_ts]
+
+    # backward: right rows sort BEFORE a left row at equal ts → running
+    # last() sees at-or-before matches. forward: right rows sort AFTER →
+    # first() over the following frame sees at-or-after matches.
+    w_b = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_f = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col(_SIDE).desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    resolved = lhs.unionByName(rhs).select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w_b).alias(f"__b_{c}") for c in payload],
+        *[F.first(c, ignorenulls=True).over(w_f).alias(f"__f_{c}") for c in payload],
+    )
+
+    b_ts, f_ts = F.col(f"__b_{right_ts}"), F.col(f"__f_{right_ts}")
+    b_diff = F.unix_micros(F.col("__ts")) - F.unix_micros(b_ts)
+    f_diff = F.unix_micros(f_ts) - F.unix_micros(F.col("__ts"))
+    b_ok = b_ts.isNotNull() & (b_diff <= tolerance_us)
+    f_ok = f_ts.isNotNull() & (f_diff <= tolerance_us)
+    use_b = b_ok & (~f_ok | (b_diff <= f_diff))
+    use_f = f_ok & ~use_b
+
+    keep = [c for c in left.columns if c not in on]
+    picked = [
+        F.when(use_b, F.col(f"__b_{c}")).when(use_f, F.col(f"__f_{c}")).alias(c)
+        for c in [right_ts, *right_cols]
+    ]
+    delta = (
+        F.when(use_b, b_diff).when(use_f, f_diff).cast("long").alias("delta_us")
+    )
+    direction = (
+        F.when(use_b, F.lit("backward"))
+        .when(use_f, F.lit("forward"))
+        .alias("matched_dir")
+    )
+    return (
+        resolved.filter(F.col(_SIDE) == 1)
+        .select(*on, *keep, *picked, delta, direction)
+    )
+
+
+_NEAREST_TOL_US = 900 * 1_000_000  # 15 minutes
+
+
+@query(
+    "join_asof_nearest",
+    f"""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT p.event_id, c.click_ts AS b_ts, c.click_value AS b_val
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    ), f AS (
+      SELECT p.event_id, c.click_ts AS f_ts, c.click_value AS f_val
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts <= c.click_ts
+    ), j AS (
+      SELECT p.*, b_ts, b_val, f_ts, f_val,
+             epoch_us(p.ts) - epoch_us(b_ts) AS b_diff,
+             epoch_us(f_ts) - epoch_us(p.ts) AS f_diff,
+             b_ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(b_ts) <= {_NEAREST_TOL_US} AS b_ok,
+             f_ts IS NOT NULL AND epoch_us(f_ts) - epoch_us(p.ts) <= {_NEAREST_TOL_US} AS f_ok
+      FROM purchases p JOIN b USING (event_id) JOIN f USING (event_id)
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN b_ok AND (NOT f_ok OR b_diff <= f_diff) THEN b_ts
+                WHEN f_ok THEN f_ts END AS click_ts,
+           CASE WHEN b_ok AND (NOT f_ok OR b_diff <= f_diff) THEN b_val
+                WHEN f_ok THEN f_val END AS click_value,
+           CASE WHEN b_ok AND (NOT f_ok OR b_diff <= f_diff) THEN b_diff
+                WHEN f_ok THEN f_diff END AS delta_us,
+           CASE WHEN b_ok AND (NOT f_ok OR b_diff <= f_diff) THEN 'backward'
+                WHEN f_ok THEN 'forward' END AS matched_dir
+    FROM j
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-click attribution within a ±15 min tolerance: each
+    purchase matched to the user's temporally closest click in either
+    direction (tie → the earlier click). The DuckDB oracle needs two
+    ASOF joins plus a re-join; the Spark plan resolves both directions
+    from one exchange (see :func:`asof_join_nearest`)."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    return asof_join_nearest(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_value"],
+        tolerance_us=_NEAREST_TOL_US,
+    )

@@ -203,3 +203,90 @@ def compact_small_files(
     df = df.repartition(n) if shuffle else df.coalesce(n)
     df.write.mode("overwrite").parquet(dest_dir)
     return len([f for f in Path(dest_dir).rglob("part-*.parquet") if f.is_file()])
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (OPTIMIZE ZORDER-style data-skipping layout)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 2^8 buckets per dimension → 16-bit interleaved key
+
+
+def zorder_key(cols: Sequence[str], mins: dict, maxs: dict, bits: int = _Z_BITS):
+    """Interleaved-bit (Morton) sort key over ``cols``, each normalized
+    to ``2**bits`` equal-width buckets via the supplied global min/max.
+    Pure JVM expressions (shifts + bitwise OR) — no UDF, stays inside
+    whole-stage codegen."""
+    n = len(cols)
+    scale = (1 << bits) - 1
+    bucket_exprs = []
+    for c in cols:
+        lo, hi = float(mins[c]), float(maxs[c])
+        span = (hi - lo) or 1.0
+        b = F.least(
+            F.lit(scale),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * scale).cast("int"),
+            ),
+        )
+        bucket_exprs.append(b)
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, b in enumerate(bucket_exprs):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b.cast("long"), bit).bitwiseAND(F.lit(1)), bit * n + i)
+            )
+    return z
+
+
+def cluster_zorder(
+    spark: SparkSession,
+    df: DataFrame,
+    cols: Sequence[str],
+    out_dir: str,
+    n_files: int = 16,
+    bits: int = _Z_BITS,
+) -> int:
+    """Rewrite ``df`` as ``n_files`` parquet files clustered on the
+    Morton (Z-order) curve over ``cols`` — the layout maintenance pass
+    that makes parquet row-group/file min-max statistics selective on
+    EVERY clustered column at once, where a plain sort is selective only
+    on its leading column (Delta's OPTIMIZE ZORDER, re-expressed on open
+    parquet).
+
+    Cost model at 100 TB: one tiny global min/max aggregate (2 scalars
+    per column), then exactly one range-exchange + in-partition sort —
+    identical to what any global sort costs; the benefit (queries
+    pruning most files on any clustered predicate) is paid for once per
+    maintenance window. Returns the file count written. Numeric/date/
+    timestamp columns supported (dates bucket via their day number).
+    """
+    numeric = {}
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        if dt == "date":
+            numeric[c] = F.datediff(F.col(c), F.lit("1970-01-01"))
+        elif dt.startswith("timestamp"):
+            numeric[c] = F.unix_micros(F.col(c).cast("timestamp"))
+        else:
+            numeric[c] = F.col(c)
+    proj = df.select("*", *[e.alias(f"__n_{c}") for c, e in numeric.items()])
+    stats = proj.agg(
+        *[F.min(f"__n_{c}").alias(f"mn_{c}") for c in cols],
+        *[F.max(f"__n_{c}").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    mins = {c: stats[f"mn_{c}"] for c in cols}
+    maxs = {c: stats[f"mx_{c}"] for c in cols}
+    z = zorder_key([f"__n_{c}" for c in cols],
+                   {f"__n_{c}": mins[c] for c in cols},
+                   {f"__n_{c}": maxs[c] for c in cols}, bits)
+    (
+        proj.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__n_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return len([p for p in Path(out_dir).glob("*.parquet")])

@@ -53,3 +53,44 @@ def test_asof_keeps_left_payload_columns(spark):
     out = asof_join(trades, quotes, ["sym"], "trade_ts", "quote_ts", ["bid"])
     assert set(out.columns) == {"sym", "trade_ts", "price", "quote_ts", "bid"}
     assert out.filter(F.col("price").isNull()).count() == 0
+
+
+def test_asof_nearest_picks_closer_side_and_tolerance(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    trades, quotes = _frames(spark)
+    out = asof_join_nearest(
+        trades, quotes, ["sym"], "trade_ts", "quote_ts", ["bid"],
+        tolerance_us=6 * 60 * 1_000_000,  # 6 minutes
+    )
+    rows = {
+        (r["sym"], r["trade_ts"]): (r["quote_ts"], r["bid"], r["matched_dir"])
+        for r in out.collect()
+    }
+    assert out.count() == trades.count()
+    # equal-ts match: backward wins at distance 0
+    assert rows[(1, _ts(10))] == (_ts(10), 99.9, "backward")
+    # 20' trade: backward 15' (5 min) beats nothing forward → backward
+    assert rows[(1, _ts(20))] == (_ts(15), 100.5, "backward")
+    # sym 2 at 10': only a FORWARD quote at 11' (1 min) → forward match
+    assert rows[(2, _ts(10))] == (_ts(11), 49.0, "forward")
+    # sym 3: nothing within tolerance in either direction
+    assert rows[(3, _ts(5))] == (None, None, None)
+
+
+def test_asof_nearest_single_window_exchange(spark):
+    """Both direction resolutions must come from one exchange: the plan
+    has exactly 1 hashpartitioning exchange (toy frames, no pre-agg)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    trades, quotes = _frames(spark)
+    out = asof_join_nearest(
+        trades, quotes, ["sym"], "trade_ts", "quote_ts", ["bid"],
+        tolerance_us=10**9,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
