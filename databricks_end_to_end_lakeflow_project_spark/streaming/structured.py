@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 from databricks_end_to_end_lakeflow_project_spark.operators.cdc import ManagedParquetTable
 from databricks_end_to_end_lakeflow_project_spark.registry import query
@@ -184,10 +188,25 @@ _EVENT_NS_SCHEMA = T.StructType(
 
 def stream_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the testdata events table, with the same
-    TIMESTAMP(NANOS) → µs normalization as `sources.readers.read_table`."""
+    timestamp normalization as `sources.readers.read_table` (handles
+    both the legacy TIMESTAMP(NANOS)-as-long layout and plain µs
+    timestamps, which Spark surfaces as TIMESTAMP_NTZ). The streaming
+    source needs an explicit schema, so a batch read probes the file's
+    actual physical layout first."""
+    src = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = stream_from_dir(spark, _stream_dir_for(sf_dir, "events"), schema=_EVENT_NS_SCHEMA)
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    probe_type = dict(spark.read.parquet(src).dtypes).get("ts")
+    if probe_type == "bigint":
+        stream = stream_from_dir(
+            spark, _stream_dir_for(sf_dir, "events"), schema=_EVENT_NS_SCHEMA
+        )
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = stream_from_dir(
+        spark, _stream_dir_for(sf_dir, "events"), schema=spark.read.parquet(src).schema
+    )
+    if probe_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 _CENTS_SCHEMA = "user_id long, n_events long, total_cents long"
@@ -366,4 +385,101 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                             state_partitions=STATE_PARTITIONS)
     return drained.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_attributed")
+    )
+
+
+# -- custom stateful operator (transformWithStateInPandas, Spark 4) ----------
+
+_TWS_OUT = "user_id long, n_events long, n_types long"
+
+
+class _DistinctTypesProcessor(StatefulProcessor):
+    """Per-user running (event count, distinct event-type count) kept in
+    typed state stores: a ValueState scalar for the count and a MapState
+    keyed by event type as the distinct set (MapState scales to
+    unbounded key sets where a ValueState tuple cannot — per-entry
+    store access, no full-set rewrite per batch)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._n = handle.getValueState("n", "n long")
+        self._types = handle.getMapState("types", "t string", "seen short")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = (self._n.get() or (0,))[0]
+        for pdf in rows:
+            n += len(pdf)
+            for t in pdf["event_type"].unique():
+                if not self._types.containsKey((str(t),)):
+                    self._types.updateValue((str(t),), (1,))
+        self._n.update((n,))
+        n_types = sum(1 for _ in self._types.keys())
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "n_types": [n_types]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def distinct_types_per_user(stream_events: DataFrame) -> DataFrame:
+    """Spark 4 `transformWithStateInPandas` operator: the successor API
+    to `applyInPandasWithState` (explicit typed state stores, timers,
+    initial-state support). Emits running per-user totals each batch."""
+    return stream_events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_DistinctTypesProcessor(),
+        outputStructType=_TWS_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def tws_available() -> bool:
+    """`transformWithStateInPandas` moves state over a protobuf-based
+    sidecar protocol; this container ships pyspark 4.1.2 without
+    `google.protobuf`, so the API is present but cannot execute. Gate
+    (don't fake) — the operator registers no driver query here and its
+    test skips when the dependency is absent, per the environment's
+    stub-or-gate rule. `applyInPandasWithState` (stream_stateful_totals)
+    is the executable custom-stateful path in this environment."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end `transformWithStateInPandas` run: events streamed
+    through the MapState/ValueState processor, drained availableNow into
+    a memory sink; both emitted counters are monotone, so the max
+    emission per user equals the batch GROUP BY
+    ``SELECT user_id, COUNT(*), COUNT(DISTINCT event_type) GROUP BY 1``
+    (asserted by its gated test rather than a driver oracle — see
+    :func:`tws_available`)."""
+    stream = stream_events_table(spark, sf_dir)
+    out = distinct_types_per_user(stream)
+    # transformWithState requires the RocksDB state store (typed state
+    # families aren't supported by the default HDFS-backed provider);
+    # scope the override to this drain — it binds at query start
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        drained = run_to_memory(
+            out,
+            f"tws_{uuid.uuid4().hex[:8]}",
+            output_mode="update",
+            state_partitions=STATE_PARTITIONS,
+        )
+    finally:
+        if old_provider:
+            spark.conf.set(provider_key, old_provider)
+        else:
+            spark.conf.unset(provider_key)
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("n_types").alias("n_types")
     )

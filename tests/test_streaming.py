@@ -122,3 +122,29 @@ def test_replay_is_rate_limited_and_reaches_batch_state(spark):
         for r in latest_by_key(ev, ["user_id"], ["ts"], ["event_id"]).collect()
     }
     assert got == want
+
+
+def test_tws_distinct_types_matches_batch(spark):
+    """Spark 4 transformWithStateInPandas (typed ValueState + MapState):
+    running per-user (count, distinct-type count) equals the batch GROUP
+    BY after a full availableNow drain. Skips where google.protobuf (the
+    TWS state-protocol dependency) is absent from the container."""
+    import pytest
+
+    from databricks_end_to_end_lakeflow_project_spark.streaming.structured import (
+        stream_tws_distinct_types,
+        tws_available,
+    )
+
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable: TWS state protocol cannot run")
+    sf = "/root/testdata/sf0.01"
+    got = stream_tws_distinct_types(spark, sf)
+    ev = read_table(spark, sf, "events")
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+    assert got.join(want, ["user_id", "n_events", "n_types"]).count() == want.count()
