@@ -23,7 +23,7 @@ Scale notes (100 TB of embeddings):
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
@@ -308,3 +308,101 @@ def sim_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine(F.col("embedding"), ev), 6).alias("cos_exact"),
     )
     return scored.orderBy(F.col("cos_q").desc(), "vec_id").limit(10)
+
+
+_GEMM_QUERIES = list(range(8))  # query vectors: vec_id 0..7
+_GEMM_K = 5
+
+
+@query(
+    "sim_gemm_batch_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {len(_GEMM_QUERIES)}
+    ), scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             ROUND(
+               list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+               / (SQRT(list_reduce(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+                * SQRT(list_reduce(list_transform(q.qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))),
+             6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id >= {len(_GEMM_QUERIES)}
+    )
+    SELECT qid, vec_id, label, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_GEMM_K}
+    """,
+)
+def sim_gemm_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched brute-force similarity: top-5 cosine neighbors for EIGHT
+    query vectors in one corpus scan, scored as a single numpy matrix
+    multiply per Arrow batch inside `mapInPandas`.
+
+    This is the multi-query scale path `sim_cosine_topk` (one query,
+    JVM expression) doesn't cover: at Q queries the expression plan
+    costs Q scans or a Q-way crossJoin, while the GEMM form stays one
+    scan with O(batch × Q) BLAS work — the standard batch-scoring shape
+    for embedding search over a 100 TB corpus. Each batch emits only its
+    LOCAL top-k per query (the global top-k is a subset of the union of
+    batch top-ks), so the shuffle after the scan carries
+    ≤ k·Q rows per batch, not the corpus.
+    """
+    import pandas as pd
+
+    em = read_table(spark, sf_dir, "embeddings")
+    n_q = len(_GEMM_QUERIES)
+    q_rows = (
+        em.filter(F.col("vec_id") < n_q).select("vec_id", "embedding").collect()
+    )
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in
+                   sorted(q_rows, key=lambda r: r["vec_id"])])
+    qids = np.array(sorted(r["vec_id"] for r in q_rows))
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = "qid long, vec_id long, label int, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            enorm = emat / np.linalg.norm(emat, axis=1, keepdims=True)
+            sims = np.round(enorm @ qn.T, 6)  # (batch, Q) GEMM
+            k = min(_GEMM_K, len(pdf))
+            parts = []
+            for j in range(len(qids)):
+                col = sims[:, j]
+                # batch-local prune: order by (-cos, vec_id), keep k
+                order = np.lexsort((pdf["vec_id"].to_numpy(), -col))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qids[j],
+                            "vec_id": pdf["vec_id"].to_numpy()[order],
+                            "label": pdf["label"].to_numpy()[order],
+                            "cos_sim": col[order],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    candidates = (
+        em.filter(F.col("vec_id") >= n_q)
+        .select("vec_id", "embedding", "label")
+        .mapInPandas(score, schema=out_schema)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        candidates.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _GEMM_K)
+        .drop("rn")
+    )

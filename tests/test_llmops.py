@@ -156,3 +156,24 @@ def test_quantized_cosine_within_2pct_of_exact(spark):
     exact_ids = {r["vec_id"] for r in sim_cosine_topk(spark, SF).collect()}
     quant_ids = {r["vec_id"] for r in rows}
     assert len(exact_ids & quant_ids) >= 8
+
+
+def test_gemm_topk_prune_is_lossless_across_batch_sizes(spark):
+    """The per-batch local top-k prune must not lose global results:
+    forcing many small Arrow batches (50 rows) yields exactly the same
+    top-k set as one big batch."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        sim_gemm_batch_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    big = {tuple(r) for r in sim_gemm_batch_topk(spark, sf).collect()}
+    try:
+        spark.conf.set(key, "50")
+        small = {tuple(r) for r in sim_gemm_batch_topk(spark, sf).collect()}
+    finally:
+        spark.conf.set(key, old)
+    assert big == small
+    assert len(big) == 40  # 8 queries × top-5
