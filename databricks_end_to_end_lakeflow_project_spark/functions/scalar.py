@@ -304,3 +304,66 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "etype_len_x2"
         ),
     )
+
+
+@query(
+    "fn_bitwise_suite",
+    """
+    SELECT CAST(o_orderkey & 7 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           SUM(o_orderkey >> 3) AS sum_shifted,
+           SUM(xor(o_orderkey, 255)) AS sum_xor,
+           SUM(o_orderkey | 1) AS sum_or
+    FROM orders GROUP BY 1
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator pack (&, |, xor, >>) — hash-bucketing and flag
+    arithmetic primitives; all JVM expressions inside one
+    map-side-combinable aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.groupBy(k.bitwiseAND(F.lit(7)).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.shiftright(k, 3)).alias("sum_shifted"),
+        F.sum(k.bitwiseXOR(F.lit(255))).alias("sum_xor"),
+        F.sum(k.bitwiseOR(F.lit(1))).alias("sum_or"),
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    """
+    SELECT l_returnflag, l_linenumber AS mode_linenumber, n FROM (
+      SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_linenumber) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_linenumber
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent line number per return
+    flag, count-desc then value-asc tie order — built-in `mode()` is
+    tie-nondeterministic in both engines, so it's expressed as
+    count + rank): two-phase count aggregate, then a window over the
+    tiny grouped frame."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_linenumber")
+    )
+    return (
+        counts.select(
+            "l_returnflag",
+            F.col("l_linenumber").alias("mode_linenumber"),
+            "n",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
