@@ -367,3 +367,31 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "fn_variant_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(json_extract(props, '$.k')::INT) AS sum_k,
+           SUM(CASE WHEN json_extract(props, '$.k')::INT >= 50 THEN 1 ELSE 0 END)
+             AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    `parse_json` once, then typed `variant_get` extraction — the
+    shredded-encoding path that replaces per-access string re-parsing
+    (`get_json_object`, the fn_json_extract baseline) with one parse and
+    cheap binary field reads. At 100 TB the difference is parsing the
+    JSON corpus once vs once per extracted field."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).alias("n_high"),
+    )

@@ -1,0 +1,90 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a deterministic
+synthetic-corpus source, the extension point for reading systems Spark
+has no built-in connector for.
+
+Reference parity: the reference's only source is Auto Loader CSV
+(`/root/reference/DatabricksFlightProject/bronze_ingest_autoloader.py:15-19`);
+this adds the OSS mechanism a lakehouse uses when the upstream isn't a
+file format at all (an internal API, a queue, a proprietary store) —
+implemented once as a `DataSource`, then consumed with the ordinary
+`spark.read.format(...)` surface.
+
+Scale note: `partitions()` is the contract that makes a Python source
+parallel — each `InputPartition` becomes one task, so a 1000-executor
+cluster drives 1000 concurrent `read()` generators; rows stream out in
+Arrow batches without ever landing on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+
+_N_DOCS = 4096
+_N_PARTS = 8
+
+
+class SyntheticCorpusReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", str(_N_DOCS)))
+        self.parts = int(options.get("partitions", str(_N_PARTS)))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.parts)]
+
+    def read(self, partition: InputPartition):
+        # contiguous id range per partition: deterministic, no overlap
+        per = -(-self.n // self.parts)  # ceil
+        start = partition.value * per
+        end = min(start + per, self.n)
+        for doc_id in range(start, end):
+            digest = hashlib.md5(str(doc_id).encode()).hexdigest()
+            yield (doc_id, doc_id % 16, digest)
+
+
+class SyntheticCorpusDataSource(DataSource):
+    """`spark.read.format("synthetic_corpus").option("n", …)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_corpus"
+
+    def schema(self) -> str:
+        return "doc_id long, shard int, digest string"
+
+    def reader(self, schema) -> DataSourceReader:
+        return SyntheticCorpusReader(self.options)
+
+
+def register_synthetic_source(spark: SparkSession) -> None:
+    spark.dataSource.register(SyntheticCorpusDataSource)
+
+
+@query(
+    "source_python_datasource",
+    f"""
+    SELECT CAST(i % 16 AS INT) AS shard,
+           COUNT(*) AS n,
+           SUM(i) AS sum_ids,
+           MIN(md5(CAST(i AS VARCHAR))) AS min_digest
+    FROM range({_N_DOCS}) t(i)
+    GROUP BY 1
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the custom Python DataSource and aggregate per shard; the
+    oracle regenerates the same deterministic corpus with DuckDB's
+    range() + md5, proving the source's partitioned read is complete,
+    non-overlapping, and content-correct."""
+    register_synthetic_source(spark)
+    docs = spark.read.format("synthetic_corpus").option("n", str(_N_DOCS)).load()
+    return docs.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.min("digest").alias("min_digest"),
+    )

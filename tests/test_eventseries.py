@@ -112,3 +112,23 @@ def test_histogram_partitions_rows(spark):
     )
     assert bad.count() == 0
     h.unpersist()
+
+
+def test_python_datasource_uneven_split_complete(spark):
+    """Custom DataSource: an n not divisible by the partition count must
+    still yield every id exactly once (ceil-split leaves the tail
+    partition short, never dropped rows)."""
+    from databricks_end_to_end_lakeflow_project_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    docs = (
+        spark.read.format("synthetic_corpus")
+        .option("n", "1000")
+        .option("partitions", "7")
+        .load()
+    )
+    assert docs.count() == 1000
+    assert docs.select("doc_id").distinct().count() == 1000
+    assert docs.rdd.getNumPartitions() == 7
