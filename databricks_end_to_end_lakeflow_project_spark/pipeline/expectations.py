@@ -86,3 +86,64 @@ def apply_expectations(
     if policy is Policy.WARN:
         return df, metrics
     return df.filter(F.coalesce(all_ok, F.lit(False))), metrics
+
+
+def apply_expectations_observed(
+    df: DataFrame,
+    rules: dict[str, str],
+    policy: Policy = Policy.DROP,
+    dataset: str = "<anonymous>",
+):
+    """Zero-extra-pass variant of :func:`apply_expectations`: metrics
+    ride the SAME action that materializes the gated frame, via
+    `df.observe` (Spark's Observation API) — at 100 TB the difference is
+    one scan instead of two or three.
+
+    Returns (gated_df, observation, finish) where ``finish()`` — called
+    AFTER the caller has run an action on gated_df — converts the
+    observed row into an :class:`ExpectationResult` (and raises under
+    ``Policy.FAIL`` if anything violated). Note: with ``Policy.DROP``
+    the observation sits BELOW the filter so it still sees (and counts)
+    the dropped rows.
+    """
+    from pyspark.sql import Observation
+
+    if not rules:
+        return df, None, lambda: None
+    preds = [F.expr(e) for e in rules.values()]
+    all_ok = preds[0]
+    for p in preds[1:]:
+        all_ok = all_ok & p
+
+    obs = Observation(f"expectations:{dataset}")
+    aggs = [
+        F.sum(F.when(~F.coalesce(F.expr(e), F.lit(False)), 1).otherwise(0)).alias(name)
+        for name, e in rules.items()
+    ]
+    aggs.append(F.count(F.lit(1)).alias("__total"))
+    aggs.append(
+        F.sum(F.when(~F.coalesce(all_ok, F.lit(False)), 1).otherwise(0)).alias("__failed")
+    )
+    observed = df.observe(obs, *aggs)
+    gated = observed if policy is Policy.WARN else observed.filter(
+        F.coalesce(all_ok, F.lit(False))
+    )
+
+    def finish() -> ExpectationResult:
+        row = obs.get  # blocks until the caller's action has completed
+        failed = int(row["__failed"] or 0)
+        result = ExpectationResult(
+            dataset=dataset,
+            policy=policy,
+            passed_rows=int(row["__total"]) - failed,
+            failed_rows=failed,
+            per_rule_failures={name: int(row[name] or 0) for name in rules},
+        )
+        if policy is Policy.FAIL and failed:
+            raise ExpectationFailed(
+                f"{dataset}: {failed} rows violate expectations "
+                f"{result.per_rule_failures}"
+            )
+        return result
+
+    return gated, obs, finish

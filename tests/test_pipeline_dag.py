@@ -78,3 +78,29 @@ def test_cdc_flow_requires_declared_table(spark, tmp_path):
     p = Pipeline(spark, str(tmp_path))
     with pytest.raises(KeyError):
         p.create_auto_cdc_flow(target="missing", source="src", keys=["k"], sequence_by="s")
+
+
+def test_observed_expectations_single_pass(spark):
+    """Observation-based expectations: metrics come from the SAME action
+    that materializes the gated frame — counts must match the classic
+    two-pass variant, including rows dropped by the gate."""
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.expectations import (
+        Policy,
+        apply_expectations,
+        apply_expectations_observed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c"), (4, "d")], "id int, name string"
+    )
+    rules = {"id_set": "id IS NOT NULL", "name_set": "name IS NOT NULL"}
+
+    gated, _, finish = apply_expectations_observed(df, rules, Policy.DROP, "t")
+    kept = gated.count()  # the one action; metrics piggyback on it
+    got = finish()
+
+    _, want = apply_expectations(df, rules, Policy.DROP, "t")
+    assert kept == 2
+    assert got.failed_rows == want.failed_rows == 2
+    assert got.passed_rows == want.passed_rows == 2
+    assert got.per_rule_failures == want.per_rule_failures
