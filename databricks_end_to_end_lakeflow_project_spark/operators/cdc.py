@@ -133,20 +133,55 @@ class ManagedParquetTable:
         keys: Sequence[str] | None = None,
         sequence_by: str | None = None,
         partition_by: Sequence[str] | None = None,
+        retain_versions: int = 0,
     ) -> None:
         self.spark = spark
         self.path = path
         self.keys = list(keys or [])
         self.sequence_by = sequence_by
         self.partition_by = list(partition_by or [])
+        # >0 enables Delta-style time travel: each overwrite snapshots
+        # the replaced state under {path}.__versions/<n> (directory
+        # renames — O(1) regardless of table size) and keeps the newest
+        # `retain_versions` snapshots. 0 preserves pure swap-and-delete.
+        self.retain_versions = retain_versions
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and any(
             not f.startswith(("_", ".")) for f in os.listdir(self.path)
         )
 
-    def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current state, or a retained snapshot by version number
+        (Delta time-travel analogue; see :meth:`history`)."""
+        if version is None:
+            return self.spark.read.parquet(self.path)
+        vpath = os.path.join(self._versions_dir(), str(version))
+        if not os.path.isdir(vpath):
+            raise ValueError(
+                f"version {version} not retained; available: {self.history()}"
+            )
+        return self.spark.read.parquet(vpath)
+
+    def _versions_dir(self) -> str:
+        return f"{self.path}.__versions"
+
+    def history(self) -> list[int]:
+        """Retained snapshot versions, oldest first (the CURRENT state is
+        always one newer than the last entry)."""
+        vdir = self._versions_dir()
+        if not os.path.isdir(vdir):
+            return []
+        return sorted(int(d) for d in os.listdir(vdir) if d.isdigit())
+
+    def vacuum(self, retain_last: int = 0) -> int:
+        """Drop all but the newest ``retain_last`` snapshots; returns the
+        number removed (Delta VACUUM analogue at directory granularity)."""
+        versions = self.history()
+        doomed = versions[: max(0, len(versions) - retain_last)]
+        for v in doomed:
+            shutil.rmtree(os.path.join(self._versions_dir(), str(v)), ignore_errors=True)
+        return len(doomed)
 
     def overwrite(self, df: DataFrame) -> None:
         tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
@@ -154,11 +189,22 @@ class ManagedParquetTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
-        old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+        old = None
         if os.path.exists(self.path):
-            os.rename(self.path, old)
+            if self.retain_versions > 0:
+                vdir = self._versions_dir()
+                os.makedirs(vdir, exist_ok=True)
+                nxt = (self.history() or [-1])[-1] + 1
+                os.rename(self.path, os.path.join(vdir, str(nxt)))
+            else:
+                old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+                os.rename(self.path, old)
         os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        # only discard the previous state once the new one is in place
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+        if self.retain_versions > 0:
+            self.vacuum(retain_last=self.retain_versions)
 
     def append(self, df: DataFrame) -> None:
         writer = df.write.mode("append")

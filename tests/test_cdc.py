@@ -186,3 +186,35 @@ def test_table_upsert_with_deletes_first_and_incremental(spark, tmp_path):
     )
     tbl.upsert(second, delete_col="is_del")
     assert {r["key"] for r in tbl.read().collect()} == {"C"}
+
+
+def test_time_travel_versions_and_vacuum(spark, tmp_path):
+    """retain_versions: each overwrite snapshots the replaced state;
+    read(version=n) returns the historical table; vacuum prunes."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+    )
+
+    t = ManagedParquetTable(
+        spark, str(tmp_path / "tt"), keys=["k"], sequence_by="seq",
+        retain_versions=2,
+    )
+    t.upsert(spark.createDataFrame([(1, 1, "a")], "k int, seq int, v string"))
+    t.upsert(spark.createDataFrame([(1, 2, "b")], "k int, seq int, v string"))
+    t.upsert(spark.createDataFrame([(2, 3, "c")], "k int, seq int, v string"))
+
+    assert t.history() == [0, 1]
+    assert {r["v"] for r in t.read().collect()} == {"b", "c"}
+    assert {r["v"] for r in t.read(version=0).collect()} == {"a"}
+    assert {r["v"] for r in t.read(version=1).collect()} == {"b"}
+
+    # a 4th write rolls the oldest snapshot out (retain_versions=2)
+    t.upsert(spark.createDataFrame([(1, 4, "d")], "k int, seq int, v string"))
+    assert t.history() == [1, 2]
+
+    assert t.vacuum(retain_last=1) == 1
+    assert t.history() == [2]
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.read(version=0)
