@@ -27,6 +27,7 @@ NON_EQUI_WHITELIST = {
     "q11_revenue_concentration",
     "q22_dormant_customers",
     "sample_temperature_mixture",  # 1-row broadcast totals over #languages rows
+    "agg_theta_sketch_sets",  # 1-row × 1-row sketch pair — set algebra on bytes
 }
 
 
