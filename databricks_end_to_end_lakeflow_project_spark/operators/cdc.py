@@ -239,6 +239,133 @@ class ManagedParquetTable:
         self.overwrite(merged)
 
 
+def scd2_from_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    sequence_by: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Build an SCD Type 2 version table from a change history.
+
+    The DLT API the reference uses (`dlt.create_auto_cdc_flow`,
+    `dlt_bronze_to_silver_pipeline.py:30-36`) accepts
+    ``stored_as_scd_type=2``; the reference only exercises type 1, so this
+    is the engine's coverage of the other half of that API surface, with
+    DLT's column convention: each output row is one version of a key with
+    ``__START_AT`` (the sequence value that opened it) and ``__END_AT``
+    (the sequence value that superseded it; NULL for the current version).
+
+    Semantics: per key, order changes by the sequence column; ties are
+    resolved to one row by ``tiebreakers`` (latest wins); consecutive
+    changes with identical attribute state collapse into one version
+    (no-op updates do not open versions). Deterministic given a unique
+    (keys, sequence_by, tiebreakers) ordering.
+
+    Scale notes: ONE shuffle on the business key — the tie-dedup window,
+    the change-detection lag and the closing lead all share the same
+    (partitionBy=keys, orderBy=seq) sort, so Catalyst reuses a single
+    exchange+sort across the three window functions.
+    """
+    keys = list(keys)
+    attrs = [c for c in df.columns if c not in {*keys, sequence_by, *tiebreakers}]
+    # resolve sequence ties to one change (latest tiebreaker wins)
+    if tiebreakers:
+        df = latest_by_key(df, [*keys, sequence_by], list(tiebreakers))
+    else:
+        df = df.dropDuplicates([*keys, sequence_by])
+    df = df.select(*keys, sequence_by, *attrs)
+    w = Window.partitionBy(*keys).orderBy(F.col(sequence_by).asc())
+    state = F.struct(*[F.col(c) for c in attrs])
+    changed = ~F.lag(state).over(w).eqNullSafe(state)  # null lag → first row → True
+    versions = df.withColumn("__chg", changed).filter(F.col("__chg")).drop("__chg")
+    return versions.select(
+        *keys,
+        *attrs,
+        F.col(sequence_by).alias("__START_AT"),
+        F.lead(sequence_by).over(w).alias("__END_AT"),
+    )
+
+
+def scd2_apply(
+    table: "ManagedParquetTable",
+    updates: DataFrame,
+    keys: Sequence[str],
+    sequence_by: str,
+    tiebreakers: Sequence[str] = (),
+) -> None:
+    """Incremental SCD Type 2 upsert into a managed version table.
+
+    Existing versions are re-interpreted as change events at their
+    ``__START_AT`` sequence and unioned with the new updates, then the
+    history is rebuilt with :func:`scd2_from_history`. Because a version
+    table is a lossless encoding of its own change history (END_AT is
+    always the next version's START_AT), this reproduces exactly the
+    state a one-shot build over the full history would give — including
+    correct retro-insertion of late, out-of-order changes, which a
+    close-and-append merge cannot do.
+
+    Scale notes: rewrite cost is one shuffle over (current table +
+    batch), the same cost class as Delta MERGE on an unpartitioned
+    table; partition the table on a key-derived column to bound it.
+    """
+    updates = updates.select(*keys, sequence_by,
+                             *[c for c in updates.columns
+                               if c not in {*keys, sequence_by}])
+    if table.exists():
+        existing = table.read()
+        attrs = [c for c in existing.columns
+                 if c not in {*keys, "__START_AT", "__END_AT"}]
+        replay = existing.select(
+            *keys, F.col("__START_AT").alias(sequence_by), *attrs
+        )
+        updates = replay.unionByName(
+            updates.select(*keys, sequence_by, *attrs), allowMissingColumns=False
+        )
+        history = scd2_from_history(updates, keys, sequence_by)
+    else:
+        history = scd2_from_history(updates, keys, sequence_by, tiebreakers)
+    table.overwrite(history)
+
+
+def table_changes(
+    old: DataFrame, new: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Change Data Feed between two keyed table states (reference T10:
+    `README.md:91` names Delta CDF as the alternative CDC source; this is
+    its engine-side analogue over any two versions, e.g. from
+    ``ManagedParquetTable.read(version=...)`` time travel).
+
+    Emits one row per change with ``_change_type`` ∈ {insert, delete,
+    update_preimage, update_postimage}; unchanged keys emit nothing.
+    Null-safe struct comparison, so NULL attribute flips are detected.
+
+    Scale notes: one full-outer shuffle join on the key (broadcast if one
+    side is small under AQE); classification + the pre/post fan-out run
+    inside the same stage via array+explode — no second scan.
+    """
+    keys = list(keys)
+    attrs = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*attrs).alias("__o"))
+    n = new.select(*keys, F.struct(*attrs).alias("__n"))
+    j = o.join(n, keys, "full_outer")
+    oc, nc = F.col("__o"), F.col("__n")
+
+    def tagged(state, kind: str):
+        return F.struct(state.alias("state"), F.lit(kind).alias("_change_type"))
+
+    change = F.explode(
+        F.when(oc.isNull(), F.array(tagged(nc, "insert")))
+        .when(nc.isNull(), F.array(tagged(oc, "delete")))
+        .when(
+            ~oc.eqNullSafe(nc),
+            F.array(tagged(oc, "update_preimage"), tagged(nc, "update_postimage")),
+        )
+        .otherwise(F.array())
+    ).alias("__c")
+    out = j.select(*keys, change)
+    return out.select(*keys, "__c.state.*", "__c._change_type")
+
+
 # ---------------------------------------------------------------------------
 # registry queries
 # ---------------------------------------------------------------------------
@@ -338,3 +465,107 @@ def cdc_merge_upsert_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_col="__is_delete",
     )
     return merged.select("user_id", "event_type", "ts", "value")
+
+
+@query(
+    "cdc_scd2_history",
+    """
+    WITH dedup AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events
+      ) t WHERE rn = 1
+    ), flagged AS (
+      SELECT user_id, ts, event_type,
+             LAG(event_type) OVER w IS DISTINCT FROM event_type AS chg
+      FROM dedup
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, event_type,
+           ts AS start_at,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS end_at
+    FROM flagged WHERE chg
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 version table built from the event change history: one
+    row per (user, contiguous event_type run) with validity interval.
+    The DLT surface's ``stored_as_scd_type=2`` path (reference API
+    `dlt_bronze_to_silver_pipeline.py:35` passes 1; 2 is the other
+    documented value)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    hist = scd2_from_history(ev, ["user_id"], "ts", tiebreakers=["event_id"])
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.col("__START_AT").alias("start_at"),
+        F.col("__END_AT").alias("end_at"),
+    )
+
+
+@query(
+    "cdc_changes_feed",
+    """
+    WITH ranked AS (
+      SELECT event_id, user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ), new_state AS (
+      SELECT user_id, event_type, ts, value FROM ranked
+      WHERE rn = 1 AND event_type <> 'error'
+    ), half AS (
+      SELECT event_id, user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+      WHERE event_id <= (SELECT MAX(event_id) // 2 FROM events)
+    ), old_state AS (
+      SELECT user_id, event_type, ts, value FROM half WHERE rn = 1
+    ), j AS (
+      SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+             o.user_id IS NOT NULL AS has_o, n.user_id IS NOT NULL AS has_n,
+             o.event_type AS oet, o.ts AS ots, o.value AS ov,
+             n.event_type AS net, n.ts AS nts, n.value AS nv
+      FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+    )
+    SELECT user_id, net AS event_type, nts AS ts, nv AS value,
+           'insert' AS _change_type
+    FROM j WHERE NOT has_o
+    UNION ALL
+    SELECT user_id, oet, ots, ov, 'delete' FROM j WHERE NOT has_n
+    UNION ALL
+    SELECT user_id, oet, ots, ov, 'update_preimage' FROM j
+    WHERE has_o AND has_n AND (oet, ots, ov) IS DISTINCT FROM (net, nts, nv)
+    UNION ALL
+    SELECT user_id, net, nts, nv, 'update_postimage' FROM j
+    WHERE has_o AND has_n AND (oet, ots, ov) IS DISTINCT FROM (net, nts, nv)
+    """,
+)
+def cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed between two table versions (reference T10). The
+    old version is latest-per-user over the first half of the stream; the
+    new version is latest-per-user over the whole stream minus users whose
+    final event is an 'error' (so all four change types occur: second-half
+    users insert, changed users update pre+post, error-final users
+    delete)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    cutoff = ev.agg((F.max("event_id") / F.lit(2)).cast("long").alias("c")).collect()[0][0]
+    old = latest_by_key(
+        ev.filter(F.col("event_id") <= F.lit(cutoff)), ["user_id"], ["ts"], ["event_id"]
+    ).select("user_id", "event_type", "ts", "value")
+    new = (
+        latest_by_key(ev, ["user_id"], ["ts"], ["event_id"])
+        .filter(F.col("event_type") != "error")
+        .select("user_id", "event_type", "ts", "value")
+    )
+    return table_changes(old, new, ["user_id"])

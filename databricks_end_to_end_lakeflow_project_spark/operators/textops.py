@@ -345,3 +345,160 @@ def text_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "token", "cnt", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# lexical retrieval: BM25 scoring + TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_QUERY_TERMS = ["spark", "join", "window"]
+
+
+@query(
+    "text_bm25_topk",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w,
+             LENGTH(string_split(trim(text), ' '))::DOUBLE AS dl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl,
+             LENGTH(list_filter(w, x -> x = 'spark'))::DOUBLE AS tf1,
+             LENGTH(list_filter(w, x -> x = 'join'))::DOUBLE AS tf2,
+             LENGTH(list_filter(w, x -> x = 'window'))::DOUBLE AS tf3
+      FROM d
+    ), g AS (
+      SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl,
+             SUM((tf1 > 0)::INT)::DOUBLE AS df1,
+             SUM((tf2 > 0)::INT)::DOUBLE AS df2,
+             SUM((tf3 > 0)::INT)::DOUBLE AS df3
+      FROM tf
+    ), s AS (
+      SELECT doc_id,
+             ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+               * tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+               * tf2 * 2.2 / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           + ln(1 + (n - df3 + 0.5) / (df3 + 0.5))
+               * tf3 * 2.2 / (tf3 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             AS score
+      FROM tf, g
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25
+    FROM s
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the fixed query {spark, join, window} (Okapi
+    BM25+, k1=1.2, b=0.75).
+
+    North-star retrieval op (SURVEY.md §2.9). Scale design: for a KNOWN
+    query, per-term tf comes from ``size(filter(tokens, = term))`` —
+    pure codegen inside the scan, NO token explode and NO shuffle. The
+    corpus-level constants (N, avgdl, per-term document frequency) are
+    one tiny scalar aggregate collected to the driver, so the whole
+    plan is two scans and a take-ordered top-k — at 100 TB the postings
+    shuffle a full inverted index would need simply never happens.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+
+    def _eq(term: str):
+        # factory, not a defaulted lambda arg: a two-arg lambda would hit
+        # F.filter's (element, index) overload and compare tokens to indexes
+        return lambda x: x == term
+
+    d = docs.select(
+        "doc_id",
+        F.size(w).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(w, _eq(t))).cast("double").alias(f"tf{i}")
+            for i, t in enumerate(_QUERY_TERMS, 1)
+        ],
+    )
+    g = d.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double").alias(f"df{i}")
+            for i in range(1, len(_QUERY_TERMS) + 1)
+        ],
+    ).collect()[0]
+    n, avgdl = g["n"], g["avgdl"]
+    norm = F.lit(_BM25_K1) * (
+        F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl)
+    )
+    score = None
+    for i in range(1, len(_QUERY_TERMS) + 1):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n) - F.lit(g[f"df{i}"]) + F.lit(0.5)) / (F.lit(g[f"df{i}"]) + F.lit(0.5))
+        )
+        part = idf * F.col(f"tf{i}") * F.lit(_BM25_K1 + 1) / (F.col(f"tf{i}") + norm)
+        score = part if score is None else score + part
+    return (
+        d.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )
+
+
+@query(
+    "text_tfidf_keywords",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*)::DOUBLE AS tf
+      FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY token
+    ), n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf * ln(n.n / df.df) AS tfidf
+      FROM tf JOIN df USING (token), n
+    )
+    SELECT doc_id, token, ROUND(tfidf, 4) AS tfidf
+    FROM (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, token
+             ) AS rn
+      FROM scored
+    ) t WHERE rn <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF — keyword
+    extraction over the full inverted index (the arbitrary-query
+    counterpart to ``text_bm25_topk``'s known-query path).
+
+    Scale design: explode is a shuffle-free flatMap; term frequencies
+    shuffle once on (doc_id, token); document frequencies are a second
+    aggregate on token whose result is vocabulary-sized (≪ corpus — it
+    broadcasts back onto the postings under AQE); the per-doc top-3 is
+    a window on the same doc_id-hashed layout the tf aggregate already
+    produced.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").cast("double").alias("tf"))
+    df = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    n = docs.count()
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id", "token", (F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", F.round("tfidf", 4).alias("tfidf"))
+    )

@@ -32,7 +32,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from databricks_end_to_end_lakeflow_project_spark.operators.cdc import ManagedParquetTable
+from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+    ManagedParquetTable,
+    scd2_apply,
+)
 from databricks_end_to_end_lakeflow_project_spark.pipeline.expectations import (
     ExpectationResult,
     Policy,
@@ -114,16 +117,22 @@ class Pipeline:
         except_column_list: Sequence[str] = (),
         apply_as_deletes: str | None = None,
     ) -> None:
-        """Register an APPLY CHANGES edge (reference W1). SCD Type 1 only,
-        like the reference; the sequence column is retained in the target
-        so re-runs can apply the latest-wins merge condition.
+        """Register an APPLY CHANGES edge (reference W1).
+
+        ``stored_as_scd_type=1`` (the reference's setting,
+        `dlt_bronze_to_silver_pipeline.py:35`) keeps latest-per-key;
+        ``stored_as_scd_type=2`` (the DLT API's other documented value)
+        maintains a version table with ``__START_AT``/``__END_AT``
+        validity columns (operators/cdc.py ``scd2_apply``).
 
         ``apply_as_deletes`` names a boolean source column marking delete
         events (the DLT API's parameter of the same name): when the latest
         change for a key is a flagged delete, the key is removed from the
-        target."""
-        if stored_as_scd_type != 1:
-            raise NotImplementedError("only SCD Type 1 is supported (as in the reference)")
+        target. Supported for type 1 only."""
+        if stored_as_scd_type not in (1, 2):
+            raise ValueError("stored_as_scd_type must be 1 or 2")
+        if stored_as_scd_type == 2 and apply_as_deletes:
+            raise NotImplementedError("apply_as_deletes requires stored_as_scd_type=1")
         if target not in self._tables:
             raise KeyError(f"unknown streaming table {target!r}; declare it first")
         self._flows.append(
@@ -175,8 +184,11 @@ class Pipeline:
             src = self.read(flow.source)
             if flow.except_columns:
                 src = src.drop(*flow.except_columns)
-            self._tables[flow.target].upsert(
-                src, flow.keys, flow.sequence_by, delete_col=flow.apply_as_deletes
-            )
+            if flow.stored_as_scd_type == 2:
+                scd2_apply(self._tables[flow.target], src, flow.keys, flow.sequence_by)
+            else:
+                self._tables[flow.target].upsert(
+                    src, flow.keys, flow.sequence_by, delete_col=flow.apply_as_deletes
+                )
         for name in materialize:
             self.read(name).count()

@@ -218,3 +218,151 @@ def test_time_travel_versions_and_vacuum(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t.read(version=0)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2
+# ---------------------------------------------------------------------------
+
+
+def _scd2_rows():
+    return [
+        # key A: x @1, x @2 (no-op), y @4, x @6  -> versions x[1,4) y[4,6) x[6,∞)
+        ("A", 1, "x"), ("A", 2, "x"), ("A", 4, "y"), ("A", 6, "x"),
+        # key B: single change -> one open version
+        ("B", 3, "z"),
+    ]
+
+
+def _scd2_df(spark, rows):
+    return spark.createDataFrame(rows, "k string, seq int, attr string")
+
+
+def test_scd2_versions_and_noop_collapse(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        scd2_from_history,
+    )
+
+    out = scd2_from_history(_scd2_df(spark, _scd2_rows()), ["k"], "seq")
+    got = {(r["k"], r["attr"], r["__START_AT"], r["__END_AT"]) for r in out.collect()}
+    assert got == {
+        ("A", "x", 1, 4),
+        ("A", "y", 4, 6),
+        ("A", "x", 6, None),
+        ("B", "z", 3, None),
+    }
+
+
+def test_scd2_tie_resolution_latest_tiebreaker_wins(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        scd2_from_history,
+    )
+
+    rows = [("A", 1, 10, "x"), ("A", 1, 20, "y"), ("A", 2, 5, "z")]
+    df = spark.createDataFrame(rows, "k string, seq int, tb int, attr string")
+    out = scd2_from_history(df, ["k"], "seq", tiebreakers=["tb"])
+    got = {(r["attr"], r["__START_AT"], r["__END_AT"]) for r in out.collect()}
+    assert got == {("y", 1, 2), ("z", 2, None)}
+    assert "tb" not in out.columns  # tiebreaker is ordering-only
+
+
+def test_scd2_incremental_equals_one_shot(spark, tmp_path):
+    """Two-batch scd2_apply == one-shot rebuild, including a LATE
+    out-of-order change (seq 5 arrives in batch 2, splitting an already
+    recorded version)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+        scd2_apply,
+        scd2_from_history,
+    )
+
+    all_rows = _scd2_rows() + [("A", 5, "w"), ("B", 7, "q")]
+    batch1 = _scd2_df(spark, _scd2_rows())
+    batch2 = _scd2_df(spark, [("A", 5, "w"), ("B", 7, "q")])
+
+    t = ManagedParquetTable(spark, str(tmp_path / "scd2"))
+    scd2_apply(t, batch1, ["k"], "seq")
+    scd2_apply(t, batch2, ["k"], "seq")
+    got = {(r["k"], r["attr"], r["__START_AT"], r["__END_AT"])
+           for r in t.read().collect()}
+    want = {(r["k"], r["attr"], r["__START_AT"], r["__END_AT"])
+            for r in scd2_from_history(_scd2_df(spark, all_rows), ["k"], "seq").collect()}
+    assert got == want
+    # the late seq-5 change split A's [4,6) version
+    assert ("A", "w", 5, 6) in got and ("A", "y", 4, 5) in got
+
+
+def test_scd2_pipeline_flow(spark, tmp_path):
+    """stored_as_scd_type=2 in the DAG runtime maintains a version table."""
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.dag import Pipeline
+
+    src_rows = [("A", 1, "x"), ("A", 4, "y")]
+    p = Pipeline(spark, str(tmp_path / "pl"))
+
+    @p.view(name="changes")
+    def changes(pl):
+        return _scd2_df(spark, src_rows)
+
+    p.create_streaming_table("dim_hist")
+    p.create_auto_cdc_flow(
+        target="dim_hist", source="changes", keys=["k"],
+        sequence_by="seq", stored_as_scd_type=2,
+    )
+    p.run()
+    assert {(r["attr"], r["__END_AT"]) for r in p.table("dim_hist").read().collect()} \
+        == {("x", 4), ("y", None)}
+
+    src_rows.append(("A", 6, "x"))
+    p.run()
+    got = {(r["attr"], r["__START_AT"], r["__END_AT"])
+           for r in p.table("dim_hist").read().collect()}
+    assert got == {("x", 1, 4), ("y", 4, 6), ("x", 6, None)}
+
+
+def test_scd2_rejects_deletes(spark, tmp_path):
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.dag import Pipeline
+
+    p = Pipeline(spark, str(tmp_path / "pl2"))
+    p.create_streaming_table("t")
+    with pytest.raises(NotImplementedError):
+        p.create_auto_cdc_flow(
+            target="t", source="s", keys=["k"], sequence_by="seq",
+            stored_as_scd_type=2, apply_as_deletes="del",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed (table_changes)
+# ---------------------------------------------------------------------------
+
+
+def test_table_changes_all_four_types(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        table_changes,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    got = {(r["k"], r["s"], r["v"], r["_change_type"])
+           for r in table_changes(old, new, ["k"]).collect()}
+    assert got == {
+        (1, "a", 10.0, "delete"),
+        (3, "c", None, "update_preimage"),   # NULL flip detected (null-safe)
+        (3, "c", 30.0, "update_postimage"),
+        (4, "d", 40.0, "insert"),
+    }  # key 2 unchanged -> absent
+
+
+def test_table_changes_identical_states_empty(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        table_changes,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    assert table_changes(df, df, ["k"]).count() == 0

@@ -177,3 +177,42 @@ def test_gemm_topk_prune_is_lossless_across_batch_sizes(spark):
         spark.conf.set(key, old)
     assert big == small
     assert len(big) == 40  # 8 queries × top-5
+
+
+def test_bm25_known_query_path_is_shuffle_free(spark):
+    """BM25 for a known query must not explode tokens or shuffle: per-term
+    tf is codegen'd inside the scan and the top-k is a TakeOrdered."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_bm25_topk,
+    )
+
+    df = text_bm25_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    rows = df.collect()
+    assert len(rows) == 10
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)
+
+
+def test_tfidf_keywords_per_doc_ranking(spark):
+    """Every doc gets at most 3 keywords, ranked by tfidf descending, and
+    a term occurring in EVERY document (idf=0) can never outrank one with
+    positive tfidf."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_tfidf_keywords,
+    )
+
+    out = text_tfidf_keywords(spark, "/root/testdata/sf0.001").collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) <= 3 for v in per_doc.values())
+    for rows in per_doc.values():
+        scores = [r["tfidf"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # zero-idf terms only surface after all positive-tfidf terms
+        first_zero = next((i for i, s in enumerate(scores) if s == 0), len(scores))
+        assert all(s > 0 for s in scores[:first_zero])
