@@ -406,3 +406,78 @@ def sim_gemm_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _GEMM_K)
         .drop("rn")
     )
+
+
+@query(
+    "sim_centroid_outliers",
+    """
+    WITH cent AS (
+      SELECT label, pos, AVG(CAST(val AS DOUBLE)) AS c
+      FROM (SELECT label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    ), cvec AS (
+      SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ), scored AS (
+      SELECT e.vec_id, e.label,
+             list_reduce(list_transform(list_zip(e.embedding, c.centroid),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+             / (SQRT(list_reduce(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+              * SQRT(list_reduce(list_transform(c.centroid, x -> x * x),
+                  (x, y) -> x + y))) AS cos_c
+      FROM embeddings e JOIN cvec c USING (label)
+    )
+    SELECT vec_id, label, ROUND(cos_c, 6) AS cos_centroid
+    FROM (
+      SELECT vec_id, label, cos_c,
+             ROW_NUMBER() OVER (
+               PARTITION BY label ORDER BY cos_c ASC, vec_id
+             ) AS rn
+      FROM scored
+    ) t WHERE rn <= 5
+    """,
+)
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers (SemDeDup-style quality pruning): the
+    5 vectors per label FARTHEST from their label centroid by cosine —
+    the candidates a curation pipeline drops or re-labels.
+
+    Plan: centroid = posexplode → (label, dim) avg → re-assembled into a
+    label-keyed array table that is tiny (labels × dims) and broadcast
+    back onto the embeddings; scoring is a zip_with/aggregate fold inside
+    the scan projection; the per-label bottom-5 windows on the label key.
+    At 100 TB the only wide op is the centroid aggregate, whose output
+    size is labels × dims regardless of corpus size.
+    """
+    em = read_table(spark, sf_dir, "embeddings")
+    cent_long = (
+        em.select("label", F.posexplode("embedding").alias("d", "v"))
+        .groupBy("label", "d")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    cent = (
+        cent_long.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("sc"))
+        .select("label", F.transform("sc", lambda s: s["c"]).alias("centroid"))
+    )
+    j = em.join(F.broadcast(cent), "label")
+    dot = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm_e = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    nrm_c = F.sqrt(F.aggregate(
+        F.transform("centroid", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    scored = j.select("vec_id", "label", (dot / (nrm_e * nrm_c)).alias("cos_c"))
+    w = Window.partitionBy("label").orderBy(F.col("cos_c").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("vec_id", "label", F.round("cos_c", 6).alias("cos_centroid"))
+    )

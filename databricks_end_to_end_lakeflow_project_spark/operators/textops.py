@@ -502,3 +502,128 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", F.round("tfidf", 4).alias("tfidf"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + information-theoretic quality
+# ---------------------------------------------------------------------------
+
+# kept to syntax valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# character classes, bounded repetition — no lookarounds, no backrefs.
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_URL = "https?://[^ ]+"
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@query(
+    "text_redact_pii",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact u' || doc_id ||
+             '@mail.example.org or https://ex.org/u/' || doc_id ||
+             ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+             '-42-1337' AS t
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, t,
+             LENGTH(regexp_split_to_array(t, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}')) - 1 AS n_email,
+             LENGTH(regexp_split_to_array(t, 'https?://[^ ]+')) - 1 AS n_url,
+             LENGTH(regexp_split_to_array(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) - 1 AS n_ssn
+      FROM seeded
+    )
+    SELECT doc_id, n_email, n_url, n_ssn,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS redacted
+    FROM counted
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (C4/Dolma-style pre-training hygiene): replace
+    emails, URLs and SSN-shaped numbers with typed placeholder tokens and
+    count the hits per document.
+
+    The synthetic corpus carries no PII, so both engine and oracle first
+    plant deterministic doc_id-derived PII, making the redaction
+    verifiable (every doc must count 1/1/1 and contain no residual
+    match). Pure regexp codegen — scan → project, no shuffle; patterns
+    restricted to the Java-regex ∩ RE2 common subset.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or https://ex.org/u/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ssn "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-42-1337"),
+        ).alias("t"),
+    )
+
+    def n_hits(pat: str):
+        return F.size(F.split(F.col("t"), pat)) - F.lit(1)
+
+    return seeded.select(
+        "doc_id",
+        n_hits(_PII_EMAIL).alias("n_email"),
+        n_hits(_PII_URL).alias("n_url"),
+        n_hits(_PII_SSN).alias("n_ssn"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+                _PII_URL, "<URL>"),
+            _PII_SSN, "<SSN>",
+        ).alias("redacted"),
+    )
+
+
+@query(
+    "text_entropy_quality",
+    """
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*)::DOUBLE AS c
+      FROM (SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token
+            FROM documents) t
+      GROUP BY doc_id, token
+    ), tot AS (
+      SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id
+    )
+    SELECT tf.doc_id,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           ROUND(-SUM((c / tot.n) * ln(c / tot.n)), 4) AS token_entropy
+    FROM tf JOIN tot USING (doc_id)
+    GROUP BY tf.doc_id, tot.n
+    """,
+)
+def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document (nats) — the
+    information-theoretic quality feature: repetitive/degenerate docs
+    score low, diverse docs approach ln(n_uniq). Complements the
+    Gopher repetition heuristics in operators/curation.py.
+
+    Plan: explode (flatMap, no shuffle) → tf groupBy on (doc_id, token)
+    → per-doc window + final groupBy, all hashed on doc_id — the window
+    and the final aggregate reuse one exchange.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(w)
+    return (
+        tf.withColumn("p", p)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 4).alias("token_entropy"),
+        )
+    )

@@ -216,3 +216,49 @@ def test_tfidf_keywords_per_doc_ranking(spark):
         # zero-idf terms only surface after all positive-tfidf terms
         first_zero = next((i for i, s in enumerate(scores) if s == 0), len(scores))
         assert all(s > 0 for s in scores[:first_zero])
+
+
+def test_redact_pii_no_residual_matches(spark):
+    """Every planted email/URL/SSN is counted once and fully scrubbed."""
+    import re
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_redact_pii,
+    )
+
+    rows = text_redact_pii(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert (r["n_email"], r["n_url"], r["n_ssn"]) == (1, 1, 1)
+        assert "<EMAIL>" in r["redacted"] and "<URL>" in r["redacted"]
+        assert "<SSN>" in r["redacted"]
+        assert not re.search(r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}", r["redacted"])
+        assert not re.search(r"https?://", r["redacted"])
+        assert not re.search(r"[0-9]{3}-[0-9]{2}-[0-9]{4}", r["redacted"])
+
+
+def test_entropy_bounds(spark):
+    """0 <= token entropy <= ln(n_tokens); single-token-type docs score 0."""
+    import math
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_entropy_quality,
+    )
+
+    for r in text_entropy_quality(spark, "/root/testdata/sf0.001").collect():
+        # +5e-5: the operator reports entropy rounded to 4 decimals
+        assert -5e-5 <= r["token_entropy"] <= math.log(r["n_tokens"]) + 5e-5
+
+
+def test_centroid_outliers_are_per_label_minima(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        sim_centroid_outliers,
+    )
+
+    rows = sim_centroid_outliers(spark, "/root/testdata/sf0.001").collect()
+    per_label: dict[int, list] = {}
+    for r in rows:
+        per_label.setdefault(r["label"], []).append(r["cos_centroid"])
+    assert per_label and all(len(v) == 5 for v in per_label.values())
+    # cosines lie in [-1, 1]
+    assert all(-1.0001 <= s <= 1.0001 for v in per_label.values() for s in v)
