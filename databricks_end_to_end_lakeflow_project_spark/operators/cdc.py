@@ -62,12 +62,30 @@ def latest_by_key(
     return df.withColumn(_RN, F.row_number().over(w)).filter(F.col(_RN) == 1).drop(_RN)
 
 
+def _apply_truncates(
+    df: DataFrame, sequence_by: str, truncate_col: str | None, markers: DataFrame | None
+) -> DataFrame:
+    """Drop rows whose sequence predates the latest truncate marker.
+    ``markers`` is the (possibly empty) marker frame; its MAX(sequence)
+    broadcasts as a 1-row literal — no driver collect, no shuffle."""
+    tmax = (markers if markers is not None else df.limit(0)).agg(
+        F.max(sequence_by).alias("__tseq")
+    )
+    out = (
+        df.crossJoin(F.broadcast(tmax))
+        .filter(F.col("__tseq").isNull() | (F.col(sequence_by) >= F.col("__tseq")))
+        .drop("__tseq")
+    )
+    return out
+
+
 def merge_upsert_plan(
     target: DataFrame,
     updates: DataFrame,
     keys: Sequence[str],
     sequence_by: str | None,
     delete_col: str | None = None,
+    truncate_col: str | None = None,
 ) -> DataFrame:
     """Pure-DataFrame MERGE: latest-wins upsert of ``updates`` into
     ``target``; returns the new table contents.
@@ -90,9 +108,27 @@ def merge_upsert_plan(
     tombstone retention window; here the contract is the usual streaming
     one — feed batches in sequence order per key (the pipeline's
     micro-batches do), and intra-batch disorder resolves correctly.
+
+    ``truncate_col`` names a boolean column flagging TRUNCATE directives
+    (DLT ``apply_as_truncates`` — full-snapshot reload support): every
+    target row AND every change older than the newest truncate's
+    sequence is discarded before the merge; changes at or after it apply
+    normally. Requires ``sequence_by``.
     """
     cols = list(target.columns)
-    updates = updates.select(*cols, *( [delete_col] if delete_col else [] ))
+    extra = [c for c in (delete_col, truncate_col) if c]
+    updates = updates.select(*cols, *extra)
+    if truncate_col:
+        if not sequence_by:
+            raise ValueError("truncate_col requires sequence_by")
+        markers = updates.filter(F.coalesce(F.col(truncate_col), F.lit(False)))
+        updates = _apply_truncates(
+            updates.filter(~F.coalesce(F.col(truncate_col), F.lit(False))).drop(
+                truncate_col
+            ),
+            sequence_by, truncate_col, markers,
+        )
+        target = _apply_truncates(target, sequence_by, truncate_col, markers)
     if sequence_by:
         updates = latest_by_key(updates, keys, [sequence_by])
         order = [F.col(sequence_by).desc_nulls_last(), F.col(_SRC).desc()]
@@ -213,15 +249,30 @@ class ManagedParquetTable:
         writer.parquet(self.path)
 
     def upsert(self, updates: DataFrame, keys: Sequence[str] | None = None,
-               sequence_by: str | None = None, delete_col: str | None = None) -> None:
+               sequence_by: str | None = None, delete_col: str | None = None,
+               truncate_col: str | None = None) -> None:
         """Latest-wins keyed upsert (reference S8). First write degrades to
         a plain create (deduped to one row per key; flagged deletes, if
-        ``delete_col`` is given, simply never materialize)."""
+        ``delete_col`` is given, simply never materialize; truncate
+        markers, if ``truncate_col`` is given, discard same-batch changes
+        older than the truncate's sequence)."""
         keys = list(keys or self.keys)
         sequence_by = sequence_by or self.sequence_by
         if not keys:
             raise ValueError("upsert requires business keys")
         if not self.exists():
+            if truncate_col:
+                if not sequence_by:
+                    raise ValueError("truncate_col requires sequence_by")
+                markers = updates.filter(
+                    F.coalesce(F.col(truncate_col), F.lit(False))
+                )
+                updates = _apply_truncates(
+                    updates.filter(
+                        ~F.coalesce(F.col(truncate_col), F.lit(False))
+                    ).drop(truncate_col),
+                    sequence_by, truncate_col, markers,
+                )
             first = (
                 latest_by_key(updates, keys, [sequence_by])
                 if sequence_by
@@ -234,7 +285,8 @@ class ManagedParquetTable:
             self.overwrite(first)
             return
         merged = merge_upsert_plan(
-            self.read(), updates, keys, sequence_by, delete_col=delete_col
+            self.read(), updates, keys, sequence_by, delete_col=delete_col,
+            truncate_col=truncate_col,
         )
         self.overwrite(merged)
 

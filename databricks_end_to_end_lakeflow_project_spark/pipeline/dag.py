@@ -31,6 +31,7 @@ from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
     ManagedParquetTable,
@@ -40,6 +41,7 @@ from databricks_end_to_end_lakeflow_project_spark.pipeline.expectations import (
     ExpectationResult,
     Policy,
     apply_expectations,
+    split_expectations,
 )
 
 
@@ -49,6 +51,7 @@ class _View:
     fn: Callable[["Pipeline"], DataFrame]
     expectations: dict[str, str] = field(default_factory=dict)
     policy: Policy = Policy.DROP
+    quarantine_to: str | None = None
 
 
 @dataclass
@@ -60,6 +63,7 @@ class _CdcFlow:
     stored_as_scd_type: int = 1
     except_columns: list[str] = field(default_factory=list)
     apply_as_deletes: str | None = None
+    apply_as_truncates: str | None = None
 
 
 class Pipeline:
@@ -74,6 +78,8 @@ class Pipeline:
         self._cache: dict[str, DataFrame] = {}
         self._resolving: list[str] = []
         self.metrics: dict[str, ExpectationResult] = {}
+        self._pending_quarantine: dict[str, tuple[str, DataFrame]] = {}
+        self._run_id = 0
 
     # -- registration -------------------------------------------------------
 
@@ -82,14 +88,27 @@ class Pipeline:
         name: str | None = None,
         expectations: dict[str, str] | None = None,
         policy: Policy = Policy.DROP,
+        quarantine_to: str | None = None,
     ):
         """Decorator: register a named view. The function receives this
         pipeline and returns a DataFrame (use ``p.read`` inside for
-        dependencies — that's how the DAG edges are discovered)."""
+        dependencies — that's how the DAG edges are discovered).
+
+        ``quarantine_to`` names a managed side table: instead of silently
+        dropping expectation violations, each ``run()`` appends them
+        there with ``__failed_rules``/``__dataset``/``__batch_id``
+        audit columns (the DLT quarantine pattern). Requires
+        expectations and a DROP policy."""
+        if quarantine_to and policy is not Policy.DROP:
+            raise ValueError("quarantine_to requires Policy.DROP")
 
         def deco(fn: Callable[[Pipeline], DataFrame]):
             vname = name or fn.__name__
-            self._views[vname] = _View(vname, fn, dict(expectations or {}), policy)
+            if quarantine_to and not expectations:
+                raise ValueError(f"view {vname!r}: quarantine_to without expectations")
+            self._views[vname] = _View(
+                vname, fn, dict(expectations or {}), policy, quarantine_to
+            )
             return fn
 
         return deco
@@ -116,6 +135,7 @@ class Pipeline:
         stored_as_scd_type: int = 1,
         except_column_list: Sequence[str] = (),
         apply_as_deletes: str | None = None,
+        apply_as_truncates: str | None = None,
     ) -> None:
         """Register an APPLY CHANGES edge (reference W1).
 
@@ -128,16 +148,21 @@ class Pipeline:
         ``apply_as_deletes`` names a boolean source column marking delete
         events (the DLT API's parameter of the same name): when the latest
         change for a key is a flagged delete, the key is removed from the
-        target. Supported for type 1 only."""
+        target. ``apply_as_truncates`` names a boolean column marking
+        TRUNCATE directives (full-snapshot reload): target rows and
+        same-batch changes older than the truncate's sequence are
+        discarded. Both supported for type 1 only."""
         if stored_as_scd_type not in (1, 2):
             raise ValueError("stored_as_scd_type must be 1 or 2")
-        if stored_as_scd_type == 2 and apply_as_deletes:
-            raise NotImplementedError("apply_as_deletes requires stored_as_scd_type=1")
+        if stored_as_scd_type == 2 and (apply_as_deletes or apply_as_truncates):
+            raise NotImplementedError(
+                "apply_as_deletes/apply_as_truncates require stored_as_scd_type=1"
+            )
         if target not in self._tables:
             raise KeyError(f"unknown streaming table {target!r}; declare it first")
         self._flows.append(
             _CdcFlow(target, source, list(keys), sequence_by, stored_as_scd_type,
-                     list(except_column_list), apply_as_deletes)
+                     list(except_column_list), apply_as_deletes, apply_as_truncates)
         )
 
     # -- resolution ---------------------------------------------------------
@@ -154,6 +179,9 @@ class Pipeline:
             try:
                 v = self._views[name]
                 df = v.fn(self)
+                if v.quarantine_to:
+                    _, quarantined = split_expectations(df, v.expectations, dataset=name)
+                    self._pending_quarantine[name] = (v.quarantine_to, quarantined)
                 df, metrics = apply_expectations(
                     df, v.expectations, v.policy, dataset=name,
                     collect_metrics=bool(v.expectations),
@@ -177,9 +205,13 @@ class Pipeline:
         """One incremental batch: execute all CDC flows (dedup + upsert),
         then force any ``materialize`` views (for side-effect-only runs).
         View cache is cleared first so a second ``run()`` observes new
-        source data."""
+        source data. Quarantined rows from every view resolved during
+        the run are appended to their quarantine tables at the end,
+        stamped with this run's ``__batch_id``."""
         self._cache.clear()
         self.metrics.clear()
+        self._pending_quarantine.clear()
+        self._run_id += 1
         for flow in self._flows:
             src = self.read(flow.source)
             if flow.except_columns:
@@ -188,7 +220,16 @@ class Pipeline:
                 scd2_apply(self._tables[flow.target], src, flow.keys, flow.sequence_by)
             else:
                 self._tables[flow.target].upsert(
-                    src, flow.keys, flow.sequence_by, delete_col=flow.apply_as_deletes
+                    src, flow.keys, flow.sequence_by,
+                    delete_col=flow.apply_as_deletes,
+                    truncate_col=flow.apply_as_truncates,
                 )
         for name in materialize:
             self.read(name).count()
+        for _vname, (qtable, qdf) in self._pending_quarantine.items():
+            if qtable not in self._tables:
+                self.create_streaming_table(qtable)
+            self._tables[qtable].append(
+                qdf.withColumn("__batch_id", F.lit(self._run_id))
+            )
+        self._pending_quarantine.clear()

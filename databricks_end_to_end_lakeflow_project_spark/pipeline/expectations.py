@@ -147,3 +147,40 @@ def apply_expectations_observed(
         return result
 
     return gated, obs, finish
+
+
+def split_expectations(
+    df: DataFrame,
+    rules: dict[str, str],
+    dataset: str = "<anonymous>",
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split: (passing_rows, violating_rows).
+
+    The violating side carries ``__failed_rules`` (array of rule names
+    that failed — a row can violate several) and ``__dataset``, the DLT
+    quarantine-table pattern: instead of silently dropping bad rows,
+    route them to a side table for triage/replay.
+
+    Single-scan design: the per-rule pass/fail vector is computed once as
+    an array of conditional rule names; both sides filter on its size, so
+    when the caller materializes both from one cached stage there is no
+    per-rule re-evaluation.
+    """
+    if not rules:
+        return df, df.limit(0).withColumn(
+            "__failed_rules", F.array().cast("array<string>")
+        ).withColumn("__dataset", F.lit(dataset))
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(F.expr(e), F.lit(False)), F.lit(name))
+                for name, e in rules.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("__failed_rules", failed)
+    passed = tagged.filter(F.size("__failed_rules") == 0).drop("__failed_rules")
+    quarantined = tagged.filter(F.size("__failed_rules") > 0).withColumn(
+        "__dataset", F.lit(dataset)
+    )
+    return passed, quarantined

@@ -104,3 +104,119 @@ def test_observed_expectations_single_pass(spark):
     assert got.failed_rows == want.failed_rows == 2
     assert got.passed_rows == want.passed_rows == 2
     assert got.per_rule_failures == want.per_rule_failures
+
+
+def test_quarantine_routes_violations_to_side_table(spark, tmp_path):
+    """Expectation violations land in the quarantine table with
+    __failed_rules / __dataset / __batch_id; the view itself only passes
+    clean rows; a second run appends with the next batch id."""
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.dag import Pipeline
+
+    src = [(1, "ok"), (2, None), (3, ""), (4, "fine")]
+    p = Pipeline(spark, str(tmp_path / "q"))
+
+    @p.view(
+        name="clean",
+        expectations={"not_null": "v IS NOT NULL", "not_empty": "v <> ''"},
+        quarantine_to="bad_rows",
+    )
+    def clean(pl):
+        return spark.createDataFrame(src, "id int, v string")
+
+    p.run(materialize=["clean"])
+    assert {r["id"] for r in p.read("clean").collect()} == {1, 4}
+    bad = p.table("bad_rows").read().collect()
+    got = {(r["id"], tuple(r["__failed_rules"]), r["__dataset"], r["__batch_id"])
+           for r in bad}
+    # NULL fails BOTH rules (not_empty is NULL-unknown -> fails the gate)
+    assert got == {
+        (2, ("not_null", "not_empty"), "clean", 1),
+        (3, ("not_empty",), "clean", 1),
+    }
+
+    p.run(materialize=["clean"])
+    assert p.table("bad_rows").read().count() == 4
+    assert {r["__batch_id"] for r in p.table("bad_rows").read().collect()} == {1, 2}
+
+
+def test_quarantine_requires_expectations_and_drop(spark, tmp_path):
+    import pytest as _pytest
+
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.dag import Pipeline
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.expectations import (
+        Policy,
+    )
+
+    p = Pipeline(spark, str(tmp_path / "q2"))
+    with _pytest.raises(ValueError):
+        p.view(name="x", expectations={"r": "1=1"},
+               policy=Policy.WARN, quarantine_to="t")
+    with _pytest.raises(ValueError):
+        @p.view(name="y", quarantine_to="t")
+        def y(pl):
+            return None
+
+
+def test_apply_as_truncates_full_snapshot_reload(spark, tmp_path):
+    """A truncate marker at seq T discards all target rows and same-batch
+    changes with seq < T; changes at/after T apply on the fresh slate."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+    )
+
+    t = ManagedParquetTable(spark, str(tmp_path / "tr"), keys=["k"], sequence_by="seq")
+    t.upsert(spark.createDataFrame(
+        [("a", 1, "v1", False), ("b", 1, "v1", False)],
+        "k string, seq int, v string, trunc boolean"), truncate_col="trunc")
+    assert {r["k"] for r in t.read().collect()} == {"a", "b"}
+
+    # batch 2: stale pre-truncate change for c (seq 2), truncate at 5,
+    # post-truncate snapshot rows for a and d
+    t.upsert(spark.createDataFrame(
+        [("c", 2, "stale", False), (None, 5, None, True),
+         ("a", 6, "v2", False), ("d", 6, "v1", False)],
+        "k string, seq int, v string, trunc boolean"), truncate_col="trunc")
+    got = {(r["k"], r["seq"], r["v"]) for r in t.read().collect()}
+    assert got == {("a", 6, "v2"), ("d", 6, "v1")}  # b and stale c are gone
+
+
+def test_truncates_noop_without_markers(spark, tmp_path):
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+    )
+
+    t = ManagedParquetTable(spark, str(tmp_path / "tr2"), keys=["k"], sequence_by="seq")
+    t.upsert(spark.createDataFrame(
+        [("a", 1, False)], "k string, seq int, trunc boolean"), truncate_col="trunc")
+    t.upsert(spark.createDataFrame(
+        [("b", 2, False)], "k string, seq int, trunc boolean"), truncate_col="trunc")
+    assert {r["k"] for r in t.read().collect()} == {"a", "b"}
+
+
+def test_truncates_via_pipeline_flow(spark, tmp_path):
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.dag import Pipeline
+
+    batches = [
+        [("a", 1, "v1", False), ("b", 1, "v1", False)],
+        [(None, 3, None, True), ("b", 4, "v2", False)],
+    ]
+    state = {"i": 0}
+    p = Pipeline(spark, str(tmp_path / "trp"))
+
+    @p.view(name="changes")
+    def changes(pl):
+        return spark.createDataFrame(
+            batches[state["i"]], "k string, seq int, v string, trunc boolean"
+        )
+
+    p.create_streaming_table("snap")
+    p.create_auto_cdc_flow(
+        target="snap", source="changes", keys=["k"], sequence_by="seq",
+        apply_as_truncates="trunc",
+    )
+    p.run()
+    assert p.table("snap").read().count() == 2
+    state["i"] = 1
+    p.run()
+    got = {(r["k"], r["v"]) for r in p.table("snap").read().collect()}
+    assert got == {("b", "v2")}
