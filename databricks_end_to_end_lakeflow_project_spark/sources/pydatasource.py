@@ -21,7 +21,12 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
 
@@ -88,3 +93,60 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("sum_ids"),
         F.min("digest").alias("min_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming Python DataSource (Spark 4 SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+
+class SyntheticTickStreamReader(SimpleDataSourceStreamReader):
+    """Deterministic unbounded stream: micro-batch k yields rows with ids
+    [k·batch, (k+1)·batch). Offsets are ``{"id": next_unread}`` — the
+    engine checkpoints them, so restart resumes exactly where the last
+    commit left off (exactly-once with a replayable source).
+
+    ``readBetweenOffsets`` re-derives any committed range on replay —
+    possible because row content is a pure function of the id."""
+
+    def __init__(self, options: dict):
+        self.batch = int(options.get("rows_per_batch", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def read(self, start: dict):
+        s = int(start["id"])
+        # a LIST, not a generator: the engine's prefetch cache copy.copy()s
+        # the iterator when planning partitions, and generators don't copy
+        return self._rows(s, s + self.batch), {"id": s + self.batch}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["id"]), int(end["id"]))
+
+    @staticmethod
+    def _rows(lo: int, hi: int) -> list:
+        return [
+            (i, i % 16, hashlib.md5(str(i).encode()).hexdigest())
+            for i in range(lo, hi)
+        ]
+
+
+class SyntheticTickDataSource(DataSource):
+    """`spark.readStream.format("synthetic_ticks")` — the streaming face
+    of the Python DataSource API (driver-side simple reader; Spark
+    handles offset tracking, WAL and replay)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ticks"
+
+    def schema(self) -> str:
+        return "tick_id long, shard int, digest string"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return SyntheticTickStreamReader(self.options)
+
+
+def register_tick_stream(spark: SparkSession) -> None:
+    spark.dataSource.register(SyntheticTickDataSource)

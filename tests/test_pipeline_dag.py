@@ -220,3 +220,27 @@ def test_truncates_via_pipeline_flow(spark, tmp_path):
     p.run()
     got = {(r["k"], r["v"]) for r in p.table("snap").read().collect()}
     assert got == {("b", "v2")}
+
+
+def test_materialized_view_recomputes_per_run(spark, tmp_path):
+    """DLT @dlt.table analogue: full recompute + persist each run, so the
+    table always reflects current upstream (no carried state)."""
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.dag import Pipeline
+
+    rows = [(1, 10.0), (2, 20.0)]
+    p = Pipeline(spark, str(tmp_path / "mv"))
+
+    @p.materialized_view(name="totals")
+    def totals(pl):
+        df = spark.createDataFrame(rows, "k int, v double")
+        from pyspark.sql import functions as F
+        return df.groupBy("k").agg(F.sum("v").alias("total"))
+
+    p.run()
+    assert {(r["k"], r["total"]) for r in p.table("totals").read().collect()} \
+        == {(1, 10.0), (2, 20.0)}
+
+    rows.clear(); rows.extend([(1, 5.0)])  # upstream shrank — mview must follow
+    p.run()
+    assert {(r["k"], r["total"]) for r in p.table("totals").read().collect()} \
+        == {(1, 5.0)}

@@ -45,3 +45,44 @@ def test_moments_match_numpy(spark):
     want_k = ((vals - m) ** 4).mean() / m2**2 - 3
     assert abs(got["s"] - want_s) < 1e-6
     assert abs(got["k"] - want_k) < 1e-6
+
+
+def test_misra_gries_partial_bounds(spark):
+    """Each partition summary has <= capacity items, and summed weights
+    underestimate true counts by at most n/capacity (the MG guarantee)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        misra_gries_partial,
+    )
+    from pyspark.sql import functions as F
+
+    # skewed synthetic stream: token t<i> with frequency ~ 1000/i
+    data = [(f"t{i}",) for i in range(1, 60) for _ in range(1000 // i)]
+    df = spark.createDataFrame(data, "token string").repartition(4)
+    cap = 16
+    summary = misra_gries_partial(df, "token", capacity=cap)
+    per_part = summary.groupBy().agg(F.count("*")).collect()[0][0]
+    assert per_part <= 4 * cap
+    merged = {r["item"]: r["weight"] for r in
+              summary.groupBy("item").agg(F.sum("weight").alias("weight")).collect()}
+    true = {r["token"]: r["cnt"] for r in
+            df.groupBy("token").agg(F.count("*").alias("cnt")).collect()}
+    n = sum(true.values())
+    for item, w in merged.items():
+        assert w <= true[item], "MG weight must never overestimate"
+        assert true[item] - w <= n / cap * 4  # merged error bound (4 partials)
+
+
+def test_heavy_hitters_exact_topk_matches_groupby(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        heavy_hitters_topk,
+    )
+    from pyspark.sql import functions as F
+
+    data = [(f"t{i}",) for i in range(1, 60) for _ in range(1000 // i)]
+    df = spark.createDataFrame(data, "token string").repartition(8)
+    got = [(r["item"], r["cnt"]) for r in
+           heavy_hitters_topk(df, "token", k=5, capacity=64).collect()]
+    want = [(r["token"], r["cnt"]) for r in
+            df.groupBy("token").agg(F.count("*").alias("cnt"))
+              .orderBy(F.col("cnt").desc(), "token").limit(5).collect()]
+    assert got == want

@@ -148,3 +148,51 @@ def test_tws_distinct_types_matches_batch(spark):
         F.count_distinct("event_type").alias("n_types"),
     )
     assert got.join(want, ["user_id", "n_events", "n_types"]).count() == want.count()
+
+
+def test_python_streaming_datasource_exactly_once(spark, tmp_path):
+    """Spark 4 SimpleDataSourceStreamReader: micro-batches advance the
+    {"id": n} offset deterministically; rows are the pure function of the
+    id range, so the accumulated sink holds exactly [0, max) with no gaps
+    or duplicates even across a checkpointed restart."""
+    import time
+
+    from databricks_end_to_end_lakeflow_project_spark.sources.pydatasource import (
+        register_tick_stream,
+    )
+
+    register_tick_stream(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("synthetic_ticks")
+            .option("rows_per_batch", "50")
+            .load()
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 100:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+
+    run_once()
+    run_once()  # restart from checkpoint — must not re-emit committed ids
+
+    got = [r["tick_id"] for r in spark.read.parquet(out).collect()]
+    assert len(got) >= 100
+    assert len(set(got)) == len(got), "duplicate ids -> replay broke exactly-once"
+    assert set(got) == set(range(max(got) + 1)), "gap in the id sequence"
+    sh = spark.read.parquet(out).select("shard").distinct().count()
+    assert sh == 16
