@@ -45,6 +45,11 @@ HEADLINE = [
     "sample_split_train_val_test",
     "dedup_contamination_ngram",
     "events_sessionize",
+    "text_bm25_topk",
+    "text_tfidf_keywords",
+    "text_heavy_hitters_topk",
+    "sim_jl_projection",
+    "cdc_scd2_history",
 ]
 
 

@@ -262,3 +262,33 @@ def test_centroid_outliers_are_per_label_minima(spark):
     assert per_label and all(len(v) == 5 for v in per_label.values())
     # cosines lie in [-1, 1]
     assert all(-1.0001 <= s <= 1.0001 for v in per_label.values() for s in v)
+
+
+def test_jl_projection_preserves_distances_on_average(spark):
+    """JL with ±1 signs: squared norms are preserved in expectation —
+    check the mean ratio over the corpus is within 25% of 1, and the
+    output is invariant to input partitioning."""
+    import numpy as np
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        jl_project,
+    )
+
+    em = read_table(spark, SF, "embeddings")
+    proj = jl_project(em, in_dim=64).collect()
+    by_vec: dict[int, dict[int, float]] = {}
+    for r in proj:
+        by_vec.setdefault(r["vec_id"], {})[r["dim_idx"]] = r["val"]
+    orig = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in em.collect()}
+    ratios = []
+    for vid, dims in by_vec.items():
+        p = np.array([dims[i] for i in range(16)])
+        n0 = float(np.dot(orig[vid], orig[vid]))
+        if n0 > 0:
+            ratios.append(float(np.dot(p, p)) / n0)
+    assert 0.75 <= float(np.mean(ratios)) <= 1.25
+
+    re = {(r["vec_id"], r["dim_idx"], r["val"])
+          for r in jl_project(em.repartition(7), in_dim=64).collect()}
+    assert re == {(r["vec_id"], r["dim_idx"], r["val"]) for r in proj}
