@@ -166,3 +166,54 @@ def events_funnel_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path_len",
         F.when(path.like("%signup%purchase%"), 1).otherwise(0).alias("has_funnel"),
     )
+
+
+@query(
+    "events_late_arrivals",
+    """
+    WITH arr AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS high_water
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ts < high_water - INTERVAL 10 MINUTE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           ROUND(SUM(CASE WHEN ts < high_water - INTERVAL 10 MINUTE
+                          THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4) AS late_share
+    FROM arr
+    GROUP BY event_type
+    """,
+)
+def events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data profile: replaying the stream in arrival order
+    (event_id), an event is 'late' when its event time trails the
+    running high-watermark by more than the 10-minute allowed lateness —
+    exactly the rows a `withWatermark("ts", "10 minutes")` streaming
+    aggregation would drop. This is the batch diagnostic that sizes a
+    production watermark before deploying the stream.
+
+    Plan note: the running max is a single-partition window (arrival
+    order is globally sequential by definition); at 100 TB the same
+    diagnostic runs per ingestion shard (partitionBy the shard key) —
+    the global form here matches the single-writer test stream.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    arr = ev.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("high_water"),
+    )
+    late = F.col("ts") < F.col("high_water") - F.expr("INTERVAL 10 MINUTES")
+    return arr.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(late.cast("int")).cast("long").alias("n_late"),
+        F.round(F.sum(late.cast("int")).cast("double") / F.count("*"), 4).alias(
+            "late_share"
+        ),
+    )

@@ -132,3 +132,34 @@ def test_python_datasource_uneven_split_complete(spark):
     assert docs.count() == 1000
     assert docs.select("doc_id").distinct().count() == 1000
     assert docs.rdd.getNumPartitions() == 7
+
+
+def test_late_arrivals_matches_watermark_drop_semantics(spark):
+    """An event is late iff a streaming agg with 10-min watermark would
+    drop it: verify against a hand-replayed high-watermark."""
+    import datetime as dt
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        events_late_arrivals,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        read_table(spark, sf, "events")
+        .select("event_id", "event_type", "ts")
+        .collect(),
+        key=lambda r: r["event_id"],
+    )
+    hw = None
+    expect: dict[str, list[int]] = {}
+    for r in rows:
+        late = hw is not None and r["ts"] < hw - dt.timedelta(minutes=10)
+        n, nl = expect.get(r["event_type"], [0, 0])
+        expect[r["event_type"]] = [n + 1, nl + (1 if late else 0)]
+        hw = r["ts"] if hw is None else max(hw, r["ts"])
+    got = {r["event_type"]: [r["n_events"], r["n_late"]]
+           for r in events_late_arrivals(spark, sf).collect()}
+    assert got == expect
