@@ -86,3 +86,28 @@ def test_heavy_hitters_exact_topk_matches_groupby(spark):
             df.groupBy("token").agg(F.count("*").alias("cnt"))
               .orderBy(F.col("cnt").desc(), "token").limit(5).collect()]
     assert got == want
+
+
+def test_join_delta_maintain_equals_full_recompute(spark):
+    """IVM delta rule: any 2x2 batching of both join sides reproduces the
+    full join exactly (no lost rows, no duplicates)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.rollup import (
+        join_delta_maintain,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(k, f"a{k}") for k in range(20)], "ak int, av string")
+    b = spark.createDataFrame(
+        [(k, f"b{k}-{i}") for k in range(0, 20, 2) for i in range(2)],
+        "bk int, bv string",
+    )
+    on = a["ak"] == b["bk"]
+    full = {tuple(r) for r in a.join(b, on).collect()}
+    for a_pred in [a["ak"] < 7, a["ak"] % 4 == 0]:
+        for b_pred in [b["bk"] < 10, b["bk"] % 8 == 2]:
+            a1, da = a.filter(a_pred), a.filter(~a_pred)
+            b1, db = b.filter(b_pred), b.filter(~b_pred)
+            m = a1.join(b1, on)
+            got = join_delta_maintain(m, a1, da, b1, db, on).collect()
+            assert {tuple(r) for r in got} == full
+            assert len(got) == len(full), "delta rule produced duplicates"
