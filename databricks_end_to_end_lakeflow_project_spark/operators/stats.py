@@ -448,3 +448,50 @@ def text_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
     )
     return heavy_hitters_topk(tok, "token", k=10, capacity=256)
+
+
+@query(
+    "integrity_table_fingerprint",
+    """
+    SELECT CAST(user_id % 16 AS INT) AS shard,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(
+                 md5(CAST(event_id AS VARCHAR) || chr(31)
+                     || CAST(user_id AS VARCHAR) || chr(31)
+                     || event_type), 1, 15)) AS BIGINT)) AS VARCHAR)
+             AS content_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def integrity_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-shard table fingerprint: each row hashes to a
+    60-bit integer (md5 prefix — engine-portable, unlike xxhash64 whose
+    seed differs across engines), summed per shard. Two replicas of a
+    table match iff every (shard, n_rows, content_sum) matches — the
+    anti-entropy primitive for cross-cluster replication checks, O(1)
+    comparison bytes per shard regardless of table size, fully map-side
+    combinable, and incrementally maintainable (the sum is a monoid).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("event_id").cast("string"),
+                    F.col("user_id").cast("string"),
+                    F.col("event_type"),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("decimal(20,0)")
+    return (
+        ev.groupBy((F.col("user_id") % 16).cast("int").alias("shard"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(row_hash).cast("string").alias("content_sum"),
+        )
+    )

