@@ -25,6 +25,26 @@ from databricks_end_to_end_lakeflow_project_spark.session import get_spark  # no
 # (query, what the plan must show)
 SHOWCASE = [
     (
+        "text_bm25_topk",
+        "Known-query BM25: NO Exchange and NO Generate anywhere — per-term "
+        "tf is an array filter codegen'd into the scan projection, corpus "
+        "constants arrive as literals, and the top-10 is a "
+        "TakeOrderedAndProject (partial per-partition top-k, driver merge).",
+    ),
+    (
+        "text_heavy_hitters_topk",
+        "Misra-Gries sketch-then-verify: pass 1 shuffles only "
+        "partitions\u00d7capacity summary rows; pass 2 semi-joins the corpus "
+        "against the BROADCAST candidate set and partial-aggregates "
+        "map-side — the full vocabulary is never shuffled.",
+    ),
+    (
+        "join_incremental_maintenance",
+        "IVM delta rule: the maintained join unions four joins whose probe "
+        "sides are delta-sized; at this SF every delta side broadcasts — "
+        "A\u22c8B is never recomputed.",
+    ),
+    (
         "flagship_star_revenue",
         "Star join: the shipdate filter reaches the lineitem scan as a "
         "PushedFilter; every dimension side is a BroadcastHashJoin (at "
