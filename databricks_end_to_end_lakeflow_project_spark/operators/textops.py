@@ -627,3 +627,52 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 4).alias("token_entropy"),
         )
     )
+
+
+@query(
+    "text_zipf_exponent",
+    """
+    WITH tf AS (
+      SELECT lang, token, COUNT(*)::DOUBLE AS freq
+      FROM (SELECT lang, UNNEST(string_split(trim(text), ' ')) AS token
+            FROM documents) t
+      GROUP BY lang, token
+    ), ranked AS (
+      SELECT lang, freq,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY freq DESC, token
+             )::DOUBLE AS rnk
+      FROM tf
+    )
+    SELECT lang,
+           COUNT(*) AS n_types,
+           ROUND(-regr_slope(ln(freq), ln(rnk)), 4) AS zipf_exponent,
+           ROUND(regr_r2(ln(freq), ln(rnk)), 4) AS fit_r2
+    FROM ranked
+    GROUP BY lang
+    """,
+)
+def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit per language: regress ln(freq) on ln(rank) over
+    the type-frequency table; natural text yields exponent ≈ 1 with high
+    R² — corpus-health drift in either number flags degenerate or
+    machine-generated text (a standard pretraining-data audit).
+
+    Plan: tf groupBy shuffles on (lang, token); the rank window and the
+    regression aggregate both hash on lang — one further exchange whose
+    row count is the type vocabulary, not the corpus.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").cast("double").alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("token"))
+    ranked = tf.withColumn("rnk", F.row_number().over(w).cast("double"))
+    lf, lr = F.log("freq"), F.log("rnk")
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("n_types"),
+        F.round(-F.regr_slope(lf, lr), 4).alias("zipf_exponent"),
+        F.round(F.regr_r2(lf, lr), 4).alias("fit_r2"),
+    )

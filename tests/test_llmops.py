@@ -292,3 +292,20 @@ def test_jl_projection_preserves_distances_on_average(spark):
     re = {(r["vec_id"], r["dim_idx"], r["val"])
           for r in jl_project(em.repartition(7), in_dim=64).collect()}
     assert re == {(r["vec_id"], r["dim_idx"], r["val"]) for r in proj}
+
+
+def test_zipf_exponent_sane_on_corpus(spark):
+    """The synthetic corpus is word-salad over a small vocabulary, so the
+    fit exists but the exponent is small; real checks: one row per lang,
+    exponent > 0 (frequency strictly decreases with rank on average) and
+    R² in [0, 1]."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_zipf_exponent,
+    )
+
+    rows = text_zipf_exponent(spark, SF).collect()
+    assert len(rows) == len({r["lang"] for r in rows}) >= 4
+    for r in rows:
+        assert r["zipf_exponent"] > 0
+        assert 0.0 <= r["fit_r2"] <= 1.0
+        assert r["n_types"] > 10
