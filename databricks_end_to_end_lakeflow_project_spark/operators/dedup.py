@@ -30,7 +30,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql import types as T
@@ -459,4 +459,101 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             (F.col("node") == F.col("component")).alias("is_canonical"),
         )
+    )
+
+
+_SURVIVOR_ORACLE = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+               AS shingles
+      FROM toks WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.b AS node, r.lbl
+      FROM reach r JOIN edges e ON e.a = r.node
+      WHERE r.lbl < e.b
+    ), comp AS (
+      SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    ), q AS (
+      SELECT doc_id,
+             0.4 * LEAST(LENGTH(w)::DOUBLE / 100.0, 1.0)
+           + 0.4 * (LENGTH(list_distinct(w))::DOUBLE / LENGTH(w))
+           + 0.2 * (1.0 - LENGTH(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE
+                          / LENGTH(w)) AS score
+      FROM toks
+    ), ranked AS (
+      SELECT comp.cluster_id, comp.node AS doc_id, q.score,
+             COUNT(*) OVER (PARTITION BY comp.cluster_id) AS cluster_size,
+             ROW_NUMBER() OVER (
+               PARTITION BY comp.cluster_id ORDER BY q.score DESC, comp.node
+             ) AS rn
+      FROM comp JOIN q ON q.doc_id = comp.node
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id,
+           ROUND(score, 4) AS quality_score, cluster_size
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("dedup_survivor_by_quality", _SURVIVOR_ORACLE)
+def dedup_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: within each near-dup
+    cluster keep the HIGHEST-quality member (composite quality score,
+    tie → lowest doc_id) instead of the arbitrary smallest-id canonical —
+    the policy real curation pipelines use so deduplication never
+    discards the best copy.
+
+    Plan: reuses the LSH pair graph + connected components; the quality
+    score is a pure scan projection; survivor choice is one window on the
+    cluster key."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        stopword_hits,
+        tokens,
+        STOPWORDS,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("node")), pairs
+    )
+    w = tokens(F.col("text"))
+    n = F.size(w).cast("double")
+    score = (
+        0.4 * F.least(n / 100.0, F.lit(1.0))
+        + 0.4 * (F.size(F.array_distinct(w)).cast("double") / n)
+        + 0.2 * (F.lit(1.0) - stopword_hits(w, STOPWORDS).cast("double") / n)
+    )
+    q = docs.select("doc_id", score.alias("score"))
+    joined = comp.join(q, comp["node"] == q["doc_id"]).select(
+        F.col("component").alias("cluster_id"), "doc_id", "score"
+    )
+    win = Window.partitionBy("cluster_id")
+    ranked = joined.select(
+        "cluster_id", "doc_id", "score",
+        F.count(F.lit(1)).over(win).alias("cluster_size"),
+        F.row_number().over(
+            win.orderBy(F.col("score").desc(), F.col("doc_id"))
+        ).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.round("score", 4).alias("quality_score"),
+        "cluster_size",
     )

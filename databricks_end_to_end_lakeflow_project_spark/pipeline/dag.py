@@ -230,11 +230,14 @@ class Pipeline:
 
     def run(self, materialize: Sequence[str] = ()) -> None:
         """One incremental batch: execute all CDC flows (dedup + upsert),
-        then force any ``materialize`` views (for side-effect-only runs).
-        View cache is cleared first so a second ``run()`` observes new
-        source data. Quarantined rows from every view resolved during
-        the run are appended to their quarantine tables at the end,
-        stamped with this run's ``__batch_id``."""
+        recompute materialized views, then force any ``materialize``
+        views (for side-effect-only runs). View cache is cleared first so
+        a second ``run()`` observes new source data. Quarantined rows
+        from every view resolved during the run are appended to their
+        quarantine tables at the end, stamped with this run's
+        ``__batch_id``; expectation metrics for the run are appended to
+        the ``__event_log`` table (the DLT event-log analogue —
+        `p.event_log()` to query it)."""
         self._cache.clear()
         self.metrics.clear()
         self._pending_quarantine.clear()
@@ -262,3 +265,37 @@ class Pipeline:
                 qdf.withColumn("__batch_id", F.lit(self._run_id))
             )
         self._pending_quarantine.clear()
+        self._append_event_log()
+
+    _EVENT_LOG = "__event_log"
+
+    def _append_event_log(self) -> None:
+        if not self.metrics:
+            return
+        rows = [
+            (
+                self._run_id,
+                m.dataset,
+                m.policy.value,
+                rule,
+                m.passed_rows + m.failed_rows,
+                n_failed,
+            )
+            for m in self.metrics.values()
+            for rule, n_failed in m.per_rule_failures.items()
+        ]
+        if self._EVENT_LOG not in self._tables:
+            self.create_streaming_table(self._EVENT_LOG)
+        self._tables[self._EVENT_LOG].append(
+            self.spark.createDataFrame(
+                rows,
+                "run_id int, dataset string, policy string, rule string, "
+                "n_rows long, n_failed long",
+            )
+        )
+
+    def event_log(self) -> DataFrame:
+        """Per-run, per-dataset, per-rule expectation outcomes as a
+        queryable table (DLT event-log parity: the audit surface for
+         'which rule failed how often in which update')."""
+        return self._tables[self._EVENT_LOG].read()

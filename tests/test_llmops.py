@@ -309,3 +309,28 @@ def test_zipf_exponent_sane_on_corpus(spark):
         assert r["zipf_exponent"] > 0
         assert 0.0 <= r["fit_r2"] <= 1.0
         assert r["n_types"] > 10
+
+
+def test_survivor_by_quality_beats_or_ties_canonical(spark):
+    """The quality-kept doc must have quality >= every other member of
+    its cluster; cluster partition must agree with dedup_cluster_assign."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        dedup_cluster_assign,
+        dedup_survivor_by_quality,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_quality_score,
+    )
+
+    quality = {r["doc_id"]: r["quality_score"]
+               for r in text_quality_score(spark, SF).collect()}
+    clusters: dict[int, list[int]] = {}
+    for r in dedup_cluster_assign(spark, SF).collect():
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    kept = {r["cluster_id"]: r["kept_doc_id"]
+            for r in dedup_survivor_by_quality(spark, SF).collect()}
+    assert set(kept) == set(clusters)
+    for cid, members in clusters.items():
+        assert kept[cid] in members
+        # rounded scores can tie; the kept doc is >= all members at 4dp
+        assert all(quality[kept[cid]] >= quality[m] - 1e-9 for m in members)

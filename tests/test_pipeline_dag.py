@@ -244,3 +244,26 @@ def test_materialized_view_recomputes_per_run(spark, tmp_path):
     p.run()
     assert {(r["k"], r["total"]) for r in p.table("totals").read().collect()} \
         == {(1, 5.0)}
+
+
+def test_event_log_records_per_rule_outcomes(spark, tmp_path):
+    """DLT event-log parity: every run appends (run_id, dataset, policy,
+    rule, n_rows, n_failed) rows queryable via p.event_log()."""
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.dag import Pipeline
+
+    src = [(1, "ok"), (2, None), (3, "x")]
+    p = Pipeline(spark, str(tmp_path / "el"))
+
+    @p.view(name="gated", expectations={"v_not_null": "v IS NOT NULL"})
+    def gated(pl):
+        return spark.createDataFrame(src, "id int, v string")
+
+    p.run(materialize=["gated"])
+    log1 = {(r["run_id"], r["dataset"], r["rule"], r["n_rows"], r["n_failed"])
+            for r in p.event_log().collect()}
+    assert log1 == {(1, "gated", "v_not_null", 3, 1)}
+
+    src.append((4, None))
+    p.run(materialize=["gated"])
+    log2 = {(r["run_id"], r["n_rows"], r["n_failed"]) for r in p.event_log().collect()}
+    assert log2 == {(1, 3, 1), (2, 4, 2)}
