@@ -21,7 +21,7 @@ they buffer per-group values and belong on bounded-cardinality groups (use
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
@@ -493,5 +493,42 @@ def integrity_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_rows"),
             F.sum(row_hash).cast("string").alias("content_sum"),
+        )
+    )
+
+
+@query(
+    "agg_histogram_equidepth",
+    """
+    WITH b AS (
+      SELECT o_totalprice,
+             NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order totals: 8 ntile
+    buckets with their boundaries — the histogram shape optimizers and
+    drift monitors prefer over fixed-width bins on skewed measures
+    (every bucket carries the same statistical weight).
+
+    Scale note: ntile needs a global sort; at 100 TB the same result
+    comes from approx_percentile boundaries + a bucketize join — this
+    exact form is the small/medium-cardinality auditing path, and the
+    deterministic (value, key) order makes it oracle-reproducible."""
+    od = read_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )

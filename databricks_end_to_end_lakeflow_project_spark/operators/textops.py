@@ -676,3 +676,55 @@ def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.regr_slope(lf, lr), 4).alias("zipf_exponent"),
         F.round(F.regr_r2(lf, lr), 4).alias("fit_r2"),
     )
+
+
+@query(
+    "text_fuzzy_token_pairs",
+    """
+    WITH v AS (
+      SELECT DISTINCT token FROM (
+        SELECT UNNEST(string_split(trim(text), ' ')) AS token FROM documents
+      ) t WHERE LENGTH(token) >= 3
+    )
+    SELECT a.token AS token_a, b.token AS token_b,
+           levenshtein(a.token, b.token) AS dist
+    FROM v a JOIN v b
+      ON a.token < b.token
+     AND ABS(LENGTH(a.token) - LENGTH(b.token)) <= 2
+    WHERE levenshtein(a.token, b.token) <= 2
+    """,
+)
+def text_fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary matching (typo/variant detection): token pairs at
+    edit distance ≤ 2, the entity-resolution primitive. Length-band
+    blocking keeps it an EQUI join: one side keys on its length, the
+    other fans out to lengths within the band, so the quadratic
+    levenshtein verify runs only inside per-length blocks — the standard
+    blocked fuzzy-join plan (at 100 TB the block key shuffles the
+    distinct vocabulary, never the corpus).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") >= 3)
+        .distinct()
+    )
+    # EQUI-join blocking: side A keys on its own length; side B fans out
+    # to every length within the edit band, so each candidate pair meets
+    # on exactly one block key (no post-join dedup needed)
+    a = vocab.select(
+        F.col("token").alias("token_a"), F.length("token").alias("blk")
+    )
+    b = vocab.select(
+        F.col("token").alias("token_b"),
+        F.explode(
+            F.sequence(F.length("token") - 2, F.length("token") + 2)
+        ).alias("blk"),
+    )
+    cand = a.join(b, ["blk"]).filter(F.col("token_a") < F.col("token_b"))
+    dist = F.levenshtein("token_a", "token_b")
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= 2)
+        .select("token_a", "token_b", "dist")
+    )

@@ -334,3 +334,36 @@ def test_survivor_by_quality_beats_or_ties_canonical(spark):
         assert kept[cid] in members
         # rounded scores can tie; the kept doc is >= all members at 4dp
         assert all(quality[kept[cid]] >= quality[m] - 1e-9 for m in members)
+
+
+def test_fuzzy_pairs_equal_unblocked_bruteforce(spark):
+    """The length-band blocking must lose nothing: same pair set as an
+    unblocked all-pairs levenshtein join."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_fuzzy_token_pairs,
+        tokens,
+    )
+
+    got = {(r["token_a"], r["token_b"]) for r in
+           text_fuzzy_token_pairs(spark, SF).collect()}
+    docs = read_table(spark, SF, "documents")
+    vocab = [r["token"] for r in
+             docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+                 .filter(F.length("token") >= 3).distinct().collect()]
+    import itertools
+
+    def lev(s, t):
+        if len(s) < len(t):
+            s, t = t, s
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    want = {(a, b) for a, b in itertools.combinations(sorted(vocab), 2)
+            if lev(a, b) <= 2}
+    assert got == want and got
