@@ -621,3 +621,61 @@ def cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "ts", "value")
     )
     return table_changes(old, new, ["user_id"])
+
+
+def delete_where(table: "ManagedParquetTable", condition) -> int:
+    """DELETE FROM emulation: atomically rewrite the table without rows
+    matching ``condition`` (SQL string or Column); returns rows deleted.
+    The right-to-be-forgotten/GDPR primitive — combine with
+    ``retain_versions=0`` and ``vacuum()`` so purged rows leave no
+    recoverable snapshot. On a partitioned table Catalyst prunes the
+    scan, but the rewrite here is whole-table; a production variant
+    rewrites only affected partitions (same swap mechanics per
+    partition directory)."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    df = table.read()
+    kept = df.filter(~F.coalesce(cond, F.lit(False)))
+    n_deleted = df.count() - kept.count()
+    if n_deleted:
+        table.overwrite(kept)
+    return n_deleted
+
+
+def publish_atomically(
+    writes: Sequence[tuple["ManagedParquetTable", DataFrame]],
+) -> None:
+    """Two-phase multi-table publish: PREPARE writes every DataFrame to
+    its table's temp directory first (the expensive, failure-prone
+    phase — any error here aborts with all tables untouched), then
+    COMMIT swaps all temp dirs in via directory renames. Readers can
+    observe a brief window where early tables show the new version and
+    later ones the old (rename-speed, not write-speed) — the practical
+    cross-table guarantee a lakehouse without a shared transaction log
+    can offer, and why Delta/Iceberg keep multi-table transactions out
+    of scope too."""
+    import uuid as _uuid
+
+    staged: list[tuple[ManagedParquetTable, str]] = []
+    try:
+        for table, df in writes:
+            tmp = f"{table.path}.__tmp_{_uuid.uuid4().hex[:8]}"
+            # register BEFORE writing so a mid-write failure's partial
+            # directory is cleaned up with the rest
+            staged.append((table, tmp))
+            writer = df.write.mode("overwrite")
+            if table.partition_by:
+                writer = writer.partitionBy(*table.partition_by)
+            writer.parquet(tmp)
+    except Exception:
+        for _, tmp in staged:
+            shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    # commit phase: pure renames
+    for table, tmp in staged:
+        old = None
+        if os.path.exists(table.path):
+            old = f"{table.path}.__old_{_uuid.uuid4().hex[:8]}"
+            os.rename(table.path, old)
+        os.rename(tmp, table.path)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)

@@ -366,3 +366,56 @@ def test_table_changes_identical_states_empty(spark):
 
     df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
     assert table_changes(df, df, ["k"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# delete_where + multi-table publish
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_purges_and_reports(spark, tmp_path):
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+        delete_where,
+    )
+
+    t = ManagedParquetTable(spark, str(tmp_path / "dw"), keys=["k"], sequence_by="seq")
+    t.upsert(spark.createDataFrame(
+        [("u1", 1, "a"), ("u2", 1, "b"), ("u3", 1, "c")],
+        "k string, seq int, v string",
+    ))
+    assert delete_where(t, "k = 'u2'") == 1
+    assert {r["k"] for r in t.read().collect()} == {"u1", "u3"}
+    # NULL-safe: a condition evaluating to NULL keeps the row
+    assert delete_where(t, "v = 'nope'") == 0
+    assert t.read().count() == 2
+
+
+def test_publish_atomically_all_or_nothing_on_prepare_failure(spark, tmp_path):
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+        publish_atomically,
+    )
+
+    t1 = ManagedParquetTable(spark, str(tmp_path / "p1"))
+    t2 = ManagedParquetTable(spark, str(tmp_path / "p2"))
+    t1.overwrite(spark.createDataFrame([(1,)], "x int"))
+    t2.overwrite(spark.createDataFrame([(2,)], "x int"))
+
+    bad = spark.createDataFrame([(0,)], "x int").selectExpr("1/x AS x")  # fails in ANSI
+    ok = spark.createDataFrame([(10,)], "x int")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        publish_atomically([(t1, ok), (t2, bad)])
+    # prepare failed -> neither table changed, no temp junk left behind
+    assert [r["x"] for r in t1.read().collect()] == [1]
+    assert [r["x"] for r in t2.read().collect()] == [2]
+    import os
+
+    leftovers = [d for d in os.listdir(tmp_path) if "__tmp" in d]
+    assert leftovers == []
+
+    publish_atomically([(t1, ok), (t2, ok)])
+    assert [r["x"] for r in t1.read().collect()] == [10]
+    assert [r["x"] for r in t2.read().collect()] == [10]
