@@ -728,3 +728,48 @@ def text_fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .select("token_a", "token_b", "dist")
     )
+
+
+@query(
+    "text_unigram_nll",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token
+      FROM documents
+    ), lm AS (
+      SELECT token,
+             COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM tok) AS p
+      FROM tok GROUP BY token
+    )
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(-AVG(ln(lm.p)), 4) AS nll,
+           ROUND(exp(-AVG(ln(lm.p))), 2) AS ppl
+    FROM tok JOIN lm USING (token)
+    GROUP BY tok.doc_id
+    """,
+)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring with a corpus-trained unigram model:
+    per-document mean negative log-likelihood (and perplexity) under
+    p(token) = corpus_count/corpus_total. Out-of-distribution or
+    degenerate documents score high-NLL and get filtered or re-binned —
+    the standard head/middle/tail split of pretraining corpora.
+
+    Plan: the LM is a vocabulary-sized aggregate that BROADCASTS back
+    onto the exploded token stream; per-doc scoring partial-aggregates
+    on doc_id. Two scans of the token stream, shuffles bounded by
+    vocabulary + documents, never corpus tokens.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    total = tok.count()
+    lm = tok.groupBy("token").agg(
+        (F.count("*").cast("double") / F.lit(float(total))).alias("p")
+    )
+    scored = tok.join(F.broadcast(lm), "token")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.avg(F.log("p")), 4).alias("nll"),
+        F.round(F.exp(-F.avg(F.log("p"))), 2).alias("ppl"),
+    )

@@ -367,3 +367,20 @@ def test_fuzzy_pairs_equal_unblocked_bruteforce(spark):
     want = {(a, b) for a, b in itertools.combinations(sorted(vocab), 2)
             if lev(a, b) <= 2}
     assert got == want and got
+
+
+def test_unigram_nll_bounds_and_monotonicity(spark):
+    """NLL >= ln(total/max_token_count) lower bound is loose; check the
+    hard invariants instead: nll > 0, ppl == exp(nll) at 2dp tolerance,
+    and a doc of only the most common token would floor the score."""
+    import math
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_unigram_nll,
+    )
+
+    rows = text_unigram_nll(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["nll"] > 0
+        assert abs(r["ppl"] - math.exp(r["nll"])) <= 0.01 * max(1.0, r["ppl"])
