@@ -81,6 +81,7 @@ class Pipeline:
         self._pending_quarantine: dict[str, tuple[str, DataFrame]] = {}
         self._mviews: list[str] = []
         self._run_id = 0
+        self._lineage: set[tuple[str, str]] = set()
 
     # -- registration -------------------------------------------------------
 
@@ -197,6 +198,9 @@ class Pipeline:
     def read(self, name: str) -> DataFrame:
         """Read a sibling dataset (view or managed table) — reference S5
         (`dlt.readStream("bookings_silver")`)."""
+        if self._resolving:
+            # dependency edge: the dataset being resolved reads `name`
+            self._lineage.add((name, self._resolving[-1]))
         if name in self._cache:
             return self._cache[name]
         if name in self._views:
@@ -225,6 +229,16 @@ class Pipeline:
 
     def table(self, name: str) -> ManagedParquetTable:
         return self._tables[name]
+
+    def lineage(self) -> set[tuple[str, str]]:
+        """(upstream, downstream) dataset edges discovered so far — the
+        DLT pipeline-graph surface. View→view edges are recorded during
+        demand-driven resolution; CDC flow edges are declared, so both
+        appear after a run()."""
+        edges = set(self._lineage)
+        for f in self._flows:
+            edges.add((f.source, f.target))
+        return edges
 
     # -- execution ----------------------------------------------------------
 

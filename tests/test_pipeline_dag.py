@@ -267,3 +267,31 @@ def test_event_log_records_per_rule_outcomes(spark, tmp_path):
     p.run(materialize=["gated"])
     log2 = {(r["run_id"], r["n_rows"], r["n_failed"]) for r in p.event_log().collect()}
     assert log2 == {(1, 3, 1), (2, 4, 2)}
+
+
+def test_lineage_edges_cover_views_and_flows(spark, tmp_path):
+    """The lineage graph records view→view read edges plus declared CDC
+    flow edges — the DLT pipeline-graph surface."""
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.dag import Pipeline
+
+    p = Pipeline(spark, str(tmp_path / "lin"))
+
+    @p.view(name="raw")
+    def raw(pl):
+        return spark.createDataFrame([(1, 1, "x")], "k int, seq int, v string")
+
+    @p.view(name="staged")
+    def staged(pl):
+        return pl.read("raw")
+
+    p.create_streaming_table("silver")
+    p.create_auto_cdc_flow(target="silver", source="staged",
+                           keys=["k"], sequence_by="seq")
+
+    @p.view(name="report")
+    def report(pl):
+        return pl.read("silver")
+
+    p.run(materialize=["report"])
+    assert {("raw", "staged"), ("staged", "silver"), ("silver", "report")} \
+        <= p.lineage()
