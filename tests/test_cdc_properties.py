@@ -210,3 +210,54 @@ def test_merge_with_deletes_matches_model(spark, data):
         delete_col="is_del",
     )
     assert _to_state(again) == model
+
+
+# ---------------------------------------------------------------------------
+# SCD2 properties
+# ---------------------------------------------------------------------------
+
+
+def _model_scd2(rows: list) -> set:
+    """Reference SCD2 semantics in pure Python: per key, order changes by
+    seq (rows are (key, seq, val) with globally-unique (key, seq)),
+    collapse consecutive equal values, emit (key, val, start, end)."""
+    out = set()
+    bykey: dict = {}
+    for k, s, v in rows:
+        bykey.setdefault(k, []).append((s, v))
+    for k, changes in bykey.items():
+        changes.sort()
+        versions = []
+        for s, v in changes:
+            if not versions or versions[-1][1] != v:
+                versions.append((s, v))
+        for i, (s, v) in enumerate(versions):
+            end = versions[i + 1][0] if i + 1 < len(versions) else None
+            out.add((k, v, s, end))
+    return out
+
+
+@given(_rows_and_cuts)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_incremental_matches_model(spark, rows_cuts):
+    """Any batching of any change stream (including out-of-order and
+    late-arriving changes) produces exactly the model's version table."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        scd2_apply,
+    )
+
+    rows, cuts = rows_cuts
+    want = _model_scd2(rows)
+    with tempfile.TemporaryDirectory() as d:
+        t = ManagedParquetTable(spark, os.path.join(d, f"s{uuid.uuid4().hex[:6]}"))
+        prev = 0
+        for cut in [*cuts, len(rows)]:
+            if cut <= prev:
+                continue
+            batch = spark.createDataFrame(rows[prev:cut], SCHEMA)
+            scd2_apply(t, batch, ["key"], "seq")
+            prev = cut
+        got = {(r["key"], r["val"], r["__START_AT"], r["__END_AT"])
+               for r in t.read().collect()}
+    assert got == want
