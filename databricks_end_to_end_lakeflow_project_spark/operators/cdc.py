@@ -679,3 +679,50 @@ def publish_atomically(
         os.rename(tmp, table.path)
         if old:
             shutil.rmtree(old, ignore_errors=True)
+
+
+def snapshot_as_of(history: DataFrame, sequence_value) -> DataFrame:
+    """Point-in-time state from an SCD2 version table: the rows whose
+    validity interval covers ``sequence_value`` (``__START_AT <= v <
+    __END_AT``, open-ended current versions included) with the validity
+    columns dropped — Delta/Iceberg ``AS OF`` semantics over the
+    engine's version tables. Pure filter → partition-prunable when the
+    history is partitioned on a __START_AT-derived column."""
+    v = F.lit(sequence_value)
+    return history.filter(
+        (F.col("__START_AT") <= v)
+        & (F.col("__END_AT").isNull() | (F.col("__END_AT") > v))
+    ).drop("__START_AT", "__END_AT")
+
+
+@query(
+    "cdc_scd2_snapshot_asof",
+    """
+    WITH cutoff AS (
+      SELECT MAX(ts) AS c FROM events WHERE event_id <= 5000
+    )
+    SELECT user_id, event_type
+    FROM (
+      SELECT user_id, event_type, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events, cutoff WHERE ts <= cutoff.c
+    ) t WHERE rn = 1
+    """,
+)
+def cdc_scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF temporal query: build the SCD2 history of user event_type
+    changes, then reconstruct the state as of a historical sequence value
+    — which must equal latest-per-key over the raw events up to that
+    point (the oracle computes it that way, independently of the version
+    table). Proves interval chaining end-to-end: any gap or overlap in
+    __START_AT/__END_AT would surface as a missing or duplicated user."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    cutoff = (
+        ev.filter(F.col("event_id") <= 5000).agg(F.max("ts").alias("c")).collect()[0]["c"]
+    )
+    hist = scd2_from_history(ev, ["user_id"], "ts", tiebreakers=["event_id"])
+    return snapshot_as_of(hist, cutoff).select("user_id", "event_type")

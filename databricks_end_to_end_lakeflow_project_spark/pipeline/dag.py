@@ -55,6 +55,13 @@ class _View:
 
 
 @dataclass
+class _AppendFlow:
+    target: str
+    source: str
+    sequence_by: str
+
+
+@dataclass
 class _CdcFlow:
     target: str
     source: str
@@ -75,6 +82,7 @@ class Pipeline:
         self._views: dict[str, _View] = {}
         self._tables: dict[str, ManagedParquetTable] = {}
         self._flows: list[_CdcFlow] = []
+        self._append_flows: list[_AppendFlow] = []
         self._cache: dict[str, DataFrame] = {}
         self._resolving: list[str] = []
         self.metrics: dict[str, ExpectationResult] = {}
@@ -193,6 +201,49 @@ class Pipeline:
                      list(except_column_list), apply_as_deletes, apply_as_truncates)
         )
 
+    def create_append_flow(
+        self,
+        *,
+        target: str,
+        source: str,
+        sequence_by: str,
+    ) -> None:
+        """Register an append flow (DLT ``@dlt.append_flow``): several
+        sources multiplex into ONE streaming table, each appending only
+        rows it has not delivered yet. Incrementality is tracked with a
+        per-flow high-watermark on ``sequence_by`` persisted next to the
+        tables, so flows survive process restarts — the batch analogue
+        of the streaming checkpoint append_flow relies on. Requires a
+        monotonically growing sequence per source (event-time or ingest
+        id), the same contract as the streaming original."""
+        if target not in self._tables:
+            raise KeyError(f"unknown streaming table {target!r}; declare it first")
+        self._append_flows.append(_AppendFlow(target, source, sequence_by))
+
+    def _watermark_path(self, flow: _AppendFlow) -> str:
+        d = os.path.join(self.storage_root, "__watermarks")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{flow.target}__{flow.source}.json")
+
+    def _run_append_flows(self) -> None:
+        import json
+
+        for flow in self._append_flows:
+            src = self.read(flow.source)
+            path = self._watermark_path(flow)
+            wm = None
+            if os.path.exists(path):
+                with open(path) as fh:
+                    wm = json.load(fh)["watermark"]
+            if wm is not None:
+                src = src.filter(F.col(flow.sequence_by) > F.lit(wm))
+            new_max = src.agg(F.max(flow.sequence_by).alias("m")).collect()[0]["m"]
+            if new_max is None:
+                continue  # nothing new from this source
+            self._tables[flow.target].append(src)
+            with open(path, "w") as fh:
+                json.dump({"watermark": new_max}, fh)
+
     # -- resolution ---------------------------------------------------------
 
     def read(self, name: str) -> DataFrame:
@@ -268,6 +319,7 @@ class Pipeline:
                     delete_col=flow.apply_as_deletes,
                     truncate_col=flow.apply_as_truncates,
                 )
+        self._run_append_flows()
         for name in self._mviews:
             self._tables[name].overwrite(self.read(name))
         for name in materialize:

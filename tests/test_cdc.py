@@ -419,3 +419,19 @@ def test_publish_atomically_all_or_nothing_on_prepare_failure(spark, tmp_path):
     publish_atomically([(t1, ok), (t2, ok)])
     assert [r["x"] for r in t1.read().collect()] == [10]
     assert [r["x"] for r in t2.read().collect()] == [10]
+
+
+def test_snapshot_as_of_boundaries(spark):
+    """AS-OF semantics at interval edges: v == __START_AT selects the new
+    version; v == __END_AT selects the successor, never both."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        scd2_from_history,
+        snapshot_as_of,
+    )
+
+    hist = scd2_from_history(_scd2_df(spark, _scd2_rows()), ["k"], "seq")
+    for v, want in [(1, "x"), (3, "x"), (4, "y"), (5, "y"), (6, "x"), (99, "x")]:
+        got = {r["attr"] for r in
+               snapshot_as_of(hist, v).filter(F.col("k") == "A").collect()}
+        assert got == {want}, (v, got)
+    assert snapshot_as_of(hist, 0).filter(F.col("k") == "A").count() == 0

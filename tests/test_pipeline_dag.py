@@ -295,3 +295,55 @@ def test_lineage_edges_cover_views_and_flows(spark, tmp_path):
     p.run(materialize=["report"])
     assert {("raw", "staged"), ("staged", "silver"), ("silver", "report")} \
         <= p.lineage()
+
+
+def test_append_flows_multiplex_without_duplicates(spark, tmp_path):
+    """DLT append_flow parity: two sources append into one target; a
+    second run with partially-new data delivers only rows past each
+    flow's persisted watermark (no duplicates, nothing lost)."""
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.dag import Pipeline
+
+    a_rows = [(1, "a"), (2, "a")]
+    b_rows = [(10, "b")]
+    p = Pipeline(spark, str(tmp_path / "af"))
+
+    @p.view(name="src_a")
+    def src_a(pl):
+        return spark.createDataFrame(a_rows, "seq int, origin string")
+
+    @p.view(name="src_b")
+    def src_b(pl):
+        return spark.createDataFrame(b_rows, "seq int, origin string")
+
+    p.create_streaming_table("multiplexed")
+    p.create_append_flow(target="multiplexed", source="src_a", sequence_by="seq")
+    p.create_append_flow(target="multiplexed", source="src_b", sequence_by="seq")
+
+    p.run()
+    got = sorted((r["seq"], r["origin"])
+                 for r in p.table("multiplexed").read().collect())
+    assert got == [(1, "a"), (2, "a"), (10, "b")]
+
+    a_rows.append((3, "a"))          # new row for flow a
+    b_rows[:] = b_rows               # flow b unchanged
+    p.run()
+    got = sorted((r["seq"], r["origin"])
+                 for r in p.table("multiplexed").read().collect())
+    assert got == [(1, "a"), (2, "a"), (3, "a"), (10, "b")]
+
+    # watermarks survive a fresh Pipeline over the same storage root
+    p2 = Pipeline(spark, str(tmp_path / "af"))
+
+    @p2.view(name="src_a")
+    def src_a2(pl):
+        return spark.createDataFrame(a_rows, "seq int, origin string")
+
+    @p2.view(name="src_b")
+    def src_b2(pl):
+        return spark.createDataFrame(b_rows, "seq int, origin string")
+
+    p2.create_streaming_table("multiplexed")
+    p2.create_append_flow(target="multiplexed", source="src_a", sequence_by="seq")
+    p2.create_append_flow(target="multiplexed", source="src_b", sequence_by="seq")
+    p2.run()
+    assert p2.table("multiplexed").read().count() == 4  # nothing re-delivered
