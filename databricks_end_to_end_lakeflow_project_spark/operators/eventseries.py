@@ -217,3 +217,53 @@ def events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late_share"
         ),
     )
+
+
+@query(
+    "events_rate_anomaly",
+    """
+    WITH w AS (
+      SELECT event_id, event_type, value, epoch_us(ts) AS us,
+             AVG(value) OVER tw AS mu,
+             STDDEV_SAMP(value) OVER tw AS sd
+      FROM events
+      WINDOW tw AS (
+        PARTITION BY event_type ORDER BY epoch_us(ts)
+        RANGE BETWEEN 21600000000 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT event_id, event_type, value,
+           ROUND((value - mu) / sd, 4) AS zscore
+    FROM w
+    WHERE sd IS NOT NULL AND sd > 0 AND ABS((value - mu) / sd) > 3
+    """,
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: per event type, each event's
+    value is z-scored against the mean/std of the PRECEDING 6 hours
+    (exclusive of the current instant — no self-leakage); |z| > 3 flags
+    the anomaly. The streaming-monitor shape run as a batch audit.
+
+    Exactness note: the frame runs over epoch MICROseconds on both
+    engines (Spark rangeBetween needs a numeric order key; seconds
+    would bucket sub-second neighbors differently than the oracle's
+    native-interval frame). One shuffle on event_type; the range frame
+    is a single pass over each sorted partition.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy(us.alias("us"))
+        .rangeBetween(-21600000000, -1)
+    )
+    w = ev.select(
+        "event_id", "event_type", "value",
+        F.avg("value").over(tw).alias("mu"),
+        F.stddev_samp("value").over(tw).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        w.filter(F.col("sd").isNotNull() & (F.col("sd") > 0) & (F.abs(z) > 3))
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("zscore"))
+    )

@@ -163,3 +163,45 @@ def test_late_arrivals_matches_watermark_drop_semantics(spark):
     got = {r["event_type"]: [r["n_events"], r["n_late"]]
            for r in events_late_arrivals(spark, sf).collect()}
     assert got == expect
+
+
+def test_rate_anomaly_no_self_leakage(spark):
+    """The trailing frame excludes the current row: an event equal to its
+    window mean (z=0) never flags, and every flagged |z| really exceeds 3
+    when recomputed by hand over the preceding-6h set."""
+    import datetime as dt
+    import statistics
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        events_rate_anomaly,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = read_table(spark, sf, "events").select(
+        "event_id", "event_type", "ts", "value"
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    flagged = {r["event_id"]: r["zscore"]
+               for r in events_rate_anomaly(spark, sf).collect()}
+    checked = 0
+    for et, evs in by_type.items():
+        evs.sort(key=lambda r: r["ts"])
+        for i, r in enumerate(evs):
+            lo = r["ts"] - dt.timedelta(hours=6)
+            prev = [e["value"] for e in evs
+                    if lo <= e["ts"] < r["ts"]]
+            if len(prev) >= 2:
+                mu = statistics.fmean(prev)
+                sd = statistics.stdev(prev)
+                if sd > 0:
+                    z = (r["value"] - mu) / sd
+                    assert (abs(z) > 3) == (r["event_id"] in flagged), r
+                    if r["event_id"] in flagged:
+                        assert abs(flagged[r["event_id"]] - round(z, 4)) <= 1e-3
+                        checked += 1
+    assert checked == len(flagged) and checked > 0
