@@ -209,3 +209,62 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     through Arrow is verified byte-exact."""
     media = documents_as_media(read_table(spark, sf_dir, "documents"))
     return extract_image_features(media)
+
+
+def audio_frame_energy(media: DataFrame, frame_bytes: int = 100) -> DataFrame:
+    """Audio-modality plumbing: treat each payload as a PCM byte stream,
+    window it into fixed frames, and emit per-frame RMS energy — the
+    precursor to voice-activity detection / silence trimming. Real codecs
+    are stubbed per the environment contract (see `decode_image_meta`);
+    the byte→sample interpretation (unsigned byte value) is deterministic
+    so the whole path is oracle-checkable. Framing + energy run inside
+    one mapInPandas pass (numpy per Arrow batch), no shuffle."""
+    import math
+
+    import pandas as pd
+
+    def _energy(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_samples": [], "rms": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for idx in range(0, (len(buf) + frame_bytes - 1) // frame_bytes):
+                    frame = buf[idx * frame_bytes:(idx + 1) * frame_bytes]
+                    acc = sum(b * b for b in frame)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_samples"].append(len(frame))
+                    out["rms"].append(round(math.sqrt(acc / len(frame)), 4))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _energy, schema="doc_id long, frame_idx int, n_samples int, rms double"
+    )
+
+
+@query(
+    "multimodal_audio_energy",
+    """
+    WITH f AS (
+      SELECT doc_id, n AS frame_idx,
+             substring(text, 100*n + 1, 100) AS frame
+      FROM documents
+      JOIN (SELECT unnest(range(0, 64)) AS n) t ON 100*n < length(text)
+    )
+    SELECT doc_id, frame_idx::INT AS frame_idx,
+           length(frame)::INT AS n_samples,
+           ROUND(sqrt(list_reduce(
+             list_transform(range(1, length(frame) + 1),
+                            i -> (ascii(substring(frame, i, 1))
+                                  * ascii(substring(frame, i, 1)))::DOUBLE),
+             (a, b) -> a + b) / length(frame)), 4) AS rms
+    FROM f
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame RMS energy over the binary payload (audio-modality
+    plumbing, end to end). The oracle recomputes energies from VARCHAR
+    char codes — equivalent because the corpus is pure ASCII (byte ==
+    char; asserted in tests)."""
+    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    return audio_frame_energy(media, frame_bytes=100)

@@ -384,3 +384,27 @@ def test_unigram_nll_bounds_and_monotonicity(spark):
     for r in rows:
         assert r["nll"] > 0
         assert abs(r["ppl"] - math.exp(r["nll"])) <= 0.01 * max(1.0, r["ppl"])
+
+
+def test_audio_energy_frames_tile_payload(spark):
+    """Frames tile each payload exactly: count == ceil(len/100), all full
+    frames have 100 samples, rms in [0, 255]."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.multimodal import (
+        audio_frame_energy,
+        documents_as_media,
+    )
+
+    media = documents_as_media(read_table(spark, SF, "documents").limit(30))
+    lens = {r["doc_id"]: r["byte_len"]
+            for r in media.select("doc_id", "byte_len").collect()}
+    frames = audio_frame_energy(media, frame_bytes=100).collect()
+    per_doc: dict[int, list] = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(lens)
+    for doc_id, rows in per_doc.items():
+        assert len(rows) == (lens[doc_id] + 99) // 100
+        for r in rows:
+            full = r["frame_idx"] < len(rows) - 1
+            assert r["n_samples"] == (100 if full else lens[doc_id] - 100 * r["frame_idx"])
+            assert 0 <= r["rms"] <= 255
