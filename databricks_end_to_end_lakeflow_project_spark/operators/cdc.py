@@ -250,12 +250,21 @@ class ManagedParquetTable:
 
     def upsert(self, updates: DataFrame, keys: Sequence[str] | None = None,
                sequence_by: str | None = None, delete_col: str | None = None,
-               truncate_col: str | None = None) -> None:
+               truncate_col: str | None = None,
+               merge_schema: bool = False) -> None:
         """Latest-wins keyed upsert (reference S8). First write degrades to
         a plain create (deduped to one row per key; flagged deletes, if
         ``delete_col`` is given, simply never materialize; truncate
         markers, if ``truncate_col`` is given, discard same-batch changes
-        older than the truncate's sequence)."""
+        older than the truncate's sequence).
+
+        ``merge_schema=True`` is Delta's ``mergeSchema`` analogue (the
+        schema-drift companion to the bronze layer's ``_rescued_data``,
+        reference T4): update columns the target lacks are ADDED to the
+        table, null-filled for untouched rows. Without it, unknown
+        update columns are dropped (Delta's default strictness). Column
+        removals never propagate — existing columns are null-filled on
+        the update side either way."""
         keys = list(keys or self.keys)
         sequence_by = sequence_by or self.sequence_by
         if not keys:
@@ -284,8 +293,16 @@ class ManagedParquetTable:
                 ).drop(delete_col)
             self.overwrite(first)
             return
+        target = self.read()
+        if merge_schema:
+            extra = [c for c in (delete_col, truncate_col) if c]
+            utypes = dict(updates.dtypes)
+            for c in updates.columns:
+                if c not in target.columns and c not in extra:
+                    # widen lazily; the single merge overwrite persists it
+                    target = target.withColumn(c, F.lit(None).cast(utypes[c]))
         merged = merge_upsert_plan(
-            self.read(), updates, keys, sequence_by, delete_col=delete_col,
+            target, updates, keys, sequence_by, delete_col=delete_col,
             truncate_col=truncate_col,
         )
         self.overwrite(merged)

@@ -435,3 +435,30 @@ def test_snapshot_as_of_boundaries(spark):
                snapshot_as_of(hist, v).filter(F.col("k") == "A").collect()}
         assert got == {want}, (v, got)
     assert snapshot_as_of(hist, 0).filter(F.col("k") == "A").count() == 0
+
+
+def test_upsert_merge_schema_evolution(spark, tmp_path):
+    """merge_schema=True adds new update columns to the table (null for
+    untouched rows); without it, unknown columns are dropped."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+    )
+
+    t = ManagedParquetTable(spark, str(tmp_path / "ev"), keys=["k"], sequence_by="seq")
+    t.upsert(spark.createDataFrame([("a", 1, "v1"), ("b", 1, "v1")],
+                                   "k string, seq int, v string"))
+    evolved = spark.createDataFrame(
+        [("a", 2, "v2", 9.5), ("c", 2, "v1", 7.0)],
+        "k string, seq int, v string, score double",
+    )
+    t.upsert(evolved, merge_schema=True)
+    rows = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert rows == {"a": ("v2", 9.5), "b": ("v1", None), "c": ("v1", 7.0)}
+
+    # default strictness: a further unknown column is silently dropped
+    t.upsert(spark.createDataFrame(
+        [("b", 3, "v3", 1.0, "x")],
+        "k string, seq int, v string, score double, junk string",
+    ))
+    assert "junk" not in t.read().columns
+    assert {r["k"]: r["v"] for r in t.read().collect()}["b"] == "v3"
