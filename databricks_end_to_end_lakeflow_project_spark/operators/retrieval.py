@@ -1,0 +1,292 @@
+"""Composite retrieval operators: hybrid lexical+vector fusion and
+diversity re-ranking.
+
+These are the stages a RAG / training-data-curation pipeline runs AFTER
+the primitive retrieval legs that already exist in this engine
+(``text_bm25_topk`` for lexical, ``sim_cosine_topk`` for dense): fuse
+the two candidate lists (reciprocal rank fusion, the standard
+score-free combiner) and re-rank for diversity (maximal marginal
+relevance). The reference repo has no retrieval surface at all — these
+extend SURVEY.md §2.9's north-star LLM-data ops.
+
+Scale design notes are on each operator; the common theme is that every
+corpus-sized stage is a JVM expression scan ending in a
+TakeOrderedAndProject, and only O(k)-sized candidate sets ever cross
+into Python.
+
+The sf documents/embeddings tables are id-aligned (doc_id == vec_id),
+which is what makes hybrid fusion joinable here, exactly as a real
+corpus with one embedding row per document would be.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+from databricks_end_to_end_lakeflow_project_spark.operators.similarity import cosine
+from databricks_end_to_end_lakeflow_project_spark.operators.textops import tokens
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_LEG_DEPTH = 20  # candidates taken from each leg before fusion
+_FUSED_TOPK = 10
+_LEX_TERMS = ["spark", "join", "window"]  # same fixed query as text_bm25_topk
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, score) Okapi BM25 for the fixed query terms — same
+    shuffle-free known-query plan as ``text_bm25_topk`` (per-term tf via
+    size(filter(tokens)), corpus constants via one scalar agg)."""
+    w = tokens(F.col("text"))
+
+    def _eq(term: str):
+        return lambda x: x == term
+
+    d = docs.select(
+        "doc_id",
+        F.size(w).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(w, _eq(t))).cast("double").alias(f"tf{i}")
+            for i, t in enumerate(_LEX_TERMS, 1)
+        ],
+    )
+    g = d.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double").alias(f"df{i}")
+            for i in range(1, len(_LEX_TERMS) + 1)
+        ],
+    ).collect()[0]
+    n, avgdl = g["n"], g["avgdl"]
+    norm = F.lit(_BM25_K1) * (
+        F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl)
+    )
+    score = None
+    for i in range(1, len(_LEX_TERMS) + 1):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n) - F.lit(g[f"df{i}"]) + F.lit(0.5))
+            / (F.lit(g[f"df{i}"]) + F.lit(0.5))
+        )
+        part = idf * F.col(f"tf{i}") * F.lit(_BM25_K1 + 1) / (F.col(f"tf{i}") + norm)
+        score = part if score is None else score + part
+    return d.select("doc_id", F.round(score, 6).alias("score"))
+
+
+def _query_vector(em: DataFrame) -> F.Column:
+    return F.array(
+        *[
+            F.lit(float(x))
+            for x in em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        ]
+    )
+
+
+# DuckDB oracle: both legs recomputed in SQL, ranked on the same rounded
+# scores with the same doc_id tiebreaks, fused with 1/(60+rank).
+_RRF_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w,
+         LENGTH(string_split(trim(text), ' '))::DOUBLE AS dl
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl,
+         LENGTH(list_filter(w, x -> x = 'spark'))::DOUBLE AS tf1,
+         LENGTH(list_filter(w, x -> x = 'join'))::DOUBLE AS tf2,
+         LENGTH(list_filter(w, x -> x = 'window'))::DOUBLE AS tf3
+  FROM d
+), g AS (
+  SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl,
+         SUM((tf1 > 0)::INT)::DOUBLE AS df1,
+         SUM((tf2 > 0)::INT)::DOUBLE AS df2,
+         SUM((tf3 > 0)::INT)::DOUBLE AS df3
+  FROM tf
+), lex_scored AS (
+  SELECT doc_id, ROUND(
+         ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+           * tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+           * tf2 * 2.2 / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df3 + 0.5) / (df3 + 0.5))
+           * tf3 * 2.2 / (tf3 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+         AS score
+  FROM tf, g
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM lex_scored ORDER BY score DESC, doc_id LIMIT {_LEG_DEPTH}
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(
+           list_reduce(list_transform(list_zip(e.embedding, q.qv),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+           / (SQRT(list_reduce(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+            * SQRT(list_reduce(list_transform(q.qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))),
+         6) AS cos_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+), vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank
+  FROM vec_scored ORDER BY cos_sim DESC, doc_id LIMIT {_LEG_DEPTH}
+), fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         lex.lex_rank AS lex_rank, vec.vec_rank AS vec_rank,
+         ROUND(COALESCE(1.0::DOUBLE / ({_RRF_K} + lex.lex_rank), 0)
+             + COALESCE(1.0::DOUBLE / ({_RRF_K} + vec.vec_rank), 0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {_FUSED_TOPK}
+"""
+
+
+@query("retrieval_hybrid_rrf", _RRF_ORACLE)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (fixed query {spark, join, window})
+    and dense cosine top-20 (query = vec_id 0) fused by reciprocal rank
+    fusion — ``rrf = Σ_leg 1/(60 + rank_leg)`` — then fused top-10.
+
+    Scale design: each leg is one full-corpus scan ending in
+    TakeOrderedAndProject (never a global sort), so the fusion join sees
+    two 20-row frames — driver-free, broadcast by construction. At
+    100 TB the legs stay embarrassingly parallel; fusion cost is O(k).
+    Ranks are computed on scores rounded to 6 places with doc_id
+    tiebreaks so the ordering is reproducible across engines.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    em = read_table(spark, sf_dir, "embeddings")
+
+    lex = (
+        _bm25_scores(docs)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_LEG_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .alias("lex_rank"),
+        )
+    )
+    qv = _query_vector(em)
+    vec_scored = em.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("embedding"), qv), 6).alias("cos_sim"),
+    )
+    vec = (
+        vec_scored.orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(_LEG_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), "doc_id"))
+            .alias("vec_rank"),
+        )
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round(
+                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(_FUSED_TOPK)
+    )
+    return fused
+
+
+_MMR_LAMBDA = 0.7
+_MMR_CANDIDATES = 25
+_MMR_K = 10
+
+
+def mmr_select(
+    cand: pd.DataFrame, k: int = _MMR_K, lam: float = _MMR_LAMBDA
+) -> pd.DataFrame:
+    """Greedy maximal-marginal-relevance selection over a candidate
+    pandas frame with columns (doc_id, rel, embedding). Pure function so
+    the pytest can check it against an independent numpy model."""
+    import numpy as np
+
+    ids = cand["doc_id"].to_numpy()
+    rel = cand["rel"].to_numpy(dtype=float)
+    vecs = np.array([np.asarray(v, dtype=float) for v in cand["embedding"]])
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vecs @ vecs.T  # candidate-candidate cosine, O(k^2) only
+    chosen: list[int] = []
+    rest = list(range(len(ids)))
+    while rest and len(chosen) < k:
+        if not chosen:
+            # seed with the most relevant candidate (ids ascending tiebreak)
+            best = max(rest, key=lambda i: (rel[i], -ids[i]))
+        else:
+            best = max(
+                rest,
+                key=lambda i: (
+                    lam * rel[i] - (1 - lam) * max(sims[i][j] for j in chosen),
+                    -ids[i],
+                ),
+            )
+        chosen.append(best)
+        rest.remove(best)
+    return pd.DataFrame(
+        {
+            "doc_id": [int(ids[i]) for i in chosen],
+            "mmr_rank": list(range(1, len(chosen) + 1)),
+            "rel": [round(float(rel[i]), 6) for i in chosen],
+        }
+    )
+
+
+@query("retrieval_mmr_rerank")
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank: take the top-25 cosine
+    candidates for query vec_id=0, then greedily pick 10 balancing
+    relevance against similarity-to-already-picked (λ=0.7) — the
+    standard diversity pass between retrieval and a context window.
+
+    Scale design: candidate generation is the distributed part (corpus
+    scan → TakeOrderedAndProject top-25); the greedy O(k²) rerank runs
+    in ONE `applyInPandas` group on an executor, so no corpus data and
+    no vectors ever reach the driver. MMR's sequential greedy loop is
+    inherently order-dependent — not SQL-expressible — so this entry is
+    rows-only for the driver; `tests/test_retrieval.py` pins the exact
+    selection against an independent numpy implementation.
+    """
+    em = read_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(em)
+    cand = (
+        em.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), qv), 6).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.col("rel").desc(), "doc_id")
+        .limit(_MMR_CANDIDATES)
+        .withColumn("g", F.lit(1))
+    )
+    out_schema = StructType.fromDDL("doc_id long, mmr_rank int, rel double")
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        return mmr_select(pdf.drop(columns=["g"]))
+
+    return (
+        cand.groupBy("g")
+        .applyInPandas(_apply, schema=out_schema)
+        .orderBy("mmr_rank")
+    )

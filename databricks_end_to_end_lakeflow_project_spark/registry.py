@@ -46,6 +46,7 @@ _QUERY_MODULES = [
     "databricks_end_to_end_lakeflow_project_spark.operators.curation",
     "databricks_end_to_end_lakeflow_project_spark.operators.graph",
     "databricks_end_to_end_lakeflow_project_spark.operators.eventseries",
+    "databricks_end_to_end_lakeflow_project_spark.operators.retrieval",
     "databricks_end_to_end_lakeflow_project_spark.sources.readers",
     "databricks_end_to_end_lakeflow_project_spark.sources.pydatasource",
 ]
