@@ -50,6 +50,7 @@ HEADLINE = [
     "text_heavy_hitters_topk",
     "sim_jl_projection",
     "cdc_scd2_history",
+    "retrieval_hybrid_rrf",
 ]
 
 

@@ -395,3 +395,46 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("sum_k"),
         F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).alias("n_high"),
     )
+
+
+@query(
+    "fn_url_suite",
+    """
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '://([^/]+)/', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           replace('a b c', ' ', '+') AS q_encoded
+    FROM (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&q=ref' AS url
+      FROM documents
+    )
+    """,
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function pack: build a canonical URL per document, then take
+    it apart with `parse_url` (PROTOCOL/HOST/PATH/QUERY + keyed query
+    parameter) and form-encode a query string with `url_encode` — the
+    log-hygiene ops a web-crawl curation pipeline runs first. All
+    JVM-side expressions in one codegen stage over the scan; the DuckDB
+    oracle decomposes the same URLs with equivalent regexps (DuckDB has
+    no parse_url)."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"), F.lit("&q=ref"),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    return d.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.url_encode(F.lit("a b c")).alias("q_encoded"),
+    )

@@ -356,3 +356,94 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["click_value"],
         tolerance_us=_NEAREST_TOL_US,
     )
+
+
+@query(
+    "join_temporal_scd2",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 5 THEN 'low'
+                  WHEN value < 15 THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM events WHERE event_type = 'click'
+    ), dedup AS (
+      SELECT user_id, ts, tier FROM (
+        SELECT user_id, ts, tier,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM clicks
+      ) t WHERE rn = 1
+    ), flagged AS (
+      SELECT user_id, ts, tier,
+             LAG(tier) OVER w IS DISTINCT FROM tier AS chg
+      FROM dedup
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), dim AS (
+      SELECT user_id, tier,
+             ts AS start_at,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS end_at
+      FROM flagged WHERE chg
+    )
+    SELECT d.tier, COUNT(*) AS n_purchases,
+           ROUND(SUM(CAST(p.value AS DECIMAL(18,2))), 2)::DOUBLE AS revenue
+    FROM events p
+    JOIN dim d ON p.user_id = d.user_id
+              AND p.ts >= d.start_at
+              AND (d.end_at IS NULL OR p.ts < d.end_at)
+    WHERE p.event_type = 'purchase'
+    GROUP BY d.tier
+    ORDER BY d.tier
+    """,
+)
+def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join — the canonical lakehouse pattern the
+    SCD2 machinery exists FOR: attribute each fact row (purchases) with
+    the dimension version valid AT ITS EVENT TIME, by joining into the
+    ``[__START_AT, __END_AT)`` validity intervals of an SCD2 history
+    (here: a per-user engagement tier derived from click values,
+    versioned with :func:`cdc.scd2_from_history`).
+
+    Scale design: the join carries an EQUI key (user_id) plus the
+    interval predicate, so Catalyst plans a hash/sort-merge join on
+    user_id with the range condition as a post-join filter — the
+    explosion is bounded by versions-per-user, never cross-user. The
+    revenue measure uses exact decimal so the result is
+    reduction-order-independent (cluster-deterministic). A dimension
+    keyed without an equi component would instead use the union+window
+    as-of plan (`asof_join`) on __START_AT with an __END_AT guard.
+    """
+    from databricks_end_to_end_lakeflow_project_spark.functions.compat import dsum, money
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        scd2_from_history,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") < 5, "low")
+        .when(F.col("value") < 15, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    dim = scd2_from_history(clicks, ["user_id"], "ts", tiebreakers=["event_id"])
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = purchases.join(
+        dim,
+        (purchases["user_id"] == dim["user_id"])
+        & (purchases["ts"] >= dim["__START_AT"])
+        & (dim["__END_AT"].isNull() | (purchases["ts"] < dim["__END_AT"])),
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(money(purchases["value"])).alias("revenue"),
+        )
+        .orderBy("tier")
+    )

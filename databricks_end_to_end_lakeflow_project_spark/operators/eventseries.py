@@ -267,3 +267,55 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.filter(F.col("sd").isNotNull() & (F.col("sd") > 0) & (F.abs(z) > 3))
         .select("event_id", "event_type", "value", F.round(z, 4).alias("zscore"))
     )
+
+
+@query(
+    "ts_ewma_final",
+    """
+    WITH s AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           LENGTH(vals) AS n_events,
+           ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+    FROM s
+    """,
+)
+def ts_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.3) of each user's
+    event values, reported as the final smoothed level — the classic
+    recursive time-series smoother that plain SQL windows cannot express
+    (each output depends on the previous OUTPUT, not previous inputs).
+
+    Implemented as an order-pinned fold: collect each user's series as
+    `sort_array(collect_list(struct(ts, event_id, value)))`, then
+    `F.aggregate` left-folds `y ← 0.3·x + 0.7·y` seeded with the first
+    element. DuckDB's `list_reduce` performs the IDENTICAL operation
+    sequence in IEEE doubles, so results hash-match exactly.
+
+    Scale: one shuffle on user_id (the event log's natural key); the
+    per-user array is bounded by per-entity activity, not corpus size.
+    For unbounded per-key series the streaming engine's
+    `applyInPandasWithState` totals (stream_stateful_totals) are the
+    incremental path — same recurrence, carried as state instead of an
+    array.
+    """
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda e: e["value"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return series.select(
+        "user_id",
+        F.size(F.col("s")).alias("n_events"),
+        F.round(folded, 6).alias("ewma"),
+    )

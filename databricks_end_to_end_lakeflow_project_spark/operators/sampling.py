@@ -28,7 +28,7 @@ map-side; no joins, no windows, no extra shuffle beyond the final
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
@@ -134,4 +134,59 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
+    )
+
+
+@query(
+    "sample_weighted_reservoir",
+    """
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             ln((('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                 + 1)::DOUBLE / (268435457)::DOUBLE)
+               / n_chars::DOUBLE AS es_key
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars, ROUND(es_key, 10) AS es_key
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY es_key DESC, doc_id
+             ) AS rn
+      FROM keyed
+    ) t WHERE rn <= 5
+    ORDER BY lang, es_key DESC, doc_id
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis style:
+    per language, keep the top-5 documents by the exponential-race key
+    ``ln(u)/w`` (equivalently ``u^(1/w)``), weight = document length —
+    the size-biased pick an LLM token-budget mixture uses.
+
+    The uniform draw ``u`` is NOT a random number: it is derived from a
+    content hash (7 hex chars of md5(doc_id) → (h+1)/(16^7+1)), so the
+    sample is a pure function of the data — identical on any cluster
+    size, rerun, or engine (the oracle reproduces the identical
+    arithmetic). Distributed shape: the key is a row-local expression;
+    per-stratum top-k is one window on the lang-hashed layout — at
+    100 TB this is a single shuffle carrying only the strata, and it IS
+    the distributed reservoir: no sequential state, unlike the classic
+    single-pass algorithm.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = hash_hex(F.col("doc_id"), 7)
+    u = (F.conv(h, 16, 10).cast("double") + 1) / F.lit(float(16**7) + 1)
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars").cast("double")).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .select("lang", "doc_id", "n_chars", F.round("es_key", 10).alias("es_key"))
+        .orderBy("lang", F.col("es_key").desc(), "doc_id")
     )

@@ -94,3 +94,57 @@ def test_asof_nearest_single_window_exchange(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_temporal_scd2_join_matches_hand_replay(spark):
+    """Every purchase must be attributed to the click-tier version whose
+    validity interval contains its timestamp."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.asof import (
+        join_temporal_scd2,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).collect()
+
+    def tier(v):
+        return "low" if v < 5 else ("mid" if v < 15 else "high")
+
+    # hand-build per-user tier intervals from click events (latest event_id
+    # wins ties on ts; consecutive same-tier runs collapse)
+    by_user = {}
+    for r in sorted(
+        (r for r in ev if r["event_type"] == "click"),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    ):
+        by_user.setdefault(r["user_id"], []).append(r)
+    versions = {}
+    for uid, rows in by_user.items():
+        dedup = {}
+        for r in rows:
+            dedup[r["ts"]] = tier(r["value"])  # later event_id overwrites
+        vs = []
+        for ts, t in sorted(dedup.items()):
+            if not vs or vs[-1][1] != t:
+                vs.append([ts, t])
+        versions[uid] = vs
+    expected = {}
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        vs = versions.get(r["user_id"], [])
+        cur = None
+        for ts, t in vs:
+            if r["ts"] >= ts:
+                cur = t
+        if cur is not None:
+            expected.setdefault(cur, [0, 0.0])
+            expected[cur][0] += 1
+            expected[cur][1] += r["value"]
+    got = {r["tier"]: r for r in join_temporal_scd2(spark, sf).collect()}
+    assert set(got) == set(expected)
+    for t, (n, rev) in expected.items():
+        assert got[t]["n_purchases"] == n
+        assert abs(got[t]["revenue"] - round(rev, 2)) < 0.05

@@ -205,3 +205,30 @@ def test_rate_anomaly_no_self_leakage(spark):
                         assert abs(flagged[r["event_id"]] - round(z, 4)) <= 1e-3
                         checked += 1
     assert checked == len(flagged) and checked > 0
+
+
+def test_ts_ewma_matches_pandas_recursive(spark):
+    """EWMA fold must equal pandas' ewm(alpha=0.3, adjust=False) —
+    the same y←αx+(1−α)y recurrence seeded with the first value."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        ts_ewma_final,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: r for r in ts_ewma_final(spark, sf).collect()}
+    pdf = (
+        read_table(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    checked = 0
+    for uid, grp in pdf.groupby("user_id"):
+        want = grp["value"].ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+        assert got[uid]["n_events"] == len(grp)
+        assert abs(got[uid]["ewma"] - round(want, 6)) <= 1e-6, uid
+        checked += 1
+    assert checked == len(got) > 0

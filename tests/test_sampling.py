@@ -75,3 +75,30 @@ def test_stratified_sample_is_subset_and_rerun_stable(spark):
     )
     assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
     assert s1.join(docs, "doc_id", "left_anti").count() == 0
+
+
+def test_weighted_reservoir_size_bias_and_partition_invariance(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        sample_weighted_reservoir,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.01"
+    out = sample_weighted_reservoir(spark, sf)
+    rows = out.collect()
+    # 5 per language, unique docs
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert all(len(v) == 5 == len(set(v)) for v in per_lang.values())
+    # size-biased: sampled docs should be longer than the corpus average
+    corpus_mean = (
+        read_table(spark, sf, "documents").agg({"n_chars": "avg"}).collect()[0][0]
+    )
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    # deterministic under arbitrary repartitioning: same pick set
+    docs = read_table(spark, sf, "documents").repartition(13, "source")
+    docs.createOrReplaceTempView("___wr_docs")
+    again = {(r["lang"], r["doc_id"]) for r in sample_weighted_reservoir(spark, sf).collect()}
+    assert again == {(r["lang"], r["doc_id"]) for r in rows}

@@ -128,3 +128,19 @@ def test_table_fingerprint_detects_single_row_change(spark):
              for r in integrity_table_fingerprint(spark, sf).collect()}
     assert base == again
     assert set(base) <= set(range(16)) and len(base) >= 8
+
+
+def test_fn_url_suite_roundtrip(spark):
+    from databricks_end_to_end_lakeflow_project_spark.functions.scalar import (
+        fn_url_suite,
+    )
+
+    out = fn_url_suite(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["proto"] == "https"
+        assert r["host"].endswith(".example.com")
+        assert r["path"] == f"/docs/{r['doc_id']}"
+        assert r["query"].startswith("lang=") and "&q=ref" in r["query"]
+        assert r["lang_param"] in {"en", "de", "es", "fr", "zh"}
+        assert r["q_encoded"] == "a+b+c"
