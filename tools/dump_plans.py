@@ -106,6 +106,22 @@ SHOWCASE = [
         "single shuffle.",
     ),
     (
+        "join_temporal_scd2",
+        "Temporal SCD2 join: the join carries the EQUI key user_id (a "
+        "BroadcastHashJoin at test SF; hash-partitioned sort-merge at "
+        "cluster scale); the validity-interval predicate "
+        "rides along as the join's range condition — never a "
+        "BroadcastNestedLoopJoin, so the blowup is bounded by "
+        "versions-per-key. The SCD2 build itself is one window exchange.",
+    ),
+    (
+        "retrieval_hybrid_rrf",
+        "Hybrid RRF: each retrieval leg ends in TakeOrderedAndProject "
+        "over a full scan (corpus never globally sorted, never shuffled "
+        "by score); the fusion join runs over two 20-row frames — its "
+        "exchanges move k rows, not data.",
+    ),
+    (
         "join_asof_nearest",
         "Nearest as-of: the union of both sides is partitioned ONCE on "
         "user_id; two Sorts (right-first and left-first tie order) feed "
