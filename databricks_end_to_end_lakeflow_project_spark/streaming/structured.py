@@ -483,3 +483,97 @@ def stream_tws_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("n_types").alias("n_types")
     )
+
+
+@query(
+    "stream_stream_left_outer_join",
+    """
+    WITH maxts AS (
+      -- the global watermark is the MIN across both watermarked streams
+      -- (clicks and purchases each track their own max event time), and
+      -- Spark carries it in MILLISECONDS: floor before subtracting
+      SELECT make_timestamp(LEAST(
+               epoch_us(MAX(ts) FILTER (event_type = 'click')),
+               epoch_us(MAX(ts) FILTER (event_type = 'purchase'))
+             ) // 1000 * 1000) AS mt
+      FROM events
+    ),
+    c AS (
+      SELECT user_id AS c_user, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id AS p_user, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT c.c_user, c.c_ts, p.p_user
+      FROM c LEFT JOIN p ON c.c_user = p.p_user
+                        AND p.p_ts >= c.c_ts
+                        AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    )
+    SELECT c_user AS user_id,
+           CAST(SUM(CASE WHEN p_user IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(SUM(CASE WHEN p_user IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched
+    FROM j, maxts
+    WHERE p_user IS NOT NULL
+       OR c_ts < mt - INTERVAL 90 MINUTE
+    GROUP BY c_user
+    ORDER BY c_user
+    """,
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the semantics the
+    inner interval join (`stream_stream_interval_join`) cannot give:
+    clicks with NO purchase within 30 minutes are still emitted, but
+    only once the watermark proves no match can arrive. Unmatched rows
+    materialize when their join state expires (c_ts + 30 min falls
+    behind the watermark), so at drain end the newest clicks are
+    withheld, not dropped — exactly what a restart would later emit.
+    The boundary is subtle and the oracle reproduces it precisely:
+    the GLOBAL watermark is the MIN over both input streams' (max
+    event time − 1 h), each tracked AFTER its event-type filter and
+    floored to Spark's millisecond watermark precision — so eviction
+    frees clicks with c_ts < min(max click ts, max purchase ts) − 90
+    min. Whichever stream runs "behind" holds the watermark back for
+    both — the production reason slow side-streams delay outer-join
+    emission.
+
+    Scale: state is bounded to (watermark + interval) of data per side;
+    the outer-ness adds only the expiry scan — same shuffle shape as
+    the inner join, on the partition count sized for stream volume.
+    """
+    clicks = (
+        stream_events_table(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_events_table(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"
+        ),
+        "left_outer",
+    )
+    drained = run_to_memory(
+        pairs, f"sslo_{uuid.uuid4().hex[:8]}", state_partitions=STATE_PARTITIONS
+    )
+    return (
+        drained.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.sum(F.when(F.col("p_user").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_matched"),
+            F.sum(F.when(F.col("p_user").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )

@@ -196,3 +196,49 @@ def test_python_streaming_datasource_exactly_once(spark, tmp_path):
     assert set(got) == set(range(max(got) + 1)), "gap in the id sequence"
     sh = spark.read.parquet(out).select("shard").distinct().count()
     assert sh == 16
+
+
+def test_stream_left_outer_withholds_only_tail_state(spark):
+    """Left-outer stream-stream join must equal the batch left join
+    except for unmatched clicks in the final (watermark + interval)
+    window, which remain in state rather than being dropped."""
+    import datetime as dt
+
+    from databricks_end_to_end_lakeflow_project_spark.streaming.structured import (
+        stream_stream_left_outer_join,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: r for r in stream_stream_left_outer_join(spark, sf).collect()}
+
+    ev = read_table(spark, sf, "events")
+    # global watermark = min over both streams' max event time (each
+    # tracked post-filter), at Spark's ms watermark precision
+    maxes = {
+        r["event_type"]: r["m"]
+        for r in ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    }
+    mts = min(maxes["click"], maxes["purchase"])
+    boundary = mts.replace(microsecond=mts.microsecond // 1000 * 1000) - dt.timedelta(minutes=90)
+    clicks = [r for r in ev.collect() if r["event_type"] == "click"]
+    purchases = [r for r in ev.collect() if r["event_type"] == "purchase"]
+    want: dict[int, list[int]] = {}
+    for c in clicks:
+        n = sum(
+            1
+            for p in purchases
+            if p["user_id"] == c["user_id"]
+            and c["ts"] <= p["ts"] <= c["ts"] + dt.timedelta(minutes=30)
+        )
+        w = want.setdefault(c["user_id"], [0, 0])
+        if n:
+            w[0] += n
+        elif c["ts"] < boundary:
+            w[1] += 1
+    want = {u: v for u, v in want.items() if v != [0, 0]}
+    assert set(got) == set(want)
+    for u, (m, um) in want.items():
+        assert (got[u]["n_matched"], got[u]["n_unmatched"]) == (m, um), u
