@@ -438,3 +438,44 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.url_encode(F.lit("a b c")).alias("q_encoded"),
     )
+
+
+@query(
+    "fn_higher_order_suite",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           LENGTH(list_filter(w, x -> x = 'spark')) > 0 AS has_spark,
+           LENGTH(list_filter(w, x -> LENGTH(x) = 0)) = 0 AS all_nonempty,
+           LENGTH(list_filter(w, x -> LENGTH(x) = 4)) AS n_len4,
+           list_transform(list_zip(w, list_reverse(w)),
+                          p -> p[1] || '_' || p[2])[1] AS first_mirror,
+           LENGTH(flatten([w[1:3], w[4:6]])) AS flat_n
+    FROM t
+    """,
+)
+def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas: exists / forall / filter / zip_with /
+    flatten+slice — all JVM-side codegen over the token array, zero
+    shuffles (the §2.7 lambda pack the shingle/minhash operators build
+    on). Beware the re-evaluation pitfall documented in README: outer
+    expressions referenced inside a lambda re-evaluate per element, so
+    every lambda here closes only over its element args."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    d = docs.select("doc_id", w.alias("w"))
+    toks = F.col("w")
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda x: x == "spark").alias("has_spark"),
+        F.forall(toks, lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.size(F.filter(toks, lambda x: F.length(x) == 4)).alias("n_len4"),
+        F.element_at(
+            F.zip_with(toks, F.reverse(toks), lambda a, b: F.concat_ws("_", a, b)), 1
+        ).alias("first_mirror"),
+        F.size(
+            F.flatten(F.array(F.slice(toks, 1, 3), F.slice(toks, 4, 3)))
+        ).alias("flat_n"),
+    )

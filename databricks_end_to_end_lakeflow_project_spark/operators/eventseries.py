@@ -319,3 +319,116 @@ def ts_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.col("s")).alias("n_events"),
         F.round(folded, 6).alias("ewma"),
     )
+
+
+_PAT = [2.0, 1.0, 0.0, -1.0, -1.0, -1.0]  # spike-then-settle query shape
+_PAT_M = len(_PAT)
+_PAT_Z = None  # z-normalized at import below
+
+
+def _znorm(xs: list[float]) -> list[float]:
+    mu = sum(xs) / len(xs)
+    var = sum((x - mu) ** 2 for x in xs) / len(xs)
+    sd = var ** 0.5
+    return [(x - mu) / sd for x in xs]
+
+
+_PAT_Z = _znorm(_PAT)
+
+
+@query(
+    "ts_pattern_search",
+    f"""
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    ), win AS (
+      SELECT user_id, off, vals[off:off + {_PAT_M - 1}] AS w
+      FROM s, UNNEST(range(1, LENGTH(vals) - {_PAT_M - 2})) AS t(off)
+    ), stats AS (
+      SELECT user_id, off, w,
+             list_reduce(w, (a, b) -> a + b) / {_PAT_M} AS mu
+      FROM win
+    ), stats2 AS (
+      SELECT user_id, off, w, mu,
+             sqrt(list_reduce(list_transform(w, x -> (x - mu) * (x - mu)),
+                              (a, b) -> a + b) / {_PAT_M}) AS sd
+      FROM stats
+    ), scored AS (
+      SELECT user_id, off,
+             ROUND(list_reduce(
+               list_transform(
+                 list_zip(w, {_PAT_Z!r}::DOUBLE[]),
+                 p -> ((CAST(p[1] AS DOUBLE) - mu) / sd - p[2])
+                      * ((CAST(p[1] AS DOUBLE) - mu) / sd - p[2])),
+               (a, b) -> a + b), 6) AS zdist
+      FROM stats2 WHERE sd > 0
+    )
+    SELECT user_id, off, zdist
+    FROM scored ORDER BY zdist, user_id, off LIMIT 10
+    """,
+)
+def ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsequence similarity search (UCR-suite style): find the 10
+    sliding windows, across every user's event-value series, whose
+    Z-NORMALIZED shape best matches a fixed spike-then-settle query
+    pattern — shape matching, invariant to each window's own level and
+    scale, the time-series-similarity primitive behind motif discovery
+    and anomaly matching.
+
+    Plan: one shuffle groups each user's series (bounded by per-entity
+    activity); window extraction is a posexplode over offsets + array
+    slice; per-window mean/std are MATERIALIZED columns before the
+    distance lambda references them (re-evaluating them inside the
+    lambda would recompute the fold per element — the documented
+    higher-order pitfall); the global top-10 is a
+    TakeOrderedAndProject. The oracle replays identical arithmetic via
+    DuckDB list folds, so scores hash-match exactly.
+    """
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda e: e["value"])
+    win = (
+        series.select("user_id", vals.alias("vals"))
+        .select(
+            "user_id",
+            F.posexplode(
+                F.sequence(F.lit(1), F.greatest(F.size("vals") - _PAT_M + 1, F.lit(0)))
+            ).alias("i", "off"),
+            "vals",
+        )
+        .select("user_id", "off", F.slice("vals", F.col("off"), _PAT_M).alias("w"))
+    )
+    mu = (
+        F.aggregate("w", F.lit(0.0), lambda a, b: a + b) / _PAT_M
+    )
+    st1 = win.select("user_id", "off", "w", mu.alias("mu"))
+    sd = F.sqrt(
+        F.aggregate(
+            F.transform("w", lambda x: (x - F.col("mu")) * (x - F.col("mu"))),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        / _PAT_M
+    )
+    st2 = st1.select("user_id", "off", "w", "mu", sd.alias("sd")).filter(
+        F.col("sd") > 0
+    )
+    pat = F.array(*[F.lit(x) for x in _PAT_Z])
+    zdist = F.aggregate(
+        F.zip_with(
+            "w",
+            pat,
+            lambda x, q: ((x - F.col("mu")) / F.col("sd") - q)
+            * ((x - F.col("mu")) / F.col("sd") - q),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return (
+        st2.select("user_id", "off", F.round(zdist, 6).alias("zdist"))
+        .orderBy("zdist", "user_id", "off")
+        .limit(10)
+    )

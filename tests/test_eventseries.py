@@ -232,3 +232,33 @@ def test_ts_ewma_matches_pandas_recursive(spark):
         assert abs(got[uid]["ewma"] - round(want, 6)) <= 1e-6, uid
         checked += 1
     assert checked == len(got) > 0
+
+
+def test_ts_pattern_search_finds_planted_spike(spark, tmp_path):
+    """A hand-planted exact spike-then-settle subsequence must rank
+    first with distance 0 (z-normalization makes the match invariant to
+    the planted window's offset and scale)."""
+    import datetime as dt
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        _PAT,
+        ts_pattern_search,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: noise; user 2: noise + the pattern scaled by 3 and shifted by 10
+    for i, v in enumerate([5.0, 5.1, 4.9, 5.0, 5.2, 4.8, 5.1, 5.0]):
+        rows.append((eid, base + dt.timedelta(minutes=i), 1, "view", v, "{}")); eid += 1
+    vals2 = [7.0, 6.8] + [10.0 + 3 * x for x in _PAT] + [6.9, 7.1]
+    for i, v in enumerate(vals2):
+        rows.append((eid, base + dt.timedelta(minutes=i), 2, "view", v, "{}")); eid += 1
+    d = str(tmp_path / "events_planted")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(d + "/events.parquet")
+    out = ts_pattern_search(spark, str(tmp_path / "events_planted")).collect()
+    top = out[0]
+    assert (top["user_id"], top["off"]) == (2, 3)
+    assert top["zdist"] == 0.0
