@@ -479,3 +479,40 @@ def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.flatten(F.array(F.slice(toks, 1, 3), F.slice(toks, 4, 3)))
         ).alias("flat_n"),
     )
+
+
+@query(
+    "fn_try_suite",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE ROUND(l_extendedprice / l_discount, 4) END AS price_per_disc,
+           TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+           TRY_CAST(l_returnflag AS TIMESTAMP) AS flag_as_ts,
+           [l_quantity, l_extendedprice][3] AS oob_element
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0
+    """,
+)
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: the `try_*` family that turns runtime
+    errors into NULLs row-locally instead of failing the job — the
+    difference between one malformed row killing a 100 TB pipeline and
+    it landing in a quarantine filter. Spark 4 ships with ANSI mode ON,
+    so plain division/cast THROW on bad input; `try_divide` /
+    `try_cast` / `try_element_at` are the production idiom. DuckDB
+    oracle: TRY_CAST + guarded CASE (its list indexing is already
+    NULL-on-out-of-bounds)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 4).alias(
+            "price_per_disc"
+        ),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_returnflag").try_cast("timestamp").alias("flag_as_ts"),
+        F.try_element_at(
+            F.array(F.col("l_quantity"), F.col("l_extendedprice")), F.lit(3)
+        ).alias("oob_element"),
+    )

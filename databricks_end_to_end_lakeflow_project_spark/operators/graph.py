@@ -114,3 +114,86 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), "part_id")
         .limit(50)
     )
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH und AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                      GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) t GROUP BY node
+    ), o AS (
+      -- orient every undirected edge from lower (degree, id) to higher:
+      SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS lo,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS hi
+      FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+    ), tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM o e1
+      JOIN o e2 ON e2.lo = e1.hi
+      JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) t
+    GROUP BY node ORDER BY n_triangles DESC, node LIMIT 10
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 parts by triangle participation in the co-order affinity
+    graph — the classic distributed-graph primitive behind clustering
+    coefficients and community strength.
+
+    Scale design: the naive all-wedges join is O(Σ deg²) and explodes
+    on hubs; orienting every edge from its lower-(degree, id) endpoint
+    to the higher one bounds each node's out-degree by O(√m), making the
+    wedge join the standard O(m^1.5) algorithm. Three joins total, each
+    on an equi key, all shuffle-partitioned by node; no node ever
+    enumerates more than its oriented out-neighborhood."""
+    li = read_table(spark, sf_dir, "lineitem")
+    e = cooccurrence_edges(li)
+    und = (
+        e.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+    e1 = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = o.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = o.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(10)
+    )

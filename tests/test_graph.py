@@ -67,3 +67,28 @@ def test_approx_percentile_query_orders_correctly(spark):
     for r in rows:
         lo, hi = bounds[r["l_returnflag"]]
         assert lo <= r["p50"] <= r["p95"] <= r["p99"] <= hi
+
+
+def test_triangle_count_on_hand_graph(spark, tmp_path):
+    """K4 minus one edge has exactly 2 triangles; per-node participation
+    is 2 for the shared-edge endpoints and 1 for the others. Built as a
+    fake lineitem where each 'order' is one edge."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.graph import (
+        graph_triangle_count,
+    )
+
+    # nodes 1,2,3,4; edges: 12,13,14,23,24 (no 34) → triangles 123, 124
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    rows = []
+    for oid, (a, b) in enumerate(edges):
+        rows.append((oid, a)); rows.append((oid, b))
+    d = str(tmp_path / "toy")
+    spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01")
+         for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).write.parquet(d + "/lineitem.parquet")
+    got = {r["node"]: r["n_triangles"] for r in graph_triangle_count(spark, d).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
