@@ -290,3 +290,61 @@ def cluster_zorder(
         .parquet(out_dir)
     )
     return len([p for p in Path(out_dir).glob("*.parquet")])
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    """
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is a parquet table
+    partitioned by the JOIN key's hash bucket; the dimension filter is
+    only known at runtime, so Catalyst injects a `dynamicpruning`
+    subquery that evaluates the dim side FIRST and prunes fact
+    partition directories before the scan. This is the mechanism that
+    lets a 100 TB date-partitioned fact read only the days a filtered
+    dimension touches — without any literal partition predicate in the
+    query text. tests/test_plans.py asserts `dynamicpruning` appears in
+    this plan and that the fact scan reads fewer partitions than exist.
+    Oracle: same join/aggregate straight off the source table."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "lakeflow_partitioned",
+        sf_dir.strip("/").replace("/", "_"),
+        "orders_by_custbucket",
+    )
+    od = read_table(spark, sf_dir, "orders").withColumn(
+        "cust_bucket", F.pmod(F.col("o_custkey"), F.lit(32))
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        od.write.mode("overwrite").partitionBy("cust_bucket").parquet(out)
+    fact = spark.read.parquet(out).withColumn(
+        "o_custkey", F.col("o_custkey").cast("long")
+    )
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
+        .withColumn("cust_bucket", F.pmod(F.col("c_custkey"), F.lit(32)))
+    )
+    return (
+        fact.join(dim, ["cust_bucket"])
+        .filter(F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

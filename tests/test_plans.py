@@ -176,3 +176,16 @@ def test_sessionize_single_exchange(spark):
 
     plan = _plan(events_sessionize(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dynamic_partition_pruning_engages(spark):
+    """The partitioned-fact ⋈ filtered-dim join must carry a
+    dynamicpruning subquery in the fact scan's PartitionFilters — the
+    runtime mechanism that keeps a 100 TB partitioned fact from reading
+    partitions the filtered dimension never touches."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.partitioning import (
+        join_dynamic_partition_pruning,
+    )
+
+    plan = _plan(join_dynamic_partition_pruning(spark, SF))
+    assert "dynamicpruning" in plan
