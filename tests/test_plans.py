@@ -189,3 +189,48 @@ def test_dynamic_partition_pruning_engages(spark):
 
     plan = _plan(join_dynamic_partition_pruning(spark, SF))
     assert "dynamicpruning" in plan
+
+
+def test_runtime_bloom_filter_join_reduction(spark):
+    """With a selective dim filter and a shuffle join, Spark injects a
+    runtime bloom filter: the fact side is pre-filtered by
+    might_contain(bloom(o_orderkey)) BEFORE the shuffle — the row-level
+    companion to dynamic partition pruning. Thresholds are lowered here
+    because the test corpus is tiny; at production sizes the defaults
+    engage. Results must equal the plain join exactly."""
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, SF, "lineitem")
+    od = read_table(spark, SF, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+
+    def run():
+        return (
+            li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .count()
+        )
+
+    want = {(r["l_returnflag"], r["count"]) for r in run().collect()}
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100000000",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = run()
+        plan = _plan(df)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        got = {(r["l_returnflag"], r["count"]) for r in df.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == want
