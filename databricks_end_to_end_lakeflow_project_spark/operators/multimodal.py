@@ -23,7 +23,7 @@ from collections.abc import Iterator
 from typing import Callable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
@@ -268,3 +268,54 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     char; asserted in tests)."""
     media = documents_as_media(read_table(spark, sf_dir, "documents"))
     return audio_frame_energy(media, frame_bytes=100)
+
+
+@query(
+    "multimodal_scene_cuts",
+    """
+    WITH f AS (
+      SELECT doc_id, n AS frame_idx,
+             substring(text, 100*n + 1, 100) AS frame
+      FROM documents
+      JOIN (SELECT unnest(range(0, 64)) AS n) t ON 100*n < length(text)
+    ), e AS (
+      SELECT doc_id, frame_idx,
+             ROUND(sqrt(list_reduce(
+               list_transform(range(1, length(frame) + 1),
+                              i -> (ascii(substring(frame, i, 1))
+                                    * ascii(substring(frame, i, 1)))::DOUBLE),
+               (a, b) -> a + b) / length(frame)), 4) AS rms
+      FROM f
+    ), d AS (
+      SELECT doc_id, frame_idx, rms,
+             rms - LAG(rms) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               AS delta
+      FROM e
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) FILTER (ABS(delta) > 2.0) AS INT) AS n_cuts,
+           CAST(MIN(frame_idx) FILTER (ABS(delta) > 2.0) AS INT)
+             AS first_cut_frame
+    FROM d GROUP BY doc_id
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the framed payload (video-modality
+    plumbing): a cut is a frame whose energy jumps more than a threshold
+    from its predecessor — the shot-boundary primitive behind
+    frame-sampling policies ("sample densely around cuts"). Composes
+    `audio_frame_energy` with ONE lag window per document; the
+    per-document aggregation reuses the window's doc_id partitioning, so
+    the whole detector adds a single shuffle to the (shuffle-free)
+    framing pass. Real codecs stay stubbed per the environment contract;
+    byte→energy is deterministic, so cuts are oracle-checkable."""
+    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    energy = audio_frame_energy(media, frame_bytes=100)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = (F.col("rms") - F.lag("rms").over(w)).alias("delta")
+    d = energy.select("doc_id", "frame_idx", delta)
+    is_cut = F.abs(F.col("delta")) > 2.0
+    return d.groupBy("doc_id").agg(
+        F.sum(F.when(is_cut, 1).otherwise(0)).cast("int").alias("n_cuts"),
+        F.min(F.when(is_cut, F.col("frame_idx"))).cast("int").alias("first_cut_frame"),
+    )
