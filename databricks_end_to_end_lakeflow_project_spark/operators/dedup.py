@@ -557,3 +557,48 @@ def dedup_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 4).alias("quality_score"),
         "cluster_size",
     )
+
+
+_CONTAINMENT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+               AS shingles
+      FROM toks WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(a.shingles), 4) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(a.shingles) >= 0.9
+"""
+
+
+@query("dedup_containment_pairs", _CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment C(A,B) = |A∩B| / |A|
+    over 3-gram shingles, ordered pairs with C ≥ 0.9. Jaccard misses the
+    quote/superset case — a short document wholly embedded in a longer
+    one scores low symmetric similarity but containment ≈ 1 — which is
+    exactly the shape of boilerplate wrappers, quoted snippets, and
+    expanded revisions in a crawl corpus. Same all-pairs baseline
+    contract as `dedup_ngram_jaccard_pairs`: at scale this predicate
+    runs inside LSH candidate buckets, never globally."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= 3).select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("contained_doc"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("container_doc"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("contained_doc") != F.col("container_doc"))
+    c = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
+        "double"
+    ) / F.size(F.col("sh_a"))
+    return (
+        pairs.withColumn("containment", F.round(c, 4))
+        .filter(c >= 0.9)
+        .select("contained_doc", "container_doc", "containment")
+    )

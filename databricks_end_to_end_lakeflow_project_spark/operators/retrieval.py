@@ -290,3 +290,90 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_apply, schema=out_schema)
         .orderBy("mmr_rank")
     )
+
+
+_FH_DIM = 16  # hashed feature buckets
+_FH_QUERY = ["spark", "join", "window", "stream", "table"]
+
+
+def _bucket_expr(tok):
+    """md5-derived feature bucket — identical arithmetic both engines."""
+    return (
+        F.conv(F.substring(F.md5(tok.cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long")
+        % _FH_DIM
+    )
+
+
+def _bucket_py(tok: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % _FH_DIM
+
+
+@query(
+    "retrieval_hashed_features_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             ('0x' || SUBSTRING(md5(token), 1, 4))::BIGINT % {_FH_DIM} AS bucket,
+             COUNT(*)::DOUBLE AS cnt
+      FROM tok GROUP BY doc_id, bucket
+    ), q AS (
+      SELECT ('0x' || SUBSTRING(md5(qt), 1, 4))::BIGINT % {_FH_DIM} AS bucket,
+             COUNT(*)::DOUBLE AS qcnt
+      FROM (SELECT UNNEST({_FH_QUERY!r}) AS qt) GROUP BY bucket
+    ), qn AS (SELECT SQRT(SUM(qcnt * qcnt)) AS qnorm FROM q),
+    scored AS (
+      SELECT b.doc_id,
+             SUM(b.cnt * COALESCE(q.qcnt, 0)) AS dot,
+             SQRT(SUM(b.cnt * b.cnt)) AS dnorm
+      FROM b LEFT JOIN q ON b.bucket = q.bucket
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, ROUND(dot / (dnorm * qnorm), 6) AS cos_sim
+    FROM scored, qn
+    ORDER BY cos_sim DESC, doc_id LIMIT 10
+    """,
+)
+def retrieval_hashed_features_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) retrieval: every token maps to one
+    of 16 hash buckets with NO vocabulary — the fixed-width featurizer
+    that needs no training pass, no dictionary broadcast, and no schema
+    change as the corpus grows, which is why it is the default first
+    vectorizer for 100 TB text. Documents become bucket-count vectors
+    (explode → ONE shuffle on (doc, bucket)); the query's 16-float
+    vector is computed driver-side and joined in as literals; cosine
+    top-10 ends in TakeOrderedAndProject. The md5-derived bucket
+    function is replayed identically in the DuckDB oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    b = tok.groupBy(
+        "doc_id", _bucket_expr(F.col("token")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+
+    qvec: dict[int, float] = {}
+    for t in _FH_QUERY:
+        qvec[_bucket_py(t)] = qvec.get(_bucket_py(t), 0.0) + 1.0
+    qnorm = sum(v * v for v in qvec.values()) ** 0.5
+    qcnt = None
+    for bucket, v in qvec.items():
+        term = F.when(F.col("bucket") == bucket, F.lit(v))
+        qcnt = term if qcnt is None else qcnt.when(F.col("bucket") == bucket, F.lit(v))
+    qcnt = qcnt.otherwise(F.lit(0.0))
+
+    scored = b.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * qcnt).alias("dot"),
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("dnorm"),
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round(F.col("dot") / (F.col("dnorm") * F.lit(qnorm)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(10)
+    )
