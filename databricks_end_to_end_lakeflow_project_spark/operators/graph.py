@@ -197,3 +197,72 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(10)
     )
+
+
+@query(
+    "basket_association_rules",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (SELECT COUNT(DISTINCT l_orderkey)::DOUBLE AS n_orders FROM baskets),
+    item AS (
+      SELECT l_partkey, COUNT(*)::DOUBLE AS item_cnt FROM baskets GROUP BY l_partkey
+    ), pair AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*)::DOUBLE AS pair_cnt
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY ante, cons
+    )
+    SELECT ante, cons,
+           ROUND(pair_cnt / n_orders, 6) AS support,
+           ROUND(pair_cnt / ia.item_cnt, 6) AS confidence,
+           ROUND((pair_cnt / ia.item_cnt) / (ic.item_cnt / n_orders), 6) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = ante
+    JOIN item ic ON ic.l_partkey = cons, n
+    WHERE pair_cnt >= 3
+    ORDER BY lift DESC, ante, cons LIMIT 20
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (ante ⇒ cons): support, confidence
+    and lift over co-order part pairs, top-20 by lift among pairs seen in
+    ≥3 orders — the classic recommendation/affinity mining shape.
+
+    Scale design: baskets are the distinct (order, part) projection; the
+    pair expansion joins baskets to itself on the order key, so the blowup
+    is bounded by basket size (avg ~4 items), never cross-order; item and
+    pair counts partial-aggregate map-side, and the item table (vocabulary-
+    sized) broadcasts onto the pair frame under AQE. The top-20 is a
+    TakeOrderedAndProject."""
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = float(baskets.select("l_orderkey").distinct().count())
+    item = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("item_cnt")
+    )
+    a = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("ante"))
+    b = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("cons"))
+    pair = (
+        a.join(b, "k")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("double").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("ante"), F.col("item_cnt").alias("ante_cnt"))
+    ic = item.select(F.col("l_partkey").alias("cons"), F.col("item_cnt").alias("cons_cnt"))
+    conf = F.col("pair_cnt") / F.col("ante_cnt")
+    return (
+        pair.join(ia, "ante")
+        .join(ic, "cons")
+        .select(
+            "ante",
+            "cons",
+            F.round(F.col("pair_cnt") / F.lit(n_orders), 6).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf / (F.col("cons_cnt") / F.lit(n_orders)), 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "ante", "cons")
+        .limit(20)
+    )

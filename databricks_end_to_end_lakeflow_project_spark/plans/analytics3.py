@@ -33,7 +33,7 @@ FACT_Gold_Layer.py:84-123`); these shapes extend it per SURVEY.md §2.9.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
@@ -170,4 +170,75 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(20)
+    )
+
+
+@query(
+    "rfm_customer_segments",
+    """
+    WITH maxd AS (SELECT MAX(o_orderdate) AS md FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             DATE_DIFF('day', MAX(o_orderdate), (SELECT md FROM maxd))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary_cents,
+             NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value analysis: per
+    customer compute Recency (days since last order vs corpus max),
+    Frequency (order count) and Monetary (exact cents), quartile-score
+    each with NTILE(4) (custkey tiebreaks for cross-engine determinism),
+    and report segment sizes and value.
+
+    Scale notes: the per-customer aggregate is one shuffle on custkey;
+    the three NTILEs are global windows — at 100 TB replace with
+    approx-quantile cutoffs broadcast as literals (same output contract,
+    no global sort); here the exact form doubles as the oracle check.
+    The final segment rollup is at most 64 groups."""
+    od = _t(spark, sf_dir, "orders")
+    maxd = od.agg(F.max("o_orderdate")).collect()[0][0]
+    rfm = od.groupBy("o_custkey").agg(
+        F.datediff(F.lit(maxd), F.max("o_orderdate")).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
     )
