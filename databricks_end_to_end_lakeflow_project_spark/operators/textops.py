@@ -773,3 +773,46 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.avg(F.log("p")), 4).alias("nll"),
         F.round(F.exp(-F.avg(F.log("p"))), 2).alias("ppl"),
     )
+
+
+@query(
+    "text_langid_confusion",
+    f"""
+    WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+           {_langid_sql_hits()}
+      FROM t
+    ), p AS (
+      SELECT lang AS actual_lang,
+             CASE
+               WHEN hits_en = 0 AND hits_fr = 0 AND hits_es = 0 AND hits_de = 0 THEN 'unknown'
+               WHEN hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+               WHEN hits_fr >= hits_es AND hits_fr >= hits_de THEN 'fr'
+               WHEN hits_es >= hits_de THEN 'es'
+               ELSE 'de'
+             END AS predicted_lang
+      FROM h
+    )
+    SELECT actual_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM p GROUP BY actual_lang, predicted_lang
+    ORDER BY actual_lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: classifier prediction × labeled
+    lang, with counts — the corpus-health audit that tells you whether
+    the language mixture you THINK you sampled is the one the classifier
+    would assign (mismatch = lexicon drift or mislabeled sources). Same
+    row-local scoring as `text_langid` plus one tiny (≤ |langs|²-group)
+    aggregate."""
+    pred = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("actual_lang")
+    )
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )

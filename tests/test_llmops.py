@@ -484,3 +484,31 @@ class TestProductQuantization:
         a = np.asarray(pq_train(em))
         b = np.asarray(pq_train(em.repartition(7)))
         assert np.allclose(a, b, atol=1e-12)
+
+
+def test_incremental_delta_pairs_equal_filtered_full_run(spark):
+    """Incremental (delta-touching) LSH pairs must equal the full-corpus
+    LSH run filtered to pairs touching the delta — and contain no
+    base-only pair."""
+    from pyspark.sql import functions as F
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        incremental_lsh_delta_pairs,
+        minhash_lsh_pairs,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents")
+    cut = 40  # sf0.001 has 50 docs
+    inc = {
+        (r["doc_a"], r["doc_b"], r["jaccard_sim"])
+        for r in incremental_lsh_delta_pairs(docs, F.col("doc_id") >= cut).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard_sim"])
+        for r in minhash_lsh_pairs(docs).collect()
+        if r["doc_a"] >= cut or r["doc_b"] >= cut
+    }
+    assert inc == full
+    assert all(a >= cut or b >= cut for a, b, _ in inc)
