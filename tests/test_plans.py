@@ -234,3 +234,57 @@ def test_runtime_bloom_filter_join_reduction(spark):
             else:
                 spark.conf.set(k, v)
     assert got == want
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE must mark and split the hot key's partition at runtime —
+    SortMergeJoin(skew=true) in the EXECUTED plan — with results equal
+    to the unsplit join. Thresholds are lowered because the test data is
+    small; at production shuffle sizes the defaults engage. This is the
+    runtime half of the engine's skew story (deterministic salting in
+    `salted_join` is the planned half)."""
+    from pyspark.sql import functions as F
+
+    hot = spark.range(200_000).select(
+        F.lit(0).alias("k"), F.col("id").alias("payload")
+    )
+    cold = spark.range(10_000).select(
+        (F.col("id") % 1000 + 1).alias("k"), F.col("id").alias("payload")
+    )
+    left = hot.unionAll(cold)
+    right = spark.range(1001).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+    )
+
+    def run():
+        return (
+            left.join(right, "k")
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("payload") + F.col("rv")).alias("s"),
+            )
+        )
+
+    want = run().collect()[0]
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = run()
+        got = df.collect()[0]  # execute FIRST: AQE decides at runtime
+        plan = _plan(df)
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
