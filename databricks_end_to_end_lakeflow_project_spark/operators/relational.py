@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.functions.compat import dsum, money
 from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.session import load_tables
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
 
@@ -609,4 +610,44 @@ def setop_union_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_with_tier"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "subq_lateral_topk",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+)
+def subq_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): each BUILDING
+    customer's top-2 orders by price, written the way an analyst would —
+    a per-row dependent subquery — and executed through `spark.sql`
+    against the registered views (reference S4's SQL entry path; the
+    IDENTICAL SQL runs on the DuckDB oracle). Catalyst de-correlates
+    this into the same window/top-k-per-group plan as
+    `win_topk_per_group`: no per-row re-execution survives
+    optimization, which is the point — the declarative form costs
+    nothing at 100 TB."""
+    load_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
     )
