@@ -516,3 +516,81 @@ def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("l_quantity"), F.col("l_extendedprice")), F.lit(3)
         ).alias("oob_element"),
     )
+
+
+@query(
+    "fn_collation_group",
+    """
+    WITH u AS (
+      SELECT c_mktsegment AS seg FROM customer
+      UNION ALL
+      SELECT UPPER(SUBSTRING(c_mktsegment, 1, 1))
+             || LOWER(SUBSTRING(c_mktsegment, 2)) FROM customer
+    )
+    SELECT LOWER(seg) AS segment, COUNT(*) AS n
+    FROM u GROUP BY LOWER(seg) ORDER BY segment
+    """,
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4): a mixed-case union of market
+    segments grouped under the UTF8_LCASE collation — comparisons and
+    hashing become case-insensitive INSIDE the engine (one aggregate, no
+    normalization pass materialized), which is how multi-source string
+    keys with inconsistent casing join/group at scale without a rewrite.
+    The output key is lowercased only for a deterministic display form;
+    the oracle reproduces the semantics with LOWER() grouping."""
+    cu = _t(spark, sf_dir, "customer")
+    mixed = cu.select(F.col("c_mktsegment").alias("seg")).unionAll(
+        cu.select(F.initcap(F.col("c_mktsegment")).alias("seg"))
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("k")).alias("segment"), "n")
+        .orderBy("segment")
+    )
+
+
+@query(
+    "fn_xml_extract",
+    """
+    SELECT o_orderkey,
+           regexp_extract(x, '<status>([^<]*)</status>', 1) AS status,
+           CAST(regexp_extract(x, '<cents>([0-9]+)</cents>', 1) AS BIGINT)
+             AS cents,
+           regexp_extract(x, '<priority>([^<]*)</priority>', 1) AS priority
+    FROM (
+      SELECT o_orderkey,
+             '<order><status>' || o_orderstatus || '</status><cents>'
+               || CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               || '</cents><priority>' || o_orderpriority
+               || '</priority></order>' AS x
+      FROM orders
+    )
+    WHERE o_orderkey % 101 = 0
+    """,
+)
+def fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 `from_xml`): construct a canonical XML
+    payload per order, then parse it back with a typed schema — the
+    path for feeds that still arrive as XML. Parsing is row-local
+    codegen'd Jackson-XML, no shuffle; the DuckDB oracle decomposes the
+    same payloads with regexps (no XML reader there)."""
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0)
+    xml = F.concat(
+        F.lit("<order><status>"), F.col("o_orderstatus"),
+        F.lit("</status><cents>"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("</cents><priority>"), F.col("o_orderpriority"),
+        F.lit("</priority></order>"),
+    )
+    parsed = od.select(
+        "o_orderkey",
+        F.from_xml(xml, "status STRING, cents BIGINT, priority STRING").alias("v"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("v.status").alias("status"),
+        F.col("v.cents").alias("cents"),
+        F.col("v.priority").alias("priority"),
+    )

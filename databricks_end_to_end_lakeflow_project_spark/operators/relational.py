@@ -651,3 +651,50 @@ def subq_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
         """
     )
+
+
+@query(
+    "setop_except_intersect_all",
+    """
+    WITH ea AS (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier
+    ), ia AS (
+      SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT ALL
+      SELECT o_custkey % 25 FROM orders
+    )
+    SELECT 'except_all' AS op, nationkey, COUNT(*) AS n FROM ea GROUP BY nationkey
+    UNION ALL
+    SELECT 'intersect_all', nationkey, COUNT(*) AS n FROM ia GROUP BY nationkey
+    ORDER BY op, nationkey
+    """,
+)
+def setop_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — EXCEPT ALL / INTERSECT ALL keep
+    multiplicities (m−n and min(m,n) copies respectively), which is what
+    data-reconciliation diffs actually need: 'how many rows of this key
+    are missing', not 'is the key present'. Spark plans both as a
+    single aggregate computing per-row counts on each side — one shuffle,
+    no join. Multiplicities are summarized per key so the result is
+    deterministic."""
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    od = _t(spark, sf_dir, "orders")
+    ea = (
+        cu.select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(su.select(F.col("s_nationkey").alias("nationkey")))
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    ia = (
+        cu.filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .intersectAll(od.select((F.col("o_custkey") % 25).alias("nationkey")))
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    return ea.unionAll(ia).orderBy("op", "nationkey")
