@@ -366,12 +366,19 @@ def scd2_apply(
 
     Existing versions are re-interpreted as change events at their
     ``__START_AT`` sequence and unioned with the new updates, then the
-    history is rebuilt with :func:`scd2_from_history`. Because a version
-    table is a lossless encoding of its own change history (END_AT is
-    always the next version's START_AT), this reproduces exactly the
-    state a one-shot build over the full history would give — including
-    correct retro-insertion of late, out-of-order changes, which a
-    close-and-append merge cannot do.
+    history is rebuilt with :func:`scd2_from_history`. A version table
+    encodes the boundaries of its own change history (END_AT is always
+    the next version's START_AT), so this reproduces the one-shot build
+    exactly whenever late changes land BETWEEN surviving version
+    boundaries — true retro-insertion, which a close-and-append merge
+    cannot do. The one irrecoverable case: a late change that lands
+    INSIDE an already-collapsed same-value run (the interior change
+    rows were no-ops and were not stored, so the run cannot re-open
+    after the insertion). With micro-batches arriving in event-time
+    order — the production file-ingest arrival pattern — that case
+    cannot occur and streamed == one-shot exactly
+    (tests/test_streaming.py); under arbitrary shuffling of history it
+    is the documented divergence.
 
     Scale notes: rewrite cost is one shuffle over (current table +
     batch), the same cost class as Delta MERGE on an unpartitioned

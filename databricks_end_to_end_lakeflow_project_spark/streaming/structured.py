@@ -499,6 +499,35 @@ def stream_tws_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_scd2_into(
+    stream_df: DataFrame,
+    table: ManagedParquetTable,
+    keys: Sequence[str],
+    sequence_by: str,
+    checkpoint_dir: str,
+    tiebreakers: Sequence[str] = (),
+) -> None:
+    """Stream → SCD Type 2 version table: each micro-batch replays
+    through `scd2_apply` inside `foreachBatch`. Because scd2_apply
+    rebuilds from (current versions ∪ batch) — a lossless encoding of
+    the full change history — the result after ANY micro-batching
+    equals the one-shot batch build, including retro-insertion of late
+    changes across batch boundaries; checkpointed offsets + that
+    idempotent rebuild give exactly-once version history."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import scd2_apply
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_apply(table, batch_df, keys, sequence_by, tiebreakers)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 @query(
     "stream_stream_left_outer_join",
     """

@@ -37,6 +37,7 @@ from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
 )
 
 SCHEMA = "key string, seq int, val int"
+SCHEMA_STR = "key string, seq int, val string"
 
 # a small key alphabet forces cross-batch key collisions (the interesting
 # case); globally-unique (key, seq) keeps the model deterministic
@@ -261,3 +262,40 @@ def test_scd2_incremental_matches_model(spark, rows_cuts):
         got = {(r["key"], r["val"], r["__START_AT"], r["__END_AT"])
                for r in t.read().collect()}
     assert got == want
+
+
+def test_scd2_documented_divergence_late_change_inside_collapsed_run(spark):
+    """Pin the ONE case where incremental SCD2 differs from one-shot
+    (documented in scd2_apply): a late change landing INSIDE an
+    already-collapsed same-value run cannot re-open the run, because the
+    run's interior no-op rows were never stored. In event-time-ordered
+    ingestion this cannot occur (tests/test_streaming.py proves streamed
+    == one-shot there)."""
+    import os
+    import tempfile
+    import uuid
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+        scd2_apply,
+        scd2_from_history,
+    )
+
+    rows = [("A", 1, "X"), ("A", 5, "X"), ("A", 3, "Y")]
+    oneshot = {
+        (r["key"], r["val"], r["__START_AT"], r["__END_AT"])
+        for r in scd2_from_history(
+            spark.createDataFrame(rows, SCHEMA_STR), ["key"], "seq"
+        ).collect()
+    }
+    assert oneshot == {("A", "X", 1, 3), ("A", "Y", 3, 5), ("A", "X", 5, None)}
+    with tempfile.TemporaryDirectory() as d:
+        t = ManagedParquetTable(spark, os.path.join(d, f"dv{uuid.uuid4().hex[:6]}"))
+        scd2_apply(t, spark.createDataFrame(rows[:2], SCHEMA_STR), ["key"], "seq")
+        scd2_apply(t, spark.createDataFrame(rows[2:], SCHEMA_STR), ["key"], "seq")
+        got = {
+            (r["key"], r["val"], r["__START_AT"], r["__END_AT"])
+            for r in t.read().collect()
+        }
+    # the 5:X re-open is irrecoverable from collapsed state — by design
+    assert got == {("A", "X", 1, 3), ("A", "Y", 3, None)}

@@ -242,3 +242,52 @@ def test_stream_left_outer_withholds_only_tail_state(spark):
     assert set(got) == set(want)
     for u, (m, um) in want.items():
         assert (got[u]["n_matched"], got[u]["n_unmatched"]) == (m, um), u
+
+
+def test_stream_scd2_equals_batch_history(spark, tmp_path):
+    """Streaming SCD2 sink (foreachBatch + scd2_apply) over multiple
+    EVENT-TIME-ORDERED micro-batches must equal the one-shot
+    scd2_from_history build, and re-running with the same checkpoint
+    must change nothing. (Time-ordered arrival is the production
+    file-ingest pattern; arbitrary history shuffling can land a late
+    change inside a collapsed run — the documented scd2_apply
+    divergence.)"""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+        scd2_from_history,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+    from databricks_end_to_end_lakeflow_project_spark.streaming import structured as stm
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    want = {
+        tuple(r)
+        for r in scd2_from_history(
+            ev, ["user_id"], "ts", tiebreakers=["event_id"]
+        ).collect()
+    }
+    # several micro-batches, split by event-time quartile so batch N's
+    # events all precede batch N+1's (the file source batches by
+    # modification time; the appends below commit sequentially)
+    import pyspark.sql.functions as FF
+
+    src = str(tmp_path / "src")
+    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    bounds = [-1.0, *qs, float("inf")]
+    for i in range(4):
+        (ev.filter((FF.col("event_id") > bounds[i]) & (FF.col("event_id") <= bounds[i + 1]))
+         .coalesce(1).write.mode("append").parquet(src))
+    table = ManagedParquetTable(spark, str(tmp_path / "scd2"))
+    stream = stm.stream_from_dir(
+        spark, src, schema=spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stm.stream_scd2_into(stream, table, ["user_id"], "ts", ckpt, ["event_id"])
+    got = {tuple(r) for r in table.read().select(*[f.name for f in scd2_from_history(ev, ['user_id'], 'ts', tiebreakers=['event_id']).schema.fields]).collect()}
+    assert got == want
+    stm.stream_scd2_into(stream, table, ["user_id"], "ts", ckpt, ["event_id"])
+    again = {tuple(r) for r in table.read().select(*[f.name for f in scd2_from_history(ev, ['user_id'], 'ts', tiebreakers=['event_id']).schema.fields]).collect()}
+    assert again == want
