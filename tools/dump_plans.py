@@ -122,6 +122,13 @@ SHOWCASE = [
         "exchanges move k rows, not data.",
     ),
     (
+        "subq_lateral_topk",
+        "Correlated LATERAL subquery: Catalyst de-correlates the per-row "
+        "dependent subquery into WindowGroupLimit (partial per-partition "
+        "top-k) + one BroadcastHashJoin — no per-row re-execution, no "
+        "nested loop.",
+    ),
+    (
         "join_asof_nearest",
         "Nearest as-of: the union of both sides is partitioned ONCE on "
         "user_id; two Sorts (right-first and left-first tie order) feed "
