@@ -532,3 +532,66 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "agg_bitmap_exact_distinct",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5+): keys
+    bucket into 32k-bit bitmaps (`bitmap_bucket_number` /
+    `bitmap_bit_position`), per-bucket bitmaps OR-merge associatively in
+    `bitmap_construct_agg`, and the final count sums `bitmap_count` per
+    group. Unlike COUNT(DISTINCT)'s expand-and-dedup (shuffles every
+    distinct value) or HLL (approximate), the shuffle here carries ONE
+    4 KB bitmap per (group, bucket) — the exact-at-scale middle ground,
+    and the same layout incremental ingestion can keep OR-merging into.
+    Oracle: plain COUNT(DISTINCT)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.expr("bitmap_bucket_number(l_partkey)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias("bm")
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "ts_moving_median",
+    """
+    SELECT user_id, event_id,
+           ROUND(quantile_cont(value::DOUBLE, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ), 6) AS med5
+    FROM events
+    WHERE user_id < 30
+    """,
+)
+def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median (5-row trailing window per user) — the robust
+    alternative to the moving average for spiky series; an ordered-set
+    aggregate evaluated over a window frame, which plain SQL windows
+    without percentile support cannot express. One shuffle+sort on
+    user_id shared by the frame evaluation; both engines interpolate in
+    IEEE doubles so values hash-match."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med5"),
+    )
