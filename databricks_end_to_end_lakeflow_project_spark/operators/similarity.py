@@ -731,3 +731,74 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+_MRL_PREFIX = 16   # prefix dims used for the cheap first pass
+_MRL_CAND = 50     # prefix-ranked candidates kept for full rerank
+
+
+@query(
+    "sim_matryoshka_prefix_rerank",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    pre AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             ROUND(
+               list_reduce(list_transform(
+                 list_zip(e.embedding[1:{_MRL_PREFIX}], q.qv[1:{_MRL_PREFIX}]),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+               / (SQRT(list_reduce(list_transform(e.embedding[1:{_MRL_PREFIX}],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+                * SQRT(list_reduce(list_transform(q.qv[1:{_MRL_PREFIX}],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))),
+             6) AS pre_sim
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ), cand AS (
+      SELECT * FROM pre ORDER BY pre_sim DESC, vec_id LIMIT {_MRL_CAND}
+    )
+    SELECT c.vec_id, c.label,
+           ROUND(
+             list_reduce(list_transform(list_zip(c.embedding, q.qv),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+             / (SQRT(list_reduce(list_transform(c.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+              * SQRT(list_reduce(list_transform(q.qv,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))),
+           6) AS cos_sim
+    FROM cand c, q
+    ORDER BY cos_sim DESC, c.vec_id LIMIT 10
+    """,
+)
+def sim_matryoshka_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style two-stage retrieval: rank the corpus by cosine
+    over only the FIRST 16 dimensions (MRL-trained embeddings carry
+    most signal in their prefix), keep the top-50, and rerank just
+    those with the full 64-dim cosine. The corpus-wide pass reads a
+    quarter of each vector — with a prefix-only column family or
+    Parquet nested pruning, a quarter of the bytes — and the expensive
+    exact scoring touches 50 rows. Unlike PQ, both stages are exact
+    arithmetic, so the WHOLE two-stage pipeline is oracle-checkable.
+    Plan: scan → TakeOrderedAndProject(50) → rerank projection →
+    TakeOrderedAndProject(10); no shuffle beyond the top-k merges."""
+    em = read_table(spark, sf_dir, "embeddings")
+    qrow = em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv_full = F.array(*[F.lit(float(x)) for x in qrow])
+    qv_pre = F.array(*[F.lit(float(x)) for x in qrow[:_MRL_PREFIX]])
+    pre = em.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.round(
+            cosine(F.slice(F.col("embedding"), 1, _MRL_PREFIX), qv_pre), 6
+        ).alias("pre_sim"),
+    )
+    cand = pre.orderBy(F.col("pre_sim").desc(), "vec_id").limit(_MRL_CAND)
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), qv_full), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
