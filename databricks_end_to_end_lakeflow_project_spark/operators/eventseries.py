@@ -432,3 +432,61 @@ def ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zdist", "user_id", "off")
         .limit(10)
     )
+
+
+@query(
+    "ts_autocorr_lags",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), lagged AS (
+      SELECT event_type, v,
+             lag(v, 1) OVER w AS l1,
+             lag(v, 2) OVER w AS l2,
+             lag(v, 3) OVER w AS l3
+      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    )
+    SELECT event_type, lag, ROUND(acf, 4) AS acf FROM (
+      SELECT event_type, 1 AS lag, corr(v, l1) AS acf FROM lagged GROUP BY event_type
+      UNION ALL
+      SELECT event_type, 2 AS lag, corr(v, l2) AS acf FROM lagged GROUP BY event_type
+      UNION ALL
+      SELECT event_type, 3 AS lag, corr(v, l3) AS acf FROM lagged GROUP BY event_type
+    ) ORDER BY event_type, lag
+    """,
+)
+def ts_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1-3 of each event type's hourly
+    mean-value series: resample (one shuffle on a uniform (type, hour)
+    key) → per-type ordered window builds the three lagged columns in a
+    single pass → stack to (type, lag, pair) rows → co-moment `corr`
+    aggregate (partial-aggregatable, one more shuffle on the tiny
+    (type, lag) key).
+
+    Scale notes: the window partitions by event_type — hourly resampling
+    has already collapsed the data to |types|·|hours| rows, so even a
+    year of one-second data is ~10⁴ rows per type; if the per-type
+    series itself outgrows a partition, the lag join can be re-expressed
+    as a bucket-range self-join on (type, hour)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    lagged = hourly.select(
+        "event_type",
+        "v",
+        *[F.lag("v", k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
+    )
+    stacked = lagged.select(
+        "event_type",
+        F.expr("stack(3, 1, l1, 2, l2, 3, l3) AS (lag, vlag)"),
+        "v",
+    )
+    return (
+        stacked.groupBy("event_type", "lag")
+        .agg(F.round(F.corr("v", "vlag"), 4).alias("acf"))
+        .orderBy("event_type", "lag")
+    )

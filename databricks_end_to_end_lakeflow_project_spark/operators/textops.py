@@ -816,3 +816,76 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual_lang", "predicted_lang")
     )
+
+
+@query(
+    "text_bigram_nll",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(ws) AS token, generate_subscripts(ws, 1) AS pos
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+    ), tot AS (SELECT COUNT(*) AS n FROM tok),
+    uni AS (
+      SELECT token, COUNT(*)::DOUBLE / (SELECT n FROM tot) AS pu
+      FROM tok GROUP BY token
+    ), big AS (
+      SELECT doc_id, pos, token AS w2,
+             lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM tok
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big WHERE w1 IS NOT NULL GROUP BY w1, w2
+    ), cc AS (
+      SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY w1
+    )
+    SELECT big.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(-AVG(ln(0.7 * bc.c12 / cc.c1 + 0.3 * uni.pu)), 4) AS nll
+    FROM big
+    JOIN bc ON bc.w1 = big.w1 AND bc.w2 = big.w2
+    JOIN cc ON cc.w1 = big.w1
+    JOIN uni ON uni.token = big.w2
+    WHERE big.w1 IS NOT NULL
+    GROUP BY big.doc_id
+    """,
+)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (the KenLM-lite upgrade of
+    `text_unigram_nll`): p(w₂|w₁) = 0.7·c(w₁w₂)/c(w₁·) + 0.3·p_uni(w₂),
+    per-document mean NLL over bigrams. Repetitive boilerplate scores
+    near-zero NLL; OOD text scores high — a sharper quality split than
+    unigram because it sees word ORDER.
+
+    Plan: bigrams come from one windowed `lag` per (doc, pos) — no
+    self-join of the token stream; both LM tables are vocabulary-sized
+    aggregates broadcast back onto the bigram stream; final per-doc agg
+    partial-aggregates on doc_id. At 100 TB the bigram table is the only
+    object that grows super-vocabulary; it shuffles on (w1, w2) — a
+    uniform key — and can be frequency-pruned without changing the
+    interpolation's fallback mass."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    )
+    total = tok.count()
+    uni = tok.groupBy("token").agg(
+        (F.count("*").cast("double") / F.lit(float(total))).alias("pu")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id",
+        F.col("token").alias("w2"),
+        F.lag("token").over(w).alias("w1"),
+    ).filter(F.col("w1").isNotNull())
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    p = 0.7 * F.col("c12") / F.col("c1") + 0.3 * F.col("pu")
+    return (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(cc), "w1")
+        .join(F.broadcast(uni), F.col("w2") == F.col("token"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg(F.log(p)), 4).alias("nll"),
+        )
+    )

@@ -133,3 +133,52 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization, with end = last event + gap (Spark's session_window
     end semantics)."""
     return session_agg(read_table(spark, sf_dir, "events"))
+
+
+def chained_window_agg(events: DataFrame) -> DataFrame:
+    """Two CHAINED event-time window aggregations (Spark ≥3.4 multiple
+    stateful operators): hourly count per event type, then a 6-hour
+    super-window aggregating the hourly buckets (max + total). The
+    second `F.window` consumes the first's window STRUCT column, which
+    preserves the event-time watermark tag — the requirement for
+    chaining stateful operators in one streaming query."""
+    hourly = events.groupBy(
+        F.window("ts", "1 hour").alias("w1"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        hourly.groupBy(F.window(F.col("w1"), "6 hours").alias("w6"), "event_type")
+        .agg(
+            F.max("n_events").alias("max_hourly_events"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .select(
+            F.col("w6.start").alias("window_start"),
+            "event_type",
+            "max_hourly_events",
+            "total_events",
+        )
+    )
+
+
+@query(
+    "stream_chained_window_agg",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS h, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT make_timestamp(((epoch(h)::BIGINT) // 21600) * 21600 * 1000000)
+             AS window_start,
+           event_type,
+           MAX(n) AS max_hourly_events,
+           SUM(n)::BIGINT AS total_events
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode registry face of the chained windows (oracle nests the
+    hourly buckets into epoch-aligned 6-hour buckets); the streaming
+    drain — two stateful operators in one query — is asserted
+    stream == batch in tests/test_streaming.py."""
+    return chained_window_agg(read_table(spark, sf_dir, "events"))

@@ -262,3 +262,18 @@ def test_ts_pattern_search_finds_planted_spike(spark, tmp_path):
     top = out[0]
     assert (top["user_id"], top["off"]) == (2, 3)
     assert top["zdist"] == 0.0
+
+
+def test_autocorr_lags_bounded_and_complete(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        ts_autocorr_lags,
+    )
+
+    rows = ts_autocorr_lags(spark, SF).collect()
+    types = {r["event_type"] for r in rows}
+    # every type carries exactly lags 1..3
+    for t in types:
+        assert sorted(r["lag"] for r in rows if r["event_type"] == t) == [1, 2, 3]
+    for r in rows:
+        if r["acf"] is not None:
+            assert -1.0 <= r["acf"] <= 1.0

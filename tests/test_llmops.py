@@ -512,3 +512,45 @@ def test_incremental_delta_pairs_equal_filtered_full_run(spark):
     }
     assert inc == full
     assert all(a >= cut or b >= cut for a, b, _ in inc)
+
+
+def test_semdedup_pairs_subset_of_bruteforce_and_reps_minimal(spark):
+    """SemDeDup's duplicate groups must (a) only contain vectors that
+    really have a ≥0.42-cosine partner in the brute-force pair set
+    restricted to its cell (no false positives), (b) name the smallest
+    vec_id of each component as the kept representative, and (c) recover
+    most of the brute-force near-dup mass (cell-split losses only)."""
+    out = similarity.dedup_semdedup_keep(spark, SF).collect()
+    brute = similarity.sim_embedding_near_dup_pairs(spark, SF).collect()
+    in_pairs = {r["vec_a"] for r in brute} | {r["vec_b"] for r in brute}
+    grouped = {r["vec_id"] for r in out}
+    # no false positives: every grouped vector is in some brute-force pair
+    assert grouped <= in_pairs
+    # representative is the component minimum and marked keep
+    by_rep: dict[int, list] = {}
+    for r in out:
+        by_rep.setdefault(r["rep_id"], []).append(r)
+    for rep, members in by_rep.items():
+        assert min(m["vec_id"] for m in members) == rep
+        assert all(m["keep"] == (m["vec_id"] == rep) for m in members)
+    # recall: cell-bucketing may split some pairs, most mass retained
+    if in_pairs:
+        assert len(grouped) / len(in_pairs) >= 0.6
+
+
+def test_bigram_nll_positive_and_sharper_than_unigram(spark):
+    """Interpolated-bigram training NLL must be positive (p < 1 always)
+    and, corpus-wide, below the unigram NLL: conditioning on the
+    previous word can only reduce MLE entropy (H(W₂|W₁) ≤ H(W₂)), and
+    the 0.3 unigram interpolation floor bounds the loss of mixing."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_bigram_nll,
+        text_unigram_nll,
+    )
+
+    bi = {r["doc_id"]: r["nll"] for r in text_bigram_nll(spark, SF).collect()}
+    un = {r["doc_id"]: r["nll"] for r in text_unigram_nll(spark, SF).collect()}
+    assert all(v > 0 for v in bi.values())
+    common = set(bi) & set(un)
+    assert common
+    assert sum(bi[d] for d in common) / len(common) < sum(un[d] for d in common) / len(common)

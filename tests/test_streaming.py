@@ -291,3 +291,27 @@ def test_stream_scd2_equals_batch_history(spark, tmp_path):
     stm.stream_scd2_into(stream, table, ["user_id"], "ts", ckpt, ["event_id"])
     again = {tuple(r) for r in table.read().select(*[f.name for f in scd2_from_history(ev, ['user_id'], 'ts', tiebreakers=['event_id']).schema.fields]).collect()}
     assert again == want
+
+
+def test_chained_window_agg_stream_equals_batch_for_closed_windows(spark, events_dir):
+    """Two stateful operators chained in ONE streaming query (hourly agg
+    → 6-hour agg over the window column). Append mode emits a 6-hour
+    super-window once the watermark passes its end, so a finite stream
+    yields batch minus the trailing open super-window."""
+    from databricks_end_to_end_lakeflow_project_spark.streaming.windows import (
+        chained_window_agg,
+    )
+
+    stream = st.stream_from_dir(spark, events_dir)
+    name = f"chained_{uuid.uuid4().hex[:6]}"
+    got = st.run_to_memory(
+        chained_window_agg(stream.withWatermark("ts", "10 minutes")),
+        name,
+        output_mode="append",
+    )
+    batch = chained_window_agg(spark.read.parquet(events_dir))
+    got_rows = sorted(map(tuple, got.collect()))
+    batch_rows = sorted(map(tuple, batch.collect()))
+    max_start = max(r[0] for r in batch_rows)
+    closed = [r for r in batch_rows if r[0] < max_start]
+    assert got_rows == closed
