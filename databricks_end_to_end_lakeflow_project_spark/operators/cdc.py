@@ -210,6 +210,32 @@ class ManagedParquetTable:
             return []
         return sorted(int(d) for d in os.listdir(vdir) if d.isdigit())
 
+    def restore(self, version: int) -> None:
+        """Delta `RESTORE TABLE ... TO VERSION AS OF` analogue: make a
+        retained snapshot the CURRENT state again. The restore itself is
+        an overwrite, so the replaced (pre-restore) state is archived as
+        a new version first — a bad restore is itself restorable, exactly
+        like Delta's history-preserving RESTORE. Directory copy of the
+        snapshot (it must survive under version retention), then the
+        standard atomic swap."""
+        vpath = os.path.join(self._versions_dir(), str(version))
+        if not os.path.isdir(vpath):
+            raise ValueError(
+                f"version {version} not retained; available: {self.history()}"
+            )
+        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        shutil.copytree(vpath, tmp)
+        if self.retain_versions > 0 and os.path.exists(self.path):
+            vdir = self._versions_dir()
+            os.makedirs(vdir, exist_ok=True)
+            nxt = (self.history() or [-1])[-1] + 1
+            os.rename(self.path, os.path.join(vdir, str(nxt)))
+        elif os.path.exists(self.path):
+            shutil.rmtree(self.path, ignore_errors=True)
+        os.rename(tmp, self.path)
+        if self.retain_versions > 0:
+            self.vacuum(retain_last=self.retain_versions)
+
     def vacuum(self, retain_last: int = 0) -> int:
         """Drop all but the newest ``retain_last`` snapshots; returns the
         number removed (Delta VACUUM analogue at directory granularity)."""

@@ -220,6 +220,36 @@ def test_time_travel_versions_and_vacuum(spark, tmp_path):
         t.read(version=0)
 
 
+def test_restore_to_version_is_history_preserving(spark, tmp_path):
+    """RESTORE makes a retained snapshot current again AND archives the
+    replaced state first, so a bad restore is itself restorable."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+    )
+
+    t = ManagedParquetTable(
+        spark, str(tmp_path / "rst"), keys=["k"], sequence_by="seq",
+        retain_versions=3,
+    )
+    for i, v in enumerate(["a", "b", "c"]):
+        t.upsert(spark.createDataFrame([(1, i + 1, v)], "k int, seq int, v string"))
+    assert {r["v"] for r in t.read().collect()} == {"c"}
+    assert t.history() == [0, 1]
+
+    t.restore(0)  # back to the "a" state
+    assert {r["v"] for r in t.read().collect()} == {"a"}
+    # pre-restore "c" state was archived as version 2
+    assert t.history() == [0, 1, 2]
+    assert {r["v"] for r in t.read(version=2).collect()} == {"c"}
+
+    t.restore(2)  # undo the restore
+    assert {r["v"] for r in t.read().collect()} == {"c"}
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.restore(99)
+
+
 # ---------------------------------------------------------------------------
 # SCD Type 2
 # ---------------------------------------------------------------------------
