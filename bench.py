@@ -51,6 +51,10 @@ HEADLINE = [
     "sim_jl_projection",
     "cdc_scd2_history",
     "retrieval_hybrid_rrf",
+    "dedup_semdedup_keep",
+    "text_bigram_nll",
+    "stream_chained_window_agg",
+    "ts_autocorr_lags",
 ]
 
 

@@ -898,18 +898,40 @@ def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.explode(F.transform(F.slice(ranked, 1, 2), lambda s: s["cell"])).alias("cell"),
     )
-    a = assigned.select(
-        "cell", F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
+    # Per-cell pairwise scoring as ONE BLAS matmul per cell (the
+    # sim_gemm_batch_topk pattern): a |cell|×64 · 64×|cell| gemm beats a
+    # JVM fold per pair by ~100× (no per-pair array allocation), and the
+    # cell is exactly the applyInPandas group. The gemm filters with an
+    # ε-band BELOW the threshold; survivors (rare) are re-verified with
+    # the oracle's exact fold-order cosine, so summation-order ulps can
+    # never flip membership. Cell size bounds the worker matrix: k ∝ √n
+    # keeps |cell|² Arrow batches executor-sized at 100 TB.
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        sim = (mat / nrm[:, None]) @ (mat / nrm[:, None]).T
+        ii, jj = np.nonzero(np.triu(sim >= 0.42 - 1e-6, k=1))
+        ids = pdf["vec_id"].to_numpy()
+        aa, bb = ids[ii], ids[jj]
+        return pd.DataFrame({"src": np.minimum(aa, bb), "dst": np.maximum(aa, bb)})
+
+    cand = (
+        assigned.groupBy("cell")
+        .applyInPandas(_cell_pairs, schema="src long, dst long")
+        .distinct()
     )
-    b = assigned.select(
-        "cell", F.col("vec_id").alias("dst"), F.col("embedding").alias("eb")
-    )
+    ea = em.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
+    eb = em.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
     edges = (
-        a.join(b, "cell")
-        .filter(F.col("src") < F.col("dst"))
-        .dropDuplicates(["src", "dst"])
+        ea.join(F.broadcast(cand), "src")
+        .join(eb, "dst")
         .filter(cosine(F.col("ea"), F.col("eb")) >= 0.42)
         .select("src", "dst")
+        .localCheckpoint()  # truncate the wide-expression lineage before
+        # the iterative component loop re-reads edges every round
     )
     from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
         connected_components,
