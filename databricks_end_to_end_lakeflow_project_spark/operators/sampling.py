@@ -190,3 +190,72 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", F.round("es_key", 10).alias("es_key"))
         .orderBy("lang", F.col("es_key").desc(), "doc_id")
     )
+
+
+_LEAKAGE_SAFE_ORACLE = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+               AS shingles
+      FROM toks WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.b AS node, r.lbl
+      FROM reach r JOIN edges e ON e.a = r.node
+      WHERE r.lbl < e.b
+    ), comp AS (
+      SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT node AS doc_id, cluster_id,
+           CASE
+             WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+             WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM comp
+"""
+
+
+@query("sample_split_leakage_safe", _LEAKAGE_SAFE_ORACLE)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: hash the near-dup CLUSTER id,
+    not the document id, so every member of a duplicate cluster lands in
+    the SAME split — the guard against train→eval leakage that a plain
+    per-document hash split cannot give (a near-copy of a test document
+    in train is contamination). Near-dup graph = verified MinHash-LSH
+    pairs; components give the cluster id (smallest member); the split
+    label is then the same deterministic 12/2/2-sixteenths hash used by
+    `sample_split_train_val_test`, applied to the cluster key.
+
+    Scale notes: identical cost profile to `dedup_cluster_assign` (LSH
+    banding + component iterations); the split assignment itself is a
+    narrow map over the component output. Singleton docs (their own
+    cluster) split at the standard rates, so corpus-level proportions
+    are preserved up to duplicate mass."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(docs.select(F.col("doc_id").alias("node")), pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        split_assign(F.col("component")).alias("split"),
+    )

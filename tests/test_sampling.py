@@ -102,3 +102,27 @@ def test_weighted_reservoir_size_bias_and_partition_invariance(spark):
     docs.createOrReplaceTempView("___wr_docs")
     again = {(r["lang"], r["doc_id"]) for r in sample_weighted_reservoir(spark, sf).collect()}
     assert again == {(r["lang"], r["doc_id"]) for r in rows}
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """No verified near-dup pair may cross a split boundary, and the
+    cluster-keyed split must still be the standard hash split for
+    singleton documents."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        dedup_minhash_lsh_pairs,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        sample_split_leakage_safe,
+    )
+
+    out = {r["doc_id"]: r for r in sample_split_leakage_safe(spark, SF).collect()}
+    pairs = [(r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh_pairs(spark, SF).collect()]
+    assert pairs  # corpus plants near-dups; the invariant must be exercised
+    for a, b in pairs:
+        assert out[a]["split"] == out[b]["split"]
+        assert out[a]["cluster_id"] == out[b]["cluster_id"]
+    # every split is populated at roughly the configured proportions
+    from collections import Counter
+    c = Counter(r["split"] for r in out.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
