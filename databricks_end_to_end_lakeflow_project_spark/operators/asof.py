@@ -36,11 +36,15 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     strict: bool = False,
+    forward: bool = False,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row keeps all its columns and gains
     ``right_cols`` + ``right_ts`` from the latest ``right`` row with
     ``right_ts <= left_ts`` (``<`` when ``strict``) and equal ``on`` keys;
-    NULLs when no prior right row exists.
+    NULLs when no prior right row exists. ``forward=True`` flips the
+    direction: the EARLIEST right row with ``right_ts >= left_ts``
+    (``>`` when strict) — same union + one ordered window, scanning time
+    descending instead of ascending.
 
     ``right`` must be unique per (*on, right_ts*) — pre-aggregate
     otherwise (ties would make the matched payload nondeterministic).
@@ -65,12 +69,14 @@ def asof_join(
         F.col(right_ts),
     )
 
-    # strict (<): right rows at ts == left ts must NOT be visible → order
-    # them after the left row instead of before.
+    # strict: right rows at ts == left ts must NOT be visible → order
+    # them after the left row instead of before. forward scans time
+    # descending so "last right seen" is the nearest FUTURE right.
     side_order = F.col(_SIDE).desc() if strict else F.col(_SIDE).asc()
+    ts_order = F.col("__ts").desc() if forward else F.col("__ts").asc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), side_order)
+        .orderBy(ts_order, side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     resolved = lhs.unionByName(rhs).select(
@@ -446,4 +452,44 @@ def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(money(purchases["value"])).alias("revenue"),
         )
         .orderBy("tier")
+    )
+
+
+@query(
+    "join_asof_forward",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_ts, c.click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts <= c.click_ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the user's next
+    at-or-after click (post-purchase behavior attribution) — the mirror
+    of `join_asof_backward`, same union + single ordered window, time
+    scanned descending (DuckDB forward ``ASOF LEFT JOIN`` oracle)."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_value"],
+        forward=True,
     )

@@ -71,3 +71,40 @@ def test_asof_join_matches_reference_model(spark, left, right, strict, parts):
     }
     want = _model(left, right or [("Z", -99, -1)], strict)
     assert got == want
+
+
+def _model_forward(left, right, strict):
+    out = {}
+    for k, lt, lid in left:
+        best = None
+        for rk, rt, rv in right:
+            if rk != k:
+                continue
+            if (rt > lt) if strict else (rt >= lt):
+                if best is None or rt < best[0]:
+                    best = (rt, rv)
+        out[lid] = best
+    return out
+
+
+@given(left=_left, right=_right, strict=st.booleans(), parts=st.integers(1, 3))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_forward_matches_reference_model(spark, left, right, strict, parts):
+    ldf = spark.createDataFrame(left, "key string, lts int, lid int").repartition(parts)
+    rdf = spark.createDataFrame(
+        right or [("Z", -99, -1)], "key string, rts int, rval int"
+    ).repartition(parts)
+    got = {
+        r["lid"]: (r["rts"], r["rval"])
+        if r["rts"] is not None
+        else None
+        for r in asof_join(
+            ldf, rdf, ["key"], "lts", "rts", ["rval"], strict=strict, forward=True
+        ).collect()
+    }
+    want = _model_forward(left, right or [("Z", -99, -1)], strict)
+    assert got == want
