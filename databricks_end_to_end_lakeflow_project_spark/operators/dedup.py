@@ -307,20 +307,24 @@ def _simhash64(texts: pd.Series) -> pd.Series:
     return texts.map(one)
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """SimHash near-dup candidates: band the 64 bits into 4×16-bit keys
-    (a pair within hamming distance 3·16-bit-band-misses must share at
-    least one band), then verify hamming distance ≤ ``max_hamming``."""
-    sigs = docs.select("doc_id", _simhash64(F.col("text")).alias("sim"))
+def banded_hamming_pairs(
+    sigs: DataFrame, id_col: str, sig_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Generic 64-bit-sketch near-dup pair generation: band the 64 bits
+    into 4×16-bit keys, candidates share any band, verify hamming
+    distance ≤ ``max_hamming``. Shared by SimHash (text sketches) and
+    pHash (media sketches) — any 64-bit locality-preserving signature
+    plugs in. Bands shuffle on (band_id, band_key); candidate volume is
+    governed by band-key collisions, never all-pairs."""
     bands = sigs.select(
-        "doc_id",
-        "sim",
+        F.col(id_col),
+        F.col(sig_col).alias("sim"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.shiftrightunsigned(F.col("sim"), i * 16)
+                        F.shiftrightunsigned(F.col(sig_col), i * 16)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("band_key"),
                     )
@@ -328,9 +332,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "sim", "b.band_id", "b.band_key")
-    left = bands.select("band_id", "band_key", F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
-    right = bands.select("band_id", "band_key", F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    ).select(id_col, "sim", "b.band_id", "b.band_key")
+    left = bands.select("band_id", "band_key", F.col(id_col).alias("doc_a"), F.col("sim").alias("sim_a"))
+    right = bands.select("band_id", "band_key", F.col(id_col).alias("doc_b"), F.col("sim").alias("sim_b"))
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         left.join(right, ["band_id", "band_key"])
@@ -340,6 +344,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup candidates: band the 64 bits into 4×16-bit keys
+    (a pair within hamming distance 3·16-bit-band-misses must share at
+    least one band), then verify hamming distance ≤ ``max_hamming``."""
+    sigs = docs.select("doc_id", _simhash64(F.col("text")).alias("sim"))
+    return banded_hamming_pairs(sigs, "doc_id", "sim", max_hamming)
 
 
 @query("dedup_simhash_pairs")

@@ -554,3 +554,19 @@ def test_bigram_nll_positive_and_sharper_than_unigram(spark):
     common = set(bi) & set(un)
     assert common
     assert sum(bi[d] for d in common) / len(common) < sum(un[d] for d in common) / len(common)
+
+
+def test_phash_media_pairs_surface_text_near_dups(spark):
+    """The planted text near-dups must also surface as payload (pHash)
+    near-dups — the media-bytes mirror of the SimHash banding path —
+    with small hamming distances, and every reported pair must respect
+    the hamming cap."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.multimodal import (
+        multimodal_phash_pairs,
+    )
+
+    ph = _pairset(multimodal_phash_pairs(spark, SF))
+    exact = _pairset(dedup.dedup_ngram_jaccard_pairs(spark, SF))
+    assert exact
+    recall = len(ph & exact) / len(exact)
+    assert recall >= 0.8
