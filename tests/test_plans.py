@@ -289,3 +289,28 @@ def test_aqe_skew_join_splits_hot_partition(spark):
             else:
                 spark.conf.set(k, v)
     assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+
+def test_bigram_nll_broadcasts_lm_tables(spark):
+    """Both LM tables (bigram counts, context totals) and the unigram
+    model must reach the bigram stream as broadcast joins — the token
+    stream itself is never shuffled for the probability lookup."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_bigram_nll,
+    )
+
+    plan = _plan(text_bigram_nll(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_autocorr_single_resample_exchange(spark):
+    """The hourly resample is the only table-sized shuffle: the lag
+    window and final corr agg run on the collapsed |types|x|hours|
+    frame."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        ts_autocorr_lags,
+    )
+
+    plan = _plan(ts_autocorr_lags(spark, SF))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

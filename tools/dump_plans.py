@@ -25,6 +25,13 @@ from databricks_end_to_end_lakeflow_project_spark.session import get_spark  # no
 # (query, what the plan must show)
 SHOWCASE = [
     (
+        "text_bigram_nll",
+        "Interpolated bigram LM scoring: the token stream is shuffled once "
+        "for the window lag; all three LM lookups (bigram counts, context "
+        "totals, unigram probabilities) come back as BroadcastHashJoins - "
+        "no SortMergeJoin anywhere, vocabulary-sized state only.",
+    ),
+    (
         "text_bm25_topk",
         "Known-query BM25: NO Exchange and NO Generate anywhere — per-term "
         "tf is an array filter codegen'd into the scan projection, corpus "
