@@ -370,3 +370,133 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active_users"))
     )
+
+
+_PRETRAIN_EXPORT_ORACLE = """
+    WITH RECURSIVE toks0 AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), gated AS (
+      SELECT doc_id, w,
+             0.4 * LEAST(LENGTH(w)::DOUBLE / 100.0, 1.0)
+           + 0.4 * (LENGTH(list_distinct(w))::DOUBLE / LENGTH(w))
+           + 0.2 * (1.0 - LENGTH(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE
+                          / LENGTH(w)) AS score
+      FROM toks0
+      WHERE 0.4 * LEAST(LENGTH(w)::DOUBLE / 100.0, 1.0)
+          + 0.4 * (LENGTH(list_distinct(w))::DOUBLE / LENGTH(w))
+          + 0.2 * (1.0 - LENGTH(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE
+                         / LENGTH(w)) >= 0.55
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+               AS shingles
+      FROM gated WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM gated
+      UNION
+      SELECT e.b AS node, r.lbl
+      FROM reach r JOIN edges e ON e.a = r.node
+      WHERE r.lbl < e.b
+    ), comp AS (
+      SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    ), ranked AS (
+      SELECT comp.cluster_id, comp.node AS doc_id, g.score,
+             LENGTH(g.w) AS n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY comp.cluster_id ORDER BY g.score DESC, comp.node
+             ) AS rn
+      FROM comp JOIN gated g ON g.doc_id = comp.node
+    ), survivors AS (
+      SELECT cluster_id, doc_id, score, n_tokens,
+             CASE
+               WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+               WHEN SUBSTRING(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM ranked WHERE rn = 1
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens,
+           ROUND(AVG(score), 4) AS avg_quality
+    FROM survivors GROUP BY split ORDER BY split
+"""
+
+
+@query("pipeline_pretraining_export", _PRETRAIN_EXPORT_ORACLE)
+def pipeline_pretraining_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone corpus-curation pipeline, end to end in ONE plan:
+    quality-gate (score ≥ 0.55) → near-dup graph over the gated corpus
+    (verified MinHash-LSH pairs) → connected components → keep the
+    best-quality member per cluster (tie → lowest id) → leakage-safe
+    split on the CLUSTER id → per-split export stats. Every stage is an
+    operator verified on its own elsewhere in the registry; this query
+    pins their composition — the order (gate before dedup, split by
+    cluster) is the part pipelines get wrong.
+
+    Scale notes: the gate is a scan projection; the only corpus-sized
+    shuffles are LSH banding and the component iterations (both bounded
+    by near-dup density); survivor choice is one window on cluster_id;
+    the final agg is 3 groups."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        split_assign,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        STOPWORDS,
+        stopword_hits,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    n = F.size(w).cast("double")
+    score = (
+        0.4 * F.least(n / 100.0, F.lit(1.0))
+        + 0.4 * (F.size(F.array_distinct(w)).cast("double") / n)
+        + 0.2 * (F.lit(1.0) - stopword_hits(w, STOPWORDS).cast("double") / n)
+    )
+    gated = docs.select(
+        "doc_id", "text", score.alias("score"), F.size(w).cast("long").alias("n_tokens")
+    ).filter(F.col("score") >= 0.55)
+
+    pairs = minhash_lsh_pairs(gated).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(
+        gated.select(F.col("doc_id").alias("node")), pairs
+    )
+    joined = comp.join(
+        gated.select("doc_id", "score", "n_tokens"),
+        comp["node"] == F.col("doc_id"),
+    ).select(F.col("component").alias("cluster_id"), "doc_id", "score", "n_tokens")
+    win = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    survivors = (
+        joined.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "score", "n_tokens",
+                split_assign(F.col("cluster_id")).alias("split"))
+    )
+    return (
+        survivors.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("score"), 4).alias("avg_quality"),
+        )
+        .orderBy("split")
+    )

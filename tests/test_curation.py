@@ -93,3 +93,22 @@ def test_funnel_and_cohorts_shape(spark):
     n_users = read_table(spark, SF, "events").select("user_id").distinct().count()
     week0 = coh.filter(F.col("week_offset") == 0).agg(F.sum("n_active_users"))
     assert week0.collect()[0][0] == n_users
+
+
+def test_pretraining_export_invariants(spark):
+    """The capstone export must (a) cover all three splits, (b) never
+    exceed the gated-corpus size after dedup, and (c) keep per-split
+    average quality at or above the gate threshold."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.curation import (
+        pipeline_pretraining_export,
+    )
+
+    rows = {r["split"]: r for r in pipeline_pretraining_export(spark, SF).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    total_docs = sum(r["n_docs"] for r in rows.values())
+    n_corpus = read_table(spark, SF, "documents").count()
+    assert 0 < total_docs < n_corpus  # gate + dedup both removed something
+    assert rows["train"]["n_docs"] > rows["val"]["n_docs"]
+    for r in rows.values():
+        assert r["avg_quality"] >= 0.55
+        assert r["total_tokens"] > 0
