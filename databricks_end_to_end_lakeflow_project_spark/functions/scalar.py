@@ -594,3 +594,60 @@ def fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.cents").alias("cents"),
         F.col("v.priority").alias("priority"),
     )
+
+
+_RCTE_ORACLE = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ), edges AS (
+      SELECT DISTINCT event_type AS src, next_type AS dst
+      FROM seq WHERE next_type IS NOT NULL AND next_type <> event_type
+    ), reach AS (
+      SELECT 'signup' AS t, 0 AS hops
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.t
+      WHERE r.hops < 4
+    )
+    SELECT t AS event_type, MIN(hops) AS min_hops
+    FROM reach GROUP BY t ORDER BY t
+"""
+
+
+@query("sql_recursive_cte_reachability", _RCTE_ORACLE)
+def sql_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark ≥4.0 `WITH RECURSIVE`) doing BFS over the
+    event-type transition graph: derive distinct prev→next edges from
+    each user's ordered stream (one window), then recursively expand
+    from 'signup' with a hop cap and keep each type's minimum hop count.
+    The recursion runs INSIDE Spark SQL — no driver-side loop — the
+    declarative counterpart of the iterative `connected_components`
+    operator (which remains the right tool when the frontier is
+    table-sized and needs per-round checkpointing)."""
+    ev = read_table(spark, sf_dir, "events")
+    view = "evt_for_rcte"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+          FROM {view}
+        ), edges AS (
+          SELECT DISTINCT event_type AS src, next_type AS dst
+          FROM seq WHERE next_type IS NOT NULL AND next_type <> event_type
+        ), reach AS (
+          SELECT 'signup' AS t, 0 AS hops
+          UNION ALL
+          SELECT e.dst, r.hops + 1
+          FROM reach r JOIN edges e ON e.src = r.t
+          WHERE r.hops < 4
+        )
+        SELECT t AS event_type, MIN(hops) AS min_hops
+        FROM reach GROUP BY t ORDER BY t
+        """
+    )
