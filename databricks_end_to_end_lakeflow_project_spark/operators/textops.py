@@ -856,12 +856,14 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram because it sees word ORDER.
 
     Plan: bigrams come from one windowed `lag` per (doc, pos) — no
-    self-join of the token stream; both LM tables are vocabulary-sized
-    aggregates broadcast back onto the bigram stream; final per-doc agg
-    partial-aggregates on doc_id. At 100 TB the bigram table is the only
-    object that grows super-vocabulary; it shuffles on (w1, w2) — a
-    uniform key — and can be frequency-pruned without changing the
-    interpolation's fallback mass."""
+    self-join of the token stream; the vocabulary-sized tables (context
+    totals, unigram probabilities) carry explicit broadcast hints. The
+    BIGRAM count table is the one object that grows super-vocabulary, so
+    it gets NO hint: AQE broadcasts it at test scale (asserted in
+    tests/test_plans.py) and falls back to a (w1, w2)-keyed shuffle join
+    at corpus scale — a uniform key, and the table can be
+    frequency-pruned without changing the interpolation's fallback
+    mass. Final per-doc agg partial-aggregates on doc_id."""
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
@@ -880,7 +882,7 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     p = 0.7 * F.col("c12") / F.col("c1") + 0.3 * F.col("pu")
     return (
-        big.join(F.broadcast(bc), ["w1", "w2"])
+        big.join(bc, ["w1", "w2"])
         .join(F.broadcast(cc), "w1")
         .join(F.broadcast(uni), F.col("w2") == F.col("token"))
         .groupBy("doc_id")
