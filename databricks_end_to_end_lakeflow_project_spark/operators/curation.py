@@ -350,13 +350,16 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-seen week, counted
     in each subsequent active week. The cohort frame is per-user MINs
-    (tiny vs the event log) and broadcasts back onto events; both dates
+    (tiny vs the event log, but it scales with the user base); both dates
     are week-truncated so the offset arithmetic is exact integers."""
     ev = _t(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
-    joined = ev.join(F.broadcast(first_seen), "user_id")
+    # per-USER frame: broadcastable only at small SFs — AQE decides; at
+    # scale this is a user-keyed shuffle join (both sides already
+    # aggregate/join on user_id)
+    joined = ev.join(first_seen, "user_id")
     return (
         joined.select(
             F.col("cohort_week").cast("date").alias("cohort_week"),

@@ -463,8 +463,11 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("node"))
     comp = connected_components(nodes, pairs)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # no broadcast hint: sizes has one row per COMPONENT (≈ per doc on a
+    # clean corpus), so it scales with the table — AQE broadcasts it at
+    # small SFs and falls back to a component-keyed shuffle join at scale
     return (
-        comp.join(F.broadcast(sizes), "component")
+        comp.join(sizes, "component")
         .select(
             F.col("node").alias("doc_id"),
             F.col("component").alias("cluster_id"),

@@ -941,7 +941,8 @@ def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(nodes, edges)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
     return (
-        comp.join(F.broadcast(sizes.filter(F.col("n") > 1)), "component")
+        # sizes scales with duplicate mass — leave the join strategy to AQE
+        comp.join(sizes.filter(F.col("n") > 1), "component")
         .select(
             F.col("node").alias("vec_id"),
             F.col("component").alias("rep_id"),
