@@ -891,3 +891,70 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.avg(F.log(p)), 4).alias("nll"),
         )
     )
+
+
+@query(
+    "text_head_middle_tail",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token
+      FROM documents
+    ), lm AS (
+      SELECT token,
+             COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM tok) AS p
+      FROM tok GROUP BY token
+    ), nll AS (
+      SELECT tok.doc_id, -AVG(ln(lm.p)) AS nll
+      FROM tok JOIN lm USING (token)
+      GROUP BY tok.doc_id
+    ), binned AS (
+      SELECT d.lang, n.doc_id, n.nll,
+             NTILE(3) OVER (PARTITION BY d.lang ORDER BY n.nll, n.doc_id)
+               AS tercile
+      FROM nll n JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(nll), 4) AS avg_nll
+    FROM binned GROUP BY lang, tercile ORDER BY lang, tercile
+    """,
+)
+def text_head_middle_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split: per-language terciles of
+    unigram-LM NLL (head = lowest perplexity). Downstream mixtures
+    up-sample head, keep middle, drop or re-filter tail. NTILE over a
+    per-language window with a doc_id tiebreak keeps bucket boundaries
+    deterministic across engines and partitionings.
+
+    Plan: LM scoring as in `text_unigram_nll` (vocabulary-sized LM
+    broadcast onto the token stream); the ntile window shuffles one row
+    per document on the language key — skew-free since scoring already
+    collapsed the corpus to per-doc rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    total = tok.count()
+    lm = tok.groupBy("token").agg(
+        (F.count("*").cast("double") / F.lit(float(total))).alias("p")
+    )
+    nll = (
+        tok.join(F.broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg((-F.avg(F.log("p"))).alias("nll"))
+    )
+    w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    binned = nll.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang", "nll", F.ntile(3).over(w).alias("tercile")
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        binned.groupBy("lang", "tercile")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("nll"), 4).alias("avg_nll"))
+        .select("lang", bucket.alias("bucket"), "n_docs", "avg_nll")
+        .orderBy("lang", "tercile")
+    )

@@ -570,3 +570,21 @@ def test_phash_media_pairs_surface_text_near_dups(spark):
     assert exact
     recall = len(ph & exact) / len(exact)
     assert recall >= 0.8
+
+
+def test_head_middle_tail_ordering(spark):
+    """Within each language: head avg NLL < middle < tail, buckets are
+    complete, and doc counts differ by at most one (NTILE balance)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_head_middle_tail,
+    )
+
+    rows = text_head_middle_tail(spark, SF).collect()
+    by_lang: dict[str, dict[str, object]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, lang
+        assert b["head"]["avg_nll"] < b["middle"]["avg_nll"] < b["tail"]["avg_nll"]
+        counts = [b[k]["n_docs"] for k in ("head", "middle", "tail")]
+        assert max(counts) - min(counts) <= 1
