@@ -76,9 +76,25 @@ def _collect() -> None:
         importlib.import_module(mod)
 
 
+def _pin_session(fn: QueryFn) -> QueryFn:
+    """Pin the runtime confs correctness depends on, whatever session the
+    caller (driver, test, bench) hands us: UTC so timestamp values match
+    the UTC-naive DuckDB oracle, and ANSI on (the semantics every oracle
+    was written against)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def all_queries() -> dict[str, QueryFn]:
     _collect()
-    return dict(_QUERIES)
+    return {name: _pin_session(fn) for name, fn in _QUERIES.items()}
 
 
 def all_oracles() -> dict[str, str]:
