@@ -384,7 +384,27 @@ def connected_components(
     # undirected: propagate along both orientations
     fwd = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bidir = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    # adaptive degree of parallelism: each round is 2 shuffles + 2 jobs
+    # whose cost at small sizes is pure per-partition fixed overhead, so a
+    # near-dup graph with a few hundred edges should run its rounds on a
+    # handful of shuffle partitions. One cheap count against the persisted
+    # frame sizes the loop; the session conf is restored afterwards — at
+    # real scale the count is large and the session's partitioning stands.
+    n_edges = bidir.count()
+    spark = nodes.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = min(session_parts, max(1, n_edges // 25_000 + 1))
     labels = nodes.select(F.col("node"), F.col("node").alias("component")).localCheckpoint()
+    if parts < session_parts:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return _cc_loop(bidir, labels, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+        bidir.unpersist()
+
+
+def _cc_loop(bidir: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         neighbor_min = (
             bidir.join(labels, bidir["a"] == labels["node"])
@@ -410,7 +430,6 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    bidir.unpersist()
     return labels
 
 
