@@ -315,3 +315,56 @@ def test_chained_window_agg_stream_equals_batch_for_closed_windows(spark, events
     max_start = max(r[0] for r in batch_rows)
     closed = [r for r in batch_rows if r[0] < max_start]
     assert got_rows == closed
+
+
+def test_streaming_exact_dedup_index_equals_batch(spark, tmp_path):
+    """Continuous curation: a streamed corpus maintains an exact-dedup
+    survivor table (keyed on the content fingerprint, smallest doc_id
+    wins) across micro-batches via foreachBatch + merge; the final table
+    must equal the one-shot batch dedup regardless of arrival order."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F2
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import tokens
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # reverse-ish order across 2 files so the survivor (min doc_id) of at
+    # least one fingerprint arrives in the SECOND micro-batch
+    docs.orderBy(F2.col("doc_id").desc()).coalesce(1).limit(200).write.mode(
+        "overwrite"
+    ).parquet(src)
+    docs.orderBy("doc_id").coalesce(1).limit(200).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    fingerprint = F2.md5(
+        F2.array_join(F2.array_sort(F2.array_distinct(tokens(F2.col("text")))), " ")
+    )
+    stream = (
+        st.stream_from_dir(spark, src, schema=schema, max_files_per_trigger=1)
+        .select(fingerprint.alias("fp"), "doc_id", "text")
+        .withColumn("seq", -F2.col("doc_id"))  # latest-wins ⇒ min doc_id
+    )
+    table = ManagedParquetTable(
+        spark, str(tmp_path / "dedup_index"), keys=["fp"], sequence_by="seq"
+    )
+    st.stream_upsert_into(stream, table, ["fp"], "seq", str(tmp_path / "ckpt"))
+
+    got = {(r["fp"], r["doc_id"]) for r in table.read().collect()}
+    want = {
+        (r["fp"], r["min_doc"])
+        for r in spark.read.parquet(src)
+        .select(fingerprint.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F2.min("doc_id").alias("min_doc"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) < spark.read.parquet(src).count()  # dups were collapsed
