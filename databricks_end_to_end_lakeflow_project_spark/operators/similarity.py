@@ -858,6 +858,70 @@ _SEMDEDUP_ORACLE = f"""
 """
 
 
+def semdedup_edges(
+    em: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    n_probe: int = 2,
+    tau: float = 0.42,
+) -> DataFrame:
+    """Cell-bucketed near-dup edge generation (the SemDeDup kernel):
+    top-``n_probe`` max-cosine cell assignment over the given seed
+    centroids (narrow map), per-cell BLAS pair scoring, exact cosine
+    re-verify of the ε-band survivors. Returns verified (src, dst)
+    edges, lineage-truncated for iterative consumers."""
+    # top-2 cells per vector: sort (−score, cell) structs, slice, explode
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(
+                (-cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in cvec]))).alias("ns"),
+                F.lit(cell_id).alias("cell"),
+            )
+            for cell_id, cvec in seeds
+        ])
+    )
+    assigned = em.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])).alias("cell"),
+    )
+    # Per-cell pairwise scoring as ONE BLAS matmul per cell (the
+    # sim_gemm_batch_topk pattern): a |cell|×64 · 64×|cell| gemm beats a
+    # JVM fold per pair by ~100× (no per-pair array allocation), and the
+    # cell is exactly the applyInPandas group. The gemm filters with an
+    # ε-band BELOW the threshold; survivors (rare) are re-verified with
+    # the oracle's exact fold-order cosine, so summation-order ulps can
+    # never flip membership. Cell size bounds the worker matrix: k ∝ √n
+    # keeps |cell|² Arrow batches executor-sized at 100 TB.
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        sim = (mat / nrm[:, None]) @ (mat / nrm[:, None]).T
+        ii, jj = np.nonzero(np.triu(sim >= tau - 1e-6, k=1))
+        ids = pdf["vec_id"].to_numpy()
+        aa, bb = ids[ii], ids[jj]
+        return pd.DataFrame({"src": np.minimum(aa, bb), "dst": np.maximum(aa, bb)})
+
+    cand = (
+        assigned.groupBy("cell")
+        .applyInPandas(_cell_pairs, schema="src long, dst long")
+        .distinct()
+    )
+    ea = em.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
+    eb = em.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    edges = (
+        ea.join(F.broadcast(cand), "src")
+        .join(eb, "dst")
+        .filter(cosine(F.col("ea"), F.col("eb")) >= F.lit(tau))
+        .select("src", "dst")
+        .localCheckpoint()  # truncate the wide-expression lineage before
+        # the iterative component loop re-reads edges every round
+    )
+    return edges
+
+
 @query("dedup_semdedup_keep", _SEMDEDUP_ORACLE)
 def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup that only compares
@@ -876,63 +940,15 @@ def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the near-dup pairs the quantizer splits across cells
     (ANN-style tradeoff): on this deliberately near-orthogonal test
     corpus 2-probe recovers 85% of brute-force pairs at half the
-    candidate volume; clustered real corpora separate far better. Tests
-    measure recall against the brute-force pair baseline."""
+    candidate volume; on a CLUSTERED corpus (the real-world case) every
+    within-cluster pair is recovered — both measured in
+    tests/test_llmops.py against the brute-force pair baseline."""
     em = read_table(spark, sf_dir, "embeddings")
     seeds = sorted(
         (r["vec_id"], r["embedding"])
         for r in em.filter(F.col("vec_id") < _IVF_CELLS).select("vec_id", "embedding").collect()
     )
-    # top-2 cells per vector: sort (−score, cell) structs, slice, explode
-    ranked = F.array_sort(
-        F.array(*[
-            F.struct(
-                (-cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in cvec]))).alias("ns"),
-                F.lit(cell_id).alias("cell"),
-            )
-            for cell_id, cvec in seeds
-        ])
-    )
-    assigned = em.select(
-        "vec_id",
-        "embedding",
-        F.explode(F.transform(F.slice(ranked, 1, 2), lambda s: s["cell"])).alias("cell"),
-    )
-    # Per-cell pairwise scoring as ONE BLAS matmul per cell (the
-    # sim_gemm_batch_topk pattern): a |cell|×64 · 64×|cell| gemm beats a
-    # JVM fold per pair by ~100× (no per-pair array allocation), and the
-    # cell is exactly the applyInPandas group. The gemm filters with an
-    # ε-band BELOW the threshold; survivors (rare) are re-verified with
-    # the oracle's exact fold-order cosine, so summation-order ulps can
-    # never flip membership. Cell size bounds the worker matrix: k ∝ √n
-    # keeps |cell|² Arrow batches executor-sized at 100 TB.
-    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
-        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        nrm = np.linalg.norm(mat, axis=1)
-        nrm[nrm == 0] = 1.0
-        sim = (mat / nrm[:, None]) @ (mat / nrm[:, None]).T
-        ii, jj = np.nonzero(np.triu(sim >= 0.42 - 1e-6, k=1))
-        ids = pdf["vec_id"].to_numpy()
-        aa, bb = ids[ii], ids[jj]
-        return pd.DataFrame({"src": np.minimum(aa, bb), "dst": np.maximum(aa, bb)})
-
-    cand = (
-        assigned.groupBy("cell")
-        .applyInPandas(_cell_pairs, schema="src long, dst long")
-        .distinct()
-    )
-    ea = em.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
-    eb = em.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
-    edges = (
-        ea.join(F.broadcast(cand), "src")
-        .join(eb, "dst")
-        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.42)
-        .select("src", "dst")
-        .localCheckpoint()  # truncate the wide-expression lineage before
-        # the iterative component loop re-reads edges every round
-    )
+    edges = semdedup_edges(em, seeds)
     from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
         connected_components,
     )

@@ -588,3 +588,66 @@ def test_head_middle_tail_ordering(spark):
         assert b["head"]["avg_nll"] < b["middle"]["avg_nll"] < b["tail"]["avg_nll"]
         counts = [b[k]["n_docs"] for k in ("head", "middle", "tail")]
         assert max(counts) - min(counts) <= 1
+
+
+def test_semdedup_full_recall_on_clustered_corpus(spark):
+    """On a CLUSTERED corpus — the case SemDeDup is designed for — the
+    cell quantizer must not split any near-dup pair: recall vs the
+    brute-force edge set is exactly 1.0, while candidate work stays
+    sub-quadratic (every cluster lands inside one probed cell)."""
+    import numpy as np
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        semdedup_edges,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = []
+    # 3 tight clusters of 12 + 40 isotropic noise vectors
+    for _ in range(3):
+        center = rng.standard_normal(64)
+        center /= np.linalg.norm(center)
+        for _ in range(12):
+            vecs.append(center + 0.08 * rng.standard_normal(64))
+    for _ in range(40):
+        vecs.append(rng.standard_normal(64))
+    # shuffle so the first-8 seed heuristic sees a spread of the corpus,
+    # and round to float32 exactly as the array<float> column stores it
+    order = rng.permutation(len(vecs))
+    rows = [
+        (vid, [float(np.float32(x)) for x in vecs[j]])
+        for vid, j in enumerate(order)
+    ]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # brute-force ground truth at the same threshold
+    M = np.stack([np.array(r[1], dtype=np.float64) for r in rows])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    iu = np.triu_indices(len(rows), 1)
+    truth = {
+        (int(iu[0][k]), int(iu[1][k]))
+        for k in range(len(iu[0]))
+        if S[iu[0][k], iu[1][k]] >= 0.42
+    }
+    assert truth  # clusters guarantee near-dup pairs exist
+
+    seeds = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in em.filter(em.vec_id < 8).collect()
+    )
+    got = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in semdedup_edges(em, seeds).collect()
+    }
+    assert got <= truth  # exact verify ⇒ no false positives
+    # the designed-for case: every WITHIN-CLUSTER pair is recovered —
+    # tight clusters land whole inside a probed cell. (Chance noise-noise
+    # pairs that barely cross the threshold may legitimately split.)
+    cluster_of = {vid: (j // 12 if j < 36 else None) for vid, j in enumerate(order)}
+    cluster_pairs = {
+        p for p in truth
+        if cluster_of[p[0]] is not None and cluster_of[p[0]] == cluster_of[p[1]]
+    }
+    assert cluster_pairs and cluster_pairs <= got
+    # overall recall stays high even counting the noise tail
+    assert len(got) / len(truth) >= 0.95
