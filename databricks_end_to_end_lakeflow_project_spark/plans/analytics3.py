@@ -242,3 +242,76 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "xdomain_engagement_revenue",
+    """
+    WITH activity AS (
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    ), revenue AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS rev
+      FROM orders GROUP BY o_custkey
+    ), quintiled AS (
+      SELECT a.user_id, a.n_events,
+             COALESCE(r.n_orders, 0) AS n_orders,
+             COALESCE(r.rev, 0.0) AS rev,
+             NTILE(5) OVER (ORDER BY a.n_events DESC, a.user_id) AS quintile
+      FROM activity a LEFT JOIN revenue r ON r.o_custkey = a.user_id
+    )
+    SELECT quintile,
+           COUNT(*) AS n_users,
+           SUM(n_events)::BIGINT AS total_events,
+           SUM(n_orders)::BIGINT AS total_orders,
+           ROUND(SUM(rev), 2) AS total_revenue
+    FROM quintiled GROUP BY quintile ORDER BY quintile
+    """,
+)
+def xdomain_engagement_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain join of the BEHAVIORAL table (events stream) with the
+    TRANSACTIONAL star (orders): engagement quintiles by event count,
+    each quintile's order volume and exact-decimal revenue. The shape
+    every product-analytics warehouse runs — two independently
+    aggregated fact tables met on the entity key — and the one the
+    medallion architecture exists to serve (silver event stream ⋈ gold
+    fact).
+
+    Plan: both sides pre-aggregate to per-entity rows BEFORE the join
+    (partial-aggregatable, one shuffle each), so the join carries
+    |users| + |customers| rows, never raw facts; the global NTILE runs
+    on the already-collapsed activity frame."""
+    ev = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders")
+    from databricks_end_to_end_lakeflow_project_spark.functions.compat import (
+        dsum,
+        money,
+    )
+
+    activity = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    revenue = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(money("o_totalprice")).alias("rev"),
+    )
+    w = Window.orderBy(F.col("n_events").desc(), "user_id")
+    quintiled = (
+        activity.join(revenue, activity["user_id"] == revenue["o_custkey"], "left")
+        .select(
+            "user_id",
+            "n_events",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("rev", F.lit(0.0)).alias("rev"),
+            F.ntile(5).over(w).alias("quintile"),
+        )
+    )
+    return (
+        quintiled.groupBy("quintile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("total_events"),
+            F.sum("n_orders").alias("total_orders"),
+            F.round(F.sum("rev"), 2).alias("total_revenue"),
+        )
+        .orderBy("quintile")
+    )
