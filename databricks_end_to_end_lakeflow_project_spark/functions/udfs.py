@@ -188,3 +188,55 @@ def udf_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, s.sent_idx, s.sentence FROM _udtf_docs d, LATERAL split_sentences(d.text) s"
     )
+
+
+class _TextStatsPoly:
+    """Polymorphic UDTF: the OUTPUT SCHEMA is computed at plan time by
+    `analyze()` from the literal field-list argument — callers pick which
+    stat columns materialize and Catalyst sees the exact schema."""
+
+    @staticmethod
+    def analyze(text_arg, fields_arg):
+        from pyspark.sql.types import IntegerType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        st = StructType()
+        for name in str(fields_arg.value).split(","):
+            st = st.add(name.strip(), IntegerType())
+        return AnalyzeResult(schema=st)
+
+    def eval(self, text: str, fields: str):
+        toks = (text or "").split(" ")
+        stats = {
+            "n_chars": len(text or ""),
+            "n_tokens": len(toks),
+            "n_upper": sum(1 for c in (text or "") if c.isupper()),
+        }
+        yield tuple(stats[name.strip()] for name in fields.split(","))
+
+
+@query(
+    "udtf_polymorphic_stats",
+    """
+    SELECT doc_id,
+           LENGTH(string_split(text, ' ')) AS n_tokens,
+           LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def udtf_polymorphic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 polymorphic Python UDTF: `analyze()` derives the output
+    schema from the literal field-list argument at PLAN time, so the
+    same function serves any column subset with full Catalyst schema
+    knowledge (projection pruning included). The oracle recomputes the
+    two requested stats in SQL."""
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register("text_stats_poly", udtf(_TextStatsPoly))
+    read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("_poly_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.n_tokens, s.n_upper "
+        "FROM _poly_docs d, LATERAL text_stats_poly(d.text, 'n_tokens,n_upper') s"
+    )
