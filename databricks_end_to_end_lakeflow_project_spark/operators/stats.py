@@ -595,3 +595,32 @@ def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med5"),
     )
+
+
+@query("agg_hll_sketch_union")
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Spark ≥3.5 DataSketches HLL):
+    build one `hll_sketch_agg(user_id)` sketch PER DAY, then union the
+    stored sketches into the period total — the incremental-maintenance
+    pattern for distinct counts at warehouse scale. Unlike
+    `approx_count_distinct` (one-shot, recompute-from-raw), the daily
+    sketch column persists: a new day means ONE new sketch plus a
+    re-union of kilobyte blobs, never a rescan of history; the union is
+    associative so sketches roll up along any hierarchy (day→month→all).
+
+    Rows-only check (sketch internals are engine-specific); tests assert
+    the union estimate equals the direct whole-table sketch estimate
+    (lossless merge at equal lgK) and tracks the exact distinct count."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    total = daily.agg(
+        F.lit("__all_days__").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    return per_day.unionByName(total).orderBy("day")

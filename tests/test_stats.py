@@ -144,3 +144,22 @@ def test_fn_url_suite_roundtrip(spark):
         assert r["query"].startswith("lang=") and "&q=ref" in r["query"]
         assert r["lang_param"] in {"en", "de", "es", "fr", "zh"}
         assert r["q_encoded"] == "a+b+c"
+
+
+def test_hll_sketch_union_lossless_and_accurate(spark):
+    """Daily-sketch union must equal the direct whole-table sketch
+    (lossless merge at equal lgK) and sit within 5% of the exact
+    distinct count."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        agg_hll_sketch_union,
+    )
+
+    rows = {r["day"]: r["est_users"] for r in agg_hll_sketch_union(spark, SF).collect()}
+    ev = read_table(spark, SF, "events")
+    exact = ev.select("user_id").distinct().count()
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).first()["e"]
+    assert rows["__all_days__"] == direct
+    assert abs(rows["__all_days__"] - exact) / exact <= 0.05
+    assert all(v <= rows["__all_days__"] * 1.05 for k, v in rows.items())
