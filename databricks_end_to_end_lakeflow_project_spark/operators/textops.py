@@ -958,3 +958,44 @@ def text_head_middle_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", bucket.alias("bucket"), "n_docs", "avg_nll")
         .orderBy("lang", "tercile")
     )
+
+
+@query(
+    "text_inverted_postings",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(trim(text), ' ')) AS token
+      FROM documents
+    ), grouped AS (
+      SELECT token, COUNT(*) AS df, list_sort(list(doc_id)) AS postings
+      FROM tok GROUP BY token
+    )
+    SELECT token, df, postings
+    FROM grouped WHERE df BETWEEN 2 AND 400
+    """,
+)
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → sorted posting list of documents
+    containing it (document frequency 2-400 — singletons are useless for
+    retrieval, stop-level terms get a dedicated path). The
+    materialization behind `text_bm25_topk`'s on-the-fly scoring: stored
+    as a table, lookups become a semi-join against kilobyte posting
+    arrays instead of a corpus scan.
+
+    Plan: explode → per-doc distinct → one shuffle on token;
+    `sort_array(collect_list(...))` pins posting order so output is
+    partitioning-independent. At 100 TB, posting lists for mid-df terms
+    stay bounded by the df cap; head terms (df above cap) belong in a
+    separate impact-ordered or bitmapped structure, not a row array."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df").between(2, 400))
+    )
