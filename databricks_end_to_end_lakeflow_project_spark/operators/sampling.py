@@ -259,3 +259,47 @@ def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         split_assign(F.col("component")).alias("split"),
     )
+
+
+@query(
+    "sample_split_temporal",
+    """
+    WITH deciled AS (
+      SELECT ts, NTILE(10) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    )
+    SELECT CASE WHEN d <= 8 THEN 'train' WHEN d = 9 THEN 'val' ELSE 'test' END
+             AS split,
+           COUNT(*) AS n_events,
+           MIN(ts) AS from_ts,
+           MAX(ts) AS to_ts
+    FROM deciled GROUP BY 1 ORDER BY from_ts
+    """,
+)
+def sample_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal 80/10/10 split: train strictly precedes val strictly
+    precedes test in EVENT TIME — the other leakage guard next to the
+    cluster-keyed hash split ([[sample_split_leakage_safe]]): models
+    evaluated on the future, never on shuffled contemporaries of their
+    training data. Deciles via one NTILE over (ts, event_id) so the
+    boundary is a deterministic data quantile, not a hand-picked date.
+
+    Scale notes: the global sort behind NTILE is a range exchange; at
+    100 TB replace with `approx_percentile(ts, [0.8, 0.9])` boundaries
+    computed in one partial-aggregatable pass and a broadcast filter —
+    same split, no total order."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    deciled = ev.select("ts", F.ntile(10).over(w).alias("d"))
+    split = (
+        F.when(F.col("d") <= 8, "train").when(F.col("d") == 9, "val").otherwise("test")
+    )
+    return (
+        deciled.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("from_ts"),
+            F.max("ts").alias("to_ts"),
+        )
+        .orderBy("from_ts")
+    )

@@ -126,3 +126,16 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     c = Counter(r["split"] for r in out.values())
     assert set(c) == {"train", "val", "test"}
     assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_temporal_split_windows_are_disjoint_and_ordered(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        sample_split_temporal,
+    )
+
+    rows = {r["split"]: r for r in sample_split_temporal(spark, SF).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    assert rows["train"]["to_ts"] <= rows["val"]["from_ts"]
+    assert rows["val"]["to_ts"] <= rows["test"]["from_ts"]
+    total = sum(r["n_events"] for r in rows.values())
+    assert abs(rows["train"]["n_events"] / total - 0.8) < 0.01
