@@ -174,3 +174,45 @@ def join_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "reshape_transpose_metrics",
+    """
+    WITH agg AS (
+      SELECT event_type, COUNT(*)::DOUBLE AS n, ROUND(AVG(value), 4) AS avg_value
+      FROM events GROUP BY event_type
+    )
+    SELECT 'n' AS key,
+           MAX(CASE WHEN event_type = 'click' THEN n END) AS click,
+           MAX(CASE WHEN event_type = 'error' THEN n END) AS error,
+           MAX(CASE WHEN event_type = 'purchase' THEN n END) AS purchase,
+           MAX(CASE WHEN event_type = 'signup' THEN n END) AS signup,
+           MAX(CASE WHEN event_type = 'view' THEN n END) AS view
+    FROM agg
+    UNION ALL
+    SELECT 'avg_value',
+           MAX(CASE WHEN event_type = 'click' THEN avg_value END),
+           MAX(CASE WHEN event_type = 'error' THEN avg_value END),
+           MAX(CASE WHEN event_type = 'purchase' THEN avg_value END),
+           MAX(CASE WHEN event_type = 'signup' THEN avg_value END),
+           MAX(CASE WHEN event_type = 'view' THEN avg_value END)
+    FROM agg
+    """,
+)
+def reshape_transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 `DataFrame.transpose()`: flip a small metrics-per-group
+    aggregate into groups-as-columns (the report/export orientation).
+    Transpose is a DRIVER-SIDE reshape of an already-aggregated frame —
+    correct use is strictly post-aggregation, never on table-sized data
+    (the oracle's manual CASE pivot is what it replaces)."""
+    ev = read_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+    return agg.transpose()
