@@ -776,3 +776,101 @@ def cdc_scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = scd2_from_history(ev, ["user_id"], "ts", tiebreakers=["event_id"])
     return snapshot_as_of(hist, cutoff).select("user_id", "event_type")
+
+
+def scd2_from_snapshots(
+    snapshots: Sequence[tuple[int, DataFrame]], keys: Sequence[str]
+) -> DataFrame:
+    """SCD Type 2 history from successive FULL table snapshots — the
+    engine analogue of DLT ``create_auto_cdc_from_snapshot_flow``
+    (``apply_changes_from_snapshot``): no change feed exists, so changes
+    are INFERRED by diffing consecutive snapshots (``table_changes``),
+    then folded into validity intervals in ONE window pass per key:
+    every surviving (insert/update) change opens a version at its
+    snapshot id; ``lead()`` over the per-key change sequence closes it at
+    the NEXT change — so a disappeared key's delete closes its last
+    version without emitting a row, and a later re-insert opens a fresh
+    interval. ``__END_AT`` NULL marks the open version.
+
+    Scale notes: cost is one keyed full-outer join per snapshot pair
+    (exactly what any snapshot-diff must pay) + one window shuffle over
+    the CHANGE rows only — never over unchanged snapshot mass."""
+    keys = list(keys)
+    all_events: DataFrame | None = None
+    prev: DataFrame | None = None
+    for ver, snap in sorted(snapshots, key=lambda p: p[0]):
+        base = prev if prev is not None else snap.limit(0)
+        ch = table_changes(base, snap, keys).filter(
+            F.col("_change_type") != "update_preimage"
+        )
+        ev = ch.withColumn("__v", F.lit(int(ver)))
+        all_events = ev if all_events is None else all_events.unionByName(ev)
+        prev = snap
+    assert all_events is not None, "need at least one snapshot"
+    w = Window.partitionBy(*keys).orderBy("__v")
+    attrs = [c for c in all_events.columns if c not in (*keys, "_change_type", "__v")]
+    return (
+        all_events.withColumn("__END_AT", F.lead("__v").over(w))
+        .filter(F.col("_change_type") != "delete")
+        .select(
+            *keys,
+            *attrs,
+            F.col("__v").alias("__START_AT"),
+            "__END_AT",
+        )
+    )
+
+
+@query(
+    "cdc_scd2_from_snapshots",
+    """
+    WITH base AS (
+      SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ), s1 AS (
+      SELECT k, cents FROM base WHERE k < 300
+    ), s2 AS (
+      SELECT k, CASE WHEN k % 7 = 0 THEN cents + 1000 ELSE cents END AS cents
+      FROM base WHERE k < 350
+    ), ev AS (
+      SELECT k, cents, 1 AS v, FALSE AS is_del FROM s1
+      UNION ALL
+      SELECT s2.k, s2.cents, 2, FALSE
+      FROM s2 LEFT JOIN s1 USING (k)
+      WHERE s1.k IS NULL OR s1.cents <> s2.cents
+      UNION ALL
+      SELECT k, cents, 3, TRUE FROM s2 WHERE k % 5 = 0
+    ), iv AS (
+      SELECT k, cents, is_del, v,
+             LEAD(v) OVER (PARTITION BY k ORDER BY v) AS end_at
+      FROM ev
+    )
+    SELECT k, cents, v AS start_at, end_at
+    FROM iv WHERE NOT is_del
+    """,
+)
+def cdc_scd2_from_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT ``create_auto_cdc_from_snapshot_flow`` analogue: three FULL
+    snapshots of a customer slice (initial load → wider slice with some
+    balances changed → some keys gone) folded into SCD2 validity
+    intervals by snapshot-diff CDC. Deletes close the last version
+    without emitting a row; money is integer cents so the diff is exact
+    in both engines."""
+    cu = read_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = cu.select(k.alias("k"), cents.alias("cents"))
+    s1 = base.filter(F.col("k") < 300)
+    s2 = base.filter(F.col("k") < 350).select(
+        "k",
+        F.when(F.col("k") % 7 == 0, F.col("cents") + 1000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    s3 = s2.filter(F.col("k") % 5 != 0)
+    hist = scd2_from_snapshots([(1, s1), (2, s2), (3, s3)], ["k"])
+    return hist.select(
+        "k", "cents",
+        F.col("__START_AT").alias("start_at"),
+        F.col("__END_AT").alias("end_at"),
+    )

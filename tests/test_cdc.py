@@ -492,3 +492,33 @@ def test_upsert_merge_schema_evolution(spark, tmp_path):
     ))
     assert "junk" not in t.read().columns
     assert {r["k"]: r["v"] for r in t.read().collect()}["b"] == "v3"
+
+
+def test_scd2_from_snapshots_hand_scenario(spark):
+    """Snapshot-diff SCD2 including the re-insert-after-delete path:
+    A appears, changes, disappears, reappears; B never changes; C is
+    born in snapshot 3."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        scd2_from_snapshots,
+    )
+
+    def snap(rows):
+        return spark.createDataFrame(rows, "k string, val int")
+
+    s1 = snap([("A", 1), ("B", 9)])
+    s2 = snap([("A", 2), ("B", 9)])          # A updated
+    s3 = snap([("B", 9)])                    # A deleted
+    s4 = snap([("A", 5), ("B", 9), ("C", 7)])  # A re-inserted, C born
+    hist = {
+        (r["k"], r["val"], r["__START_AT"], r["__END_AT"])
+        for r in scd2_from_snapshots(
+            [(1, s1), (2, s2), (3, s3), (4, s4)], ["k"]
+        ).collect()
+    }
+    assert hist == {
+        ("A", 1, 1, 2),      # closed by the update
+        ("A", 2, 2, 3),      # closed by the delete (no row for the delete)
+        ("A", 5, 4, None),   # re-insert opens a fresh interval
+        ("B", 9, 1, None),   # never changed: one open version
+        ("C", 7, 4, None),
+    }
