@@ -62,6 +62,14 @@ class _AppendFlow:
 
 
 @dataclass
+class _SnapshotFlow:
+    target: str
+    source: str
+    keys: list[str]
+    stored_as_scd_type: int = 1
+
+
+@dataclass
 class _CdcFlow:
     target: str
     source: str
@@ -83,6 +91,7 @@ class Pipeline:
         self._tables: dict[str, ManagedParquetTable] = {}
         self._flows: list[_CdcFlow] = []
         self._append_flows: list[_AppendFlow] = []
+        self._snapshot_flows: list[_SnapshotFlow] = []
         self._cache: dict[str, DataFrame] = {}
         self._resolving: list[str] = []
         self.metrics: dict[str, ExpectationResult] = {}
@@ -200,6 +209,105 @@ class Pipeline:
             _CdcFlow(target, source, list(keys), sequence_by, stored_as_scd_type,
                      list(except_column_list), apply_as_deletes, apply_as_truncates)
         )
+
+    def create_auto_cdc_from_snapshot_flow(
+        self,
+        *,
+        target: str,
+        source: str,
+        keys: Sequence[str],
+        stored_as_scd_type: int = 1,
+    ) -> None:
+        """Register a SNAPSHOT-diff CDC edge (DLT
+        ``create_auto_cdc_from_snapshot_flow`` / apply_changes_from_
+        snapshot): the source is a FULL table snapshot each run, with no
+        change feed — changes are inferred by diffing against the
+        previous run's snapshot (persisted as a side table).
+
+        Type 1 keeps the target equal to the latest snapshot (an atomic
+        swap — the diff only matters for engines with file-level MERGE).
+        Type 2 maintains ``__START_AT``/``__END_AT`` validity intervals
+        versioned by a persisted per-flow snapshot counter: updates and
+        deletes close the open version; inserts (including re-inserts
+        after a delete) open a new one. Incremental runs reproduce the
+        one-shot `scd2_from_snapshots` fold exactly."""
+        if stored_as_scd_type not in (1, 2):
+            raise ValueError("stored_as_scd_type must be 1 or 2")
+        if target not in self._tables:
+            raise KeyError(f"unknown streaming table {target!r}; declare it first")
+        self._snapshot_flows.append(
+            _SnapshotFlow(target, source, list(keys), stored_as_scd_type)
+        )
+
+    def _snapshot_ver_path(self, flow: _SnapshotFlow) -> str:
+        d = os.path.join(self.storage_root, "__snapshot_versions")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{flow.target}__{flow.source}.json")
+
+    def _run_snapshot_flows(self) -> None:
+        import json
+
+        from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+            table_changes,
+        )
+
+        for flow in self._snapshot_flows:
+            cur = self.read(flow.source)
+            self._lineage.add((flow.source, flow.target))
+            prev_tbl = ManagedParquetTable(
+                self.spark,
+                os.path.join(self.storage_root, f"{flow.target}__prev_snapshot"),
+            )
+            vpath = self._snapshot_ver_path(flow)
+            ver = 0
+            if os.path.exists(vpath):
+                with open(vpath) as fh:
+                    ver = json.load(fh)["version"]
+            ver += 1
+            prev = prev_tbl.read() if prev_tbl.exists() else cur.limit(0)
+            changes = table_changes(prev, cur, flow.keys).filter(
+                F.col("_change_type") != "update_preimage"
+            )
+            target = self._tables[flow.target]
+            if flow.stored_as_scd_type == 1:
+                target.overwrite(cur)
+            else:
+                attrs = [
+                    c for c in changes.columns
+                    if c not in (*flow.keys, "_change_type")
+                ]
+                opens = changes.filter(F.col("_change_type") != "delete").select(
+                    *flow.keys,
+                    *attrs,
+                    F.lit(ver).alias("__START_AT"),
+                    F.lit(None).cast("int").alias("__END_AT"),
+                )
+                closers = (
+                    changes.select(*flow.keys)
+                    .distinct()
+                    .withColumn("__close", F.lit(True))
+                )
+                if target.exists():
+                    hist = target.read()
+                    closed = (
+                        hist.join(closers, flow.keys, "left")
+                        .withColumn(
+                            "__END_AT",
+                            F.when(
+                                F.col("__END_AT").isNull() & F.col("__close"),
+                                F.lit(ver),
+                            ).otherwise(F.col("__END_AT")),
+                        )
+                        .drop("__close")
+                        .select(*opens.columns)
+                    )
+                else:
+                    closed = opens.limit(0)
+                new_hist = closed.unionByName(opens).localCheckpoint()
+                target.overwrite(new_hist)
+            prev_tbl.overwrite(cur)
+            with open(vpath, "w") as fh:
+                json.dump({"version": ver}, fh)
 
     def create_append_flow(
         self,
@@ -320,6 +428,7 @@ class Pipeline:
                     truncate_col=flow.apply_as_truncates,
                 )
         self._run_append_flows()
+        self._run_snapshot_flows()
         for name in self._mviews:
             self._tables[name].overwrite(self.read(name))
         for name in materialize:

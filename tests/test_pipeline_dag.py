@@ -347,3 +347,56 @@ def test_append_flows_multiplex_without_duplicates(spark, tmp_path):
     p2.create_append_flow(target="multiplexed", source="src_b", sequence_by="seq")
     p2.run()
     assert p2.table("multiplexed").read().count() == 4  # nothing re-delivered
+
+
+def test_snapshot_flow_scd2_incremental_equals_oneshot(spark, tmp_path):
+    """create_auto_cdc_from_snapshot_flow: four pipeline runs, each
+    seeing a new FULL snapshot, must reproduce the one-shot
+    scd2_from_snapshots fold exactly — including a delete closing the
+    open version rowlessly and a later re-insert; the type-1 variant
+    tracks the latest snapshot verbatim."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        scd2_from_snapshots,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.dag import Pipeline
+
+    snaps = [
+        [("A", 1), ("B", 9)],
+        [("A", 2), ("B", 9)],
+        [("B", 9)],
+        [("A", 5), ("B", 9), ("C", 7)],
+    ]
+    holder = {"rows": snaps[0]}
+
+    p = Pipeline(spark, str(tmp_path / "pipe"))
+
+    @p.view(name="src_snapshot")
+    def _src(pl):
+        return spark.createDataFrame(holder["rows"], "k string, val int")
+
+    p.create_streaming_table("dim_hist")
+    p.create_streaming_table("dim_latest")
+    p.create_auto_cdc_from_snapshot_flow(
+        target="dim_hist", source="src_snapshot", keys=["k"], stored_as_scd_type=2
+    )
+    p.create_auto_cdc_from_snapshot_flow(
+        target="dim_latest", source="src_snapshot", keys=["k"], stored_as_scd_type=1
+    )
+    for rows in snaps:
+        holder["rows"] = rows
+        p.run()
+
+    got = {
+        (r["k"], r["val"], r["__START_AT"], r["__END_AT"])
+        for r in p.table("dim_hist").read().collect()
+    }
+    oneshot = scd2_from_snapshots(
+        [(i + 1, spark.createDataFrame(r, "k string, val int")) for i, r in enumerate(snaps)],
+        ["k"],
+    )
+    want = {
+        (r["k"], r["val"], r["__START_AT"], r["__END_AT"]) for r in oneshot.collect()
+    }
+    assert got == want
+    latest = {(r["k"], r["val"]) for r in p.table("dim_latest").read().collect()}
+    assert latest == set(snaps[-1])
