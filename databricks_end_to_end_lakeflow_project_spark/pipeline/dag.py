@@ -442,6 +442,28 @@ class Pipeline:
         self._pending_quarantine.clear()
         self._append_event_log()
 
+    def full_refresh(self, materialize: Sequence[str] = ()) -> None:
+        """DLT "full refresh": drop every managed target plus ALL
+        incremental side state (append-flow watermarks, snapshot-diff
+        previous snapshots and version counters), then run once from
+        scratch. The guarantee — and the test's assertion — is that a
+        refreshed pipeline's tables are indistinguishable from a brand
+        new pipeline's."""
+        import shutil as _sh
+
+        for t in self._tables.values():
+            _sh.rmtree(t.path, ignore_errors=True)
+            _sh.rmtree(f"{t.path}.__versions", ignore_errors=True)
+        for sub in ("__watermarks", "__snapshot_versions"):
+            _sh.rmtree(os.path.join(self.storage_root, sub), ignore_errors=True)
+        for flow in self._snapshot_flows:
+            _sh.rmtree(
+                os.path.join(self.storage_root, f"{flow.target}__prev_snapshot"),
+                ignore_errors=True,
+            )
+        self._run_id = 0
+        self.run(materialize=materialize)
+
     _EVENT_LOG = "__event_log"
 
     def _append_event_log(self) -> None:

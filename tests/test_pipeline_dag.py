@@ -400,3 +400,39 @@ def test_snapshot_flow_scd2_incremental_equals_oneshot(spark, tmp_path):
     assert got == want
     latest = {(r["k"], r["val"]) for r in p.table("dim_latest").read().collect()}
     assert latest == set(snaps[-1])
+
+
+def test_full_refresh_equals_fresh_pipeline(spark, tmp_path):
+    """full_refresh drops targets AND incremental side state (append
+    watermarks, snapshot counters), so the rebuilt tables match a
+    brand-new pipeline run — not a double-applied increment."""
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.dag import Pipeline
+
+    rows = [("A", 1, 10), ("B", 2, 20), ("A", 3, 30)]
+
+    def build(root):
+        p = Pipeline(spark, root)
+
+        @p.view(name="src")
+        def _src(pl):
+            return spark.createDataFrame(rows, "k string, seq int, v int")
+
+        p.create_streaming_table("tgt")
+        p.create_auto_cdc_flow(
+            target="tgt", source="src", keys=["k"], sequence_by="seq"
+        )
+        p.create_streaming_table("log")
+        p.create_append_flow(target="log", source="src", sequence_by="seq")
+        return p
+
+    p1 = build(str(tmp_path / "a"))
+    p1.run()
+    p1.run()  # second incremental run (append flow must not double)
+    p1.full_refresh()
+    refreshed_tgt = sorted(map(tuple, p1.table("tgt").read().collect()))
+    refreshed_log = sorted(map(tuple, p1.table("log").read().collect()))
+
+    p2 = build(str(tmp_path / "b"))
+    p2.run()
+    assert refreshed_tgt == sorted(map(tuple, p2.table("tgt").read().collect()))
+    assert refreshed_log == sorted(map(tuple, p2.table("log").read().collect()))
