@@ -24,8 +24,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
@@ -150,3 +152,106 @@ class SyntheticTickDataSource(DataSource):
 
 def register_tick_stream(spark: SparkSession) -> None:
     spark.dataSource.register(SyntheticTickDataSource)
+
+
+# -- custom Python DataSource WRITER (Spark 4) --------------------------------
+
+
+class _JsonSinkCommit(WriterCommitMessage):
+    def __init__(self, tmp: str, rows: int):
+        self.tmp = tmp
+        self.rows = rows
+
+
+class SyntheticJsonSinkWriter(DataSourceWriter):
+    """Each task writes its partition to a private temp file and returns
+    a commit message; the driver publishes every temp (rename) only
+    after ALL tasks succeeded, or removes them on abort — the standard
+    two-phase task-commit protocol, so a failed/retried task never
+    leaves partial output visible."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self.path, exist_ok=True)
+        tmp = _os.path.join(self.path, f".tmp-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonSinkCommit(tmp, n)
+
+    def commit(self, messages):
+        import os as _os
+
+        for i, m in enumerate(messages):
+            _os.rename(m.tmp, _os.path.join(self.path, f"part-{i:05d}.jsonl"))
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            try:
+                _os.remove(m.tmp)
+            except FileNotFoundError:
+                pass
+
+
+class SyntheticJsonSinkDataSource(DataSource):
+    """Write-side custom DataSource: `df.write.format("jsonsink")` with
+    two-phase task commit (temps -> all-or-nothing driver rename)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonsink"
+
+    def writer(self, schema, overwrite: bool):
+        return SyntheticJsonSinkWriter(self.options, overwrite)
+
+
+@query(
+    "sink_python_datasource",
+    """
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITE path: documents stream through
+    `jsonsink` (per-task temp files, all-or-nothing driver commit) and
+    are read back as JSON-lines with an explicit schema; the per-lang
+    aggregate must match the direct table — proving the sink neither
+    lost, duplicated, nor mangled rows across task commits."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.dataSource.register(SyntheticJsonSinkDataSource)
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "lang", "n_chars")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "lakeflow_sources",
+        os.path.basename(sf_dir.rstrip("/")), "jsonsink",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    docs.write.format("jsonsink").option("path", path).mode("append").save()
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        os.path.join(path, "*.jsonl")
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -368,3 +368,34 @@ def test_streaming_exact_dedup_index_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) < spark.read.parquet(src).count()  # dups were collapsed
+
+
+def test_jsonsink_abort_leaves_no_visible_output(spark, tmp_path):
+    """Two-phase commit: when a task fails, the job aborts and NO part
+    file becomes visible — only (cleaned) temps ever existed."""
+    import glob
+
+    from databricks_end_to_end_lakeflow_project_spark.sources.pydatasource import (
+        SyntheticJsonSinkDataSource,
+    )
+
+    spark.dataSource.register(SyntheticJsonSinkDataSource)
+    out = str(tmp_path / "sink")
+
+    @F.udf("long")
+    def boom(x):
+        if x == 7:
+            raise ValueError("planted failure")
+        return x
+
+    df = spark.range(16).select(boom("id").alias("id")).repartition(4)
+    with pytest.raises(Exception):
+        df.write.format("jsonsink").option("path", out).mode("append").save()
+    assert glob.glob(f"{out}/part-*.jsonl") == []
+
+    # and a clean write into the same dir then succeeds atomically
+    spark.range(16).repartition(4).write.format("jsonsink").option(
+        "path", out
+    ).mode("append").save()
+    rows = sum(1 for f in glob.glob(f"{out}/part-*.jsonl") for _ in open(f))
+    assert rows == 16
