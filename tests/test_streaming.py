@@ -399,3 +399,50 @@ def test_jsonsink_abort_leaves_no_visible_output(spark, tmp_path):
     ).mode("append").save()
     rows = sum(1 for f in glob.glob(f"{out}/part-*.jsonl") for _ in open(f))
     assert rows == 16
+
+
+def test_stream_stream_full_outer_join_subsumes_left_outer(spark):
+    """Full-outer stream-stream join = the left-outer result PLUS
+    watermark-evicted unmatched purchases. Matched pairs and unmatched
+    clicks must coincide exactly with the left-outer drain; the extra
+    rows must all be purchase-only and respect the eviction rule (only
+    purchases the global watermark has proven unmatchable emit)."""
+    sf = "/root/testdata/sf0.001"
+    cond = "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"
+
+    def sides():
+        clicks = (
+            st.stream_events_table(spark, sf)
+            .filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            st.stream_events_table(spark, sf)
+            .filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "1 hour")
+        )
+        return clicks, purchases
+
+    c, p = sides()
+    full = st.run_to_memory(
+        c.join(p, F.expr(cond), "full_outer"),
+        f"ssfo_{uuid.uuid4().hex[:8]}",
+        state_partitions=st.STATE_PARTITIONS,
+    ).collect()
+    c2, p2 = sides()
+    left = st.run_to_memory(
+        c2.join(p2, F.expr(cond), "left_outer"),
+        f"sslo2_{uuid.uuid4().hex[:8]}",
+        state_partitions=st.STATE_PARTITIONS,
+    ).collect()
+
+    key = lambda r: (r["c_user"], r["c_ts"], r["p_user"], r["p_ts"])
+    full_rows = {key(r) for r in full}
+    left_rows = {key(r) for r in left}
+    # left-outer result (matches + unmatched clicks) is a strict subset
+    assert left_rows <= full_rows
+    extras = full_rows - left_rows
+    assert extras  # unmatched purchases do exist in this corpus
+    assert all(cu is None and ct is None for (cu, ct, _, _) in extras)
