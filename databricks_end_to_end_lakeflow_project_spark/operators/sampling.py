@@ -303,3 +303,41 @@ def sample_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_ts")
     )
+
+
+@query(
+    "sample_balanced_by_lang",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ), floor_n AS (
+      SELECT MIN(cnt) AS m FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)
+    )
+    SELECT doc_id, lang FROM ranked, floor_n WHERE rn <= m
+    """,
+)
+def sample_balanced_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact class balancing: every language downsampled WITHOUT
+    replacement to the minority language's count, membership decided by
+    content-hash order (deterministic across reruns, partitionings, and
+    engines — no seeded RNG). The class-rebalance step before training
+    a classifier on skewed strata; contrast with
+    `sample_stratified_by_lang`'s fixed per-stratum RATES.
+
+    Plan: one per-lang window over hash order + a broadcast 1-row floor;
+    the hash sort shuffles each stratum once — at 100 TB use the
+    rate-based variant unless exact counts are contractual."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(hash_hex(F.col("doc_id"), 32), "doc_id")
+    ranked = docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+    floor_n = docs.groupBy("lang").count().agg(F.min("count").alias("m"))
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("doc_id", "lang")
+    )
