@@ -490,3 +490,51 @@ def ts_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.corr("v", "vlag"), 4).alias("acf"))
         .orderBy("event_type", "lag")
     )
+
+
+@query(
+    "ts_seasonal_hourly_profile",
+    """
+    WITH hod AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hour_of_day,
+             value
+      FROM events
+    ), prof AS (
+      SELECT event_type, hour_of_day,
+             COUNT(*) AS n,
+             ROUND(AVG(value), 4) AS seasonal_mean
+      FROM hod GROUP BY event_type, hour_of_day
+    ), overall AS (
+      SELECT event_type, ROUND(AVG(value), 4) AS level FROM hod GROUP BY event_type
+    )
+    SELECT p.event_type, p.hour_of_day, p.n, p.seasonal_mean,
+           ROUND(p.seasonal_mean - o.level, 4) AS seasonal_effect
+    FROM prof p JOIN overall o USING (event_type)
+    ORDER BY p.event_type, p.hour_of_day
+    """,
+)
+def ts_seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical-decomposition seasonal profile: per event type, the
+    hour-of-day mean and its effect relative to the series level
+    (additive seasonality; subtracting it is the deseasonalizing step
+    in front of the anomaly/forecast ops in this family). Two
+    partial-aggregatable passes over (type, hour) and (type); the
+    profile is 24·|types| rows — broadcastable back onto any stream for
+    residual computation at scale."""
+    ev = _t(spark, sf_dir, "events")
+    hod = ev.select(
+        "event_type", F.hour("ts").alias("hour_of_day"), "value"
+    )
+    prof = hod.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("seasonal_mean"),
+    )
+    overall = hod.groupBy("event_type").agg(F.round(F.avg("value"), 4).alias("level"))
+    return (
+        prof.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type", "hour_of_day", "n", "seasonal_mean",
+            F.round(F.col("seasonal_mean") - F.col("level"), 4).alias("seasonal_effect"),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
