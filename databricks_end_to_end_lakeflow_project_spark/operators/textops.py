@@ -999,3 +999,49 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df").between(2, 400))
     )
+
+
+@query(
+    "text_source_mix_entropy",
+    """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+    ), t AS (
+      SELECT source, SUM(n) AS tot FROM c GROUP BY source
+    )
+    SELECT c.source,
+           CAST(t.tot AS BIGINT) AS n_docs,
+           COUNT(*) AS n_langs,
+           ROUND(-SUM((c.n::DOUBLE / t.tot) * ln(c.n::DOUBLE / t.tot)), 4)
+             AS lang_entropy
+    FROM c JOIN t USING (source)
+    GROUP BY c.source, t.tot
+    ORDER BY c.source
+    """,
+)
+def text_source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mixture diagnostics: language count and
+    Shannon entropy of the language distribution within each source —
+    the drift/contamination audit for a multi-source corpus (a
+    supposedly-monolingual source with rising entropy means its crawl
+    went off the rails). Two nested partial-aggregatable group-bys;
+    output is |sources| rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source", "tot")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("lang_entropy"),
+        )
+        .select(
+            "source",
+            F.col("tot").alias("n_docs"),
+            "n_langs",
+            "lang_entropy",
+        )
+        .orderBy("source")
+    )
