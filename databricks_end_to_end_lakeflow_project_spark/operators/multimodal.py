@@ -368,3 +368,55 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(read_table(spark, sf_dir, "documents"))
     sigs = media.select("doc_id", _phash64(F.col("payload")).alias("ph"))
     return banded_hamming_pairs(sigs, "doc_id", "ph", max_hamming=6)
+
+
+_PATCH = 16  # bytes per patch ("pixels"); grid row length
+
+
+def extract_patches(media: DataFrame, patch: int = _PATCH) -> DataFrame:
+    """ViT-preprocessing shape: split each payload into a grid of
+    fixed-size patches, one ROW per patch with its grid index and a
+    checksum of the patch bytes. The row-per-patch layout is what a
+    distributed embed step consumes (each patch row → one embedding);
+    partition sizing stays byte-bounded because mapInPandas streams the
+    payloads through Python once."""
+
+    def _patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, len(b), patch):
+                    ids.append(doc_id)
+                    idxs.append(i // patch)
+                    sums.append(int(sum(b[i : i + patch])))
+            yield pd.DataFrame(
+                {"doc_id": ids, "patch_idx": idxs, "patch_sum": sums}
+            )
+
+    return media.mapInPandas(
+        _patches, schema="doc_id long, patch_idx long, patch_sum long"
+    )
+
+
+@query(
+    "multimodal_patch_grid",
+    """
+    WITH pat AS (
+      SELECT doc_id, i AS patch_idx,
+             list_reduce(list_transform(
+               range(i * 16 + 1, LEAST((i + 1) * 16, LENGTH(text)) + 1),
+               p -> ascii(substring(text, p, 1))), (a, b) -> a + b) AS patch_sum
+      FROM documents,
+           UNNEST(range(0, CAST(CEIL(LENGTH(text) / 16.0) AS BIGINT))) AS t(i)
+    )
+    SELECT doc_id, patch_idx, patch_sum FROM pat
+    """,
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-grid extraction over binary payloads (ViT preprocessing
+    plumbing): one row per 16-byte patch with its grid index and byte
+    sum. The corpus is ASCII so the oracle recomputes patch sums from
+    the text characters directly."""
+    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    return extract_patches(media)
