@@ -29,6 +29,7 @@ NON_EQUI_WHITELIST = {
     "q22_dormant_customers",
     "sample_temperature_mixture",  # 1-row broadcast totals over #languages rows
     "agg_theta_sketch_sets",  # 1-row × 1-row sketch pair — set algebra on bytes
+    "sample_balanced_by_lang",  # 1-row broadcast minority-count floor
 }
 
 
