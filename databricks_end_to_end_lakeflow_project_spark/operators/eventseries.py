@@ -538,3 +538,81 @@ def ts_seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_of_day")
     )
+
+
+@query(
+    "ts_cusum_drift",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), stats AS (
+      SELECT event_type, ROUND(AVG(v), 4) AS mu, ROUND(STDDEV(v), 4) AS sigma
+      FROM hourly GROUP BY event_type
+    ), series AS (
+      SELECT h.event_type,
+             list(ROUND((h.v - s.mu) / s.sigma, 6) ORDER BY h.bucket) AS zs
+      FROM hourly h JOIN stats s USING (event_type)
+      GROUP BY h.event_type
+    )
+    SELECT event_type,
+           LENGTH(zs) AS n_hours,
+           ROUND(list_reduce(list_prepend(0.0, zs),
+                 (acc, x) -> GREATEST(0.0, acc + x - 0.5)), 4) AS cusum_pos,
+           ROUND(list_reduce(list_prepend(0.0, zs),
+                 (acc, x) -> GREATEST(0.0, acc - x - 0.5)), 4) AS cusum_neg
+    FROM series ORDER BY event_type
+    """,
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift statistic per event type: standardize the hourly mean
+    series, then the one-sided cumulative sums S⁺ ← max(0, S⁺ + z − k)
+    and S⁻ ← max(0, S⁻ − z − k) with slack k=0.5 — the sequential
+    change-detection statistic (large final S⁺/S⁻ = the series ends in
+    an upward/downward drift the mean-based z-score test misses).
+    Recursive like EWMA, so plain windows cannot express it: the same
+    order-pinned fold (`sort_array(collect_list)` + `F.aggregate`, seed
+    0) reproduces DuckDB's `list_reduce` operation-for-operation.
+
+    Scale: hourly resample collapses the corpus first; the fold's array
+    is |hours| per type. Streaming-incremental CUSUM carries (S⁺, S⁻) as
+    two doubles of state per key — `applyInPandasWithState` shape."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    stats = hourly.groupBy("event_type").agg(
+        F.round(F.avg("v"), 4).alias("mu"),
+        F.round(F.stddev("v"), 4).alias("sigma"),
+    )
+    series = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "bucket",
+                        F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+                    )
+                )
+            ).alias("s")
+        )
+    )
+    zs = F.transform(F.col("s"), lambda e: e["z"])
+    k = F.lit(0.5)
+
+    def cusum(sign: int):
+        return F.aggregate(
+            zs,
+            F.lit(0.0),
+            lambda acc, x: F.greatest(F.lit(0.0), acc + F.lit(sign) * x - k),
+        )
+
+    return series.select(
+        "event_type",
+        F.size(zs).alias("n_hours"),
+        F.round(cusum(1), 4).alias("cusum_pos"),
+        F.round(cusum(-1), 4).alias("cusum_neg"),
+    ).orderBy("event_type")

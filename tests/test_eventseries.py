@@ -277,3 +277,15 @@ def test_autocorr_lags_bounded_and_complete(spark):
     for r in rows:
         if r["acf"] is not None:
             assert -1.0 <= r["acf"] <= 1.0
+
+
+def test_cusum_drift_nonnegative_and_complete(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        ts_cusum_drift,
+    )
+
+    rows = ts_cusum_drift(spark, SF).collect()
+    assert len(rows) == 5  # one per event type
+    for r in rows:
+        assert r["cusum_pos"] >= 0.0 and r["cusum_neg"] >= 0.0
+        assert r["n_hours"] > 0
