@@ -503,3 +503,59 @@ def pipeline_pretraining_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "events_dau_wau_mau",
+    """
+    WITH dau AS (
+      SELECT date_trunc('day', ts)::DATE AS day, COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ), wau AS (
+      SELECT date_trunc('week', ts)::DATE AS week, COUNT(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    ), mau AS (
+      SELECT date_trunc('month', ts)::DATE AS month, COUNT(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau, m.mau,
+           ROUND(d.dau::DOUBLE / m.mau, 4) AS stickiness
+    FROM dau d
+    JOIN wau w ON date_trunc('week', d.day)::DATE = w.week
+    JOIN mau m ON date_trunc('month', d.day)::DATE = m.month
+    ORDER BY d.day
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU active-user rollups with DAU/MAU stickiness — the
+    product-analytics staple. Three independent exact COUNT(DISTINCT)
+    aggregations at calendar grains, joined back on derived period keys
+    (both period frames are tiny → broadcast). At 100 TB swap the exact
+    distincts for the mergeable HLL sketches of `agg_hll_sketch_union` —
+    same query shape, kilobyte state per period."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    dau = ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = ev.groupBy(F.date_trunc("week", F.col("ts")).cast("date").alias("week")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    mau = ev.groupBy(F.date_trunc("month", F.col("ts")).cast("date").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(
+            F.broadcast(wau),
+            F.date_trunc("week", F.col("day")).cast("date") == F.col("week"),
+        )
+        .join(
+            F.broadcast(mau),
+            F.date_trunc("month", F.col("day")).cast("date") == F.col("month"),
+        )
+        .select(
+            "day", "dau", "wau", "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
