@@ -624,3 +624,57 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
     )
     return per_day.unionByName(total).orderBy("day")
+
+
+@query(
+    "events_activity_gini",
+    """
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS i,
+             COUNT(*) OVER () AS cnt, SUM(n) OVER () AS tot
+      FROM per_user
+    )
+    SELECT CAST(MAX(cnt) AS BIGINT) AS n_users,
+           CAST(MAX(tot) AS BIGINT) AS total_events,
+           ROUND(SUM((2.0 * i - cnt - 1) * n) / (CAST(MAX(cnt) AS DOUBLE) * MAX(tot)), 6)
+             AS gini,
+           ROUND(SUM(CASE WHEN i > cnt - CAST(CEIL(cnt * 0.1) AS BIGINT) THEN n ELSE 0 END)::DOUBLE
+                 / MAX(tot), 4) AS top10pct_share
+    FROM ranked
+    """,
+)
+def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration audit: Gini coefficient of per-user event
+    counts (0 = uniform, →1 = a few power users dominate) plus the top-
+    decile share — the skew diagnostic that predicts which keys will
+    become shuffle hot spots long before a job falls over. Gini via the
+    rank formula Σ(2i−n−1)·xᵢ / (n·Σx) needs one global sort of the
+    per-USER aggregate (already collapsed; |users| rows), not the event
+    log."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", "user_id")
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+        F.sum("n").over(wall).alias("tot"),
+    )
+    top_cut = F.col("cnt") - F.ceil(F.col("cnt") * 0.1)
+    return ranked.agg(
+        F.max("cnt").alias("n_users"),
+        F.max("tot").alias("total_events"),
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("cnt") - 1) * F.col("n"))
+            / (F.max("cnt").cast("double") * F.max("tot")),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(F.when(F.col("i") > top_cut, F.col("n")).otherwise(0)).cast("double")
+            / F.max("tot"),
+            4,
+        ).alias("top10pct_share"),
+    )
