@@ -774,3 +774,60 @@ def dedup_incremental_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return incremental_lsh_delta_pairs(
         docs, F.col("doc_id") >= _DELTA_START
     )
+
+
+@query(
+    "dedup_rate_by_source",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+               AS shingles
+      FROM toks WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ), dup_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+      )
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(dd.doc_id) AS n_dup_docs,
+           ROUND(COUNT(dd.doc_id)::DOUBLE / COUNT(*), 4) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate audit per SOURCE: share of each source's documents
+    that participate in at least one verified near-dup pair — the
+    corpus-health number that decides which feed gets dedup attention
+    (a mirror-heavy crawl shows up here before it poisons training
+    mixtures). Reuses the MinHash-LSH verified pairs; membership is a
+    semi-join-style flag, aggregated per source."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        docs.join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__dup").alias("n_dup_docs"),
+            F.round(F.count("__dup").cast("double") / F.count(F.lit(1)), 4).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
