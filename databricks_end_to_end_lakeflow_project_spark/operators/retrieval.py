@@ -22,7 +22,7 @@ corpus with one embedding row per document would be.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -37,6 +37,26 @@ _FUSED_TOPK = 10
 _LEX_TERMS = ["spark", "join", "window"]  # same fixed query as text_bm25_topk
 _BM25_K1 = 1.2
 _BM25_B = 0.75
+
+
+def _ranked_topk(scored: DataFrame, score_col: str, k: int, rank_name: str) -> DataFrame:
+    """(doc_id, rank 1..k) of the top-``k`` rows by (score DESC, doc_id).
+
+    TakeOrderedAndProject bounds the frame to k rows; the rank is then a
+    single-row ``sort_array(collect_list(...))`` + ``posexplode`` — no
+    window function at all, so the plan never contains a
+    single-partition WindowExec (the bounded-frame rank idiom the plan
+    guard in tests/test_plans.py enforces engine-wide)."""
+    topk = scored.orderBy(F.col(score_col).desc(), "doc_id").limit(k)
+    packed = topk.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col(score_col)).alias("ns"), F.col("doc_id")))
+        ).alias("arr")
+    )
+    return packed.select(F.posexplode("arr").alias("pos", "s")).select(
+        F.col("s.doc_id").alias("doc_id"),
+        (F.col("pos") + 1).cast("int").alias(rank_name),
+    )
 
 
 def _bm25_scores(docs: DataFrame) -> DataFrame:
@@ -165,32 +185,13 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     em = read_table(spark, sf_dir, "embeddings")
 
-    lex = (
-        _bm25_scores(docs)
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(_LEG_DEPTH)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
-            .alias("lex_rank"),
-        )
-    )
+    lex = _ranked_topk(_bm25_scores(docs), "score", _LEG_DEPTH, "lex_rank")
     qv = _query_vector(em)
     vec_scored = em.filter(F.col("vec_id") != 0).select(
         F.col("vec_id").alias("doc_id"),
         F.round(cosine(F.col("embedding"), qv), 6).alias("cos_sim"),
     )
-    vec = (
-        vec_scored.orderBy(F.col("cos_sim").desc(), "doc_id")
-        .limit(_LEG_DEPTH)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("cos_sim").desc(), "doc_id"))
-            .alias("vec_rank"),
-        )
-    )
+    vec = _ranked_topk(vec_scored, "cos_sim", _LEG_DEPTH, "vec_rank")
     fused = (
         lex.join(vec, "doc_id", "full_outer")
         .select(

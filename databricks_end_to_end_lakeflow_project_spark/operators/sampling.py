@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import with_ntile
 from databricks_end_to_end_lakeflow_project_spark.registry import query
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
@@ -284,13 +285,15 @@ def sample_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     training data. Deciles via one NTILE over (ts, event_id) so the
     boundary is a deterministic data quantile, not a hand-picked date.
 
-    Scale notes: the global sort behind NTILE is a range exchange; at
-    100 TB replace with `approx_percentile(ts, [0.8, 0.9])` boundaries
-    computed in one partial-aggregatable pass and a broadcast filter —
-    same split, no total order."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    deciled = ev.select("ts", F.ntile(10).over(w).alias("d"))
+    Scale path (operators/scalerank.py): approx-percentile range-bin
+    boundaries in one partial-aggregatable pass, a bounded bin-histogram
+    collect, and a PARTITIONED within-bin row_number reproduce the exact
+    global rank — same deciles as the oracle's NTILE, no single-partition
+    sort anywhere in the executed plan."""
+    ev = _t(spark, sf_dir, "events").select("ts", "event_id")
+    deciled = with_ntile(
+        ev, 10, "ts", ["event_id"], "d", bin_value=F.unix_micros(F.col("ts"))
+    ).select("ts", "d")
     split = (
         F.when(F.col("d") <= 8, "train").when(F.col("d") == 9, "val").otherwise("test")
     )

@@ -1,0 +1,176 @@
+"""Exact global ranks / NTILE without a global sort.
+
+The scale problem: ``NTILE(k) OVER (ORDER BY v)`` and
+``ROW_NUMBER() OVER (ORDER BY v)`` plan a single-partition WindowExec —
+every row moves to ONE task, which is the canonical 100 TB killer
+(`WindowExec: No Partition Defined` warnings). But exact global order
+statistics do not need a total order: they need each row's exact global
+RANK, and rank decomposes as
+
+    rank(row) = (# rows in strictly-earlier range bins) + (rank within bin)
+
+so the plan becomes three partial-aggregatable / partitioned stages:
+
+1. **boundaries** — one `percentile_approx` aggregate per ranked metric
+   (a mergeable GK sketch; one pass, map-side combinable) yields ~nbins
+   range-bin boundaries. The boundaries only need MONOTONICITY, never
+   accuracy: a skewed sketch merely unbalances bins, it cannot change any
+   rank.
+2. **bin histogram** — one `groupBy(bin).count()` (partial-aggregatable)
+   whose result is ≤ nbins rows; the driver turns it into per-bin rank
+   offsets (a bounded "model moves, not data" collect, same class as the
+   PQ codebook aggregates in operators/similarity.py).
+3. **within-bin ranking** — `row_number() OVER (PARTITION BY bin ORDER BY
+   value, tiebreaks)`: a *partitioned* window, parallel across bins, plus
+   a broadcast join against the ≤ nbins offset rows.
+
+Equal values always share a bin (the bin is a pure function of the
+value), so `offset + row_number` reproduces the exact global rank —
+including deterministic tie-breaks — and NTILE follows arithmetically
+from (rank, total). Multiple rank specs over the same frame share ONE
+boundary pass and ONE joint histogram pass (bins per spec are capped so
+the joint histogram stays bounded).
+
+Used by the former global-NTILE queries (`sample_split_temporal`,
+`agg_histogram_equidepth`, `rfm_customer_segments`,
+`xdomain_engagement_revenue`, `events_activity_gini`) whose DuckDB
+oracles still use plain NTILE/ROW_NUMBER — exactness is the contract.
+
+Assumptions: ranked values are non-null (all call sites rank NOT NULL
+aggregates or raw keys); callers with nullable metrics must filter or
+coalesce first.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class RankSpec:
+    """One exact global ordering over a frame.
+
+    ``out``: rank column to add; ``value``: ordered column (leading sort
+    key); ``tiebreaks``: deterministic ascending tie-break columns;
+    ``descending``: direction of the VALUE ordering (tiebreaks stay
+    ascending, matching `ORDER BY v DESC, id`); ``bin_value``: optional
+    numeric binning expression when the value itself is not numeric
+    (e.g. ``F.unix_micros(ts)``) — must be monotone non-decreasing in the
+    value; ``nbins``: range-bin count (defaults chosen by the planner).
+    """
+
+    out: str
+    value: str
+    tiebreaks: list[str] = field(default_factory=list)
+    descending: bool = False
+    bin_value: Column | None = None
+    nbins: int | None = None
+
+
+def _bin_col(bv: Column, bounds: list) -> Column:
+    """0-based range-bin id: number of boundaries ≤ value. Sorted-array
+    `filter` keeps the expression one higher-order function instead of an
+    nbins-term add chain (codegen method-size safe at any nbins)."""
+    if not bounds:
+        return F.lit(0)
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(arr, lambda b: bv >= b))
+
+
+def with_global_ranks(df: DataFrame, specs: list[RankSpec]) -> tuple[DataFrame, int]:
+    """Add one exact global 1-based rank column per spec; returns
+    ``(df + rank columns, total row count)``.
+
+    Cost: one boundary aggregate + one joint bin histogram (both
+    partial-aggregatable; driver sees ≤ Π nbins rows) + one partitioned
+    window per spec. No single-partition stage anywhere.
+    """
+    if not specs:
+        raise ValueError("need at least one RankSpec")
+    # joint histogram is Π(nbins+1) driver rows: generous bins for one
+    # spec, modest per-spec bins when several orderings share the frame
+    default_bins = 128 if len(specs) == 1 else 16
+
+    # 1. one pass: every spec's boundary sketch in a single aggregate
+    aggs = []
+    for i, s in enumerate(specs):
+        nb = s.nbins or default_bins
+        bv = s.bin_value if s.bin_value is not None else F.col(s.value)
+        probs = F.array(*[F.lit(j / nb) for j in range(1, nb)])
+        aggs.append(F.percentile_approx(bv, probs, 10_000).alias(f"__b{i}"))
+    brow = df.agg(*aggs).collect()[0]
+    bounds = [sorted(set(brow[f"__b{i}"] or [])) for i in range(len(specs))]
+
+    bin_names = [f"__sr_bin_{s.out}" for s in specs]
+    binned = df
+    for s, bn, bs in zip(specs, bin_names, bounds):
+        bv = s.bin_value if s.bin_value is not None else F.col(s.value)
+        binned = binned.withColumn(bn, _bin_col(bv, bs))
+
+    # 2. one pass: joint histogram → per-spec marginal offsets. The offsets
+    # are ≤ nbins (bin → rank offset) pairs, so they travel as a LITERAL map
+    # expression — "model moves, not data": no join, no broadcast, no
+    # unpartitioned window anywhere.
+    hist = binned.groupBy(*bin_names).count().collect()
+    total = sum(r["count"] for r in hist)
+    out = binned
+    for s, bn in zip(specs, bin_names):
+        marg: dict[int, int] = {}
+        for r in hist:
+            marg[r[bn]] = marg.get(r[bn], 0) + r["count"]
+        acc = 0
+        flat: list[Column] = []
+        for b in sorted(marg, reverse=s.descending):
+            flat += [F.lit(b), F.lit(acc).cast("long")]
+            acc += marg[b]
+        offset = F.element_at(F.create_map(*flat), F.col(bn))
+
+        order = [F.col(s.value).desc() if s.descending else F.col(s.value)]
+        order += [F.col(t) for t in s.tiebreaks]
+        w = Window.partitionBy(bn).orderBy(*order)
+        out = out.withColumn(s.out, offset + F.row_number().over(w)).drop(bn)
+    return out, total
+
+
+def ntile_from_rank(rank: Column, total: int, tiles: int) -> Column:
+    """SQL NTILE(tiles) from an exact 1-based global rank and the total
+    row count: the first ``total % tiles`` tiles get ``total//tiles + 1``
+    rows, the rest ``total//tiles`` — identical to the window function's
+    assignment, as pure arithmetic."""
+    base, rem = divmod(total, tiles)
+    if base == 0:
+        return rank.cast("int")
+    cut = rem * (base + 1)
+    return (
+        F.when(rank <= cut, F.floor((rank - 1) / (base + 1)))
+        .otherwise(rem + F.floor((rank - cut - 1) / base))
+        + 1
+    ).cast("int")
+
+
+def with_ntile(
+    df: DataFrame,
+    tiles: int,
+    value: str,
+    tiebreaks: list[str],
+    out: str,
+    *,
+    descending: bool = False,
+    bin_value: Column | None = None,
+) -> DataFrame:
+    """Single-ordering convenience: exact ``NTILE(tiles) OVER (ORDER BY
+    value [DESC], tiebreaks)`` via the three-stage rank plan."""
+    spec = RankSpec(
+        out="__sr_rank",
+        value=value,
+        tiebreaks=tiebreaks,
+        descending=descending,
+        bin_value=bin_value,
+    )
+    ranked, total = with_global_ranks(df, [spec])
+    return ranked.withColumn(out, ntile_from_rank(F.col("__sr_rank"), total, tiles)).drop(
+        "__sr_rank"
+    )

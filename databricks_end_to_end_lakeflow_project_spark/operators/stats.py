@@ -24,6 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+    RankSpec,
+    with_global_ranks,
+    with_ntile,
+)
 from databricks_end_to_end_lakeflow_project_spark.registry import query
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
@@ -517,14 +522,15 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift monitors prefer over fixed-width bins on skewed measures
     (every bucket carries the same statistical weight).
 
-    Scale note: ntile needs a global sort; at 100 TB the same result
-    comes from approx_percentile boundaries + a bucketize join — this
-    exact form is the small/medium-cardinality auditing path, and the
-    deterministic (value, key) order makes it oracle-reproducible."""
-    od = read_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    Scale path (operators/scalerank.py): approx-percentile boundaries
+    bucketize the scan, a bounded histogram collect gives per-bucket rank
+    offsets, and a PARTITIONED within-bucket row_number reconstructs the
+    exact NTILE — same buckets as the oracle's global sort, with no
+    single-partition WindowExec in the executed plan."""
+    od = read_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    tiled = with_ntile(od, 8, "o_totalprice", ["o_orderkey"], "bucket")
     return (
-        od.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        tiled.select("o_totalprice", "bucket")
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
@@ -650,31 +656,37 @@ def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (0 = uniform, →1 = a few power users dominate) plus the top-
     decile share — the skew diagnostic that predicts which keys will
     become shuffle hot spots long before a job falls over. Gini via the
-    rank formula Σ(2i−n−1)·xᵢ / (n·Σx) needs one global sort of the
-    per-USER aggregate (already collapsed; |users| rows), not the event
-    log."""
+    rank formula Σ(2i−n−1)·xᵢ / (n·Σx) over the per-USER aggregate
+    (already collapsed; |users| rows), not the event log.
+
+    Scale path (operators/scalerank.py): ranks come from range-binned
+    partitioned row_numbers (no global sort even over the per-user
+    frame — billions of users at 100×), and the rank formula is
+    rearranged to pure aggregates: Σ(2i−n−1)xᵢ = 2Σ(i·xᵢ) − (n+1)Σxᵢ,
+    all integer-exact in longs, so the result hash-matches the oracle's
+    per-term double summation."""
+    import math
+
     ev = read_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy("n", "user_id")
-    wall = Window.partitionBy()
-    ranked = per_user.select(
-        "n",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("cnt"),
-        F.sum("n").over(wall).alias("tot"),
+    ranked, n_users = with_global_ranks(
+        per_user, [RankSpec(out="i", value="n", tiebreaks=["user_id"])]
     )
-    top_cut = F.col("cnt") - F.ceil(F.col("cnt") * 0.1)
+    # CEIL(n*0.1) via the same IEEE double product the oracle computes
+    top_cut = n_users - math.ceil(n_users * 0.1)
+    cnt = F.count(F.lit(1))
+    tot = F.sum("n")
     return ranked.agg(
-        F.max("cnt").alias("n_users"),
-        F.max("tot").alias("total_events"),
+        cnt.alias("n_users"),
+        tot.alias("total_events"),
         F.round(
-            F.sum((2.0 * F.col("i") - F.col("cnt") - 1) * F.col("n"))
-            / (F.max("cnt").cast("double") * F.max("tot")),
+            (2.0 * F.sum(F.col("i") * F.col("n")) - (cnt + 1) * tot).cast("double")
+            / (cnt.cast("double") * tot),
             6,
         ).alias("gini"),
         F.round(
             F.sum(F.when(F.col("i") > top_cut, F.col("n")).otherwise(0)).cast("double")
-            / F.max("tot"),
+            / tot,
             4,
         ).alias("top10pct_share"),
     )

@@ -36,6 +36,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+    RankSpec,
+    ntile_from_rank,
+    with_global_ranks,
+    with_ntile,
+)
 from databricks_end_to_end_lakeflow_project_spark.registry import query
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
@@ -208,9 +214,11 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     and report segment sizes and value.
 
     Scale notes: the per-customer aggregate is one shuffle on custkey;
-    the three NTILEs are global windows — at 100 TB replace with
-    approx-quantile cutoffs broadcast as literals (same output contract,
-    no global sort); here the exact form doubles as the oracle check.
+    the three quartile scores come from `operators/scalerank.py`'s exact
+    distributed ranks — ONE shared approx-quantile boundary pass + ONE
+    joint bin histogram (≤17³ driver rows) + three PARTITIONED within-bin
+    row_numbers, so the plan has no single-partition window even with
+    billions of customers, yet reproduces the oracle's NTILE(4) exactly.
     The final segment rollup is at most 64 groups."""
     od = _t(spark, sf_dir, "orders")
     maxd = od.agg(F.max("o_orderdate")).collect()[0][0]
@@ -221,18 +229,26 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    scored = rfm.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
+    ranked, n = with_global_ranks(
+        rfm,
+        [
+            RankSpec(out="__r", value="recency_days", tiebreaks=["o_custkey"]),
+            RankSpec(
+                out="__f", value="frequency", tiebreaks=["o_custkey"], descending=True
+            ),
+            RankSpec(
+                out="__m",
+                value="monetary_cents",
+                tiebreaks=["o_custkey"],
+                descending=True,
+            ),
+        ],
+    )
+    scored = ranked.select(
         "monetary_cents",
-        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
-        .alias("m_score"),
+        ntile_from_rank(F.col("__r"), n, 4).alias("r_score"),
+        ntile_from_rank(F.col("__f"), n, 4).alias("f_score"),
+        ntile_from_rank(F.col("__m"), n, 4).alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -280,8 +296,10 @@ def xdomain_engagement_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: both sides pre-aggregate to per-entity rows BEFORE the join
     (partial-aggregatable, one shuffle each), so the join carries
-    |users| + |customers| rows, never raw facts; the global NTILE runs
-    on the already-collapsed activity frame."""
+    |users| + |customers| rows, never raw facts; the quintiles come from
+    `operators/scalerank.py`'s exact distributed NTILE (range-binned
+    partitioned row_numbers — no single-partition window even when the
+    per-user frame is billions of rows)."""
     ev = read_table(spark, sf_dir, "events")
     orders = read_table(spark, sf_dir, "orders")
     from databricks_end_to_end_lakeflow_project_spark.functions.compat import (
@@ -294,16 +312,16 @@ def xdomain_engagement_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(money("o_totalprice")).alias("rev"),
     )
-    w = Window.orderBy(F.col("n_events").desc(), "user_id")
-    quintiled = (
-        activity.join(revenue, activity["user_id"] == revenue["o_custkey"], "left")
-        .select(
-            "user_id",
-            "n_events",
-            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-            F.coalesce("rev", F.lit(0.0)).alias("rev"),
-            F.ntile(5).over(w).alias("quintile"),
-        )
+    joined = activity.join(
+        revenue, activity["user_id"] == revenue["o_custkey"], "left"
+    ).select(
+        "user_id",
+        "n_events",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("rev", F.lit(0.0)).alias("rev"),
+    )
+    quintiled = with_ntile(
+        joined, 5, "n_events", ["user_id"], "quintile", descending=True
     )
     return (
         quintiled.groupBy("quintile")

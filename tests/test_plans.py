@@ -37,6 +37,122 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Window operator lines whose partition spec is EMPTY (the
+    single-partition `WindowExec: No Partition Defined` shape). A Window
+    node prints `Window [exprs], [partSpec], [orderSpec]` — two top-level
+    bracket groups instead of three means no partition spec."""
+    import re
+
+    bad = []
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*\])\s*$", line)
+        if not m:
+            continue
+        # split into top-level [..] groups: `Window [exprs](, [part])(, [order])`
+        groups: list[str] = []
+        depth = 0
+        for ch in m.group(1):
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    groups.append("")
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    continue
+            if depth >= 1:
+                groups[-1] += ch
+        # 3 groups → partition spec present; 2 groups are ambiguous between
+        # `[exprs], [part]` (fine) and `[exprs], [order]` (single-partition):
+        # only ordering specs carry sort directions
+        if len(groups) == 3:
+            continue
+        if len(groups) == 2 and not re.search(r"(ASC|DESC) NULLS", groups[1]):
+            continue
+        bad.append(line.strip())
+    return bad
+
+
+# deliberate single-partition windows over BOUNDED frames (documented in
+# each docstring): post-aggregate frames whose size is |groups|, not |rows|,
+# or semantics that define one global sequence
+UNPARTITIONED_WINDOW_WHITELIST = {
+    # running high-watermark over the single test stream's arrival order —
+    # the semantic IS one global sequence; the scale path is the shard_col
+    # parameter of operators/eventseries.late_arrivals (per-shard windows)
+    "events_late_arrivals",
+    # scalar MAX over the post-aggregate per-supplier frame (avoids a
+    # second fact scan; frame is |suppliers| after full aggregation)
+    "q15_top_supplier",
+    # share normalization over the |price-bins| post-aggregate frame
+    "agg_histogram_price_bins",
+}
+
+
+def test_dim_build_split_join_has_no_broadcast_hint(spark, tmp_path):
+    """The old-vs-new split in the gold dim builder joins the FULL
+    existing-dimension key snapshot — an unbounded frame under the repo's
+    broadcast policy, so the plan must carry no forced broadcast hint
+    (AQE chooses the strategy at runtime)."""
+    import datetime as dt
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.plans.gold import (
+        DimConfig,
+        build_dim,
+    )
+
+    target = ManagedParquetTable(spark, str(tmp_path / "dim"))
+    cfg = DimConfig(name="d", business_keys=["bk"], surrogate_key="sk")
+    clock = dt.datetime(2024, 1, 1)
+    src1 = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1))], "bk long, attr string, modifiedDate timestamp"
+    )
+    build_dim(src1, target, cfg, clock=clock)
+    src2 = spark.createDataFrame(
+        [(1, "a2", dt.datetime(2024, 2, 1)), (2, "b", dt.datetime(2024, 2, 1))],
+        "bk long, attr string, modifiedDate timestamp",
+    )
+    batch = build_dim(src2, target, cfg, clock=clock)
+    analyzed = batch._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # correctness unchanged: existing key kept its surrogate, new key got the next
+    rows = {r["bk"]: r["sk"] for r in target.read().collect()}
+    assert rows == {1: 1, 2: 2}
+
+
+def test_unpartitioned_window_detector(spark):
+    """The detector must flag a genuinely global ordered window and pass
+    partition-only and partition+order windows."""
+    from pyspark.sql import Window
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    glob = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    part_only = df.withColumn("s", F.sum("id").over(Window.partitionBy("g")))
+    part_ord = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert unpartitioned_windows(_plan(glob)), "global window must be flagged"
+    assert unpartitioned_windows(_plan(part_only)) == []
+    assert unpartitioned_windows(_plan(part_ord)) == []
+
+
+@pytest.mark.parametrize("name", sorted(registry.all_queries()))
+def test_no_unpartitioned_window(spark, name):
+    """No query outside the whitelist may plan a single-partition window
+    over an unbounded frame — the global-sort 100TB-killer. Exact global
+    order statistics go through operators/scalerank.py instead."""
+    if name in UNPARTITIONED_WINDOW_WHITELIST:
+        pytest.skip("documented bounded-frame / global-sequence window")
+    df = registry.all_queries()[name](spark, SF)
+    bad = unpartitioned_windows(_plan(df))
+    assert not bad, f"{name}: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(registry.all_queries()))
 def test_no_accidental_cartesian(spark, name):
     """No query outside the whitelist may plan a cartesian/nested-loop

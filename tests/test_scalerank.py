@@ -1,0 +1,130 @@
+"""operators/scalerank.py: exact distributed ranks/NTILE must match the
+window-function forms bit-for-bit (they replace single-partition windows
+in 5 registry queries) and must plan no unpartitioned WindowExec."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+    RankSpec,
+    ntile_from_rank,
+    with_global_ranks,
+    with_ntile,
+)
+from tests.test_plans import unpartitioned_windows
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _tied_frame(spark, n=500, seed=7):
+    """Heavy-tie fixture: values drawn from a small domain so bins and
+    tie-breaks are genuinely exercised."""
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, 19), rng.random()) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, v long, noise double")
+
+
+@pytest.mark.parametrize("tiles", [3, 7, 10])
+@pytest.mark.parametrize("descending", [False, True])
+def test_ntile_matches_window_form(spark, tiles, descending):
+    df = _tied_frame(spark)
+    got = with_ntile(df, tiles, "v", ["id"], "t", descending=descending)
+    order = [F.col("v").desc() if descending else F.col("v"), F.col("id")]
+    want = df.withColumn("t", F.ntile(tiles).over(Window.orderBy(*order)))
+    assert (
+        got.select("id", "t").exceptAll(want.select("id", "t")).count() == 0
+        and got.count() == want.count()
+    )
+
+
+def test_rank_matches_row_number(spark):
+    df = _tied_frame(spark)
+    ranked, total = with_global_ranks(
+        df, [RankSpec(out="r", value="v", tiebreaks=["id"])]
+    )
+    want = df.withColumn("r", F.row_number().over(Window.orderBy("v", "id")))
+    assert total == df.count()
+    assert ranked.select("id", "r").exceptAll(want.select("id", "r")).count() == 0
+
+
+def test_multi_spec_shared_passes(spark):
+    """Several orderings over one frame share the boundary + histogram
+    passes and must each equal their window-form rank."""
+    df = _tied_frame(spark)
+    ranked, total = with_global_ranks(
+        df,
+        [
+            RankSpec(out="ra", value="v", tiebreaks=["id"]),
+            RankSpec(out="rd", value="v", tiebreaks=["id"], descending=True),
+            RankSpec(out="rn", value="noise", tiebreaks=["id"]),
+        ],
+    )
+    want = (
+        df.withColumn("ra", F.row_number().over(Window.orderBy("v", "id")))
+        .withColumn("rd", F.row_number().over(Window.orderBy(F.col("v").desc(), "id")))
+        .withColumn("rn", F.row_number().over(Window.orderBy("noise", "id")))
+    )
+    assert (
+        ranked.select("id", "ra", "rd", "rn")
+        .exceptAll(want.select("id", "ra", "rd", "rn"))
+        .count()
+        == 0
+    )
+    assert total == df.count()
+
+
+def test_ntile_formula_edge_cases(spark):
+    """n < tiles (every rank its own tile) and n == tiles."""
+    df = spark.createDataFrame([(i, i) for i in range(4)], "id long, v long")
+    got = with_ntile(df, 10, "v", ["id"], "t").orderBy("id")
+    assert [r["t"] for r in got.collect()] == [1, 2, 3, 4]
+    got2 = with_ntile(df, 4, "v", ["id"], "t").orderBy("id")
+    assert [r["t"] for r in got2.collect()] == [1, 2, 3, 4]
+
+
+def test_constant_value_single_bin(spark):
+    """Degenerate distribution: all values equal → one bin; ranks still
+    exact via tie-breaks."""
+    df = spark.createDataFrame([(i, 5) for i in range(50)], "id long, v long")
+    ranked, total = with_global_ranks(
+        df, [RankSpec(out="r", value="v", tiebreaks=["id"])]
+    )
+    rows = ranked.orderBy("id").collect()
+    assert [r["r"] for r in rows] == list(range(1, 51))
+    assert total == 50
+
+
+def test_plan_has_no_unpartitioned_window(spark):
+    df = _tied_frame(spark)
+    ranked, _ = with_global_ranks(
+        df,
+        [
+            RankSpec(out="ra", value="v", tiebreaks=["id"]),
+            RankSpec(out="rd", value="v", tiebreaks=["id"], descending=True),
+        ],
+    )
+    assert unpartitioned_windows(_plan(ranked)) == []
+
+
+def test_ntile_from_rank_against_sql_ntile(spark):
+    """Pure-arithmetic NTILE must equal the SQL window on every (n, k)
+    in a grid, including the uneven-remainder cases."""
+    for n in [1, 5, 9, 10, 11, 97]:
+        df = spark.range(1, n + 1).withColumnRenamed("id", "r")
+        for k in [1, 2, 3, 8]:
+            got = df.select(
+                "r", ntile_from_rank(F.col("r"), n, k).alias("t")
+            ).orderBy("r")
+            want = df.select(
+                "r", F.ntile(k).over(Window.orderBy("r")).alias("t")
+            ).orderBy("r")
+            assert [x["t"] for x in got.collect()] == [
+                x["t"] for x in want.collect()
+            ], (n, k)
