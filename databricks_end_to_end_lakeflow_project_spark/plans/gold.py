@@ -21,10 +21,14 @@ Deliberate deviations (documented in SURVEY §3/§4):
 - no string-SQL codegen — the same config dicts drive DataFrame plans
   directly (`FACT_Gold_Layer.py:84-123` builds the query as f-strings).
 
-Scale notes: dims stay small → every star join broadcasts the dim side
-(explicit `F.broadcast`). The surrogate-assignment window only sees NEW
-business keys in the batch (≪ table). Fact upsert shuffles once on the
-grain key; partition the fact target by a date column for pruned rewrites.
+Scale notes: the fact builder's star joins broadcast the dim side
+(explicit `F.broadcast` — dims are a bounded-size class). The dim
+builder's old-vs-new split joins the FULL existing key snapshot, which
+scales with the dimension, so it carries NO hint: AQE broadcasts at
+runtime while the dim is small and shuffle-joins when it is not. The
+surrogate-assignment window only sees NEW business keys in the batch
+(≪ table). Fact upsert shuffles once on the grain key; partition the
+fact target by a date column for pruned rewrites.
 """
 
 from __future__ import annotations
@@ -95,7 +99,12 @@ def build_dim(
         max_key = 0
 
     if existing is not None:
-        joined = src.join(F.broadcast(existing), cfg.business_keys, "left")
+        # no broadcast hint: `existing` is the FULL dimension key snapshot,
+        # which scales with the dimension (a customer-scale dim is not a
+        # bounded-size class under this repo's broadcast policy). AQE picks
+        # broadcast at runtime while the dim is actually small and falls
+        # back to a shuffle join when it is not.
+        joined = src.join(existing, cfg.business_keys, "left")
         old = joined.filter(F.col(cfg.surrogate_key).isNotNull()).withColumn(
             "update_date", now
         )
