@@ -383,24 +383,32 @@ def connected_components(
     """
     # undirected: propagate along both orientations
     fwd = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bidir = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    bidir = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # adaptive degree of parallelism: each round is 2 shuffles + 2 jobs
     # whose cost at small sizes is pure per-partition fixed overhead, so a
     # near-dup graph with a few hundred edges should run its rounds on a
-    # handful of shuffle partitions. One cheap count against the persisted
-    # frame sizes the loop; the session conf is restored afterwards — at
-    # real scale the count is large and the session's partitioning stands.
-    n_edges = bidir.count()
+    # handful of partitions. Parallelism is sized PER-FRAME with an explicit
+    # repartition on the propagation key — never by mutating the session's
+    # spark.sql.shuffle.partitions, which would leak the reduced count into
+    # unrelated queries planned concurrently on the same session. AQE then
+    # coalesces each round's small join/agg shuffles to match.
     spark = nodes.sparkSession
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bidir = bidir.persist()
+    n_edges = bidir.count()
     parts = min(session_parts, max(1, n_edges // 25_000 + 1))
-    labels = nodes.select(F.col("node"), F.col("node").alias("component")).localCheckpoint()
     if parts < session_parts:
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        repart = bidir.repartition(parts, "a").persist()
+        bidir.unpersist()
+        bidir = repart
+    labels = (
+        nodes.select(F.col("node"), F.col("node").alias("component"))
+        .repartition(parts, "node")
+        .localCheckpoint()
+    )
     try:
         return _cc_loop(bidir, labels, max_iter)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
         bidir.unpersist()
 
 

@@ -911,8 +911,11 @@ def semdedup_edges(
     )
     ea = em.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
     eb = em.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    # no broadcast hint on cand: the candidate-pair frame scales with the
+    # corpus's duplicate mass (unbounded on a dup-heavy corpus) — AQE
+    # broadcasts at runtime while it is actually small
     edges = (
-        ea.join(F.broadcast(cand), "src")
+        ea.join(cand, "src")
         .join(eb, "dst")
         .filter(cosine(F.col("ea"), F.col("eb")) >= F.lit(tau))
         .select("src", "dst")

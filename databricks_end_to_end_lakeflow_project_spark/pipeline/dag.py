@@ -448,19 +448,17 @@ class Pipeline:
         previous snapshots and version counters), then run once from
         scratch. The guarantee — and the test's assertion — is that a
         refreshed pipeline's tables are indistinguishable from a brand
-        new pipeline's."""
+        new pipeline's.
+
+        The whole ``storage_root`` is cleared — not just the tables
+        registered on THIS instance — so lazily-created state from a
+        prior process (``__event_log``, quarantine tables never
+        re-declared this session) cannot survive the reset ``_run_id``
+        and collide with post-refresh ``__batch_id`` values."""
         import shutil as _sh
 
-        for t in self._tables.values():
-            _sh.rmtree(t.path, ignore_errors=True)
-            _sh.rmtree(f"{t.path}.__versions", ignore_errors=True)
-        for sub in ("__watermarks", "__snapshot_versions"):
-            _sh.rmtree(os.path.join(self.storage_root, sub), ignore_errors=True)
-        for flow in self._snapshot_flows:
-            _sh.rmtree(
-                os.path.join(self.storage_root, f"{flow.target}__prev_snapshot"),
-                ignore_errors=True,
-            )
+        _sh.rmtree(self.storage_root, ignore_errors=True)
+        os.makedirs(self.storage_root, exist_ok=True)
         self._run_id = 0
         self.run(materialize=materialize)
 

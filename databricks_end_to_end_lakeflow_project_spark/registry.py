@@ -93,6 +93,15 @@ def _pin_session(fn: QueryFn) -> QueryFn:
 
 
 def all_queries() -> dict[str, QueryFn]:
+    """All registered queries, each wrapped by :func:`_pin_session`.
+
+    NOTE: invoking any returned callable SETS ``spark.sql.session.timeZone
+    = UTC`` and ``spark.sql.ansi.enabled = true`` on the caller's session
+    and deliberately does NOT restore them — the returned DataFrame is
+    lazy, so restoring before the caller's action would evaluate the plan
+    under the wrong confs. Embedders running these queries inside a
+    session that needs different settings must snapshot/restore around
+    their own action."""
     _collect()
     return {name: _pin_session(fn) for name, fn in _QUERIES.items()}
 

@@ -171,8 +171,14 @@ class SyntheticJsonSinkWriter(DataSourceWriter):
     leaves partial output visible."""
 
     def __init__(self, options: dict, overwrite: bool):
+        import uuid as _uuid
+
         self.path = options["path"]
         self.overwrite = overwrite
+        # job-unique token baked into published file names: append jobs can
+        # never clobber a previous job's parts (commit() runs per job with
+        # messages indexed from 0, so bare part-{i} names would collide)
+        self.job_id = _uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import json as _json
@@ -189,10 +195,18 @@ class SyntheticJsonSinkWriter(DataSourceWriter):
         return _JsonSinkCommit(tmp, n)
 
     def commit(self, messages):
+        import glob as _glob
         import os as _os
 
+        if self.overwrite:
+            # honor mode("overwrite"): clear previously published parts as
+            # part of the atomic publish step (temps are already written)
+            for old in _glob.glob(_os.path.join(self.path, "part-*.jsonl")):
+                _os.remove(old)
         for i, m in enumerate(messages):
-            _os.rename(m.tmp, _os.path.join(self.path, f"part-{i:05d}.jsonl"))
+            _os.rename(
+                m.tmp, _os.path.join(self.path, f"part-{self.job_id}-{i:05d}.jsonl")
+            )
 
     def abort(self, messages):
         import os as _os

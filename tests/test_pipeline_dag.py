@@ -402,6 +402,42 @@ def test_snapshot_flow_scd2_incremental_equals_oneshot(spark, tmp_path):
     assert latest == set(snaps[-1])
 
 
+def test_full_refresh_clears_prior_process_state(spark, tmp_path):
+    """full_refresh must clear on-disk state created by a PRIOR process —
+    the lazily-created __event_log and quarantine tables a new Pipeline
+    instance never re-declares — so reset __batch_id values cannot
+    collide with stale pre-refresh rows."""
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.dag import Pipeline
+
+    root = str(tmp_path / "p")
+    src = [(1, "ok"), (2, None)]
+
+    def build():
+        p = Pipeline(spark, root)
+
+        @p.view(
+            name="clean",
+            expectations={"not_null": "v IS NOT NULL"},
+            quarantine_to="bad_rows",
+        )
+        def clean(pl):
+            return spark.createDataFrame(src, "id int, v string")
+
+        return p
+
+    p1 = build()
+    p1.run(materialize=["clean"])
+    p1.run(materialize=["clean"])  # runs 1 and 2 on disk
+
+    # "new process": fresh instance over the same storage root
+    p2 = build()
+    p2.full_refresh(materialize=["clean"])
+    # all post-refresh rows carry run 1 ids with no stale survivors
+    assert {r["run_id"] for r in p2.event_log().collect()} == {1}
+    bad = p2.table("bad_rows").read().collect()
+    assert {(r["id"], r["__batch_id"]) for r in bad} == {(2, 1)}
+
+
 def test_full_refresh_equals_fresh_pipeline(spark, tmp_path):
     """full_refresh drops targets AND incremental side state (append
     watermarks, snapshot counters), so the rebuilt tables match a

@@ -401,6 +401,38 @@ def test_jsonsink_abort_leaves_no_visible_output(spark, tmp_path):
     assert rows == 16
 
 
+def test_jsonsink_append_never_clobbers_and_overwrite_clears(spark, tmp_path):
+    """Published part names carry a job-unique token: a second append job
+    into the same directory must ADD its rows (bare part-{i} names would
+    silently overwrite the first job's files), and mode("overwrite") must
+    clear previously published parts."""
+    import glob
+
+    from databricks_end_to_end_lakeflow_project_spark.sources.pydatasource import (
+        SyntheticJsonSinkDataSource,
+    )
+
+    spark.dataSource.register(SyntheticJsonSinkDataSource)
+    out = str(tmp_path / "sink")
+
+    def rows() -> int:
+        return sum(1 for f in glob.glob(f"{out}/part-*.jsonl") for _ in open(f))
+
+    spark.range(10).repartition(2).write.format("jsonsink").option(
+        "path", out
+    ).mode("append").save()
+    spark.range(6).repartition(2).write.format("jsonsink").option(
+        "path", out
+    ).mode("append").save()
+    assert rows() == 16
+    assert len(glob.glob(f"{out}/part-*.jsonl")) == 4
+
+    spark.range(3).repartition(1).write.format("jsonsink").option(
+        "path", out
+    ).mode("overwrite").save()
+    assert rows() == 3
+
+
 def test_stream_stream_full_outer_join_subsumes_left_outer(spark):
     """Full-outer stream-stream join = the left-outer result PLUS
     watermark-evicted unmatched purchases. Matched pairs and unmatched
