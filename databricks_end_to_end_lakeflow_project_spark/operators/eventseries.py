@@ -168,6 +168,40 @@ def events_funnel_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def late_arrivals(
+    ev: DataFrame,
+    allowed_lateness: str = "INTERVAL 10 MINUTES",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Late-data profile over an event frame: replaying the stream in
+    arrival order (event_id), an event is 'late' when its event time
+    trails the running high-watermark by more than ``allowed_lateness``.
+
+    ``shard_col`` is the scale knob: watermarks are tracked per
+    INGESTION SHARD (each shard's arrival order is the sequence its
+    writer actually produced), so the running-max window partitions by
+    the shard key and parallelizes across shards — the 100 TB shape.
+    ``None`` means one global single-writer sequence (the test-stream
+    special case; single-partition window by definition)."""
+    base = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    w = base if shard_col is None else Window.partitionBy(shard_col).orderBy(
+        "event_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    arr = ev.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("high_water"),
+    )
+    late = F.col("ts") < F.col("high_water") - F.expr(allowed_lateness)
+    return arr.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(late.cast("int")).cast("long").alias("n_late"),
+        F.round(F.sum(late.cast("int")).cast("double") / F.count("*"), 4).alias(
+            "late_share"
+        ),
+    )
+
+
 @query(
     "events_late_arrivals",
     """
@@ -190,33 +224,17 @@ def events_funnel_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Late-data profile: replaying the stream in arrival order
-    (event_id), an event is 'late' when its event time trails the
-    running high-watermark by more than the 10-minute allowed lateness —
-    exactly the rows a `withWatermark("ts", "10 minutes")` streaming
-    aggregation would drop. This is the batch diagnostic that sizes a
-    production watermark before deploying the stream.
+    """Late-data profile of the single-writer test stream: the batch
+    diagnostic that sizes a production watermark — an event is 'late'
+    when it trails the running high-watermark by more than the
+    10-minute allowed lateness, exactly the rows a `withWatermark("ts",
+    "10 minutes")` streaming aggregation would drop.
 
-    Plan note: the running max is a single-partition window (arrival
-    order is globally sequential by definition); at 100 TB the same
-    diagnostic runs per ingestion shard (partitionBy the shard key) —
-    the global form here matches the single-writer test stream.
-    """
-    ev = read_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    arr = ev.select(
-        "event_type",
-        "ts",
-        F.max("ts").over(w).alias("high_water"),
-    )
-    late = F.col("ts") < F.col("high_water") - F.expr("INTERVAL 10 MINUTES")
-    return arr.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.sum(late.cast("int")).cast("long").alias("n_late"),
-        F.round(F.sum(late.cast("int")).cast("double") / F.count("*"), 4).alias(
-            "late_share"
-        ),
-    )
+    Plan note: this registry entry is :func:`late_arrivals` with
+    ``shard_col=None`` — one global arrival sequence, hence the
+    whitelisted single-partition window. Real deployments pass the
+    ingestion-shard key and get per-shard partitioned windows."""
+    return late_arrivals(read_table(spark, sf_dir, "events"))
 
 
 @query(

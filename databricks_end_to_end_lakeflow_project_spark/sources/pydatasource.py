@@ -246,15 +246,18 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import uuid
 
     spark.dataSource.register(SyntheticJsonSinkDataSource)
     docs = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         .select("doc_id", "lang", "n_chars")
     )
+    # invocation-unique dir: concurrent runs (driver gate + a local
+    # check_oracle) must never append into each other's sink output
     path = os.path.join(
         tempfile.gettempdir(), "lakeflow_sources",
-        os.path.basename(sf_dir.rstrip("/")), "jsonsink",
+        os.path.basename(sf_dir.rstrip("/")), f"jsonsink-{uuid.uuid4().hex[:12]}",
     )
     shutil.rmtree(path, ignore_errors=True)
     docs.write.format("jsonsink").option("path", path).mode("append").save()

@@ -289,3 +289,47 @@ def test_cusum_drift_nonnegative_and_complete(spark):
     for r in rows:
         assert r["cusum_pos"] >= 0.0 and r["cusum_neg"] >= 0.0
         assert r["n_hours"] > 0
+
+
+def test_late_arrivals_per_shard_matches_hand_replay(spark):
+    """2-shard fixture: per-shard watermark replay computed by hand must
+    equal late_arrivals(shard_col=...), and the plan must partition the
+    running-max window by the shard (no single-partition stage)."""
+    import datetime as dt
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        late_arrivals,
+    )
+    from tests.test_plans import unpartitioned_windows
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # (event_id = arrival order within shard, shard, event_type, ts)
+    rows = [
+        # shard A: watermark climbs 0→30; the 5-minute event is >10 min late
+        (1, "A", "click", m(0)),
+        (2, "A", "click", m(30)),
+        (3, "A", "click", m(5)),    # late vs 30
+        (4, "A", "buy", m(25)),     # NOT late (30-25 <= 10)
+        # shard B: same timestamps arrive in order → nothing is late,
+        # though a GLOBAL replay interleaved with A would mark m(5) late
+        (5, "B", "click", m(0)),
+        (6, "B", "click", m(5)),
+        (7, "B", "buy", m(31)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, shard string, event_type string, ts timestamp"
+    )
+    got = late_arrivals(ev, shard_col="shard")
+    by_type = {r["event_type"]: (r["n_events"], r["n_late"]) for r in got.collect()}
+    assert by_type == {"click": (5, 1), "buy": (2, 0)}
+    assert unpartitioned_windows(_plan(got)) == []
+
+    # single-shard special case == the global form
+    only_a = ev.filter(F.col("shard") == "A")
+    glob = late_arrivals(only_a).collect()
+    shrd = late_arrivals(only_a, shard_col="shard").collect()
+    assert sorted(map(tuple, glob)) == sorted(map(tuple, shrd))
