@@ -858,17 +858,58 @@ _SEMDEDUP_ORACLE = f"""
 """
 
 
+def _chunked_cell_assignment(assigned: DataFrame, max_cell: int) -> DataFrame:
+    """Hot-cell guard: split every cell bigger than ``max_cell`` into
+    ``s = ceil(|cell|/max_cell)`` hash chunks and replicate each row into
+    the s block-pair groups it participates in — (cell, c1, c2) with
+    c1 ≤ c2 — so the downstream gemm compares EVERY within-cell pair
+    exactly once while no Arrow group ever exceeds ~2·max_cell rows
+    (block matmul, not cap-and-drop: zero recall loss inside the cell).
+    Cells at or under max_cell keep a single (cell, 0, 0) group and pay
+    one replica — the common path is unchanged. Cell sizes are a bounded
+    collect (≤ |seed| rows: model moves, not data)."""
+    sizes = assigned.groupBy("cell").count().collect()
+    nchunk_lits: list[Column] = []
+    for r in sizes:
+        s = max(1, -(-r["count"] // max_cell))
+        nchunk_lits += [F.lit(r["cell"]), F.lit(s)]
+    s_col = F.element_at(F.create_map(*nchunk_lits), F.col("cell"))
+    chunk = F.pmod(F.xxhash64(F.col("vec_id")), s_col).cast("int")
+    return (
+        assigned.withColumn("chunk", chunk)
+        .withColumn(
+            "bp",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), s_col.cast("int") - 1),
+                    lambda j: F.struct(
+                        F.least(F.col("chunk"), j).alias("c1"),
+                        F.greatest(F.col("chunk"), j).alias("c2"),
+                    ),
+                )
+            ),
+        )
+        .select("vec_id", "embedding", "cell", "chunk", "bp.c1", "bp.c2")
+    )
+
+
 def semdedup_edges(
     em: DataFrame,
     seeds: list[tuple[int, list[float]]],
     n_probe: int = 2,
     tau: float = 0.42,
+    max_cell: int = 4096,
 ) -> DataFrame:
     """Cell-bucketed near-dup edge generation (the SemDeDup kernel):
     top-``n_probe`` max-cosine cell assignment over the given seed
     centroids (narrow map), per-cell BLAS pair scoring, exact cosine
     re-verify of the ε-band survivors. Returns verified (src, dst)
-    edges, lineage-truncated for iterative consumers."""
+    edges, lineage-truncated for iterative consumers.
+
+    ``max_cell`` bounds per-group worker memory: an oversized (skewed)
+    cell is block-decomposed into chunk-pair gemms of ≤ ~2·max_cell rows
+    each (see :func:`_chunked_cell_assignment`) instead of one giant
+    pandas group — within-cell coverage stays exact."""
     # top-2 cells per vector: sort (−score, cell) structs, slice, explode
     ranked = F.array_sort(
         F.array(*[
@@ -884,29 +925,44 @@ def semdedup_edges(
         "embedding",
         F.explode(F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])).alias("cell"),
     )
-    # Per-cell pairwise scoring as ONE BLAS matmul per cell (the
-    # sim_gemm_batch_topk pattern): a |cell|×64 · 64×|cell| gemm beats a
-    # JVM fold per pair by ~100× (no per-pair array allocation), and the
-    # cell is exactly the applyInPandas group. The gemm filters with an
-    # ε-band BELOW the threshold; survivors (rare) are re-verified with
-    # the oracle's exact fold-order cosine, so summation-order ulps can
-    # never flip membership. Cell size bounds the worker matrix: k ∝ √n
-    # keeps |cell|² Arrow batches executor-sized at 100 TB.
-    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Per-block pairwise scoring as ONE BLAS matmul per (cell, c1, c2)
+    # group (the sim_gemm_batch_topk pattern): a |block|×64 · 64×|block|
+    # gemm beats a JVM fold per pair by ~100× (no per-pair array
+    # allocation), and the block is exactly the applyInPandas group. The
+    # gemm filters with an ε-band BELOW the threshold; survivors (rare)
+    # are re-verified with the oracle's exact fold-order cosine, so
+    # summation-order ulps can never flip membership. max_cell bounds the
+    # worker matrix regardless of cell skew; k ∝ √n keeps TOTAL gemm work
+    # O(n^1.5·r²/k) at 100 TB.
+    def _block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
+        )
         if len(pdf) < 2:
-            return pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+            return empty
+        _, c1, c2 = key
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(mat, axis=1)
         nrm[nrm == 0] = 1.0
-        sim = (mat / nrm[:, None]) @ (mat / nrm[:, None]).T
-        ii, jj = np.nonzero(np.triu(sim >= tau - 1e-6, k=1))
+        unit = mat / nrm[:, None]
         ids = pdf["vec_id"].to_numpy()
-        aa, bb = ids[ii], ids[jj]
+        if c1 == c2:
+            sim = unit @ unit.T
+            ii, jj = np.nonzero(np.triu(sim >= tau - 1e-6, k=1))
+            aa, bb = ids[ii], ids[jj]
+        else:
+            left = pdf["chunk"].to_numpy() == c1
+            if not left.any() or left.all():
+                return empty
+            sim = unit[left] @ unit[~left].T
+            ii, jj = np.nonzero(sim >= tau - 1e-6)
+            aa, bb = ids[left][ii], ids[~left][jj]
         return pd.DataFrame({"src": np.minimum(aa, bb), "dst": np.maximum(aa, bb)})
 
     cand = (
-        assigned.groupBy("cell")
-        .applyInPandas(_cell_pairs, schema="src long, dst long")
+        _chunked_cell_assignment(assigned, max_cell)
+        .groupBy("cell", "c1", "c2")
+        .applyInPandas(_block_pairs, schema="src long, dst long")
         .distinct()
     )
     ea = em.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))

@@ -651,3 +651,59 @@ def test_semdedup_full_recall_on_clustered_corpus(spark):
     assert cluster_pairs and cluster_pairs <= got
     # overall recall stays high even counting the noise tail
     assert len(got) / len(truth) >= 0.95
+
+
+def test_semdedup_hot_cell_block_decomposition(spark):
+    """Skewed-cell guard: with every vector forced into ONE cell and
+    max_cell far below the cell size, the block-pair decomposition must
+    (a) keep every Arrow group at ≤ 2·max_cell rows and (b) still return
+    EXACTLY the brute-force edge set — block matmul loses no within-cell
+    pair, unlike cap-or-sample guards."""
+    import numpy as np
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        _chunked_cell_assignment,
+        semdedup_edges,
+    )
+    from pyspark.sql import functions as F2
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal(64)
+    base /= np.linalg.norm(base)
+    # one hot direction: all 200 vectors correlate with the seed, so a
+    # single seed + n_probe=1 puts the WHOLE corpus into one cell
+    rows = [
+        (i, [float(np.float32(x)) for x in (base + 0.09 * rng.standard_normal(64))])
+        for i in range(200)
+    ]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = [(0, rows[0][1])]
+
+    tau, max_cell = 0.55, 32
+    got = {
+        (r["src"], r["dst"])
+        for r in semdedup_edges(em, seeds, n_probe=1, tau=tau, max_cell=max_cell).collect()
+    }
+
+    M = np.stack([np.array(r[1], dtype=np.float64) for r in rows])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    truth = {
+        (a, b)
+        for a in range(200)
+        for b in range(a + 1, 200)
+        if S[a, b] >= tau
+    }
+    assert truth and got == truth
+
+    # bounded per-group memory, proven on the actual grouped frame
+    assigned = em.select(
+        "vec_id", "embedding", F2.lit(0).alias("cell")
+    )
+    sizes = (
+        _chunked_cell_assignment(assigned, max_cell)
+        .groupBy("cell", "c1", "c2")
+        .count()
+        .collect()
+    )
+    assert len(sizes) > 1  # the hot cell really was decomposed
+    assert max(r["count"] for r in sizes) <= 2 * max_cell
