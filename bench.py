@@ -58,6 +58,119 @@ HEADLINE = [
 ]
 
 
+def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
+    """Cost curve behind the dedup/ANN 100 TB claims: candidate-pair
+    counts and max bucket/cell sizes vs corpus size, at sf0.01, sf0.1 and
+    a synthetic 10× replication of sf0.1. Replicas are DECORRELATED
+    (per-replica character translation for text, vector rotation for
+    embeddings) so the curve measures pure corpus-size growth, not
+    duplicate mass; subquadratic growth of cand_pairs and a bounded
+    max_bucket/max_group are the pass criteria. n_buckets_capped /
+    cand_pairs_dropped audit the hot-bucket cap — nothing drops silently."""
+    import string
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        minhash_lsh_stats,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        semdedup_cell_stats,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    def replicate_docs(docs, k):
+        alpha = string.ascii_lowercase
+        parts = []
+        for i in range(k):
+            rot = alpha[i:] + alpha[:i]
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    F.translate(F.col("text"), alpha, rot).alias("text"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def replicate_embeddings(em, k):
+        # per-replica signed coordinate permutation (a cheap deterministic
+        # random rotation): cosine WITHIN a replica is exactly preserved
+        # (near-dup structure repeats per copy → edges grow ~linearly with
+        # k) while cross-replica cosine concentrates near 0 even for
+        # mass-concentrated vectors, so the curve measures corpus growth,
+        # not synthetic duplicate mass
+        import hashlib
+        import random as _rnd
+
+        parts = []
+        for i in range(k):
+            perm = list(range(64))
+            if i:
+                _rnd.Random(i).shuffle(perm)
+            signs = [
+                1.0
+                if hashlib.md5(f"{i}:{d}".encode()).digest()[0] % 2
+                else -1.0
+                for d in range(64)
+            ]
+            e = F.col("embedding")
+            rotated = F.array(
+                *[
+                    F.element_at(e, perm[d] + 1) * F.lit(signs[d])
+                    for d in range(64)
+                ]
+            )
+            parts.append(
+                em.select(
+                    (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                    rotated.alias("embedding"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    docs01 = read_table(spark, sf01_dir, "documents")
+    docs1 = read_table(spark, sf1_dir, "documents")
+    em01 = read_table(spark, sf01_dir, "embeddings")
+    em1 = read_table(spark, sf1_dir, "embeddings")
+
+    curve: dict = {"lsh": [], "semdedup": []}
+    for label, d in [
+        ("sf0.01", docs01),
+        ("sf0.1", docs1),
+        ("sf0.1 x10", replicate_docs(docs1, 10)),
+    ]:
+        t0 = _t.perf_counter()
+        stats = minhash_lsh_stats(d)
+        curve["lsh"].append(
+            {"point": label, **stats, "sec": round(_t.perf_counter() - t0, 2)}
+        )
+    for label, e, n in [
+        ("sf0.01", em01, em01.count()),
+        ("sf0.1", em1, em1.count()),
+        ("sf0.1 x10", replicate_embeddings(em1, 10), em1.count() * 10),
+    ]:
+        # the k ∝ √n operating point the O(n^1.5) claim rests on (the
+        # registry query pins k=8 for its fixed oracle corpus; the curve
+        # exercises the scaling rule): gemm work ≈ (n_probe·n)²/k
+        k = max(8, int(n**0.5 / 2))
+        seeds = sorted(
+            (r["vec_id"], r["embedding"])
+            for r in e.filter(F.col("vec_id") < k).select("vec_id", "embedding").collect()
+        )
+        t0 = _t.perf_counter()
+        stats = semdedup_cell_stats(e, seeds)
+        curve["semdedup"].append(
+            {"point": label, "n_seed_cells": k, **stats, "sec": round(_t.perf_counter() - t0, 2)}
+        )
+    return curve
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -91,17 +204,26 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+
+    # dedup/ANN scale curve (candidate pairs + bucket/cell maxima vs
+    # corpus size incl. a synthetic 10x corpus); disable with
+    # SPARK_GRAFT_BENCH_CURVE=0
+    if os.environ.get("SPARK_GRAFT_BENCH_CURVE", "1") != "0":
+        parent = os.path.dirname(sf_dir.rstrip("/"))
+        sf01 = os.path.join(parent, "sf0.01")
+        sf1 = os.path.join(parent, "sf0.1")
+        if os.path.isdir(sf01) and os.path.isdir(sf1):
+            spark.catalog.clearCache()
+            out["dedup_curve"] = dedup_scale_curve(spark, sf01, sf1)
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -276,6 +276,66 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_stats(
+    docs: DataFrame,
+    n_perm: int = _N_PERM,
+    bands: int = _BANDS,
+    max_bucket: int = 50,
+    ngram: int = 3,
+) -> dict:
+    """Scale diagnostics for the LSH banding path — the evidence behind
+    the 100 TB claim: bucket-size distribution and the candidate-pair
+    count the band join would generate. One aggregate over the bucket
+    histogram (no pair expansion), so the cost is the signature pass.
+
+    Returns n_docs, n_buckets (≥2 members), max_bucket,
+    n_buckets_capped (over ``max_bucket`` — these are DROPPED by
+    `minhash_lsh_pairs`, never silently: this counter and the bench
+    curve are the audit trail), cand_pairs (Σ C(|bucket|,2) over kept
+    buckets) and cand_pairs_dropped (the same sum over capped buckets).
+    """
+    if n_perm % bands:
+        raise ValueError("n_perm must be divisible by bands")
+    rows_per_band = n_perm // bands
+    sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= ngram).select(
+        "doc_id", shingles(F.col("text"), ngram).alias("sh")
+    )
+    sig = minhash_signatures(sh, n_perm)
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(bi),
+                        *[
+                            F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    sizes = band_rows.groupBy("bucket").count()
+    c = F.col("count")
+    pairs = (c * (c - 1) / 2).cast("long")
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets_total"),
+        F.sum((c >= 2).cast("int")).alias("n_buckets"),
+        F.max(c).alias("max_bucket"),
+        F.sum((c > max_bucket).cast("int")).alias("n_buckets_capped"),
+        F.sum(F.when((c >= 2) & (c <= max_bucket), pairs).otherwise(0)).alias(
+            "cand_pairs"
+        ),
+        F.sum(F.when(c > max_bucket, pairs).otherwise(0)).alias(
+            "cand_pairs_dropped"
+        ),
+    ).collect()[0]
+    return {"n_docs": docs.count(), **row.asDict()}
+
+
 @query("dedup_minhash_lsh_pairs", _JACCARD_PAIRS_ORACLE)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs at the default (64-perm, 16-band)

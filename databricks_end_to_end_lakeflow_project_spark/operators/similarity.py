@@ -981,6 +981,72 @@ def semdedup_edges(
     return edges
 
 
+def semdedup_cell_stats(
+    em: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    n_probe: int = 2,
+    tau: float = 0.42,
+    max_cell: int = 4096,
+) -> dict:
+    """Scale diagnostics for the SemDeDup kernel — the evidence behind
+    the O(n^1.5·r²/k) claim: cell-size distribution before and after the
+    block decomposition, gemm work (Σ|group|²), and the verified edge
+    count. Used by bench.py's dedup cost curve."""
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(
+                (-cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in cvec]))).alias("ns"),
+                F.lit(cell_id).alias("cell"),
+            )
+            for cell_id, cvec in seeds
+        ])
+    )
+    assigned = em.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    cells = assigned.groupBy("cell").count()
+    crow = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("count").alias("max_cell_rows"),
+        F.sum(F.col("count") * F.col("count")).alias("gemm_work_unchunked"),
+    ).collect()[0]
+    # exact post-decomposition accounting from the bounded chunk histogram
+    # (cross-block groups do |chunk_i|·|chunk_j| gemm work, not |group|²)
+    chunked = _chunked_cell_assignment(assigned, max_cell)
+    chist: dict[int, dict[int, int]] = {}
+    for r in chunked.select("cell", "chunk", "vec_id").dropDuplicates(
+        ["cell", "chunk", "vec_id"]
+    ).groupBy("cell", "chunk").count().collect():
+        chist.setdefault(r["cell"], {})[r["chunk"]] = r["count"]
+    n_groups = 0
+    max_group = 0
+    work = 0
+    for sizes in chist.values():
+        ch = sorted(sizes)
+        for a_i, i in enumerate(ch):
+            for j in ch[a_i:]:
+                n_groups += 1
+                if i == j:
+                    max_group = max(max_group, sizes[i])
+                    work += sizes[i] * sizes[i]
+                else:
+                    max_group = max(max_group, sizes[i] + sizes[j])
+                    work += sizes[i] * sizes[j]
+    n_edges = semdedup_edges(em, seeds, n_probe, tau, max_cell).count()
+    return {
+        "n_vectors": em.count(),
+        **crow.asDict(),
+        "n_block_groups": n_groups,
+        "max_group_rows": max_group,
+        "gemm_work_chunked": work,
+        "n_edges": n_edges,
+    }
+
+
 @query("dedup_semdedup_keep", _SEMDEDUP_ORACLE)
 def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup that only compares
