@@ -63,6 +63,8 @@ def canon_rows(cols, rows) -> list[tuple[str, ...]]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--json-out", default=None,
+                    help="also write a machine-readable per-query result file")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -81,6 +83,11 @@ def main() -> int:
 
     names = args.names or sorted(qs)
     failures = 0
+    results: dict[str, dict] = {}
+
+    def record(name, status, rows=None, detail=None):
+        results[name] = {"status": status, "rows": rows, "detail": detail}
+
     for name in names:
         spark.catalog.clearCache()  # free persists leaked by prior queries
         try:
@@ -89,10 +96,12 @@ def main() -> int:
             scols = sdf.columns
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
+            record(name, "fail", detail=f"spark error: {ex}")
             failures += 1
             continue
         if name not in oracles:
             print(f"rows-only  {name}: {len(srows)} rows (no oracle)")
+            record(name, "rows-only", rows=len(srows))
             continue
         try:
             cur = con.execute(oracles[name])
@@ -100,15 +109,18 @@ def main() -> int:
             drows = cur.fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
+            record(name, "fail", detail=f"duckdb error: {ex}")
             failures += 1
             continue
 
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            record(name, "fail", detail="column mismatch")
             failures += 1
             continue
         if len(srows) != len(drows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            record(name, "fail", detail=f"rowcount {len(srows)} vs {len(drows)}")
             failures += 1
             continue
         sc = canon_rows(scols, [tuple(r) for r in srows])
@@ -116,10 +128,25 @@ def main() -> int:
         if sc != dc:
             bad = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
             print(f"FAIL  {name}: value mismatch; first diffs: {bad}")
+            record(name, "fail", rows=len(srows), detail=f"value mismatch: {bad}")
             failures += 1
             continue
         print(f"OK    {name}: {len(srows)} rows")
+        record(name, "ok", rows=len(srows))
 
+    if args.json_out:
+        import json
+
+        summary = {
+            "sf_dir": args.sf_dir,
+            "n_queries": len(names),
+            "n_ok": sum(1 for r in results.values() if r["status"] == "ok"),
+            "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows-only"),
+            "n_fail": failures,
+            "results": results,
+        }
+        with open(args.json_out, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
     spark.stop()
     return 1 if failures else 0
 

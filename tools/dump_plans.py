@@ -143,6 +143,22 @@ SHOWCASE = [
         "directions from one exchange, where the naive plan is two as-of "
         "joins plus a re-join (three shuffles).",
     ),
+    (
+        "sample_split_temporal",
+        "Exact global NTILE without a global sort (operators/scalerank.py): "
+        "the only Window in the plan is PARTITIONED by the range bin "
+        "(hashpartitioning exchange, never SinglePartition); the bin "
+        "offsets arrived as a literal map from the bounded histogram "
+        "collect, so no join, no broadcast, no single-partition stage.",
+    ),
+    (
+        "rfm_customer_segments",
+        "Three independent exact-quartile orderings over one per-customer "
+        "frame: three bin-PARTITIONED Windows chained on the same frame "
+        "(one boundary pass + one joint histogram fed them), each with its "
+        "own hashpartitioning exchange — zero SinglePartition exchanges at "
+        "any customer count.",
+    ),
 ]
 
 
