@@ -267,7 +267,11 @@ def minhash_lsh_pairs(
     # arrays never enter a shuffle
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = sh_b.join(F.broadcast(sh_a.join(F.broadcast(candidates), "doc_a")), "doc_b")
+    # no broadcast hints: the candidate-pair frame scales with corpus and
+    # duplicate mass (unbounded), and attaching sh_a makes it heavier still —
+    # AQE broadcasts while small and shuffle-joins at scale (then only the
+    # candidate docs' shingles move, never the whole corpus's)
+    verified = sh_b.join(sh_a.join(candidates, "doc_a"), "doc_b")
     j = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
         verified.withColumn("jaccard_sim", F.round(j, 4))
@@ -800,7 +804,7 @@ def incremental_lsh_delta_pairs(
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = sh_b.join(
-        F.broadcast(sh_a.join(F.broadcast(candidates), "doc_a")), "doc_b"
+        sh_a.join(candidates, "doc_a"), "doc_b"  # unbounded frames — AQE decides
     )
     j = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (

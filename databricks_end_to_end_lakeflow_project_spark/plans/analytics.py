@@ -12,9 +12,12 @@ Money aggregates use the exact-decimal pattern from
 (and run-to-run deterministic at cluster scale) — see that module's
 docstring.
 
-Scale notes (100 TB): every query here keeps small dims broadcast,
-aggregates before sorting (sort input is #groups, not #rows), and filters
-on fact-scan columns so Parquet row-group min/max skipping engages.
+Scale notes (100 TB): constant-size dims (nation/region) carry explicit
+broadcast hints; part/supplier/customer-scale sides carry NO hint (they
+grow linearly with SF — AQE broadcasts small, shuffle-joins at cluster
+scale). Every query aggregates before sorting (sort input is #groups,
+not #rows) and filters on fact-scan columns so Parquet row-group min/max
+skipping engages.
 """
 
 from __future__ import annotations
@@ -211,7 +214,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         cu.join(od, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
-            F.broadcast(su),
+            # supplier scales with SF (not a bounded class) — AQE decides
+            su,
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -409,7 +413,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
         )
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"))  # part scales with SF — AQE decides
         .agg(
             F.round(
                 F.lit(100.0)
@@ -480,9 +484,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(pt.filter(F.col("p_type") == "STANDARD")),
+        .join(pt.filter(F.col("p_type") == "STANDARD"),  # O(part) even filtered — AQE decides
               F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
         .join(

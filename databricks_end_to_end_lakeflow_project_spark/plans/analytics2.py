@@ -28,8 +28,11 @@ Money arithmetic follows functions/compat.py: exact decimals inside the
 aggregate, one double division at the end, so results are bit-identical
 to the DuckDB oracle and partition-order independent at cluster scale.
 
-Scale notes (100 TB): every dimension side here is broadcast; the only
-wide shuffles are keyed on the fact's join/group keys. q13's double
+Scale notes (100 TB): constant-size dimension slices (nation/region,
+1-row scalar thresholds) carry explicit broadcast hints; part/supplier/
+customer-scale sides carry NO hint — they grow linearly with SF, so AQE
+broadcasts them at small scale and shuffle-joins at cluster scale. The
+only wide shuffles are keyed on the fact's join/group keys. q13's double
 aggregation reduces to #customers then #distinct-counts rows; q15 takes
 its scalar MAX with a window over the post-aggregate frame so the fact
 is scanned exactly once; q17's per-part AVG is a partial-aggregable
@@ -87,7 +90,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     pt = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
     li_small = li.join(
-        F.broadcast(pt.select("p_partkey")),
+        pt.select("p_partkey"),  # part scales with SF — AQE decides
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     )
@@ -103,7 +106,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.col("l_partkey") == F.col("lp")) & (F.col("price") == F.col("min_price")),
         )
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"))  # O(part) — AQE decides
         .groupBy("p_partkey", "p_brand", F.col("min_price").cast("double").alias("min_price"))
         .agg(F.min("l_suppkey").alias("best_suppkey"))
         .orderBy("p_partkey")
@@ -155,7 +158,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp2 = sp.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
     cu2 = cu.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
     return (
-        li.join(F.broadcast(sp2), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier-scale side: no hint, AQE picks the strategy
+        li.join(sp2, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cu2, F.col("c_custkey") == F.col("o_custkey"))
         .filter(
@@ -208,8 +212,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "0.05"
     ).cast("decimal(3,2)")
     return (
-        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -301,7 +305,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.withColumn("max_revenue", mx)
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(sp), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(sp, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -343,8 +347,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(bad_sp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(bad_sp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -379,13 +383,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     li_b = li.join(
-        F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        pt, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
     avg_q = li.groupBy(F.col("l_partkey").alias("ap")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li_b.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("ap"))
+        li_b.join(avg_q, F.col("l_partkey") == F.col("ap"))  # per-part agg is O(part)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(
@@ -439,7 +443,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(dsum(disc_price()).alias("revenue"))
     )
@@ -531,7 +535,7 @@ def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     sp = _t(spark, sf_dir, "supplier")
     per_nation = (
-        li.join(F.broadcast(sp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("s_nationkey").alias("nationkey"))
         .agg(
             F.sum(disc_price()).alias("value_exact"),

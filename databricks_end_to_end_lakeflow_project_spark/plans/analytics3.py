@@ -90,7 +90,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"), "left_semi")  # O(part) — AQE decides
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)
@@ -101,7 +101,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "supplier")
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .join(
-            F.broadcast(qual_supp),
+            qual_supp,  # O(supplier) — AQE decides
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_semi",
         )
@@ -170,7 +170,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sole")
         .agg(F.count("*").alias("numwait"))
         .join(
-            F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+            _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),  # O(supplier)
             F.col("sole") == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", "numwait")
