@@ -148,7 +148,10 @@ def sink_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the difference between re-shuffling the fact table per query and
     paying the shuffle once at ingest. Oracle = the same join straight
     off the source files."""
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # process-unique scratch: the bucketed copies are session-cached via
+    # tableExists, but a CONCURRENT process (driver gate + local pytest)
+    # sharing one path would overwrite files the other is mid-read on
+    tag = f"{sf_dir.strip('/').replace('/', '_').replace('.', '_')}_{os.getpid()}"
     base = os.path.join(tempfile.gettempdir(), "lakeflow_bucketed", tag)
     li_tbl, od_tbl = f"li_bkt_{tag}", f"od_bkt_{tag}"
     if not spark.catalog.tableExists(li_tbl):

@@ -46,7 +46,9 @@ from databricks_end_to_end_lakeflow_project_spark.registry import query  # noqa:
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
     import tempfile
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # pid-unique scratch: a concurrent process (driver gate + local
+    # pytest) sharing the dir could overwrite files the other is reading
+    tag = f"{sf_dir.strip('/').replace('/', '_').replace('.', '_')}_{os.getpid()}"
     return os.path.join(tempfile.gettempdir(), "lakeflow_sources", tag, fmt)
 
 

@@ -52,8 +52,10 @@ def prepare_replay(
 ) -> str:
     """Materialize ``table`` as ``slices`` event-time-range parquet files
     under a tmp dir; returns the dir. Idempotent per (sf_dir, table,
-    slices) — the prepared dir is reused across runs."""
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    slices) — the prepared dir is reused across runs WITHIN a process
+    (pid-unique scratch: concurrent processes must not overwrite a dir
+    the other is mid-read on)."""
+    tag = f"{sf_dir.strip('/').replace('/', '_').replace('.', '_')}_{os.getpid()}"
     out = os.path.join(
         tempfile.gettempdir(), "lakeflow_replay", tag, f"{table}_{slices}"
     )

@@ -177,8 +177,10 @@ def _stream_dir_for(sf_dir: str, table: str) -> str:
     os.makedirs(base, exist_ok=True)
     link = os.path.join(base, f"{table}.parquet")
     src = os.path.join(sf_dir, f"{table}.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    try:
+        os.symlink(src, link)  # races with a concurrent process are benign:
+    except FileExistsError:   # both link the same immutable source file
+        pass
     return base
 
 
@@ -290,10 +292,13 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the streaming event feed joined to
     a batch dimension (customer → market segment) then aggregated in
-    complete mode. The static side is broadcast and re-resolved per
-    micro-batch — the standard lakehouse pattern for enriching a live
+    complete mode — the standard lakehouse pattern for enriching a live
     feed against slowly-changing reference data without stream-stream
-    state. Cent-integer money keeps the result reduction-order-exact."""
+    state. The static side is re-resolved per micro-batch; it carries NO
+    broadcast hint (customer scales with SF — not a bounded class), so
+    the micro-batch planner broadcasts it from size stats while small
+    and falls back to a shuffle join at dimension scale. Cent-integer
+    money keeps the result reduction-order-exact."""
     from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
     stream = stream_events_table(spark, sf_dir).withColumn(
@@ -303,7 +308,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
     agg = (
-        stream.join(F.broadcast(cust), "user_id")
+        stream.join(cust, "user_id")
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
