@@ -690,3 +690,144 @@ def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("top10pct_share"),
     )
+
+
+# -- distribution-drift monitors ----------------------------------------------
+# The data-quality gate a production training-data pipeline runs between
+# snapshot N and snapshot N+1 (or between two time windows of one feed):
+# numeric drift via the Population Stability Index over fixed bins,
+# categorical drift via a two-sample chi-square. Both are pure partial-
+# aggregatable aggregates — one shuffle of |bins| (resp. |categories|)
+# rows regardless of input size, no windows, no collect of data rows.
+
+
+@query(
+    "monitor_psi_value_drift",
+    """
+    WITH rng AS (
+      SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+             (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid_us
+      FROM events
+    ), binned AS (
+      SELECT CASE WHEN epoch_us(ts) < mid_us THEN 0 ELSE 1 END AS half,
+             LEAST(9, GREATEST(0,
+               CAST(FLOOR((value - vmin) / (vmax - vmin) * 10) AS INT))) AS bin
+      FROM events, rng
+    ), counts AS (
+      SELECT bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM counts
+    )
+    SELECT CAST(MAX(n0) AS BIGINT) AS n_ref,
+           CAST(MAX(n1) AS BIGINT) AS n_cur,
+           COUNT(*) AS n_bins,
+           ROUND(SUM(
+             ((c0 + 0.5) / (n0 + 5.0) - (c1 + 0.5) / (n1 + 5.0))
+             * LN(((c0 + 0.5) / (n0 + 5.0)) / ((c1 + 0.5) / (n1 + 5.0)))
+           ), 6) AS psi
+    FROM counts, tot
+    """,
+)
+def monitor_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second temporal
+    half of the event feed's ``value`` distribution — the standard
+    numeric-drift gate (rule of thumb: <0.1 stable, 0.1-0.25 moderate,
+    >0.25 action). 10 equi-width bins over the observed range; additive
+    (+0.5 per bin, Laplace) smoothing keeps empty bins finite and makes
+    PSI symmetric-zero on identical halves.
+
+    Plan: one scalar agg for (range, temporal midpoint) — a bounded
+    collect — then ONE partial-aggregatable pass building per-bin
+    conditional counts; PSI folds |bins| rows. The bin expression uses
+    explicit FLOOR arithmetic (not engine width_bucket) so Spark and the
+    oracle execute bit-identical IEEE operations."""
+    ev = read_table(spark, sf_dir, "events")
+    # integer epoch-µs midpoint: timestamp-interval halving is engine-
+    # specific (tz/interval semantics); integer math is not
+    us = F.unix_micros(F.col("ts"))
+    rng = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        ((F.min(us) + F.max(us)) / F.lit(2)).cast("long").alias("mid_us"),
+    ).collect()[0]
+    vmin, vmax = float(rng["vmin"]), float(rng["vmax"])
+    half = F.when(us < F.lit(rng["mid_us"]), 0).otherwise(1)
+    bin_ = F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("value") - vmin) / (vmax - vmin) * 10).cast("int"),
+        ),
+    )
+    counts = ev.select(half.alias("half"), bin_.alias("bin")).groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = counts.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    p = (F.col("c0") + 0.5) / (F.col("n0") + 5.0)
+    q = (F.col("c1") + 0.5) / (F.col("n1") + 5.0)
+    return counts.crossJoin(F.broadcast(tot)).agg(
+        F.max("n0").cast("long").alias("n_ref"),
+        F.max("n1").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+    )
+
+
+@query(
+    "monitor_chisq_type_drift",
+    """
+    WITH rng AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid_us FROM events
+    ), counts AS (
+      SELECT event_type,
+             SUM(CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END) AS c1
+      FROM events, rng GROUP BY event_type
+    ), tot AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM counts)
+    SELECT CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+           CAST(MAX(n0) AS BIGINT) AS n_ref,
+           CAST(MAX(n1) AS BIGINT) AS n_cur,
+           ROUND(SUM(
+               POW(c0 - n0 * ((c0 + c1) / (n0 + n1)), 2) / (n0 * ((c0 + c1) / (n0 + n1)))
+             + POW(c1 - n1 * ((c0 + c1) / (n0 + n1)), 2) / (n1 * ((c0 + c1) / (n0 + n1)))
+           ), 6) AS chi2
+    FROM counts, tot
+    """,
+)
+def monitor_chisq_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square homogeneity test on the event-type mix
+    between the temporal halves of the feed — the categorical-drift gate
+    next to [[monitor_psi_value_drift]]. Expected counts come from the
+    pooled distribution; the statistic folds |categories| rows after one
+    partial-aggregatable conditional-count pass (the scalar temporal
+    midpoint is the only driver round-trip)."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    mid = ev.agg(
+        ((F.min(us) + F.max(us)) / F.lit(2)).cast("long").alias("m")
+    ).collect()[0]["m"]
+    counts = ev.groupBy("event_type").agg(
+        F.sum(F.when(us < F.lit(mid), 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(us >= F.lit(mid), 1).otherwise(0)).alias("c1"),
+    )
+    tot = counts.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    pooled = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    e0 = F.col("n0") * pooled
+    e1 = F.col("n1") * pooled
+    return counts.crossJoin(F.broadcast(tot)).agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.max("n0").cast("long").alias("n_ref"),
+        F.max("n1").cast("long").alias("n_cur"),
+        F.round(
+            F.sum(
+                F.pow(F.col("c0") - e0, 2) / e0 + F.pow(F.col("c1") - e1, 2) / e1
+            ),
+            6,
+        ).alias("chi2"),
+    )

@@ -30,6 +30,8 @@ NON_EQUI_WHITELIST = {
     "sample_temperature_mixture",  # 1-row broadcast totals over #languages rows
     "agg_theta_sketch_sets",  # 1-row × 1-row sketch pair — set algebra on bytes
     "sample_balanced_by_lang",  # 1-row broadcast minority-count floor
+    "monitor_psi_value_drift",  # 1-row broadcast (n0, n1) totals over |bins| rows
+    "monitor_chisq_type_drift",  # 1-row broadcast totals over |categories| rows
 }
 
 

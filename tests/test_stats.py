@@ -163,3 +163,61 @@ def test_hll_sketch_union_lossless_and_accurate(spark):
     assert rows["__all_days__"] == direct
     assert abs(rows["__all_days__"] - exact) / exact <= 0.05
     assert all(v <= rows["__all_days__"] * 1.05 for k, v in rows.items())
+
+
+def test_drift_monitors_invariants(spark):
+    """PSI and chi-square drift gates: non-negative by construction,
+    exactly zero (resp. ~zero) when the two samples are IDENTICAL, and
+    strictly positive under a planted shift."""
+    import datetime as dt
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        monitor_chisq_type_drift,
+        monitor_psi_value_drift,
+    )
+
+    psi = monitor_psi_value_drift(spark, SF).collect()[0]
+    chi = monitor_chisq_type_drift(spark, SF).collect()[0]
+    assert psi["psi"] >= 0 and chi["chi2"] >= 0
+    assert psi["n_ref"] + psi["n_cur"] == chi["n_ref"] + chi["n_cur"]
+    assert psi["n_bins"] <= 10 and chi["dof"] >= 1
+
+    # identical halves → PSI == 0 bit-exactly (symmetric smoothing):
+    # mirror one day of events into both halves of a synthetic frame
+    base = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), float(i % 97))
+        for i in range(500)
+    ]
+    mirrored = base + [
+        (i + 500, ts + dt.timedelta(days=10), v) for (i, ts, v) in base
+    ]
+    ev = spark.createDataFrame(
+        mirrored, "event_id long, ts timestamp, value double"
+    ).withColumn("event_type", ((F.col("event_id") % 500) % 3).cast("string"))
+    ev.createOrReplaceTempView("__drift_mirror")
+    # reuse the operator bodies on the synthetic frame via monkey table
+    from databricks_end_to_end_lakeflow_project_spark.operators import stats as S
+
+    orig = S.read_table
+    try:
+        S.read_table = lambda _s, _d, _n: ev
+        psi0 = monitor_psi_value_drift(spark, SF).collect()[0]["psi"]
+        chi0 = monitor_chisq_type_drift(spark, SF).collect()[0]["chi2"]
+    finally:
+        S.read_table = orig
+    assert psi0 == 0.0
+    assert chi0 == 0.0
+
+    # planted categorical shift → strictly positive chi2
+    shifted = ev.withColumn(
+        "event_type",
+        F.when(
+            F.col("event_id") >= 500, F.lit("drifted")
+        ).otherwise(F.col("event_type")),
+    )
+    try:
+        S.read_table = lambda _s, _d, _n: shifted
+        chi1 = monitor_chisq_type_drift(spark, SF).collect()[0]["chi2"]
+    finally:
+        S.read_table = orig
+    assert chi1 > 100
