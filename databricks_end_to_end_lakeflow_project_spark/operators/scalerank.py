@@ -135,6 +135,56 @@ def with_global_ranks(df: DataFrame, specs: list[RankSpec]) -> tuple[DataFrame, 
     return out, total
 
 
+def with_global_cumsums(
+    df: DataFrame,
+    value: str,
+    tiebreaks: list[str],
+    sums: dict[str, Column],
+    *,
+    bin_value: Column | None = None,
+    nbins: int = 128,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Exact INCLUSIVE running sums over the global ``(value, tiebreaks)``
+    order without a global sort — the distributed-CDF primitive behind
+    [[monitor_ks_value_drift]] and the same three-stage plan as
+    :func:`with_global_ranks`: range-bin the order key, aggregate each
+    requested weight per bin (bounded collect), ship the exclusive
+    per-bin prefix totals as a literal map, and add a PARTITIONED
+    within-bin running-sum window. Returns ``(df + cumsum columns,
+    {out: grand total})``; weights must be non-null (coalesce first) and
+    INTEGER-valued — double weights would make the per-bin partial sums
+    reduction-order-dependent, breaking cross-engine exactness."""
+    bv = bin_value if bin_value is not None else F.col(value)
+    probs = F.array(*[F.lit(j / nbins) for j in range(1, nbins)])
+    bounds = sorted(
+        set(df.agg(F.percentile_approx(bv, probs, 10_000).alias("b")).collect()[0]["b"] or [])
+    )
+    binned = df.withColumn("__sc_bin", _bin_col(bv, bounds))
+    hist = (
+        binned.groupBy("__sc_bin")
+        .agg(*[F.sum(w).alias(f"__s_{out}") for out, w in sums.items()])
+        .collect()
+    )
+    order = [F.col(value)] + [F.col(t) for t in tiebreaks]
+    w_run = (
+        Window.partitionBy("__sc_bin")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = binned
+    totals: dict[str, int] = {}
+    for name, wcol in sums.items():
+        acc = 0
+        flat: list[Column] = []
+        for r in sorted(hist, key=lambda r: r["__sc_bin"]):
+            flat += [F.lit(r["__sc_bin"]), F.lit(int(acc)).cast("long")]
+            acc += int(r[f"__s_{name}"] or 0)
+        totals[name] = acc
+        offset = F.element_at(F.create_map(*flat), F.col("__sc_bin"))
+        out = out.withColumn(name, offset + F.sum(wcol).over(w_run))
+    return out.drop("__sc_bin"), totals
+
+
 def ntile_from_rank(rank: Column, total: int, tiles: int) -> Column:
     """SQL NTILE(tiles) from an exact 1-based global rank and the total
     row count: the first ``total % tiles`` tiles get ``total//tiles + 1``

@@ -831,3 +831,72 @@ def monitor_chisq_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+@query(
+    "monitor_ks_value_drift",
+    """
+    WITH rng AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid_us FROM events
+    ), g AS (
+      SELECT value,
+             SUM(CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END) AS a1,
+             SUM(CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END) AS a2
+      FROM events, rng GROUP BY value
+    ), c AS (
+      SELECT SUM(a1) OVER w AS c1, SUM(a2) OVER w AS c2
+      FROM g WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+    ), tot AS (SELECT SUM(a1) AS n1, SUM(a2) AS n2 FROM g)
+    SELECT CAST(MAX(n1) AS BIGINT) AS n_ref,
+           CAST(MAX(n2) AS BIGINT) AS n_cur,
+           ROUND(MAX(ABS(c1::DOUBLE / n1 - c2::DOUBLE / n2)), 6) AS ks
+    FROM c, tot
+    """,
+)
+def monitor_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the temporal
+    halves of the value feed: KS = max |F̂_ref(v) − F̂_cur(v)| over the
+    pooled support — the non-parametric companion to the binned
+    [[monitor_psi_value_drift]] (sensitive to any distributional change,
+    not just bin-mass moves). Textbook tie handling: per-DISTINCT-value
+    counts first, so the CDFs are evaluated after absorbing all ties.
+
+    Scale path: the running CDF numerators come from
+    `scalerank.with_global_cumsums` — exact inclusive cumulative counts
+    via range-binned offsets + a PARTITIONED running-sum window, never a
+    single-partition sort, over a frame already collapsed to |distinct
+    values| rows (itself one partial-aggregatable pass over the feed).
+
+    The oracle's global cumulative window is the same math on DuckDB's
+    single-node sort; hash-matching it IS the proof the distributed
+    decomposition is exact."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        with_global_cumsums,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    mid = ev.agg(
+        ((F.min(us) + F.max(us)) / F.lit(2)).cast("long").alias("m")
+    ).collect()[0]["m"]
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(us < F.lit(mid), 1).otherwise(0)).alias("a1"),
+        F.sum(F.when(us >= F.lit(mid), 1).otherwise(0)).alias("a2"),
+    )
+    cum, totals = with_global_cumsums(
+        g, "value", [], {"c1": F.col("a1"), "c2": F.col("a2")}
+    )
+    n1, n2 = totals["c1"], totals["c2"]
+    return cum.agg(
+        F.lit(n1).cast("long").alias("n_ref"),
+        F.lit(n2).cast("long").alias("n_cur"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c1").cast("double") / F.lit(n1)
+                    - F.col("c2").cast("double") / F.lit(n2)
+                )
+            ),
+            6,
+        ).alias("ks"),
+    )

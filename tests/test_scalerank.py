@@ -128,3 +128,33 @@ def test_ntile_from_rank_against_sql_ntile(spark):
             assert [x["t"] for x in got.collect()] == [
                 x["t"] for x in want.collect()
             ], (n, k)
+
+
+def test_cumsum_matches_window_form(spark):
+    """with_global_cumsums must equal the single-partition running-sum
+    window bit-for-bit (integer weights, heavy ties) and plan no
+    unpartitioned WindowExec."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        with_global_cumsums,
+    )
+
+    df = _tied_frame(spark).withColumn("w1", (F.col("id") % 7)).withColumn(
+        "w2", F.lit(1)
+    )
+    got, totals = with_global_cumsums(
+        df, "v", ["id"], {"cs1": F.col("w1"), "cs2": F.col("w2")}
+    )
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cs1", F.sum("w1").over(w)).withColumn(
+        "cs2", F.sum("w2").over(w)
+    )
+    assert (
+        got.select("id", "cs1", "cs2")
+        .exceptAll(want.select("id", "cs1", "cs2"))
+        .count()
+        == 0
+    )
+    n = df.count()
+    assert totals["cs2"] == n
+    assert totals["cs1"] == df.agg(F.sum("w1")).collect()[0][0]
+    assert unpartitioned_windows(_plan(got)) == []
