@@ -181,17 +181,33 @@ def late_arrivals(
     INGESTION SHARD (each shard's arrival order is the sequence its
     writer actually produced), so the running-max window partitions by
     the shard key and parallelizes across shards — the 100 TB shape.
-    ``None`` means one global single-writer sequence (the test-stream
-    special case; single-partition window by definition)."""
-    base = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    w = base if shard_col is None else Window.partitionBy(shard_col).orderBy(
-        "event_id"
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    arr = ev.select(
-        "event_type",
-        "ts",
-        F.max("ts").over(w).alias("high_water"),
-    )
+    ``None`` means one global single-writer sequence, computed with
+    `scalerank.with_global_running_max` (range-binned prefix maxima +
+    partitioned within-bin windows) so even the global replay plans no
+    single-partition stage."""
+    if shard_col is None:
+        from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+            with_global_running_max,
+        )
+
+        arr = with_global_running_max(
+            ev.select("event_type", "ts", "event_id"),
+            "event_id",
+            "ts",
+            "high_water",
+            exclusive=True,
+        ).select("event_type", "ts", "high_water")
+    else:
+        w = (
+            Window.partitionBy(shard_col)
+            .orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        arr = ev.select(
+            "event_type",
+            "ts",
+            F.max("ts").over(w).alias("high_water"),
+        )
     late = F.col("ts") < F.col("high_water") - F.expr(allowed_lateness)
     return arr.groupBy("event_type").agg(
         F.count("*").alias("n_events"),

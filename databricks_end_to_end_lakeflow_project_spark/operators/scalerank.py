@@ -185,6 +185,56 @@ def with_global_cumsums(
     return out.drop("__sc_bin"), totals
 
 
+def with_global_running_max(
+    df: DataFrame,
+    order_value: str,
+    of_col: str,
+    out: str,
+    *,
+    exclusive: bool = True,
+    bin_value: Column | None = None,
+    nbins: int = 128,
+) -> DataFrame:
+    """Exact running MAX of ``of_col`` over the global ``order_value``
+    order without a global sort — max is associative, so the rank/cumsum
+    decomposition applies verbatim: per-range-bin maxima (bounded
+    collect) ship as a literal map of EXCLUSIVE prefix maxima, and a
+    PARTITIONED within-bin running-max window supplies the rest;
+    ``greatest`` of the two (null-tolerant) is the global running max.
+    ``exclusive=True`` gives the `ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING` frame (the streaming high-watermark shape: NULL for the
+    first row overall). ``order_value`` must be globally unique (an
+    arrival/event id); use ranks first if it is not."""
+    bv = bin_value if bin_value is not None else F.col(order_value)
+    probs = F.array(*[F.lit(j / nbins) for j in range(1, nbins)])
+    bounds = sorted(
+        set(df.agg(F.percentile_approx(bv, probs, 10_000).alias("b")).collect()[0]["b"] or [])
+    )
+    binned = df.withColumn("__sm_bin", _bin_col(bv, bounds))
+    hist = sorted(
+        binned.groupBy("__sm_bin").agg(F.max(of_col).alias("m")).collect(),
+        key=lambda r: r["__sm_bin"],
+    )
+    dtype = df.schema[of_col].dataType
+    prefix = None
+    flat: list[Column] = []
+    for r in hist:
+        # exclusive prefix: max over strictly-earlier bins (None for first;
+        # cast pins the literal's type so the map never degrades to NullType)
+        flat += [F.lit(r["__sm_bin"]), F.lit(prefix).cast(dtype)]
+        if r["m"] is not None:
+            prefix = r["m"] if prefix is None else max(prefix, r["m"])
+    offset = F.element_at(F.create_map(*flat), F.col("__sm_bin"))
+    end = -1 if exclusive else 0
+    w = (
+        Window.partitionBy("__sm_bin")
+        .orderBy(order_value)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    within = F.max(of_col).over(w)
+    return binned.withColumn(out, F.greatest(offset, within)).drop("__sm_bin")
+
+
 def ntile_from_rank(rank: Column, total: int, tiles: int) -> Column:
     """SQL NTILE(tiles) from an exact 1-based global rank and the total
     row count: the first ``total % tiles`` tiles get ``total//tiles + 1``

@@ -81,10 +81,6 @@ def unpartitioned_windows(plan: str) -> list[str]:
 # each docstring): post-aggregate frames whose size is |groups|, not |rows|,
 # or semantics that define one global sequence
 UNPARTITIONED_WINDOW_WHITELIST = {
-    # running high-watermark over the single test stream's arrival order —
-    # the semantic IS one global sequence; the scale path is the shard_col
-    # parameter of operators/eventseries.late_arrivals (per-shard windows)
-    "events_late_arrivals",
     # scalar MAX over the post-aggregate per-supplier frame (avoids a
     # second fact scan; frame is |suppliers| after full aggregation)
     "q15_top_supplier",

@@ -158,3 +158,22 @@ def test_cumsum_matches_window_form(spark):
     assert totals["cs2"] == n
     assert totals["cs1"] == df.agg(F.sum("w1")).collect()[0][0]
     assert unpartitioned_windows(_plan(got)) == []
+
+
+@pytest.mark.parametrize("exclusive", [True, False])
+def test_running_max_matches_window_form(spark, exclusive):
+    """with_global_running_max must equal the single-partition running-max
+    window (incl. the NULL leading rows of the exclusive frame) and plan
+    no unpartitioned WindowExec."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        with_global_running_max,
+    )
+
+    df = _tied_frame(spark).withColumnRenamed("noise", "m")
+    got = with_global_running_max(df, "id", "m", "rm", exclusive=exclusive)
+    end = -1 if exclusive else 0
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, end)
+    want = df.withColumn("rm", F.max("m").over(w))
+    assert got.select("id", "rm").exceptAll(want.select("id", "rm")).count() == 0
+    assert got.count() == want.count()
+    assert unpartitioned_windows(_plan(got)) == []
