@@ -305,24 +305,31 @@ def minhash_lsh_stats(
         "doc_id", shingles(F.col("text"), ngram).alias("sh")
     )
     sig = minhash_signatures(sh, n_perm)
+    # IDENTICAL bucket keying to minhash_lsh_pairs — the stats must audit
+    # the buckets the pairs path actually joins on
     band_rows = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.lit(bi),
-                        *[
-                            F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
                     )
                     for bi in range(bands)
                 ]
             )
-        ).alias("bucket"),
-    )
-    sizes = band_rows.groupBy("bucket").count()
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    sizes = band_rows.groupBy("band_id", "band_hash").count()
     c = F.col("count")
     pairs = (c * (c - 1) / 2).cast("long")
     row = sizes.agg(
