@@ -116,6 +116,11 @@ def with_global_ranks(df: DataFrame, specs: list[RankSpec]) -> tuple[DataFrame, 
     # unpartitioned window anywhere.
     hist = binned.groupBy(*bin_names).count().collect()
     total = sum(r["count"] for r in hist)
+    if not hist:  # empty input: typed null ranks, zero total
+        out = binned
+        for s in specs:
+            out = out.withColumn(s.out, F.lit(None).cast("long"))
+        return out.drop(*bin_names), 0
     out = binned
     for s, bn in zip(specs, bin_names):
         marg: dict[int, int] = {}
@@ -165,6 +170,11 @@ def with_global_cumsums(
         .agg(*[F.sum(w).alias(f"__s_{out}") for out, w in sums.items()])
         .collect()
     )
+    if not hist:  # empty input: typed null cumsums, zero totals
+        out_df = binned
+        for name in sums:
+            out_df = out_df.withColumn(name, F.lit(None).cast("long"))
+        return out_df.drop("__sc_bin"), {name: 0 for name in sums}
     order = [F.col(value)] + [F.col(t) for t in tiebreaks]
     w_run = (
         Window.partitionBy("__sc_bin")
@@ -216,6 +226,8 @@ def with_global_running_max(
         key=lambda r: r["__sm_bin"],
     )
     dtype = df.schema[of_col].dataType
+    if not hist:  # empty input: typed null running max
+        return binned.withColumn(out, F.lit(None).cast(dtype)).drop("__sm_bin")
     prefix = None
     flat: list[Column] = []
     for r in hist:

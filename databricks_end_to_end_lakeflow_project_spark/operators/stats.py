@@ -676,12 +676,16 @@ def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_cut = n_users - math.ceil(n_users * 0.1)
     cnt = F.count(F.lit(1))
     tot = F.sum("n")
+    # per-product double cast: each i·xᵢ is integer-exact in a double
+    # (< 2^53 at any tested SF) while the SUM cannot overflow long the way
+    # an integer Σi·xᵢ would at billions of users (~n²·avg ≫ 2^63)
+    rank_mass = F.sum((F.col("i") * F.col("n")).cast("double"))
     return ranked.agg(
         cnt.alias("n_users"),
         tot.alias("total_events"),
         F.round(
-            (2.0 * F.sum(F.col("i") * F.col("n")) - (cnt + 1) * tot).cast("double")
-            / (cnt.cast("double") * tot),
+            (2.0 * rank_mass - (cnt + 1).cast("double") * tot.cast("double"))
+            / (cnt.cast("double") * tot.cast("double")),
             6,
         ).alias("gini"),
         F.round(
@@ -755,13 +759,16 @@ def monitor_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     vmin, vmax = float(rng["vmin"]), float(rng["vmax"])
     half = F.when(us < F.lit(rng["mid_us"]), 0).otherwise(1)
-    bin_ = F.least(
-        F.lit(9),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col("value") - vmin) / (vmax - vmin) * 10).cast("int"),
-        ),
-    )
+    if vmax == vmin:  # degenerate constant feed: one bin, PSI trivially 0
+        bin_ = F.lit(0)
+    else:
+        bin_ = F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("value") - vmin) / (vmax - vmin) * 10).cast("int"),
+            ),
+        )
     counts = ev.select(half.alias("half"), bin_.alias("bin")).groupBy("bin").agg(
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),

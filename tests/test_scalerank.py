@@ -177,3 +177,25 @@ def test_running_max_matches_window_form(spark, exclusive):
     assert got.select("id", "rm").exceptAll(want.select("id", "rm")).count() == 0
     assert got.count() == want.count()
     assert unpartitioned_windows(_plan(got)) == []
+
+
+def test_empty_input_frames(spark):
+    """All three primitives must survive an empty input with typed null
+    outputs and zero totals (the midnight-empty-partition case)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        with_global_cumsums,
+        with_global_running_max,
+    )
+
+    df = spark.createDataFrame([], "id long, v long, m double")
+    ranked, total = with_global_ranks(
+        df, [RankSpec(out="r", value="v", tiebreaks=["id"])]
+    )
+    assert total == 0 and ranked.count() == 0
+    assert dict(ranked.dtypes)["r"] == "bigint"
+
+    cum, totals = with_global_cumsums(df, "v", ["id"], {"c": F.lit(1)})
+    assert totals == {"c": 0} and cum.count() == 0
+
+    rm = with_global_running_max(df, "id", "m", "hw")
+    assert rm.count() == 0 and dict(rm.dtypes)["hw"] == "double"
