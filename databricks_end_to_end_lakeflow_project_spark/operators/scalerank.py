@@ -35,6 +35,10 @@ Used by the former global-NTILE queries (`sample_split_temporal`,
 `agg_histogram_equidepth`, `rfm_customer_segments`,
 `xdomain_engagement_revenue`, `events_activity_gini`) whose DuckDB
 oracles still use plain NTILE/ROW_NUMBER — exactness is the contract.
+The same decomposition generalizes to any associative accumulator:
+:func:`with_global_cumsums` (exact running sums → the KS drift gate's
+CDFs) and :func:`with_global_running_max` (the late-arrival
+high-watermark replay).
 
 Assumptions: ranked values are non-null (all call sites rank NOT NULL
 aggregates or raw keys); callers with nullable metrics must filter or
