@@ -199,3 +199,42 @@ def test_empty_input_frames(spark):
 
     rm = with_global_running_max(df, "id", "m", "hw")
     assert rm.count() == 0 and dict(rm.dtypes)["hw"] == "double"
+
+
+# -- property-based equivalence (hypothesis) ----------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_rank_cases = st.tuples(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=120),
+    st.booleans(),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=12),  # nbins — tiny values stress binning
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(case=_rank_cases)
+def test_property_rank_and_ntile_match_window(spark, case):
+    """For ANY value multiset, direction, tile count and bin count, the
+    distributed rank/NTILE must equal the window forms exactly."""
+    values, descending, tiles, nbins = case
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v long"
+    )
+    ranked, total = with_global_ranks(
+        df,
+        [RankSpec(out="r", value="v", tiebreaks=["id"], descending=descending, nbins=nbins)],
+    )
+    got = ranked.withColumn(
+        "t", ntile_from_rank(F.col("r"), total, tiles)
+    ).select("id", "r", "t")
+    order = [F.col("v").desc() if descending else F.col("v"), F.col("id")]
+    w = Window.orderBy(*order)
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("r"),
+        F.ntile(tiles).over(w).alias("t"),
+    )
+    assert got.exceptAll(want).count() == 0 and total == len(values)

@@ -152,6 +152,15 @@ SHOWCASE = [
         "collect, so no join, no broadcast, no single-partition stage.",
     ),
     (
+        "monitor_ks_value_drift",
+        "Distributed two-sample CDF (KS drift gate): the cumulative "
+        "counts come from a bin-PARTITIONED running-sum Window over the "
+        "per-distinct-value frame with literal-map prefix offsets — the "
+        "plan's only exchanges are the per-value aggregation and the bin "
+        "hashpartitioning; no SinglePartition stage, no join for the "
+        "offsets.",
+    ),
+    (
         "rfm_customer_segments",
         "Three independent exact-quartile orderings over one per-customer "
         "frame: three bin-PARTITIONED Windows chained on the same frame "
