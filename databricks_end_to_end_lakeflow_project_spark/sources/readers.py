@@ -169,3 +169,77 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rescued_rows"),
     )
+
+
+@query(
+    "source_text_lines_roundtrip",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def source_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text line source/sink (`spark.read/write.text`) — the format
+    raw LLM corpora actually arrive in: each document serialized as one
+    tab-delimited `id\\tlang\\ttext` line, read back as a single `value`
+    column and re-parsed with JVM string splits. The per-language token
+    totals must match the parquet table exactly — the sink neither lost,
+    reordered within lines, nor mangled whitespace (a real hazard: text
+    sinks have no schema, so corruption is silent).
+
+    Scale notes: text write/read is a narrow per-partition pass (no
+    shuffle); the re-parse is two `split` calls inside codegen. At 100 TB
+    this is the cheapest possible ingest format — but schemaless, hence
+    the checksum-style aggregate."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang", "text"
+    )
+    path = _roundtrip_dir(sf_dir, "textlines")
+    line = F.concat_ws("\t", F.col("doc_id"), F.col("lang"), F.col("text"))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 3)
+    parsed = back.select(
+        parts.getItem(1).alias("lang"),
+        F.size(F.split(F.trim(parts.getItem(2)), " ")).alias("n_tokens"),
+    )
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query("source_binaryfile_manifest")  # rows-only: paths are outside the
+# oracle's table views; exactness is pinned by tests/test_queries_registry
+def source_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source: ingest raw files as (path, length, content)
+    rows — the front door for multimodal corpora (images/audio arrive as
+    opaque bytes; operators/multimodal.py takes over from here). Returns
+    a deterministic manifest: file name, byte length, and the content's
+    md5 — proving the bytes survived the source intact (test compares
+    against Python's own read of the same files).
+
+    Scale notes: binaryFile splits per FILE (content is one column value,
+    never split), so parallelism = file count; pair it with
+    `compact_small_files`-style batching for billions of small objects,
+    and prune with `pathGlobFilter`/`modifiedAfter` options at ingest."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return (
+        df.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.col("length"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("file_name")
+    )

@@ -34,3 +34,26 @@ def test_topk_per_group_primitive(spark, sf_dir):
     top2 = topk_per_group(od, ["o_custkey"], [F.col("o_totalprice").desc(), "o_orderkey"], 2)
     sizes = top2.groupBy("o_custkey").count().agg(F.max("count")).collect()[0][0]
     assert sizes <= 2
+
+
+def test_binaryfile_manifest_matches_python_read(spark):
+    """The binaryFile source must deliver byte-exact content: lengths and
+    md5 digests equal Python's own read of the same files."""
+    import hashlib
+    import os
+
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        source_binaryfile_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["file_name"]: (r["length"], r["content_md5"])
+        for r in source_binaryfile_manifest(spark, sf).collect()
+    }
+    want = {}
+    for name in os.listdir(sf):
+        if name.endswith(".parquet"):
+            data = open(os.path.join(sf, name), "rb").read()
+            want[name] = (len(data), hashlib.md5(data).hexdigest())
+    assert got == want and len(got) >= 10
