@@ -243,3 +243,48 @@ def source_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    """
+    SELECT n_regionkey,
+           COUNT(*) AS n_nations,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source/sink roundtrip (Spark 4 built-in `xml` format —
+    no external package): the nation dim serialized as `<row>` elements
+    and read back with an EXPLICIT schema (schema inference over XML is a
+    full extra scan — same rule as JSON). The grouped ordered name list
+    must match the parquet table exactly: element order, text content and
+    numeric types all survived the markup trip.
+
+    Scale notes: XML is the interchange format of enterprise feeds, not
+    an analytics format — ingest it once (row-tag splitting parallelizes
+    per file split), convert to parquet, and keep the explicit schema so
+    a malformed feed fails loudly instead of inferring garbage."""
+    na = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _roundtrip_dir(sf_dir, "xml")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        na.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
+            "rowTag", "nation"
+        ).save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .load(path)
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        )
+        .orderBy("n_regionkey")
+    )
