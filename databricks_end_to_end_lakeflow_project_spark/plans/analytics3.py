@@ -333,3 +333,72 @@ def xdomain_engagement_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quintile")
     )
+
+
+@query(
+    "fact_order_lifecycle",
+    """
+    WITH life AS (
+      SELECT o_orderkey, o_orderstatus, o_orderdate,
+             MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
+             COUNT(*) AS n_items
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderstatus, o_orderdate
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(n_items) AS BIGINT) AS n_items,
+           ROUND(AVG(DATE_DIFF('day', o_orderdate, first_ship)), 4)
+             AS avg_days_to_first_ship,
+           ROUND(AVG(DATE_DIFF('day', first_ship, last_ship)), 4)
+             AS avg_ship_span_days,
+           CAST(SUM(CASE WHEN last_ship <= o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_closed_90d
+    FROM life GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def fact_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball ACCUMULATING-SNAPSHOT fact: one row per order carrying its
+    lifecycle milestones (order date → first ship → last ship) plus the
+    derived lags — the warehouse pattern for processes with a defined
+    start and end, updated in place as milestones land (here built in one
+    pass from the item log; incrementally it is `latest_by_key` + upsert
+    on the order grain, exactly the gold fact builder's shape). Reported
+    as per-status lag profiles with a 90-day closure SLA counter.
+
+    Plan: one shuffle keyed on the order key builds the milestone row
+    (MIN/MAX/COUNT — all partial-aggregatable, so lineitem combines
+    map-side); the status rollup is |orders|→|status| rows. No windows,
+    no driver round-trips."""
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    life = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderstatus", "o_orderdate")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    closed = (
+        F.col("last_ship")
+        <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    return (
+        life.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").alias("n_items"),
+            F.round(
+                F.avg(F.datediff(F.col("first_ship"), F.col("o_orderdate"))), 4
+            ).alias("avg_days_to_first_ship"),
+            F.round(
+                F.avg(F.datediff(F.col("last_ship"), F.col("first_ship"))), 4
+            ).alias("avg_ship_span_days"),
+            F.sum(closed).cast("long").alias("n_closed_90d"),
+        )
+        .orderBy("o_orderstatus")
+    )
