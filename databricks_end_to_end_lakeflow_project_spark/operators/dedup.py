@@ -191,7 +191,10 @@ def minhash_lsh_pairs(
 
     Physical strategy (2.6× over the naive formulation at sf0.1):
     - the shingle frame is persisted — it feeds the signature pass AND both
-      sides of candidate verification, so uncached it would be computed 3×;
+      sides of candidate verification, so uncached it would be computed 3×
+      (the cache entry lives until `spark.catalog.clearCache()`; long-lived
+      sessions issuing many LSH runs should clear between corpora, as the
+      bench harness does);
     - candidate pairs are expanded from a per-bucket ``collect_list`` with
       higher-order array functions — ONE shuffle on the band key replaces
       the count-filter pass plus bucket self-join (the cap bounds the

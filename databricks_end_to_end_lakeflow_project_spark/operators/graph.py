@@ -58,7 +58,9 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
 
     Symmetric-edge graphs have no dangling nodes, so the update is the
     textbook ``(1-d) + d * Σ rank(src)/deg(src)``. Returns
-    (node, pagerank)."""
+    (node, pagerank). The edge/degree caches live until
+    `spark.catalog.clearCache()` — clear between graphs in long-lived
+    sessions (the bench harness does)."""
     edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
