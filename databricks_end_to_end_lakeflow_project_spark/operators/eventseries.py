@@ -247,9 +247,12 @@ def events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "10 minutes")` streaming aggregation would drop.
 
     Plan note: this registry entry is :func:`late_arrivals` with
-    ``shard_col=None`` — one global arrival sequence, hence the
-    whitelisted single-partition window. Real deployments pass the
-    ingestion-shard key and get per-shard partitioned windows."""
+    ``shard_col=None`` — one global arrival sequence, which still plans
+    PARTITIONED windows: the global running high-watermark comes from
+    `scalerank.with_global_running_max` (range-binned prefix maxima +
+    within-bin windows), so no single-partition stage exists at any row
+    count. Real deployments pass the ingestion-shard key and get
+    per-shard watermarks instead of one global sequence."""
     return late_arrivals(read_table(spark, sf_dir, "events"))
 
 

@@ -28,8 +28,20 @@ Equal values always share a bin (the bin is a pure function of the
 value), so `offset + row_number` reproduces the exact global rank —
 including deterministic tie-breaks — and NTILE follows arithmetically
 from (rank, total). Multiple rank specs over the same frame share ONE
-boundary pass and ONE joint histogram pass (bins per spec are capped so
-the joint histogram stays bounded).
+boundary pass and ONE joint histogram pass; per-spec bins (explicit or
+default) are hard-capped in multi-spec calls so the joint histogram
+stays ≤ Π(nbins+1) ≲ 5k driver rows regardless of caller arguments.
+
+Each kernel ``persist()``s the input frame before the driver collects,
+so the boundary sketch, the bin histogram, and the caller's eventual
+action all read ONE materialization instead of recomputing an expensive
+upstream (e.g. a per-customer aggregate of orders) three times — and the
+collected totals/offsets can never diverge from the final pass. The
+cache entry is keyed on the caller's own ``df`` object: callers that
+want the memory back after their action simply ``df.unpersist()`` (the
+bench harness clears the whole cache between queries); pass
+``persist_input=False`` when the input is already persisted or is a
+trivially-cheap scan not worth caching.
 
 Used by the former global-NTILE queries (`sample_split_temporal`,
 `agg_histogram_equidepth`, `rfm_customer_segments`,
@@ -51,6 +63,37 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def monotone_bin_value(col: Column, dtype: T.DataType) -> Column:
+    """Monotone non-decreasing NUMERIC image of ``col`` for
+    :class:`RankSpec.bin_value` when the ranked value itself is not
+    numeric (``percentile_approx`` needs a number; the bins only need
+    monotonicity, never injectivity — collisions merely merge adjacent
+    bins, which the kernel tolerates by construction).
+
+    - numeric/boolean: identity (booleans as 0/1);
+    - timestamp: microseconds since epoch; date: days since epoch;
+    - string: the first 7 UTF-8 bytes as a big-endian integer. Spark's
+      default UTF8_BINARY collation orders strings by UTF-8 bytes, and
+      hex + right-pad-with-'0' preserves byte-prefix order exactly, so
+      the image is monotone in the window's ORDER BY; strings sharing a
+      7-byte prefix land in one bin and are split by the within-bin sort.
+    """
+    if isinstance(dtype, T.StringType):
+        return F.conv(
+            F.rpad(F.hex(F.substring(F.encode(col, "UTF-8"), 1, 7)), 14, "0"), 16, 10
+        ).cast("long")
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col)
+    if isinstance(dtype, T.DateType):
+        return F.datediff(col, F.lit("1970-01-01").cast("date"))
+    if isinstance(dtype, T.BooleanType):
+        return col.cast("int")
+    if isinstance(dtype, T.NumericType):
+        return col
+    raise TypeError(f"no monotone numeric image for {dtype}")
 
 
 @dataclass
@@ -84,24 +127,33 @@ def _bin_col(bv: Column, bounds: list) -> Column:
     return F.size(F.filter(arr, lambda b: bv >= b))
 
 
-def with_global_ranks(df: DataFrame, specs: list[RankSpec]) -> tuple[DataFrame, int]:
+def with_global_ranks(
+    df: DataFrame, specs: list[RankSpec], *, persist_input: bool = True
+) -> tuple[DataFrame, int]:
     """Add one exact global 1-based rank column per spec; returns
     ``(df + rank columns, total row count)``.
 
-    Cost: one boundary aggregate + one joint bin histogram (both
+    Cost: one materialization of ``df`` (persisted; see module docstring)
+    + one boundary aggregate + one joint bin histogram (both
     partial-aggregatable; driver sees ≤ Π nbins rows) + one partitioned
     window per spec. No single-partition stage anywhere.
     """
     if not specs:
         raise ValueError("need at least one RankSpec")
     # joint histogram is Π(nbins+1) driver rows: generous bins for one
-    # spec, modest per-spec bins when several orderings share the frame
+    # spec, modest per-spec bins when several orderings share the frame.
+    # Explicit spec.nbins is honored up to a hard per-spec cap so a
+    # multi-spec call can never collect an unbounded joint histogram.
     default_bins = 128 if len(specs) == 1 else 16
+    max_bins = 512 if len(specs) == 1 else 16
+    if persist_input:
+        df = df.persist()
 
     # 1. one pass: every spec's boundary sketch in a single aggregate
+    # (materializes the persisted input; passes 2 and 3 read the cache)
     aggs = []
     for i, s in enumerate(specs):
-        nb = s.nbins or default_bins
+        nb = min(s.nbins or default_bins, max_bins)
         bv = s.bin_value if s.bin_value is not None else F.col(s.value)
         probs = F.array(*[F.lit(j / nb) for j in range(1, nb)])
         aggs.append(F.percentile_approx(bv, probs, 10_000).alias(f"__b{i}"))
@@ -152,6 +204,7 @@ def with_global_cumsums(
     *,
     bin_value: Column | None = None,
     nbins: int = 128,
+    persist_input: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Exact INCLUSIVE running sums over the global ``(value, tiebreaks)``
     order without a global sort — the distributed-CDF primitive behind
@@ -162,7 +215,11 @@ def with_global_cumsums(
     within-bin running-sum window. Returns ``(df + cumsum columns,
     {out: grand total})``; weights must be non-null (coalesce first) and
     INTEGER-valued — double weights would make the per-bin partial sums
-    reduction-order-dependent, breaking cross-engine exactness."""
+    reduction-order-dependent, breaking cross-engine exactness. The
+    input is persisted across the two collects and the returned plan
+    (module docstring); the caller owns the cache handle."""
+    if persist_input:
+        df = df.persist()
     bv = bin_value if bin_value is not None else F.col(value)
     probs = F.array(*[F.lit(j / nbins) for j in range(1, nbins)])
     bounds = sorted(
@@ -208,6 +265,7 @@ def with_global_running_max(
     exclusive: bool = True,
     bin_value: Column | None = None,
     nbins: int = 128,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Exact running MAX of ``of_col`` over the global ``order_value``
     order without a global sort — max is associative, so the rank/cumsum
@@ -218,7 +276,11 @@ def with_global_running_max(
     ``exclusive=True`` gives the `ROWS BETWEEN UNBOUNDED PRECEDING AND 1
     PRECEDING` frame (the streaming high-watermark shape: NULL for the
     first row overall). ``order_value`` must be globally unique (an
-    arrival/event id); use ranks first if it is not."""
+    arrival/event id); use ranks first if it is not. The input is
+    persisted across the two collects and the returned plan (module
+    docstring); the caller owns the cache handle."""
+    if persist_input:
+        df = df.persist()
     bv = bin_value if bin_value is not None else F.col(order_value)
     probs = F.array(*[F.lit(j / nbins) for j in range(1, nbins)])
     bounds = sorted(

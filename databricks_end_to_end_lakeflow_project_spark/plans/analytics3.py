@@ -221,17 +221,26 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     billions of customers, yet reproduces the oracle's NTILE(4) exactly.
     The final segment rollup is at most 64 groups."""
     od = _t(spark, sf_dir, "orders")
-    maxd = od.agg(F.max("o_orderdate")).collect()[0][0]
-    rfm = od.groupBy("o_custkey").agg(
-        F.datediff(F.lit(maxd), F.max("o_orderdate")).alias("recency_days"),
+    # ONE materialization of the per-customer aggregate serves everything:
+    # persist it, derive the corpus max-date from the cached per-customer
+    # maxima (max of maxima == global max, so no second scan of orders),
+    # and hand the cached frame to the rank kernel with persist_input=False
+    # — orders is read exactly once per build.
+    rfm0 = od.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "monetary_cents"
         ),
-    )
+    ).persist()
+    maxd = rfm0.agg(F.max("last_order")).collect()[0][0]
+    rfm = rfm0.withColumn(
+        "recency_days", F.datediff(F.lit(maxd), F.col("last_order"))
+    ).drop("last_order")
     ranked, n = with_global_ranks(
         rfm,
-        [
+        persist_input=False,
+        specs=[
             RankSpec(out="__r", value="recency_days", tiebreaks=["o_custkey"]),
             RankSpec(
                 out="__f", value="frequency", tiebreaks=["o_custkey"], descending=True

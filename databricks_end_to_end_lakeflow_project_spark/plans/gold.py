@@ -25,10 +25,12 @@ Scale notes: the fact builder's star joins broadcast the dim side
 (explicit `F.broadcast` — dims are a bounded-size class). The dim
 builder's old-vs-new split joins the FULL existing key snapshot, which
 scales with the dimension, so it carries NO hint: AQE broadcasts at
-runtime while the dim is small and shuffle-joins when it is not. The
-surrogate-assignment window only sees NEW business keys in the batch
-(≪ table). Fact upsert shuffles once on the grain key; partition the
-fact target by a date column for pruned rewrites.
+runtime while the dim is small and shuffle-joins when it is not.
+Surrogate assignment ranks new business keys through
+`operators/scalerank.py` (range-bin + PARTITIONED window), so even the
+initial load — where the batch IS the whole dimension — plans no
+single-partition stage. Fact upsert shuffles once on the grain key;
+partition the fact target by a date column for pruned rewrites.
 """
 
 from __future__ import annotations
@@ -36,12 +38,17 @@ from __future__ import annotations
 import datetime as dt
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
     ManagedParquetTable,
     latest_by_key,
+)
+from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+    RankSpec,
+    monotone_bin_value,
+    with_global_ranks,
 )
 
 EPOCH = "1900-01-01 00:00:00"
@@ -60,6 +67,27 @@ class DimConfig:
     business_keys: list[str]
     surrogate_key: str
     cdc_col: str = "modifiedDate"
+
+
+def assign_surrogate_keys(new: DataFrame, cfg: DimConfig, max_key: int) -> DataFrame:
+    """``max_key + dense 1-based rank`` over the batch's business-key
+    order (reference semantics: `DIM_Gold_layer.py:236-246`, made
+    deterministic — SURVEY §3 deviation). The rank comes from
+    `scalerank.with_global_ranks` (range-bin + partitioned window), so
+    even an initial full-dimension load plans NO unpartitioned window;
+    `monotone_bin_value` supplies the numeric bin image for string keys.
+    Business keys must be non-null (they are join keys by definition)."""
+    lead = cfg.business_keys[0]
+    spec = RankSpec(
+        out=cfg.surrogate_key,
+        value=lead,
+        tiebreaks=cfg.business_keys[1:],
+        bin_value=monotone_bin_value(F.col(lead), new.schema[lead].dataType),
+    )
+    ranked, _total = with_global_ranks(new, [spec])
+    return ranked.withColumn(
+        cfg.surrogate_key, (F.lit(max_key) + F.col(cfg.surrogate_key)).cast("long")
+    )
 
 
 def build_dim(
@@ -115,21 +143,26 @@ def build_dim(
         old = None
         new = src
 
-    # 4. deterministic surrogate keys for new business keys only: the
-    # window sees just this batch's inserts, so the global (unpartitioned)
-    # row_number is over a small frame even at cluster scale
-    w = Window.orderBy(*[F.col(k) for k in cfg.business_keys])
-    new = (
-        new.withColumn(cfg.surrogate_key, F.lit(max_key) + F.row_number().over(w))
-        .withColumn("create_date", now)
-        .withColumn("update_date", now)
-    )
+    # 4. deterministic surrogate keys for new business keys only —
+    # max_key + exact global rank over the business-key order. Routed
+    # through operators/scalerank.py rather than an unpartitioned
+    # row_number window: on an INITIAL load the "new" batch IS the whole
+    # dimension, and a single-partition WindowExec over it is the
+    # canonical scale killer. Keys stay dense and identical to the old
+    # window form (same total order, same tiebreaks).
+    new_keys = new  # the rank kernel persists this handle
+    new = assign_surrogate_keys(new_keys, cfg, max_key).withColumn(
+        "create_date", now
+    ).withColumn("update_date", now)
     batch = new if old is None else old.unionByName(new.select(*old.columns))
 
     # 5. latest-wins upsert on the business key
     target.keys = cfg.business_keys
     target.sequence_by = cfg.cdc_col
     target.upsert(batch)
+    # the upsert action is done — release the kernel's cache entry so a
+    # multi-dim pipeline replay doesn't accumulate one per build
+    new_keys.unpersist()
     return batch
 
 

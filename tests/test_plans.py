@@ -123,6 +123,42 @@ def test_dim_build_split_join_has_no_broadcast_hint(spark, tmp_path):
     assert rows == {1: 1, 2: 2}
 
 
+def test_dim_surrogate_assignment_plans_partitioned_window(spark, tmp_path):
+    """The surrogate-key rank must go through scalerank: the assignment
+    plan — the one build_dim executes for the INITIAL load, where the
+    batch is the whole dimension — may contain no unpartitioned window,
+    for string and numeric business keys alike. Keys stay dense,
+    deterministic and ordered by the business key (old window semantics)."""
+    import datetime as dt
+
+    from databricks_end_to_end_lakeflow_project_spark.plans.gold import (
+        DimConfig,
+        assign_surrogate_keys,
+    )
+
+    # string business key (flight-pipeline shape) — full initial load
+    rows = [(f"bk{i:03d}", f"attr{i}", dt.datetime(2024, 1, 1 + i % 27)) for i in range(300)]
+    new = spark.createDataFrame(rows, "code string, attr string, modifiedDate timestamp")
+    cfg = DimConfig(name="d", business_keys=["code"], surrogate_key="sk")
+    out = assign_surrogate_keys(new, cfg, max_key=100)
+    assert unpartitioned_windows(_plan(out)) == []
+    got = {r["code"]: r["sk"] for r in out.collect()}
+    want = {c: 101 + i for i, c in enumerate(sorted(got))}
+    assert got == want
+    new.unpersist()
+
+    # composite numeric+string key
+    rows2 = [(i % 7, f"s{i:02d}", dt.datetime(2024, 2, 1)) for i in range(50)]
+    new2 = spark.createDataFrame(rows2, "a long, b string, modifiedDate timestamp")
+    cfg2 = DimConfig(name="d2", business_keys=["a", "b"], surrogate_key="sk")
+    out2 = assign_surrogate_keys(new2, cfg2, max_key=0)
+    assert unpartitioned_windows(_plan(out2)) == []
+    ordered = sorted((r["a"], r["b"]) for r in new2.collect())
+    got2 = {(r["a"], r["b"]): r["sk"] for r in out2.collect()}
+    assert got2 == {k: i + 1 for i, k in enumerate(ordered)}
+    new2.unpersist()
+
+
 def test_unpartitioned_window_detector(spark):
     """The detector must flag a genuinely global ordered window and pass
     partition-only and partition+order windows."""

@@ -238,3 +238,84 @@ def test_property_rank_and_ntile_match_window(spark, case):
         F.ntile(tiles).over(w).alias("t"),
     )
     assert got.exceptAll(want).count() == 0 and total == len(values)
+
+
+def test_kernel_persists_input_single_scan(spark, tmp_path):
+    """The kernel must materialize its input ONCE: the boundary sketch,
+    the bin histogram, and the caller's final action all read the
+    persisted frame, not three recomputations of the upstream. Pinned by
+    counting per-partition evaluations of an instrumented source."""
+    marker = tmp_path / "evals"
+    marker.mkdir()
+
+    def tag(batches):
+        import os
+        import uuid
+
+        for b in batches:
+            # one file per partition-evaluation; O_CREAT is atomic
+            open(os.path.join(str(marker), uuid.uuid4().hex), "w").close()
+            yield b
+
+    src = (
+        spark.range(0, 1000, 1, 4)
+        .withColumn("v", (F.col("id") * 37) % 101)
+        .mapInPandas(tag, "id long, v long")
+    )
+    ranked, total = with_global_ranks(src, [RankSpec(out="r", value="v", tiebreaks=["id"])])
+    assert ranked.count() == 1000 and total == 1000
+    evals = len(list(marker.iterdir()))
+    # 4 partitions × 1 evaluation; without the persist this is 12 (3 passes)
+    assert evals == 4, f"expected one evaluation per partition, saw {evals}"
+    src.unpersist()
+
+
+def test_monotone_bin_value_string_order(spark):
+    """The string bin image must be monotone in Spark's UTF8_BINARY
+    string order (ties allowed — shared 7-byte prefixes merge bins), so
+    string-keyed ranks are exact."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        monotone_bin_value,
+    )
+
+    vals = [
+        "", "a", "A", "ab", "abcdefg", "abcdefgh", "abcdefgz", "z",
+        "ÿ", "日本語テキスト", "0", "00", "zz", "Zz", "~", " ",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = (
+        df.withColumn("m", monotone_bin_value(F.col("s"), df.schema["s"].dataType))
+        .orderBy("s")
+        .collect()
+    )
+    ms = [r["m"] for r in rows]
+    assert all(a <= b for a, b in zip(ms, ms[1:])), ms
+
+
+def test_string_keyed_ranks_exact(spark):
+    """End-to-end: ranking a STRING value via monotone_bin_value matches
+    the window row_number over the same order."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        monotone_bin_value,
+    )
+
+    random.seed(11)
+    alphabet = "abcXYZ0 ~ÿ日"
+    vals = [
+        "".join(random.choice(alphabet) for _ in range(random.randrange(0, 12)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, s string")
+    spec = RankSpec(
+        out="r",
+        value="s",
+        tiebreaks=["id"],
+        bin_value=monotone_bin_value(F.col("s"), df.schema["s"].dataType),
+        nbins=13,
+    )
+    ranked, total = with_global_ranks(df, [spec])
+    want = df.select(
+        "id", F.row_number().over(Window.orderBy("s", "id")).alias("r")
+    )
+    assert ranked.select("id", "r").exceptAll(want).count() == 0
+    assert total == 400
