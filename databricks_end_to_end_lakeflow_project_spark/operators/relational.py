@@ -363,16 +363,42 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the scale path for distinct
-    counts (no oracle: estimator differs from DuckDB's; rows-only check).
-    rsd=0.01 keeps the sketch small enough to combine map-side."""
+    counts. The raw estimate is engine-specific (Spark's HLL++ vs any
+    oracle's estimator), so the HASHED output carries the bounded-error
+    CONTRACT instead: the exact per-group distinct count plus a flag
+    that the estimate landed within 5·rsd of it (rsd=0.01 → 5σ; the
+    estimate still computes — the flag forces its evaluation). The
+    DuckDB oracle checks exact counts and literal TRUE flags, turning
+    the former rows-only entry into a hash-exact gate without pretending
+    two different sketches agree digit-for-digit. rsd=0.01 keeps the
+    sketch small enough to combine map-side."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
-query("agg_approx_count_distinct")(agg_approx_distinct)
+query(
+    "agg_approx_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)(agg_approx_distinct)
 
 
 # ---------------------------------------------------------------------------

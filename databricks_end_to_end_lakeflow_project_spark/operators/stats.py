@@ -252,24 +252,56 @@ def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # sketch-based: engine-specific → rows-only check
+@query(
+    "agg_approx_percentile",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           TRUE AS p50_in_bounds, TRUE AS p95_in_bounds, TRUE AS p99_in_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p95/p99 of extended price per return flag via
     Spark's Greenwald-Khanna quantile sketch (accuracy 1/10000). The
     sketch is mergeable — partial per-partition summaries combine
     map-side, so the shuffle carries sketches, not rows: the 100 TB
     answer to percentiles (the exact `agg_percentile_median` query is
-    the small-data / oracle baseline). Accuracy vs exact percentiles is
-    bounded by `tests/test_stats.py`."""
+    the small-data / oracle baseline).
+
+    The returned values are engine-specific, so the HASHED output is the
+    GK CONTRACT instead of the digits: for each quantile q the sketch's
+    value v must be an actual element whose exact-rank interval
+    [#(<v)+1, #(≤v)] intersects [⌈q·n⌉ − εn − 1, ⌈q·n⌉ + εn + 1] with
+    ε = 1/accuracy — verified by a second conditional-aggregate pass
+    (the sketch values travel back as a |groups|-row literal map, a
+    bounded model-moves collect). The DuckDB oracle checks exact group
+    counts and literal TRUE flags — a hash-exact gate on a guarantee an
+    approximate operator can actually make."""
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("approx_pcts")
-    ).select(
-        "l_returnflag",
-        F.col("approx_pcts")[0].alias("p50"),
-        F.col("approx_pcts")[1].alias("p95"),
-        F.col("approx_pcts")[2].alias("p99"),
+    qs = [0.5, 0.95, 0.99]
+    approx = (
+        li.groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", qs, 10000).alias("p"))
+        .collect()
     )
+    pv = {r["l_returnflag"]: r["p"] for r in approx}
+    eps = 1.0 / 10000
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, q in enumerate(qs):
+        flat = []
+        for g, p in pv.items():
+            flat += [F.lit(g), F.lit(float(p[i]))]
+        v = F.element_at(F.create_map(*flat), F.col("l_returnflag"))
+        aggs.append(F.sum((F.col("l_extendedprice") < v).cast("long")).alias(f"__lt{i}"))
+        aggs.append(F.sum((F.col("l_extendedprice") <= v).cast("long")).alias(f"__le{i}"))
+    checked = li.groupBy("l_returnflag").agg(*aggs)
+    cols = [F.col("l_returnflag"), F.col("n_rows")]
+    for i, (q, nm) in enumerate(zip(qs, ["p50", "p95", "p99"])):
+        target = F.ceil(F.lit(q) * F.col("n_rows"))
+        tol = F.lit(eps) * F.col("n_rows") + 1
+        ok = (F.col(f"__le{i}") >= target - tol) & (F.col(f"__lt{i}") < target + tol)
+        cols.append(ok.alias(f"{nm}_in_bounds"))
+    return checked.select(*cols)
 
 
 @query(
@@ -603,7 +635,20 @@ def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch_union")
+@query(
+    "agg_hll_sketch_union",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_5pct, TRUE AS union_lossless
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT '__all_days__' AS day, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_5pct, TRUE AS union_lossless
+    FROM events
+    ORDER BY day
+    """,
+)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting (Spark ≥3.5 DataSketches HLL):
     build one `hll_sketch_agg(user_id)` sketch PER DAY, then union the
@@ -614,20 +659,43 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-union of kilobyte blobs, never a rescan of history; the union is
     associative so sketches roll up along any hierarchy (day→month→all).
 
-    Rows-only check (sketch internals are engine-specific); tests assert
-    the union estimate equals the direct whole-table sketch estimate
-    (lossless merge at equal lgK) and tracks the exact distinct count."""
+    Sketch estimates are engine-specific, so the HASHED output carries
+    the contract, not the digits: per day, the EXACT distinct count plus
+    a flag that the sketch estimate sits within 5% of it; the
+    `__all_days__` row additionally flags that the union-of-daily-
+    sketches estimate EQUALS the direct whole-table sketch estimate
+    (lossless merge at equal lgK — an exact equality, not a tolerance).
+    The DuckDB oracle checks the exact counts and literal TRUE flags.
+    The two 1-row period aggregates come back as scalar cursors and the
+    total row is rebuilt from literals — no cartesian join needed."""
     ev = read_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     per_day = daily.select(
         F.col("day").cast("string").alias("day"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_within_5pct"),
+        F.lit(True).alias("union_lossless"),
     )
-    total = daily.agg(
+    tot = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct"),
+    ).collect()[0]
+    union_est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u")
+    ).collect()[0]["u"]
+    total = spark.range(1).select(
         F.lit("__all_days__").alias("day"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.lit(tot["exact"]).cast("long").alias("exact_users"),
+        F.lit(bool(abs(union_est - tot["exact"]) <= 0.05 * tot["exact"])).alias(
+            "est_within_5pct"
+        ),
+        F.lit(bool(union_est == tot["direct"])).alias("union_lossless"),
     )
     return per_day.unionByName(total).orderBy("day")
 

@@ -9,6 +9,7 @@ timestamps, matching DuckDB's ns→µs truncation so oracle hashes agree.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -216,20 +217,75 @@ def source_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("source_binaryfile_manifest")  # rows-only: paths are outside the
-# oracle's table views; exactness is pinned by tests/test_queries_registry
+EXPECTED_MANIFEST = os.path.join(
+    # FIXED path (no sf/pid tag): the DuckDB oracle below must name it as a
+    # literal. The query callable atomically refreshes it for the sf_dir it
+    # was just called with, and the driver/check_oracle always run the Spark
+    # side before the oracle, so the two stay in step at any scale factor.
+    # (The verify recipe already forbids concurrent check runs.)
+    tempfile.gettempdir(),
+    "lakeflow_sources",
+    "binaryfile_expected_manifest.parquet",
+)
+
+
+def _write_expected_manifest(sf_dir: str) -> None:
+    """Independent ground truth for the binaryFile source: Python's own
+    read of the same files (os + hashlib, no Spark involvement), written
+    as one parquet via pyarrow with an atomic rename so a concurrent
+    reader never sees a torn file."""
+    import glob
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names, lengths, md5s = [], [], []
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        with open(p, "rb") as fh:
+            b = fh.read()
+        names.append(os.path.basename(p))
+        lengths.append(len(b))
+        md5s.append(hashlib.md5(b).hexdigest())
+    tbl = pa.table(
+        {
+            "file_name": pa.array(names, type=pa.string()),
+            "length": pa.array(lengths, type=pa.int64()),
+            "content_md5": pa.array(md5s, type=pa.string()),
+        }
+    )
+    os.makedirs(os.path.dirname(EXPECTED_MANIFEST), exist_ok=True)
+    tmp = f"{EXPECTED_MANIFEST}.tmp{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, EXPECTED_MANIFEST)
+
+
+@query(
+    "source_binaryfile_manifest",
+    f"""
+    SELECT file_name, length, content_md5
+    FROM read_parquet('{EXPECTED_MANIFEST}')
+    ORDER BY file_name
+    """,
+)
 def source_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`binaryFile` source: ingest raw files as (path, length, content)
     rows — the front door for multimodal corpora (images/audio arrive as
     opaque bytes; operators/multimodal.py takes over from here). Returns
     a deterministic manifest: file name, byte length, and the content's
-    md5 — proving the bytes survived the source intact (test compares
-    against Python's own read of the same files).
+    md5 — proving the bytes survived the source intact.
+
+    Reduced DuckDB oracle (closing the former rows-only gap): DuckDB 1.0
+    has `read_blob` but no `md5(BLOB)`, so the oracle instead reads an
+    expected-manifest parquet that THIS callable refreshes from Python's
+    own open()/hashlib read of the same files — a ground truth computed
+    with zero Spark involvement, compared hash-exactly by the gate.
 
     Scale notes: binaryFile splits per FILE (content is one column value,
     never split), so parallelism = file count; pair it with
     `compact_small_files`-style batching for billions of small objects,
     and prune with `pathGlobFilter`/`modifiedAfter` options at ingest."""
+    _write_expected_manifest(sf_dir)
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")

