@@ -19,10 +19,12 @@ North-star additions (SURVEY.md §2.9). Design per technique:
   few bits; banding the 64 bits gives the candidate join.
 
 Scale notes (100 TB): band buckets shuffle on (band_id, band_hash) — hot
-buckets (boilerplate-heavy corpora) need a bucket-size cap or salting;
-`minhash_lsh_pairs` caps candidate buckets at 50 docs and reports nothing
-silently (the cap is a parameter). The permutation count trades recall
-for CPU linearly.
+buckets (boilerplate-heavy corpora) need per-task bounding:
+`minhash_lsh_pairs` block-splits buckets over ``max_bucket`` into
+chunk-pair tasks by default (full recall, bounded expansion —
+`_split_bucket_pairs`), or with ``overflow='drop'`` excludes them with
+an eager audited UserWarning; nothing is silent either way. The
+permutation count trades recall for CPU linearly.
 """
 
 from __future__ import annotations
@@ -171,6 +173,58 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_bucket_pairs(over: DataFrame, chunk: int) -> DataFrame:
+    """Block-pair decomposition of over-cap LSH buckets — full recall
+    with bounded per-task work (the SemDeDup `_chunked_cell_assignment`
+    scheme applied to bucket pair expansion).
+
+    Each bucket's SORTED doc list is cut into ⌈B/chunk⌉ slices of ≤
+    ``chunk`` docs; every (i ≤ j) slice pair becomes its own row, a
+    repartition spreads those rows across the cluster, and each row
+    expands ≤ chunk² (doc_a, doc_b) pairs: i == j slices expand their
+    internal i<j pairs, i < j slices the full cross product (the sort
+    makes every cross pair already doc_a < doc_b, matching the kept-
+    bucket expansion's order convention). Pair totals equal C(B,2)
+    exactly — nothing is dropped; only the per-task expansion is capped.
+    ``over`` is empty for non-degenerate corpora, so the extra stages
+    cost nothing in the common case."""
+    c = chunk
+    k = F.ceil(F.size("docs") / F.lit(c)).cast("int")
+    chunk_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.transform(
+                F.sequence(i, k - 1),
+                lambda j: F.struct(i.alias("ci"), j.alias("cj")),
+            ),
+        )
+    )
+    ov = over.select("docs", F.explode(chunk_pairs).alias("cp")).repartition(
+        F.col("cp"), F.xxhash64(F.col("docs")[0])
+    )
+    sa = F.slice(F.col("docs"), F.col("cp.ci") * c + 1, c)
+    sb = F.slice(F.col("docs"), F.col("cp.cj") * c + 1, c)
+    within = F.flatten(
+        F.transform(
+            sa,
+            lambda x, i: F.transform(
+                F.slice(sa, i + F.lit(2), F.size(sa)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cross = F.flatten(
+        F.transform(
+            sa,
+            lambda x: F.transform(
+                sb, lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+            ),
+        )
+    )
+    pairs_arr = F.when(F.col("cp.ci") == F.col("cp.cj"), within).otherwise(cross)
+    return ov.select(F.explode(pairs_arr).alias("p")).select("p.doc_a", "p.doc_b")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -178,6 +232,7 @@ def minhash_lsh_pairs(
     bands: int = _BANDS,
     max_bucket: int = 50,
     ngram: int = 3,
+    overflow: str = "split",
 ) -> DataFrame:
     """Recall-tunable MinHash-LSH near-dup pairs over (doc_id, text).
 
@@ -189,12 +244,29 @@ def minhash_lsh_pairs(
     raises precision of the candidate stage. Defaults (64, 16) give ~2e-4
     miss probability at j=0.8.
 
+    ``max_bucket`` bounds the per-task pair expansion; ``overflow``
+    decides what happens to hotter buckets (boilerplate corpora):
+
+    - ``"split"`` (default) — block-pair decomposition, the same scheme
+      as SemDeDup's `_chunked_cell_assignment`: the bucket's sorted doc
+      list is cut into ≤ max_bucket chunks, every (i ≤ j) chunk pair
+      becomes its own row, a repartition spreads those rows across
+      tasks, and each task expands ≤ max_bucket² pairs. ZERO recall
+      loss at any bucket size — pair totals are unchanged, only the
+      per-task expansion is bounded.
+    - ``"drop"`` — the bucket is excluded (degenerate clusters belong
+      to exact-prefix dedup upstream), but NEVER silently: the function
+      eagerly counts capped buckets (one extra job over the persisted
+      bucket frame) and raises a ``UserWarning`` with bucket/pair drop
+      counts, matching what `minhash_lsh_stats` reports.
+
     Physical strategy (2.6× over the naive formulation at sf0.1):
     - the shingle frame is persisted — it feeds the signature pass AND both
       sides of candidate verification, so uncached it would be computed 3×
       (the cache entry lives until `spark.catalog.clearCache()`; long-lived
       sessions issuing many LSH runs should clear between corpora, as the
-      bench harness does);
+      bench harness does); the bucket frame is persisted for the same
+      reason (kept + overflow branches both filter it);
     - candidate pairs are expanded from a per-bucket ``collect_list`` with
       higher-order array functions — ONE shuffle on the band key replaces
       the count-filter pass plus bucket self-join (the cap bounds the
@@ -204,6 +276,8 @@ def minhash_lsh_pairs(
     """
     if n_perm % bands:
         raise ValueError("n_perm must be divisible by bands")
+    if overflow not in ("split", "drop"):
+        raise ValueError("overflow must be 'split' or 'drop'")
     rows_per_band = n_perm // bands
     sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= ngram).select(
         "doc_id", shingles(F.col("text"), ngram).alias("sh")
@@ -237,33 +311,56 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
-    # one shuffle: gather each bucket's (sorted) doc list, cap pathological
-    # hot buckets (boilerplate corpora — degenerate clusters belong to the
-    # exact-prefix dedup upstream), and expand i<j pairs with array
-    # higher-order functions — no second pass, no bucket self-join
-    buckets = (
+    # one shuffle: gather each bucket's (sorted) doc list, then expand i<j
+    # pairs with array higher-order functions — no second pass, no bucket
+    # self-join. Buckets over max_bucket go to the overflow branch.
+    buckets_all = (
         band_rows.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+        .filter(F.size("docs") >= 2)
+        .persist()
     )
+    buckets = buckets_all.filter(F.size("docs") <= max_bucket)
     docs_col = F.col("docs")
-    candidates = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        docs_col,
-                        lambda x, i: F.transform(
-                            F.slice(docs_col, i + F.lit(2), F.size(docs_col)),
-                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                        ),
-                    )
+    candidates = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    docs_col,
+                    lambda x, i: F.transform(
+                        F.slice(docs_col, i + F.lit(2), F.size(docs_col)),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
                 )
-            ).alias("p")
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+
+    over = buckets_all.filter(F.size("docs") > max_bucket)
+    if overflow == "split":
+        candidates = candidates.unionByName(
+            _split_bucket_pairs(over, max_bucket)
         )
-        .select("p.doc_a", "p.doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    else:  # "drop" — audited, never silent
+        capped = over.agg(
+            F.count(F.lit(1)).alias("n_buckets_capped"),
+            F.sum(F.size("docs") * (F.size("docs") - 1) / 2).alias(
+                "cand_pairs_dropped"
+            ),
+        ).collect()[0]
+        if capped["n_buckets_capped"]:
+            import warnings
+
+            warnings.warn(
+                f"minhash_lsh_pairs(overflow='drop'): dropped "
+                f"{capped['n_buckets_capped']} hot buckets "
+                f"(> {max_bucket} docs; ~{int(capped['cand_pairs_dropped'])} "
+                f"candidate pairs). Run exact-prefix dedup upstream, or use "
+                f"overflow='split' for full recall.",
+                UserWarning,
+                stacklevel=2,
+            )
+    candidates = candidates.dropDuplicates(["doc_a", "doc_b"])
 
     # fetch shingles only for surviving candidate pairs: the pair set is
     # ≪ corpus, so it broadcasts through both joins and the shingle
@@ -296,10 +393,13 @@ def minhash_lsh_stats(
     histogram (no pair expansion), so the cost is the signature pass.
 
     Returns n_docs, n_buckets (≥2 members), max_bucket,
-    n_buckets_capped (over ``max_bucket`` — these are DROPPED by
-    `minhash_lsh_pairs`, never silently: this counter and the bench
-    curve are the audit trail), cand_pairs (Σ C(|bucket|,2) over kept
-    buckets) and cand_pairs_dropped (the same sum over capped buckets).
+    n_buckets_capped (over ``max_bucket`` — block-SPLIT by
+    `minhash_lsh_pairs`' default overflow mode, or dropped with an
+    audited warning under ``overflow='drop'``; this counter and the
+    bench curve are the audit trail either way), cand_pairs
+    (Σ C(|bucket|,2) over in-cap buckets) and cand_pairs_dropped (the
+    same sum over capped buckets — pairs actually lost ONLY in drop
+    mode).
     """
     if n_perm % bands:
         raise ValueError("n_perm must be divisible by bands")

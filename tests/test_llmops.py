@@ -707,3 +707,65 @@ def test_semdedup_hot_cell_block_decomposition(spark):
     )
     assert len(sizes) > 1  # the hot cell really was decomposed
     assert max(r["count"] for r in sizes) <= 2 * max_cell
+
+
+def _boilerplate_corpus(spark, n=90, seed=3):
+    """A corpus engineered to overflow LSH buckets: `n` near-identical
+    boilerplate docs (bucket size ~n ≫ max_bucket) plus a handful of
+    distinct docs."""
+    import random
+
+    random.seed(seed)
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = []
+    for i in range(n):
+        # tiny tail variation: high-Jaccard near-dups sharing most bands
+        rows.append((i, base + f"suffix {random.choice('abc')}"))
+    for i in range(n, n + 5):
+        rows.append((i, f"completely different document number {i} " * 6))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_hot_bucket_split_full_recall(spark):
+    """When buckets overflow max_bucket, overflow='split' (the default)
+    must keep EXACT parity with brute force — the block-pair
+    decomposition loses nothing — while the stats query confirms the cap
+    actually engaged on this fixture."""
+    docs = _boilerplate_corpus(spark)
+    stats = dedup.minhash_lsh_stats(docs, max_bucket=20)
+    assert stats["n_buckets_capped"] > 0, "fixture must overflow the cap"
+
+    # brute-force baseline computed inline (same shingles/threshold)
+    sh = docs.select("doc_id", dedup.shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = dedup.jaccard(F.col("sh_a"), F.col("sh_b"))
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(j >= 0.8)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    split = _pairset(dedup.minhash_lsh_pairs(docs, max_bucket=20))
+    assert split <= exact
+    # near-identical docs share essentially all bands → recall ~1 here
+    assert split == exact, (
+        f"split mode lost {len(exact - split)} of {len(exact)} pairs"
+    )
+    spark.catalog.clearCache()
+
+
+def test_lsh_hot_bucket_drop_warns_and_is_subset(spark):
+    """overflow='drop' must surface the cap as a UserWarning with bucket
+    and pair counts — never a silent recall loss — and can only shrink
+    the pair set vs split mode."""
+    docs = _boilerplate_corpus(spark)
+    with pytest.warns(UserWarning, match="dropped .* hot buckets"):
+        dropped = _pairset(
+            dedup.minhash_lsh_pairs(docs, max_bucket=20, overflow="drop")
+        )
+    split = _pairset(dedup.minhash_lsh_pairs(docs, max_bucket=20))
+    assert dropped <= split
+    assert len(dropped) < len(split), "fixture's hot bucket must cost pairs in drop mode"
+    spark.catalog.clearCache()
