@@ -171,6 +171,95 @@ def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
     return curve
 
 
+def rank_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
+    """Scale curve for the exact distributed rank kernel
+    (operators/scalerank.py) — the evidence behind the no-global-sort
+    claim for the order-statistic queries (`sample_split_temporal`,
+    `events_activity_gini`, …): at sf0.01, sf0.1 and a synthetic 10×
+    replication of sf0.1, run the kernel's two real shapes and record
+    rows, wall time, driver-histogram rows and max bin share. Pass
+    criteria: hist_rows stays ≤ nbins+1 (a bounded driver collect at ANY
+    row count) and max_bin_share stays ~1/nbins (no task ranks more than
+    its slice), while wall time grows ~linearly."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        RankSpec,
+        with_global_ranks,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    def replicate_events(ev, k):
+        # shift ids and timestamps per replica: ×k rows with a decorrelated
+        # order key (no artificial 10-way ties at every timestamp)
+        parts = []
+        for i in range(k):
+            parts.append(
+                ev.select(
+                    (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+                    # shift users too: the per-user aggregate must GROW with
+                    # the replication or the second shape's curve is flat
+                    (F.col("user_id") + F.lit(i * 100_000_000)).alias("user_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {i * 911} SECONDS")).alias("ts"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    ev01 = read_table(spark, sf01_dir, "events").select("event_id", "user_id", "ts")
+    ev1 = read_table(spark, sf1_dir, "events").select("event_id", "user_id", "ts")
+
+    curve: dict = {"temporal_rank": [], "per_user_rank": []}
+    for label, ev in [
+        ("sf0.01", ev01),
+        ("sf0.1", ev1),
+        ("sf0.1 x10", replicate_events(ev1, 10)),
+    ]:
+        # shape 1: global event-time order (the sample_split_temporal /
+        # watermark-replay kernel) — rank every event by (ts, event_id)
+        spark.catalog.clearCache()
+        stats: dict = {}
+        t0 = _t.perf_counter()
+        ranked, _total = with_global_ranks(
+            ev,
+            [
+                RankSpec(
+                    out="r",
+                    value="ts",
+                    tiebreaks=["event_id"],
+                    bin_value=F.unix_micros(F.col("ts")),
+                )
+            ],
+            stats_out=stats,
+        )
+        ranked.write.format("noop").mode("overwrite").save()
+        curve["temporal_rank"].append(
+            {"point": label, **stats, "sec": round(_t.perf_counter() - t0, 2)}
+        )
+
+        # shape 2: rank the per-user activity aggregate (the
+        # events_activity_gini / rfm kernel) — heavy-tied small-domain
+        # values, the bin-skew stress case
+        spark.catalog.clearCache()
+        stats = {}
+        t0 = _t.perf_counter()
+        per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        ranked, _total = with_global_ranks(
+            per_user,
+            [RankSpec(out="r", value="n", tiebreaks=["user_id"])],
+            stats_out=stats,
+        )
+        ranked.write.format("noop").mode("overwrite").save()
+        curve["per_user_rank"].append(
+            {"point": label, **stats, "sec": round(_t.perf_counter() - t0, 2)}
+        )
+    spark.catalog.clearCache()
+    return curve
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -222,6 +311,7 @@ def main() -> None:
         if os.path.isdir(sf01) and os.path.isdir(sf1):
             spark.catalog.clearCache()
             out["dedup_curve"] = dedup_scale_curve(spark, sf01, sf1)
+            out["rank_curve"] = rank_scale_curve(spark, sf01, sf1)
 
     print(json.dumps(out))
     spark.stop()

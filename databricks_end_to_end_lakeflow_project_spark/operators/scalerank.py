@@ -128,7 +128,11 @@ def _bin_col(bv: Column, bounds: list) -> Column:
 
 
 def with_global_ranks(
-    df: DataFrame, specs: list[RankSpec], *, persist_input: bool = True
+    df: DataFrame,
+    specs: list[RankSpec],
+    *,
+    persist_input: bool = True,
+    stats_out: dict | None = None,
 ) -> tuple[DataFrame, int]:
     """Add one exact global 1-based rank column per spec; returns
     ``(df + rank columns, total row count)``.
@@ -137,6 +141,12 @@ def with_global_ranks(
     + one boundary aggregate + one joint bin histogram (both
     partial-aggregatable; driver sees ≤ Π nbins rows) + one partitioned
     window per spec. No single-partition stage anywhere.
+
+    ``stats_out``: optional dict the kernel fills with scale diagnostics
+    for the bench curve — total rows, driver-histogram row count, and
+    per-spec bin count + max bin share (the skew the partitioned window
+    actually sees). Filled from the SAME passes the kernel runs anyway;
+    no extra jobs.
     """
     if not specs:
         raise ValueError("need at least one RankSpec")
@@ -172,6 +182,9 @@ def with_global_ranks(
     # unpartitioned window anywhere.
     hist = binned.groupBy(*bin_names).count().collect()
     total = sum(r["count"] for r in hist)
+    if stats_out is not None:
+        stats_out["n_rows"] = total
+        stats_out["hist_rows"] = len(hist)
     if not hist:  # empty input: typed null ranks, zero total
         out = binned
         for s in specs:
@@ -182,6 +195,9 @@ def with_global_ranks(
         marg: dict[int, int] = {}
         for r in hist:
             marg[r[bn]] = marg.get(r[bn], 0) + r["count"]
+        if stats_out is not None:
+            stats_out[f"bins_{s.out}"] = len(marg)
+            stats_out[f"max_bin_share_{s.out}"] = round(max(marg.values()) / total, 5)
         acc = 0
         flat: list[Column] = []
         for b in sorted(marg, reverse=s.descending):

@@ -867,8 +867,21 @@ def _chunked_cell_assignment(assigned: DataFrame, max_cell: int) -> DataFrame:
     (block matmul, not cap-and-drop: zero recall loss inside the cell).
     Cells at or under max_cell keep a single (cell, 0, 0) group and pay
     one replica — the common path is unchanged. Cell sizes are a bounded
-    collect (≤ |seed| rows: model moves, not data)."""
+    collect (≤ |seed| rows: model moves, not data; callers persist
+    ``assigned`` so this histogram reads the cache, not a second
+    evaluation of the seed-cosine map). When NO cell overflows — the
+    common case — the per-row chunk hash / map lookup / explode are
+    skipped entirely and every row keeps the single (0, 0) block."""
     sizes = assigned.groupBy("cell").count().collect()
+    if all(r["count"] <= max_cell for r in sizes):
+        return assigned.select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.lit(0).alias("chunk"),
+            F.lit(0).alias("c1"),
+            F.lit(0).alias("c2"),
+        )
     nchunk_lits: list[Column] = []
     for r in sizes:
         s = max(1, -(-r["count"] // max_cell))
@@ -924,7 +937,9 @@ def semdedup_edges(
         "vec_id",
         "embedding",
         F.explode(F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])).alias("cell"),
-    )
+    ).persist()  # feeds the skew histogram AND the gemm stage — one
+    # evaluation of the |seeds|-term cosine ranking map, not two;
+    # released below once the edge frame has materialized
     # Per-block pairwise scoring as ONE BLAS matmul per (cell, c1, c2)
     # group (the sim_gemm_batch_topk pattern): a |block|×64 · 64×|block|
     # gemm beats a JVM fold per pair by ~100× (no per-pair array
@@ -978,6 +993,9 @@ def semdedup_edges(
         .localCheckpoint()  # truncate the wide-expression lineage before
         # the iterative component loop re-reads edges every round
     )
+    # localCheckpoint is eager — edges is materialized, so the cell
+    # assignment cache can be released immediately
+    assigned.unpersist()
     return edges
 
 
