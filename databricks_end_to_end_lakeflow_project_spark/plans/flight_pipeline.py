@@ -279,3 +279,132 @@ def pipeline_medallion_scd_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         "airport_id", "airport_name", "city", "country", "DimAirportsKey",
         "create_date", "update_date", "modifiedDate",
     )
+
+
+# ---------------------------------------------------------------------------
+# the 4-way join AS STREAMS — the reference's business_silver as written
+# (dlt_bronze_to_silver_pipeline.py:127-131 composes four STREAMING reads)
+# ---------------------------------------------------------------------------
+
+
+def business_silver_stream(lake: FlightLakehouse) -> DataFrame:
+    """`business_silver` in its streaming form: three CHAINED watermarked
+    stream-stream joins over the four silver streams, drained with
+    availableNow — the reference's J1 as written
+    (`dlt_bronze_to_silver_pipeline.py:127-131`), where the batch view
+    (`silver` DAG above) is the SURVEY §7 first-step equivalent.
+
+    The reference's joins are bare equi-joins; an unbounded stream-stream
+    equi-join can never evict state. Here every side carries a 1-hour
+    watermark on its CDC stamp and every join adds the ±1-day
+    co-arrival constraint `other.modifiedDate BETWEEN booking.modifiedDate
+    - 1 day AND + 1 day` — the standard production bounding: state per
+    side is (watermark + interval) of data, not the whole stream, and for
+    any batch where dimensions arrive with their facts (the replay
+    fixture and any daily-loaded lakehouse) the result is row-identical
+    to the batch view (pinned by `tests/test_flight_pipeline.py`).
+
+    Returns the DRAINED join as a batch DataFrame (memory-sink
+    verification harness, like the other stream queries)."""
+    import uuid as _uuid
+
+    from databricks_end_to_end_lakeflow_project_spark.streaming.structured import (
+        STATE_PARTITIONS,
+        run_to_memory,
+    )
+
+    spark = lake.spark
+
+    def side(table: str, md: str) -> DataFrame:
+        tbl = lake.silver._tables[table]
+        schema = tbl.read().schema
+        return (
+            spark.readStream.schema(schema)
+            .parquet(tbl.path)
+            .withColumnRenamed("modifiedDate", md)
+            .withWatermark(md, "1 hour")
+        )
+
+    b = side("bookings_silver", "b_md")
+    f = side("flights_silver", "f_md")
+    c = side("customers_silver", "c_md")
+    a = side("airports_silver", "a_md")
+
+    def co_arrival(md: str):
+        return F.expr(f"{md} BETWEEN b_md - INTERVAL 1 DAY AND b_md + INTERVAL 1 DAY")
+
+    j = (
+        b.join(f, (b["flight_id"] == f["flight_id"]) & co_arrival("f_md"))
+        .drop(f["flight_id"])
+        .join(c, (b["passenger_id"] == c["passenger_id"]) & co_arrival("c_md"))
+        .drop(c["passenger_id"])
+        .join(a, (b["airport_id"] == a["airport_id"]) & co_arrival("a_md"))
+        .drop(a["airport_id"])
+        .drop("b_md", "f_md", "c_md", "a_md")
+    )
+    return run_to_memory(
+        j, f"bizsilver_{_uuid.uuid4().hex[:8]}", state_partitions=STATE_PARTITIONS
+    )
+
+
+def _expected_business_silver_values() -> str:
+    """Golden per-airport rollup of the base-run business_silver join,
+    derived from the fixture formulas (`flight_fixtures.booking_row`):
+    a booking joins iff its passenger id ≤ 200 (the fixture plants
+    P0201-P0205 references to exercise inner-join drops); flight and
+    airport keys always resolve."""
+    from collections import defaultdict
+
+    agg: dict[int, list] = defaultdict(lambda: [0, 0, set(), set()])
+    for i in range(1, 1001):
+        pid = 1 + (i * 7) % 205
+        if pid > 200:
+            continue
+        aid = 1 + (i * 5) % 50
+        a = agg[aid]
+        a[0] += 1
+        a[1] += (100 + (i * 17) % 900) * 100 + i % 100
+        a[2].add(1 + (i * 3) % 100)
+        a[3].add(pid)
+    rows = [
+        f"('A{aid:03d}', {v[0]}, {v[1]}, {len(v[2])}, {len(v[3])})"
+        for aid, v in sorted(agg.items())
+    ]
+    return ",\n      ".join(rows)
+
+
+STREAM_BUSINESS_ORACLE = f"""
+    SELECT * FROM (VALUES
+      {_expected_business_silver_values()}
+    ) AS t(airport_id, n_bookings, total_cents, n_flights, n_passengers)
+    ORDER BY airport_id
+"""
+
+
+@query("stream_business_silver", STREAM_BUSINESS_ORACLE)
+def stream_business_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STREAMING business_silver (ignores sf_dir — input is
+    the deterministic flight fixture base set): raw→bronze→silver once,
+    then the three chained watermarked stream-stream joins over the four
+    silver streams (`business_silver_stream`), rolled up per airport.
+    Hash-checked against a golden VALUES oracle computed from the
+    fixture formulas — the one reference behavior (J1 as literal stream
+    composition) the batch `pipeline_medallion_scd_replay` doesn't
+    exercise."""
+    root = tempfile.mkdtemp(prefix="flight_stream_")
+    raw = os.path.join(root, "raw")
+    flight_fixtures.write_base(raw)
+    lake = FlightLakehouse(spark, raw, os.path.join(root, "lake"))
+    lake.ingest_bronze(clock=_T1)
+    lake.run_silver()
+    rows = business_silver_stream(lake)
+    return (
+        rows.groupBy("airport_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bookings"),
+            F.sum(F.round(F.col("amount") * 100).cast("long")).alias("total_cents"),
+            F.countDistinct("flight_id").alias("n_flights"),
+            F.countDistinct("passenger_id").alias("n_passengers"),
+        )
+        .orderBy("airport_id")
+    )

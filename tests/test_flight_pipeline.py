@@ -141,3 +141,30 @@ def test_rerun_idempotent(lake_after_scd):
         for name in ["DimAirports", "DimFlights", "DimCustomers", "Fact_Bookings"]
     }
     assert before == after
+
+
+def test_business_silver_stream_equals_batch(spark, tmp_path_factory):
+    """The reference's J1 as WRITTEN — three chained watermarked
+    stream-stream joins over the four silver streams — must be
+    row-identical to the batch business_silver view on the co-arriving
+    replay fixture (fresh lake: the module fixture may have already
+    absorbed increments/scd)."""
+    from databricks_end_to_end_lakeflow_project_spark.plans.flight_pipeline import (
+        business_silver_stream,
+    )
+
+    root = tmp_path_factory.mktemp("flight_stream")
+    raw = str(root / "raw")
+    fx.write_base(raw)
+    lk = FlightLakehouse(spark, raw, str(root / "lake"))
+    lk.ingest_bronze(T1)
+    lk.run_silver()
+
+    streamed = business_silver_stream(lk)
+    batch = lk.silver.read("business_silver")
+    assert sorted(streamed.columns) == sorted(batch.columns)
+    cols = sorted(streamed.columns)
+    assert streamed.select(*cols).exceptAll(batch.select(*cols)).count() == 0
+    assert batch.select(*cols).exceptAll(streamed.select(*cols)).count() == 0
+    n = streamed.count()
+    assert 0 < n <= 1000 and n == batch.count()
