@@ -150,9 +150,15 @@ def sink_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     off the source files."""
     # process-unique scratch: the bucketed copies are session-cached via
     # tableExists, but a CONCURRENT process (driver gate + local pytest)
-    # sharing one path would overwrite files the other is mid-read on
-    tag = f"{sf_dir.strip('/').replace('/', '_').replace('.', '_')}_{os.getpid()}"
-    base = os.path.join(tempfile.gettempdir(), "lakeflow_bucketed", tag)
+    # sharing one path would overwrite files the other is mid-read on.
+    # scratch.py prunes dead pids' leftovers and removes ours at exit.
+    from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+        pid_scratch_dir,
+        pid_tag,
+    )
+
+    tag = pid_tag(sf_dir)
+    base = pid_scratch_dir("lakeflow_bucketed", sf_dir)
     li_tbl, od_tbl = f"li_bkt_{tag}", f"od_bkt_{tag}"
     if not spark.catalog.tableExists(li_tbl):
         li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")

@@ -45,12 +45,15 @@ from databricks_end_to_end_lakeflow_project_spark.registry import query  # noqa:
 
 
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
-    import tempfile
-
     # pid-unique scratch: a concurrent process (driver gate + local
-    # pytest) sharing the dir could overwrite files the other is reading
-    tag = f"{sf_dir.strip('/').replace('/', '_').replace('.', '_')}_{os.getpid()}"
-    return os.path.join(tempfile.gettempdir(), "lakeflow_sources", tag, fmt)
+    # pytest) sharing the dir could overwrite files the other is reading.
+    # scratch.py prunes dead processes' leftovers and removes this
+    # process's dirs at exit — no unbounded /tmp growth.
+    from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+        pid_scratch_dir,
+    )
+
+    return pid_scratch_dir("lakeflow_sources", sf_dir, fmt)
 
 
 def write_and_read(df: DataFrame, path: str, fmt: str) -> DataFrame:

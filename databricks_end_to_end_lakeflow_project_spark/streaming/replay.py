@@ -54,11 +54,13 @@ def prepare_replay(
     under a tmp dir; returns the dir. Idempotent per (sf_dir, table,
     slices) — the prepared dir is reused across runs WITHIN a process
     (pid-unique scratch: concurrent processes must not overwrite a dir
-    the other is mid-read on)."""
-    tag = f"{sf_dir.strip('/').replace('/', '_').replace('.', '_')}_{os.getpid()}"
-    out = os.path.join(
-        tempfile.gettempdir(), "lakeflow_replay", tag, f"{table}_{slices}"
+    the other is mid-read on; scratch.py prunes dead pids' leftovers and
+    removes this process's dirs at exit)."""
+    from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+        pid_scratch_dir,
     )
+
+    out = pid_scratch_dir("lakeflow_replay", sf_dir, f"{table}_{slices}")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     df = read_table(spark, sf_dir, table)

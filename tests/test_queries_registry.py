@@ -57,3 +57,28 @@ def test_binaryfile_manifest_matches_python_read(spark):
             data = open(os.path.join(sf, name), "rb").read()
             want[name] = (len(data), hashlib.md5(data).hexdigest())
     assert got == want and len(got) >= 10
+
+
+def test_scratch_pid_dir_lifecycle(tmp_path, monkeypatch):
+    """Dead processes' pid-tagged scratch dirs are pruned on first use;
+    this process's own dirs are registered and legacy untagged dirs are
+    left alone."""
+    import os
+
+    from databricks_end_to_end_lakeflow_project_spark.sources import scratch
+
+    monkeypatch.setattr(scratch.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(scratch, "_pruned", False)
+    base = tmp_path / "lakeflow_sources"
+    base.mkdir()
+    (base / "sf_x_999999999").mkdir()  # dead pid
+    (base / f"sf_x_{os.getpid()}").mkdir()  # us
+    (base / "sf_x_legacy").mkdir()  # no pid suffix
+
+    d = scratch.pid_scratch_dir("lakeflow_sources", "/data/sf_y", "json")
+    assert not (base / "sf_x_999999999").exists(), "dead pid dir must be pruned"
+    assert (base / f"sf_x_{os.getpid()}").exists(), "own dirs survive"
+    assert (base / "sf_x_legacy").exists(), "untagged dirs are left alone"
+    assert d.endswith(os.path.join(f"data_sf_y_{os.getpid()}", "json"))
+    top = os.path.dirname(d)
+    assert top in scratch._own_dirs, "own dir registered for atexit removal"
