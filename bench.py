@@ -234,6 +234,9 @@ def rank_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
                 )
             ],
             stats_out=stats,
+            # matches the registry queries' policy: bare scans rescan,
+            # they are not worth a cache copy
+            persist_input=False,
         )
         ranked.write.format("noop").mode("overwrite").save()
         curve["temporal_rank"].append(

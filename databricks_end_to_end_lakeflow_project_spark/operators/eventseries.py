@@ -191,11 +191,14 @@ def late_arrivals(
         )
 
         arr = with_global_running_max(
+            # bare 3-column scan: rescanning projected parquet beats
+            # caching it (persist is for expensive upstreams)
             ev.select("event_type", "ts", "event_id"),
             "event_id",
             "ts",
             "high_water",
             exclusive=True,
+            persist_input=False,
         ).select("event_type", "ts", "high_water")
     else:
         w = (

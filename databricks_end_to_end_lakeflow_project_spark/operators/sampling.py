@@ -291,8 +291,15 @@ def sample_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     global rank — same deciles as the oracle's NTILE, no single-partition
     sort anywhere in the executed plan."""
     ev = _t(spark, sf_dir, "events").select("ts", "event_id")
+    # bare 2-column scan: rescanning projected parquet beats caching it
     deciled = with_ntile(
-        ev, 10, "ts", ["event_id"], "d", bin_value=F.unix_micros(F.col("ts"))
+        ev,
+        10,
+        "ts",
+        ["event_id"],
+        "d",
+        bin_value=F.unix_micros(F.col("ts")),
+        persist_input=False,
     ).select("ts", "d")
     split = (
         F.when(F.col("d") <= 8, "train").when(F.col("d") == 9, "val").otherwise("test")

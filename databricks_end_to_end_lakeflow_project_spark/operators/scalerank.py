@@ -41,7 +41,12 @@ cache entry is keyed on the caller's own ``df`` object: callers that
 want the memory back after their action simply ``df.unpersist()`` (the
 bench harness clears the whole cache between queries); pass
 ``persist_input=False`` when the input is already persisted or is a
-trivially-cheap scan not worth caching.
+BARE column-pruned scan: re-reading projected parquet three times is
+cheaper at 100 TB than writing a cache copy of the whole projection
+(cache write ≈ data size), and the scan is deterministic, so the
+collected offsets cannot diverge from the final pass. The persist
+default exists for EXPENSIVE upstreams (joins, aggregates) — the
+shapes the order-statistic queries actually rank.
 
 Used by the former global-NTILE queries (`sample_split_temporal`,
 `agg_histogram_equidepth`, `rfm_customer_segments`,
@@ -354,9 +359,13 @@ def with_ntile(
     *,
     descending: bool = False,
     bin_value: Column | None = None,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Single-ordering convenience: exact ``NTILE(tiles) OVER (ORDER BY
-    value [DESC], tiebreaks)`` via the three-stage rank plan."""
+    value [DESC], tiebreaks)`` via the three-stage rank plan.
+    ``persist_input=False`` for bare column-pruned scans: re-reading a
+    projected parquet source three times is cheaper at 100 TB than
+    writing a cache copy of it (see module docstring)."""
     spec = RankSpec(
         out="__sr_rank",
         value=value,
@@ -364,7 +373,7 @@ def with_ntile(
         descending=descending,
         bin_value=bin_value,
     )
-    ranked, total = with_global_ranks(df, [spec])
+    ranked, total = with_global_ranks(df, [spec], persist_input=persist_input)
     return ranked.withColumn(out, ntile_from_rank(F.col("__sr_rank"), total, tiles)).drop(
         "__sr_rank"
     )

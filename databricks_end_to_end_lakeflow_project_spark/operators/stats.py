@@ -560,7 +560,10 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact NTILE — same buckets as the oracle's global sort, with no
     single-partition WindowExec in the executed plan."""
     od = read_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    tiled = with_ntile(od, 8, "o_totalprice", ["o_orderkey"], "bucket")
+    # bare 2-column scan: rescanning projected parquet beats caching it
+    tiled = with_ntile(
+        od, 8, "o_totalprice", ["o_orderkey"], "bucket", persist_input=False
+    )
     return (
         tiled.select("o_totalprice", "bucket")
         .groupBy("bucket")
