@@ -769,3 +769,28 @@ def test_lsh_hot_bucket_drop_warns_and_is_subset(spark):
     assert dropped <= split
     assert len(dropped) < len(split), "fixture's hot bucket must cost pairs in drop mode"
     spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("sizes,chunk", [([1], 3), ([2, 5], 2), ([7], 3), ([23, 4, 11], 5), ([60], 7)])
+def test_split_bucket_pairs_exact_coverage(spark, sizes, chunk):
+    """Property: the block-pair decomposition emits EVERY i<j pair of
+    each bucket exactly once — ΣC(B,2) pairs, no dups, doc_a < doc_b —
+    for bucket sizes below, at, and far above the chunk size."""
+    from itertools import combinations
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        _split_bucket_pairs,
+    )
+
+    rows, want = [], set()
+    base = 0
+    for b, n in enumerate(sizes):
+        docs = [base + i for i in range(n)]
+        base += 1000
+        rows.append((b, docs))
+        want |= set(combinations(docs, 2))
+    over = spark.createDataFrame(rows, "band_hash int, docs array<bigint>")
+    got = [(r["doc_a"], r["doc_b"]) for r in _split_bucket_pairs(over, chunk).collect()]
+    assert len(got) == len(set(got)) == len(want)
+    assert set(got) == want
+    assert all(a < b for a, b in got)
