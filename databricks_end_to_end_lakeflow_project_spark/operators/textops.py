@@ -1045,3 +1045,84 @@ def text_source_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_dedup_span_c4",
+    """
+    WITH w AS (
+      SELECT doc_id, source, string_split(trim(text), ' ') AS words
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, source,
+             unnest(range(CAST(CEIL(len(words) / 10.0) AS INT))) AS idx,
+             words
+      FROM w
+    ), spans AS (
+      SELECT doc_id, source, idx,
+             array_to_string(words[idx*10+1 : LEAST((idx+1)*10, len(words))], ' ')
+               AS span
+      FROM ex
+    ), marked AS (
+      SELECT doc_id, source, span,
+             ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, idx) = 1
+               AS kept
+      FROM spans
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN kept THEN len(string_split(span, ' ')) ELSE 0 END)
+                AS BIGINT) AS retained_words
+    FROM marked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_dedup_span_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span removal (Raffel et al. 2020 §2.2 — the
+    canonical pretraining-corpus cleanup): cut every document into
+    consecutive 10-word spans and DELETE each span whose identical text
+    already occurred anywhere earlier in the corpus (global
+    first-occurrence-wins, ordered by (doc_id, span index)); the
+    reference paper used 3-sentence spans — this corpus has no sentence
+    punctuation, so the span unit is words. Returns the per-source
+    dedup accounting: span counts, spans removed, retained word volume.
+
+    Scale notes: ONE shuffle on the span text (a partitioned
+    ROW_NUMBER over `PARTITION BY span` — never a global window) decides
+    first occurrence; span construction is pure per-row array work
+    inside the scan (split → slice → join, all codegen), so the plan is
+    scan → explode → one exchange → window → partial-aggregatable
+    rollup. At 100 TB, hash the span (xxhash64) into the partition key
+    instead of shipping raw span text if spans are long — here spans are
+    ≤ ~80 bytes, comparable to a hash, so the text itself is the key
+    (and keeps the oracle exact)."""
+    W = 10
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(W))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * W + 1, W), " "),
+    )
+    ex = docs.select(
+        "doc_id", "source", F.posexplode(spans).alias("idx", "span")
+    )
+    kept = (
+        F.row_number().over(Window.partitionBy("span").orderBy("doc_id", "idx")) == 1
+    )
+    marked = ex.withColumn("kept", kept)
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_removed"),
+            F.sum(
+                F.when(F.col("kept"), F.size(F.split(F.col("span"), " "))).otherwise(0)
+            ).alias("retained_words"),
+        )
+        .orderBy("source")
+    )

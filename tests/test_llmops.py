@@ -794,3 +794,31 @@ def test_split_bucket_pairs_exact_coverage(spark, sizes, chunk):
     assert len(got) == len(set(got)) == len(want)
     assert set(got) == want
     assert all(a < b for a, b in got)
+
+
+def test_c4_span_dedup_hand_corpus(spark, monkeypatch):
+    """Planted duplicate spans: doc 0 and doc 1 share an identical
+    10-word span; first occurrence (doc 0) keeps it, doc 1 loses it;
+    unique spans all survive."""
+    from databricks_end_to_end_lakeflow_project_spark.operators import textops
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    uniq1 = " ".join(f"a{i}" for i in range(10))
+    uniq2 = " ".join(f"b{i}" for i in range(7))  # partial tail span
+    rows = [
+        (0, f"{shared} {uniq1}", "en", "s0", 0),
+        (1, f"{shared} {uniq2}", "en", "s1", 0),
+        (2, shared, "en", "s1", 0),  # whole doc is the duplicate span
+    ]
+    fake = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(textops, "read_table", lambda s, d, n: fake)
+    got = {r["source"]: r for r in textops.text_dedup_span_c4(spark, "ignored").collect()}
+    # s0: doc 0 = first occurrence of shared + uniq1 → nothing removed
+    assert got["s0"]["n_spans"] == 2 and got["s0"]["n_removed"] == 0
+    assert got["s0"]["retained_words"] == 20
+    # s1: doc 1 loses the shared span, keeps the 7-word tail;
+    #     doc 2 loses its only span entirely
+    assert got["s1"]["n_spans"] == 3 and got["s1"]["n_removed"] == 2
+    assert got["s1"]["retained_words"] == 7
