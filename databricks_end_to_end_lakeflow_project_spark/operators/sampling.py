@@ -351,3 +351,80 @@ def sample_balanced_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("m"))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "sample_dsir_importance",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_t,
+             SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS n_r
+      FROM toks GROUP BY tok
+    ), consts AS (
+      SELECT SUM(n_t) AS big_nt, SUM(n_r) AS big_nr, COUNT(*) AS v FROM vocab
+    ), scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(ln((vocab.n_t + 1.0) / (consts.big_nt + consts.v))
+                 - ln((vocab.n_r + 1.0) / (consts.big_nr + consts.v)))
+               AS lw
+      FROM toks t JOIN vocab USING (tok) CROSS JOIN consts
+      WHERE t.source <> 'src0'
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, ROUND(lw / n_tokens, 4) AS avg_log_imp
+    FROM scored
+    ORDER BY avg_log_imp DESC, doc_id
+    LIMIT 20
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every RAW-pool document by
+    its importance weight under a target-vs-raw n-gram generative model —
+    log w(x) = Σ_tokens [ln p_target(tok) − ln p_raw(tok)] with add-one
+    smoothing — and surface the top 20 raw documents by length-normalized
+    weight (the ones importance resampling would draw first). `src0`
+    documents stand in for the curated target corpus; the paper hashes
+    n-grams into buckets, unigrams here keep the DuckDB oracle exact.
+
+    Scale notes: the token explode partial-aggregates into a
+    VOCABULARY-sized count table; both the per-token ratio join and the
+    3-scalar totals are vocabulary/constant-sized frames that AQE
+    broadcasts back onto the token stream (no hint — same policy as the
+    NLL LM tables), so the plan is explode → one vocab aggregate → one
+    broadcast-joined per-doc partial aggregate → TakeOrdered(20). No
+    global sort, nothing driver-side beyond the 3 totals."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    is_t = (F.col("source") == "src0").cast("long")
+    vocab = toks.groupBy("tok").agg(
+        F.sum(is_t).alias("n_t"), F.sum(1 - is_t).alias("n_r")
+    )
+    c = vocab.agg(
+        F.sum("n_t").alias("big_nt"), F.sum("n_r").alias("big_nr"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    lr = F.log((F.col("n_t") + 1.0) / F.lit(float(c["big_nt"] + c["v"]))) - F.log(
+        (F.col("n_r") + 1.0) / F.lit(float(c["big_nr"] + c["v"]))
+    )
+    ratios = vocab.select("tok", lr.alias("lr"))
+    return (
+        toks.filter(F.col("source") != "src0")
+        .join(ratios, "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("lw"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("lw") / F.col("n_tokens"), 4).alias("avg_log_imp"),
+        )
+        .orderBy(F.col("avg_log_imp").desc(), "doc_id")
+        .limit(20)
+    )

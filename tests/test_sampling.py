@@ -139,3 +139,45 @@ def test_temporal_split_windows_are_disjoint_and_ordered(spark):
     assert rows["val"]["to_ts"] <= rows["test"]["from_ts"]
     total = sum(r["n_events"] for r in rows.values())
     assert abs(rows["train"]["n_events"] / total - 0.8) < 0.01
+
+
+def test_dsir_importance_matches_pure_python(spark, monkeypatch):
+    """DSIR scores on a hand corpus must equal an independent pure-Python
+    computation of the smoothed target/raw log-ratio model, and target
+    docs must never be scored."""
+    import math
+    from collections import Counter
+
+    from databricks_end_to_end_lakeflow_project_spark.operators import sampling
+
+    rows = [
+        (0, "ml data model data", "en", "src0", 0),     # target
+        (1, "ml ml model", "en", "src0", 0),            # target
+        (2, "data model data noise", "en", "srcX", 0),  # raw, target-like
+        (3, "noise junk junk spam", "en", "srcY", 0),   # raw, off-target
+        (4, "model data", "en", "srcX", 0),             # raw, target-like
+    ]
+    fake = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(sampling, "read_table", lambda s, d, n: fake)
+    got = {r["doc_id"]: r for r in sampling.sample_dsir_importance(spark, "x").collect()}
+    assert set(got) == {2, 3, 4}, "only raw-pool docs are scored"
+
+    tc, rc = Counter(), Counter()
+    for _, text, _, src, _ in rows:
+        (tc if src == "src0" else rc).update(text.split(" "))
+    vocab = set(tc) | set(rc)
+    nt, nr, v = sum(tc.values()), sum(rc.values()), len(vocab)
+    def lr(w):
+        return math.log((tc[w] + 1) / (nt + v)) - math.log((rc[w] + 1) / (nr + v))
+    for did, text, _, src, _ in rows:
+        if src == "src0":
+            continue
+        toks = text.split(" ")
+        want = round(sum(lr(w) for w in toks) / len(toks), 4)
+        assert got[did]["avg_log_imp"] == want
+        assert got[did]["n_tokens"] == len(toks)
+    # target-like raw docs outrank the off-target one
+    assert got[4]["avg_log_imp"] > got[3]["avg_log_imp"]
+    assert got[2]["avg_log_imp"] > got[3]["avg_log_imp"]
