@@ -625,3 +625,89 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_join_then_window_agg",
+    """
+    WITH maxts AS (
+      SELECT make_timestamp(LEAST(
+               epoch_us(MAX(ts) FILTER (event_type = 'click')),
+               epoch_us(MAX(ts) FILTER (event_type = 'purchase'))
+             ) // 1000 * 1000) AS mt
+      FROM events
+    ),
+    c AS (
+      SELECT user_id AS c_user, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id AS p_user, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT p.p_ts FROM c JOIN p ON c.c_user = p.p_user
+                                 AND p.p_ts >= c.c_ts
+                                 AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+    )
+    SELECT make_timestamp(epoch_us(p_ts) // 3600000000 * 3600000000)
+             AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j, maxts
+    -- chained-operator emission boundary: the interval join DELAYS the
+    -- downstream watermark by its event-time span (p_ts can trail the
+    -- join's state frontier by up to 30 min), so a window finalizes only
+    -- once window_end <= global_watermark - 30 min
+    WHERE make_timestamp(epoch_us(p_ts) // 3600000000 * 3600000000)
+            + INTERVAL 1 HOUR
+          <= mt - INTERVAL 90 MINUTE
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_join_then_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful operators in ONE streaming query — the
+    Spark ≥3.5 multiple-stateful-operator marquee the other entries
+    exercise only separately: the watermarked click→purchase interval
+    join feeds DIRECTLY into a 1-hour tumbling event-time aggregation
+    (attributed purchases per hour), no intermediate sink.
+
+    The subtle semantics this entry pins (empirically verified with
+    dense synthetic windows, then encoded in the oracle): the interval
+    join DELAYS the watermark it propagates downstream by the join
+    condition's event-time span — a joined row with purchase time p_ts
+    can still appear while the global watermark is anywhere below
+    p_ts + 30 min — so the windowed aggregate finalizes a window only
+    when ``window_end <= min(max c_ts, max p_ts) − 1 h − 30 min``. The
+    DuckDB oracle reproduces exactly that boundary (90-minute cutoff,
+    millisecond-floored watermark), making the drain deterministic.
+
+    Scale: both operators are watermark-bounded — join state is
+    (watermark + 30 min) of data per side, window state is the open
+    windows within the delayed watermark horizon; one shuffle for the
+    join key, one for the window key."""
+    clicks = (
+        stream_events_table(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_events_table(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    )
+    agg = pairs.groupBy(F.window("p_ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    drained = run_to_memory(
+        agg, f"jwa_{uuid.uuid4().hex[:8]}", state_partitions=STATE_PARTITIONS
+    )
+    return drained.select(
+        F.col("window.start").alias("window_start"), "n_pairs"
+    ).orderBy("window_start")

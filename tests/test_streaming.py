@@ -478,3 +478,81 @@ def test_stream_stream_full_outer_join_subsumes_left_outer(spark):
     extras = full_rows - left_rows
     assert extras  # unmatched purchases do exist in this corpus
     assert all(cu is None and ct is None for (cu, ct, _, _) in extras)
+
+
+def test_join_then_window_agg_boundary(spark, tmp_path):
+    """The chained join→window-agg emission boundary: with clicks every
+    5 min (purchase 2 min later) the delayed watermark is
+    min(max c, max p) − 1 h − 30 min; windows ending at or before it
+    emit, later ones are withheld — exactly the oracle's cutoff."""
+    import datetime as dt
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from databricks_end_to_end_lakeflow_project_spark.streaming.structured import (
+        EVENT_SCHEMA,
+        STATE_PARTITIONS,
+        run_to_memory,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for m in range(0, 48 * 60, 5):
+        t = base + dt.timedelta(minutes=m)
+        rows.append((eid, t, 1, "click", 1.0, None)); eid += 1
+        rows.append((eid, t + dt.timedelta(minutes=2), 1, "purchase", 1.0, None)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "ev")
+    df.write.parquet(d)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(d)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purch = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purch,
+        F.expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"),
+    )
+    agg = pairs.groupBy(F.window("p_ts", "10 minutes")).agg(F.count(F.lit(1)).alias("n"))
+    out = run_to_memory(agg, f"jwab_{uuid.uuid4().hex[:6]}", state_partitions=STATE_PARTITIONS)
+    emitted = sorted(r["window"]["end"] for r in out.collect())
+    mc = max(r[1] for r in rows if r[3] == "click")
+    mp = max(r[1] for r in rows if r[3] == "purchase")
+    cutoff = min(mc, mp) - dt.timedelta(minutes=90)
+    assert all(we <= cutoff for we in emitted)
+    # the last window at or before the cutoff IS emitted (nothing extra withheld)
+    assert emitted[-1] > cutoff - dt.timedelta(minutes=10)
+    # emitted windows carry EXACTLY the batch-join counts (stream == batch
+    # below the cutoff; each purchase matches all clicks in its 30-min past)
+    bc = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    bp = df.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = (
+        bc.join(
+            bp,
+            F.expr(
+                "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"
+            ),
+        )
+        .groupBy(F.window("p_ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {
+        (r["window"]["end"], r["n"])
+        for r in batch.collect()
+        if r["window"]["end"] <= cutoff
+    }
+    got = {(r["window"]["end"], r["n"]) for r in out.collect()}
+    assert got == want
