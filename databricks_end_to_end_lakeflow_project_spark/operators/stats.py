@@ -322,25 +322,28 @@ def agg_histogram_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on the scan (no pre-pass for global min/max), so the
     whole histogram is one map-side-combinable aggregate — one shuffle
     of |bins| rows regardless of input size; the share normalization is
-    a window over the already-tiny binned frame."""
+    a 1-row broadcast grand-total join against the PERSISTED binned
+    frame (both consumers read the cache — one fact scan), keeping the
+    registry's zero-unpartitioned-window invariant absolute instead of
+    whitelisting a bounded-frame window."""
     li = read_table(spark, sf_dir, "lineitem")
-    from pyspark.sql.window import Window
-
     binned = li.groupBy(
         F.floor(F.col("l_extendedprice") / 10000).cast("int").alias("bin")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
-    )
-    return binned.select(
-        "bin",
-        "n",
-        "lo",
-        "hi",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()), 4
-        ).alias("share"),
+    ).persist()
+    total = binned.agg(F.sum("n").alias("__tot"))
+    return (
+        binned.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n",
+            "lo",
+            "hi",
+            F.round(F.col("n").cast("double") / F.col("__tot"), 4).alias("share"),
+        )
     )
 
 

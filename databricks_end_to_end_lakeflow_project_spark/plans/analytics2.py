@@ -285,25 +285,26 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar MAX subquery).
 
     Spark does not reuse the aggregation exchange between the two CTE
-    consumers (verified: the naive broadcast-MAX formulation scans
-    lineitem twice), so the MAX is taken with an unpartitioned window
-    over the post-aggregate frame instead — legal here because that
-    frame is #suppliers rows, already tiny. ONE scan of the fact, one
-    shuffle, and a single-partition pass over the aggregate. Revenue is
-    the exact-decimal sum rounded to 2dp on both sides, so the double
-    equality against MAX is deterministic."""
-    from pyspark.sql import Window
-
+    consumers (the naive re-derivation scans lineitem twice), so the
+    per-supplier revenue frame is PERSISTED and consumed twice from
+    cache: once by a 1-row MAX aggregate (partial-aggregatable,
+    parallel) and once by the broadcast scalar-threshold filter — the
+    same sanctioned 1-row-cross-join pattern as q11/q22. ONE scan of
+    the fact, one shuffle, and NO single-partition stage at any
+    supplier count (the former formulation ran an unpartitioned MAX
+    window over the |suppliers| frame — tiny at TPC-H scale, a one-task
+    sort at 100 TB). Revenue is the exact-decimal sum rounded to 2dp on
+    both sides, so the double equality against MAX is deterministic."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     sp = _t(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(disc_price()).alias("total_revenue")
-    )
-    mx = F.max("total_revenue").over(Window.partitionBy())
+    ).persist()
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
-        revenue.withColumn("max_revenue", mx)
+        revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(sp, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")

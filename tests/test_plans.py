@@ -32,6 +32,8 @@ NON_EQUI_WHITELIST = {
     "sample_balanced_by_lang",  # 1-row broadcast minority-count floor
     "monitor_psi_value_drift",  # 1-row broadcast (n0, n1) totals over |bins| rows
     "monitor_chisq_type_drift",  # 1-row broadcast totals over |categories| rows
+    "q15_top_supplier",  # 1-row broadcast scalar MAX over the cached revenue frame
+    "agg_histogram_price_bins",  # 1-row broadcast grand total over |bins| rows
 }
 
 
@@ -77,16 +79,11 @@ def unpartitioned_windows(plan: str) -> list[str]:
     return bad
 
 
-# deliberate single-partition windows over BOUNDED frames (documented in
-# each docstring): post-aggregate frames whose size is |groups|, not |rows|,
-# or semantics that define one global sequence
-UNPARTITIONED_WINDOW_WHITELIST = {
-    # scalar MAX over the post-aggregate per-supplier frame (avoids a
-    # second fact scan; frame is |suppliers| after full aggregation)
-    "q15_top_supplier",
-    # share normalization over the |price-bins| post-aggregate frame
-    "agg_histogram_price_bins",
-}
+# EMPTY since round 3: the last two bounded-frame single-partition windows
+# (q15's scalar MAX, the price-histogram share normalization) were rewritten
+# as persisted-frame + 1-row broadcast scalar joins — every query in the
+# registry now plans zero unpartitioned ordered windows, no exceptions.
+UNPARTITIONED_WINDOW_WHITELIST: set[str] = set()
 
 
 def test_dim_build_split_join_has_no_broadcast_hint(spark, tmp_path):
@@ -238,12 +235,18 @@ def test_flagship_pushes_filter_to_scan(spark):
 
 
 def test_q15_scans_fact_once(spark):
-    """The CTE-consumed-twice shape must not scan lineitem twice: the
-    scalar MAX comes from a window over the post-aggregate frame."""
+    """The CTE-consumed-twice shape must not scan lineitem twice at
+    runtime: the per-supplier revenue frame is persisted and BOTH
+    consumers (1-row scalar MAX + broadcast threshold filter) read the
+    cache. In the printed plan every lineitem FileScan line is a copy
+    of the cached relation's build plan (one per InMemoryTableScan);
+    an uncached extra scan would break the equality."""
     df = registry.all_queries()["q15_top_supplier"](spark, SF)
     plan = _plan(df)
     scans = [l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l]
-    assert len(scans) == 1, plan
+    n_cached = plan.count("InMemoryTableScan")
+    assert n_cached == 2, plan
+    assert len(scans) == n_cached, plan
 
 
 def test_q19_part_join_is_broadcast_with_derived_pushdown(spark):
