@@ -73,8 +73,10 @@ SHOWCASE = [
     ),
     (
         "q15_top_supplier",
-        "CTE reused twice but ONE FileScan of lineitem: the scalar MAX is a "
-        "window over the post-aggregate frame.",
+        "CTE reused twice but lineitem computed ONCE: the revenue frame is "
+        "persisted (both FileScan prints are copies of the cached relation's "
+        "build plan) and the scalar MAX joins back as a 1-row broadcast — no "
+        "single-partition window.",
     ),
     (
         "sink_bucketed_colocated_join",
