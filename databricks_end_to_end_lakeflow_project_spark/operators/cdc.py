@@ -29,8 +29,10 @@ update side broadcasts under AQE automatically.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Sequence
 
@@ -153,13 +155,33 @@ def merge_upsert_plan(
     return merged
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Delta ``ConcurrentAppendException`` analogue: the table's commit
+    version moved past the snapshot a conditional write was based on —
+    the caller must re-read and retry (optimistic concurrency)."""
+
+
 class ManagedParquetTable:
     """Parquet-backed managed table with atomic overwrite and MERGE-style
     upsert (the engine's stand-in for a Delta table, SURVEY §4.1).
 
     Writes go to a sibling temp dir and are swapped in with directory
     renames, so readers never observe a half-written table and a failed
-    job leaves the previous version intact (single-writer semantics).
+    job leaves the previous version intact.
+
+    Delta-style OPTIMISTIC CONCURRENCY on top of the swap: every commit
+    (overwrite / upsert / append / restore) increments a sidecar commit
+    version under a directory-lock mutex (``os.mkdir`` is atomic on
+    POSIX, so the lock works across processes sharing the filesystem —
+    the Delta-on-object-store analogue of the log's putIfAbsent).
+    Writers that based their batch on a snapshot pass
+    ``expect_version=table.version()``; if another writer committed in
+    between, the commit raises :class:`ConcurrentWriteError` instead of
+    silently clobbering — read-modify-write cycles (MERGE, SCD flows)
+    retry from a fresh read, exactly Delta's protocol. Unconditional
+    writes still serialize through the lock (last-wins, never torn).
+    The expensive Spark write stages OUTSIDE the lock; only the O(1)
+    rename-and-bump holds it.
     """
 
     def __init__(
@@ -202,6 +224,51 @@ class ManagedParquetTable:
     def _versions_dir(self) -> str:
         return f"{self.path}.__versions"
 
+    # -- optimistic-concurrency commit protocol -----------------------------
+
+    def version(self) -> int:
+        """Current commit version (0 for a never-committed table). Pass
+        this as ``expect_version`` to a later write to make it
+        conditional on no intervening commit."""
+        try:
+            with open(f"{self.path}.__version") as fh:
+                return int(fh.read().strip() or 0)
+        except FileNotFoundError:
+            return 0
+
+    def _bump_version(self) -> None:
+        vf = f"{self.path}.__version"
+        tmp = f"{vf}.tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(self.version() + 1))
+        os.replace(tmp, vf)
+
+    @contextlib.contextmanager
+    def _commit(self, expect_version: int | None, timeout: float = 30.0):
+        """Directory-lock mutex around the O(1) commit section; verifies
+        the expected version INSIDE the lock, bumps it on success."""
+        lock = f"{self.path}.__lock"
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                os.mkdir(lock)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock busy: {lock}")
+                time.sleep(0.02)
+        try:
+            if expect_version is not None and self.version() != expect_version:
+                raise ConcurrentWriteError(
+                    f"{self.path}: version moved {expect_version} -> "
+                    f"{self.version()}; re-read and retry"
+                )
+            yield
+            self._bump_version()
+        finally:
+            os.rmdir(lock)
+
     def history(self) -> list[int]:
         """Retained snapshot versions, oldest first (the CURRENT state is
         always one newer than the last entry)."""
@@ -225,16 +292,17 @@ class ManagedParquetTable:
             )
         tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
         shutil.copytree(vpath, tmp)
-        if self.retain_versions > 0 and os.path.exists(self.path):
-            vdir = self._versions_dir()
-            os.makedirs(vdir, exist_ok=True)
-            nxt = (self.history() or [-1])[-1] + 1
-            os.rename(self.path, os.path.join(vdir, str(nxt)))
-        elif os.path.exists(self.path):
-            shutil.rmtree(self.path, ignore_errors=True)
-        os.rename(tmp, self.path)
-        if self.retain_versions > 0:
-            self.vacuum(retain_last=self.retain_versions)
+        with self._commit(None):
+            if self.retain_versions > 0 and os.path.exists(self.path):
+                vdir = self._versions_dir()
+                os.makedirs(vdir, exist_ok=True)
+                nxt = (self.history() or [-1])[-1] + 1
+                os.rename(self.path, os.path.join(vdir, str(nxt)))
+            elif os.path.exists(self.path):
+                shutil.rmtree(self.path, ignore_errors=True)
+            os.rename(tmp, self.path)
+            if self.retain_versions > 0:
+                self.vacuum(retain_last=self.retain_versions)
 
     def vacuum(self, retain_last: int = 0) -> int:
         """Drop all but the newest ``retain_last`` snapshots; returns the
@@ -245,39 +313,70 @@ class ManagedParquetTable:
             shutil.rmtree(os.path.join(self._versions_dir(), str(v)), ignore_errors=True)
         return len(doomed)
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, expect_version: int | None = None) -> None:
+        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)  # expensive stage: OUTSIDE the commit lock
+        try:
+            with self._commit(expect_version):
+                old = None
+                if os.path.exists(self.path):
+                    if self.retain_versions > 0:
+                        vdir = self._versions_dir()
+                        os.makedirs(vdir, exist_ok=True)
+                        nxt = (self.history() or [-1])[-1] + 1
+                        os.rename(self.path, os.path.join(vdir, str(nxt)))
+                    else:
+                        old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+                        os.rename(self.path, old)
+                os.rename(tmp, self.path)
+                # only discard the previous state once the new one is in place
+                if old:
+                    shutil.rmtree(old, ignore_errors=True)
+                if self.retain_versions > 0:
+                    self.vacuum(retain_last=self.retain_versions)
+        except ConcurrentWriteError:
+            shutil.rmtree(tmp, ignore_errors=True)  # abandoned stage
+            raise
+
+    def append(self, df: DataFrame, expect_version: int | None = None) -> None:
+        """Append commit: the batch stages to a sibling dir OUTSIDE the
+        lock, then its data files move into the table with O(#files)
+        renames inside it — concurrent appends serialize, and a
+        conditional append conflicts like any other commit."""
         tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)
-        old = None
-        if os.path.exists(self.path):
-            if self.retain_versions > 0:
-                vdir = self._versions_dir()
-                os.makedirs(vdir, exist_ok=True)
-                nxt = (self.history() or [-1])[-1] + 1
-                os.rename(self.path, os.path.join(vdir, str(nxt)))
-            else:
-                old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
-                os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        # only discard the previous state once the new one is in place
-        if old:
-            shutil.rmtree(old, ignore_errors=True)
-        if self.retain_versions > 0:
-            self.vacuum(retain_last=self.retain_versions)
-
-    def append(self, df: DataFrame) -> None:
-        writer = df.write.mode("append")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(self.path)
+        try:
+            with self._commit(expect_version):
+                tag = uuid.uuid4().hex[:8]
+                for root, _dirs, files in os.walk(tmp):
+                    rel = os.path.relpath(root, tmp)
+                    dest_dir = (
+                        self.path if rel == "." else os.path.join(self.path, rel)
+                    )
+                    os.makedirs(dest_dir, exist_ok=True)
+                    for f in files:
+                        if f.startswith(("_", ".")):
+                            continue  # markers/CRCs: not data
+                        os.rename(
+                            os.path.join(root, f),
+                            os.path.join(dest_dir, f"app_{tag}_{f}"),
+                        )
+        except ConcurrentWriteError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def upsert(self, updates: DataFrame, keys: Sequence[str] | None = None,
                sequence_by: str | None = None, delete_col: str | None = None,
                truncate_col: str | None = None,
-               merge_schema: bool = False) -> None:
+               merge_schema: bool = False,
+               expect_version: int | None = None) -> None:
         """Latest-wins keyed upsert (reference S8). First write degrades to
         a plain create (deduped to one row per key; flagged deletes, if
         ``delete_col`` is given, simply never materialize; truncate
@@ -317,7 +416,7 @@ class ManagedParquetTable:
                 first = first.filter(
                     ~F.coalesce(F.col(delete_col), F.lit(False))
                 ).drop(delete_col)
-            self.overwrite(first)
+            self.overwrite(first, expect_version=expect_version)
             return
         target = self.read()
         if merge_schema:
@@ -331,7 +430,10 @@ class ManagedParquetTable:
             target, updates, keys, sequence_by, delete_col=delete_col,
             truncate_col=truncate_col,
         )
-        self.overwrite(merged)
+        # conditional on the version the merge READ (optimistic MERGE):
+        # a concurrent commit between read and swap raises instead of
+        # clobbering, matching Delta's conflict detection
+        self.overwrite(merged, expect_version=expect_version)
 
 
 def scd2_from_history(

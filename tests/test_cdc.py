@@ -522,3 +522,99 @@ def test_scd2_from_snapshots_hand_scenario(spark):
         ("B", 9, 1, None),   # never changed: one open version
         ("C", 7, 4, None),
     }
+
+
+def test_occ_conditional_commit_conflict_and_retry(spark, tmp_path):
+    """Delta-style optimistic concurrency: a write conditional on a
+    stale snapshot version raises ConcurrentWriteError (and cleans its
+    staged dir); re-reading and retrying at the fresh version succeeds.
+    Unconditional writes still serialize and bump the version."""
+    import os
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ConcurrentWriteError,
+        ManagedParquetTable,
+    )
+
+    t = ManagedParquetTable(
+        spark, str(tmp_path / "t"), keys=["k"], sequence_by="seq"
+    )
+    df = lambda rows: spark.createDataFrame(rows, "k long, v string, seq long")
+    t.upsert(df([(1, "a", 1)]))
+    assert t.version() == 1
+
+    # writer A reads its snapshot…
+    v_a = t.version()
+    # …writer B commits in between…
+    t.upsert(df([(2, "b", 1)]))
+    assert t.version() == 2
+    # …A's conditional commit must conflict, not clobber B
+    with pytest.raises(ConcurrentWriteError):
+        t.upsert(df([(1, "a2", 2)]), expect_version=v_a)
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: "a", 2: "b"}, "failed commit must leave the table intact"
+    # no abandoned stage dirs
+    leftovers = [d for d in os.listdir(tmp_path) if "__tmp_" in d]
+    assert leftovers == []
+
+    # retry from a fresh read succeeds
+    t.upsert(df([(1, "a2", 2)]), expect_version=t.version())
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "a2", 2: "b"}
+    assert t.version() == 3
+
+
+def test_occ_append_serializes_and_conflicts(spark, tmp_path):
+    """Appends go through the same commit protocol: they bump the
+    version, a conditional append on a stale version conflicts, and
+    appended batches accumulate rows."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ConcurrentWriteError,
+        ManagedParquetTable,
+    )
+
+    t = ManagedParquetTable(spark, str(tmp_path / "t"))
+    df = lambda n: spark.range(n).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    t.append(df(3))
+    v1 = t.version()
+    assert v1 == 1 and t.read().count() == 3
+    t.append(df(2))
+    assert t.version() == 2 and t.read().count() == 5
+    with pytest.raises(ConcurrentWriteError):
+        t.append(df(1), expect_version=v1)
+    assert t.read().count() == 5
+
+
+def test_occ_concurrent_threads_one_wins(spark, tmp_path):
+    """Two threads race a read-modify-write on the same snapshot: under
+    the commit protocol exactly one commits and the other gets
+    ConcurrentWriteError — never a lost update."""
+    import threading
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ConcurrentWriteError,
+        ManagedParquetTable,
+    )
+
+    t = ManagedParquetTable(spark, str(tmp_path / "t"), keys=["k"], sequence_by="seq")
+    t.upsert(spark.createDataFrame([(1, "base", 1)], "k long, v string, seq long"))
+    v0 = t.version()
+    results = {}
+
+    def writer(name, val):
+        try:
+            t.upsert(
+                spark.createDataFrame([(2, val, 1)], "k long, v string, seq long"),
+                expect_version=v0,
+            )
+            results[name] = "ok"
+        except ConcurrentWriteError:
+            results[name] = "conflict"
+
+    th = [threading.Thread(target=writer, args=(n, n)) for n in ("A", "B")]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert sorted(results.values()) == ["conflict", "ok"]
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows[1] == "base" and rows[2] in ("A", "B")
