@@ -1090,15 +1090,20 @@ def text_dedup_span_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation, so the span unit is words. Returns the per-source
     dedup accounting: span counts, spans removed, retained word volume.
 
-    Scale notes: ONE shuffle on the span text (a partitioned
-    ROW_NUMBER over `PARTITION BY span` — never a global window) decides
-    first occurrence; span construction is pure per-row array work
-    inside the scan (split → slice → join, all codegen), so the plan is
-    scan → explode → one exchange → window → partial-aggregatable
-    rollup. At 100 TB, hash the span (xxhash64) into the partition key
-    instead of shipping raw span text if spans are long — here spans are
-    ≤ ~80 bytes, comparable to a hash, so the text itself is the key
-    (and keeps the oracle exact)."""
+    Scale notes — deliberately NO `PARTITION BY span` window: a
+    boilerplate corpus can repeat one span millions of times, and a
+    per-span window would funnel all of them into one task. Instead the
+    first occurrence is `min(struct(doc_id, idx, source))` per span — a
+    PARTIAL-AGGREGATABLE min, so a hot span collapses map-side before
+    the shuffle ever sees it. The kept/removed accounting then splits
+    into two tiny per-source aggregates: totals from the exploded spans
+    (removed(s) = spans in s that are not firsts), kept volume from the
+    firsts frame (attributed to the first occurrence's source — the
+    identical attribution a first-wins window would produce). Span
+    construction is pure codegen array work inside the scan; at longer
+    span widths swap the raw span text for `xxhash64(span)` as the
+    grouping key (here spans are ≤ ~80 bytes, so the text itself is the
+    key and keeps the oracle exact)."""
     W = 10
     docs = read_table(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), " ")
@@ -1110,19 +1115,36 @@ def text_dedup_span_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(
         "doc_id", "source", F.posexplode(spans).alias("idx", "span")
     )
-    kept = (
-        F.row_number().over(Window.partitionBy("span").orderBy("doc_id", "idx")) == 1
+    per_source = ex.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_spans"),
     )
-    marked = ex.withColumn("kept", kept)
-    return (
-        marked.groupBy("source")
+    firsts = ex.groupBy("span").agg(
+        F.min(F.struct("doc_id", "idx", "source")).alias("f")
+    )
+    kept = (
+        firsts.select(
+            F.col("f.source").alias("source"),
+            F.size(F.split(F.col("span"), " ")).alias("w"),
+        )
+        .groupBy("source")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_removed"),
-            F.sum(
-                F.when(F.col("kept"), F.size(F.split(F.col("span"), " "))).otherwise(0)
-            ).alias("retained_words"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("w").alias("retained_words"),
+        )
+    )
+    return (
+        per_source.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_spans",
+            (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("retained_words"), F.lit(0)).cast("long").alias(
+                "retained_words"
+            ),
         )
         .orderBy("source")
     )
