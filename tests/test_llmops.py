@@ -822,3 +822,48 @@ def test_c4_span_dedup_hand_corpus(spark, monkeypatch):
     #     doc 2 loses its only span entirely
     assert got["s1"]["n_spans"] == 3 and got["s1"]["n_removed"] == 2
     assert got["s1"]["retained_words"] == 7
+
+
+def test_c4_delta_equals_full_run_restricted(spark, monkeypatch):
+    """Incremental contract: because base doc_ids precede delta doc_ids,
+    the delta-vs-index verdict must equal the ONE-SHOT full-corpus C4
+    accounting restricted to delta rows. Verified on a hand corpus
+    engineered with base-delta, delta-delta and delta-unique spans."""
+    from databricks_end_to_end_lakeflow_project_spark.operators import textops
+
+    sp = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+    rows = [
+        # base (< 400)
+        (0, f"{sp('x')} {sp('y')}", "en", "s0", 0),
+        (1, sp("z"), "en", "s1", 0),
+        # delta (>= 400)
+        (400, f"{sp('x')} {sp('n')}", "en", "s0", 0),   # x dup vs base, n new
+        (401, f"{sp('n')} {sp('z')}", "en", "s1", 0),   # n dup within delta, z dup vs base
+        (402, sp("q"), "en", "s1", 0),                  # unique
+    ]
+    fake = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(textops, "read_table", lambda s, d, n: fake)
+    got = {r["source"]: r for r in textops.text_dedup_span_c4_delta(spark, "x").collect()}
+    # s0 delta: doc 400 → spans x (dropped: in base), n (kept, first in delta)
+    assert got["s0"]["n_spans"] == 2 and got["s0"]["n_removed"] == 1
+    assert got["s0"]["retained_words"] == 10
+    # s1 delta: doc 401 → n (dropped: doc 400 was first), z (dropped: base);
+    #           doc 402 → q kept
+    assert got["s1"]["n_spans"] == 3 and got["s1"]["n_removed"] == 2
+    assert got["s1"]["retained_words"] == 10
+
+    # cross-check vs the one-shot full-corpus accounting: full removed
+    # count minus base-only removals == delta removals
+    full = {r["source"]: r for r in textops.text_dedup_span_c4(spark, "x").collect()}
+    base_only = spark.createDataFrame(
+        [r for r in rows if r[0] < 400],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(textops, "read_table", lambda s, d, n: base_only)
+    base = {r["source"]: r for r in textops.text_dedup_span_c4(spark, "x").collect()}
+    for s in ("s0", "s1"):
+        assert got[s]["n_removed"] == full[s]["n_removed"] - base.get(
+            s, {"n_removed": 0}
+        )["n_removed"]
