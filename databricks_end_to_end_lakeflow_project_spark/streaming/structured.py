@@ -711,3 +711,73 @@ def stream_join_then_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.select(
         F.col("window.start").alias("window_start"), "n_pairs"
     ).orderBy("window_start")
+
+
+@query(
+    "stream_state_introspection",
+    """
+    WITH wm AS (
+      SELECT make_timestamp(epoch_us(MAX(ts)) // 1000 * 1000)
+             - INTERVAL 1 HOUR AS w
+      FROM events
+    ), g AS (
+      SELECT make_timestamp(epoch_us(ts) // 3600000000 * 3600000000) AS ws,
+             user_id, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT ws AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS buffered_events
+    FROM g, wm
+    -- the state store retains exactly the windows the watermark has NOT
+    -- yet closed: window_end > watermark (closed windows were emitted
+    -- and evicted by the trailing no-data micro-batch)
+    WHERE ws + INTERVAL 1 HOUR > wm.w
+    GROUP BY ws ORDER BY ws
+    """,
+)
+def stream_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 State Data Source (`spark.read.format("statestore")`) —
+    operational introspection of a live streaming checkpoint: drain a
+    watermarked per-(hour, user) tumbling count over the events stream,
+    then read the query's STATE STORE back as a DataFrame and report
+    what is still buffered per open window (key count + buffered event
+    mass). The DuckDB oracle derives the same content from first
+    principles: the state retains exactly the windows the final
+    watermark (max event time − 1 h, millisecond-floored) has not
+    closed — emitted windows were evicted by the trailing no-data
+    micro-batch.
+
+    The debugging/ops surface this exercises — inspecting state size
+    and skew per key without stopping the stream — is the production
+    answer to 'why is my streaming state growing'; at 100 TB the state
+    source reads only the checkpoint's store files (columnar snapshot +
+    delta replay), never the input data."""
+    ckpt = tempfile.mkdtemp(prefix="lakeflow_statesrc_")
+    agg = (
+        stream_events_table(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return (
+        state.select(
+            F.col("key.window.start").alias("window_start"),
+            F.col("value.count").alias("n"),
+        )
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("buffered_events"),
+        )
+        .orderBy("window_start")
+    )
