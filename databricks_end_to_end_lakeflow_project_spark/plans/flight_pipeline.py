@@ -228,7 +228,8 @@ class FlightLakehouse:
 
 import tempfile  # noqa: E402
 
-from databricks_end_to_end_lakeflow_project_spark.registry import query  # noqa: E402
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.scratch import ephemeral_dir  # noqa: E402
 from databricks_end_to_end_lakeflow_project_spark.sources import flight_fixtures  # noqa: E402
 
 _T1 = dt.datetime(2025, 8, 1, 0, 0, 0)
@@ -268,7 +269,7 @@ def pipeline_medallion_scd_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     Hash-checked against a golden VALUES oracle, so this single query
     verifies ingest checkpointing, expectations, SCD1 CDC, surrogate
     assignment, and audit-column semantics end to end."""
-    root = tempfile.mkdtemp(prefix="flight_demo_")
+    root = ephemeral_dir("flight_demo_")
     raw = os.path.join(root, "raw")
     flight_fixtures.write_base(raw)
     lake = FlightLakehouse(spark, raw, os.path.join(root, "lake"))
@@ -391,7 +392,7 @@ def stream_business_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture formulas — the one reference behavior (J1 as literal stream
     composition) the batch `pipeline_medallion_scd_replay` doesn't
     exercise."""
-    root = tempfile.mkdtemp(prefix="flight_stream_")
+    root = ephemeral_dir("flight_stream_")
     raw = os.path.join(root, "raw")
     flight_fixtures.write_base(raw)
     lake = FlightLakehouse(spark, raw, os.path.join(root, "lake"))

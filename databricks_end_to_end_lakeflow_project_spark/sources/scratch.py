@@ -75,6 +75,20 @@ def pid_tag(sf_dir: str) -> str:
     return f"{sf_dir.strip('/').replace('/', '_').replace('.', '_')}_{os.getpid()}"
 
 
+def ephemeral_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` with lifecycle: the dir is registered for
+    removal at interpreter exit (same mechanism as the pid-tagged
+    scratch dirs), so per-call fixture/checkpoint roots don't accumulate
+    across runs."""
+    global _atexit_registered
+    if not _atexit_registered:
+        _atexit_registered = True
+        atexit.register(_cleanup_own)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _own_dirs.add(d)
+    return d
+
+
 def pid_scratch_dir(root: str, sf_dir: str, *parts: str) -> str:
     """Pid-unique scratch path ``$TMPDIR/{root}/{tag}/{parts...}`` with
     lifecycle management: first use prunes dead processes' leftovers,

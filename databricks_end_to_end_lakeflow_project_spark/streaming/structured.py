@@ -33,6 +33,7 @@ from pyspark.sql.streaming.stateful_processor import (
 
 from databricks_end_to_end_lakeflow_project_spark.operators.cdc import ManagedParquetTable
 from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.scratch import ephemeral_dir
 from databricks_end_to_end_lakeflow_project_spark.streaming.windows import tumbling_agg
 
 EVENT_SCHEMA = T.StructType(
@@ -753,7 +754,7 @@ def stream_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer to 'why is my streaming state growing'; at 100 TB the state
     source reads only the checkpoint's store files (columnar snapshot +
     delta replay), never the input data."""
-    ckpt = tempfile.mkdtemp(prefix="lakeflow_statesrc_")
+    ckpt = ephemeral_dir("lakeflow_statesrc_")
     agg = (
         stream_events_table(spark, sf_dir)
         .withWatermark("ts", "1 hour")
