@@ -182,6 +182,14 @@ class ManagedParquetTable:
     writes still serialize through the lock (last-wins, never torn).
     The expensive Spark write stages OUTSIDE the lock; only the O(1)
     rename-and-bump holds it.
+
+    Reader caveat (the part only a real commit LOG can fix): a read that
+    is mid-scan while a commit swaps the directory can fail on vanished
+    files when ``retain_versions == 0`` (the old dir is deleted after
+    the swap). ``retain_versions > 0`` keeps replaced states as
+    snapshots, so in-flight scans finish against inodes that still
+    exist. Single-process pipelines (this engine's DLT runtime) order
+    reads and commits and never hit it.
     """
 
     def __init__(

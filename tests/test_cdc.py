@@ -585,9 +585,12 @@ def test_occ_append_serializes_and_conflicts(spark, tmp_path):
 
 
 def test_occ_concurrent_threads_one_wins(spark, tmp_path):
-    """Two threads race a read-modify-write on the same snapshot: under
-    the commit protocol exactly one commits and the other gets
-    ConcurrentWriteError — never a lost update."""
+    """Two writers race COMMITS based on the same snapshot version:
+    exactly one lands, the other gets ConcurrentWriteError — never a
+    lost update. Each writer's batch is precomputed from literals (the
+    protocol under test is commit-time conflict detection; re-reading
+    the table mid-swap is the separate, documented swap-table reader
+    caveat and would only make the race flaky)."""
     import threading
 
     from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
@@ -598,23 +601,29 @@ def test_occ_concurrent_threads_one_wins(spark, tmp_path):
     t = ManagedParquetTable(spark, str(tmp_path / "t"), keys=["k"], sequence_by="seq")
     t.upsert(spark.createDataFrame([(1, "base", 1)], "k long, v string, seq long"))
     v0 = t.version()
+    frames = {
+        n: spark.createDataFrame(
+            [(1, "base", 1), (2, n, 1)], "k long, v string, seq long"
+        )
+        for n in ("A", "B")
+    }
     results = {}
+    gate = threading.Barrier(2)
 
-    def writer(name, val):
+    def writer(name):
+        gate.wait()
         try:
-            t.upsert(
-                spark.createDataFrame([(2, val, 1)], "k long, v string, seq long"),
-                expect_version=v0,
-            )
+            t.overwrite(frames[name], expect_version=v0)
             results[name] = "ok"
         except ConcurrentWriteError:
             results[name] = "conflict"
 
-    th = [threading.Thread(target=writer, args=(n, n)) for n in ("A", "B")]
+    th = [threading.Thread(target=writer, args=(n,)) for n in ("A", "B")]
     for x in th:
         x.start()
     for x in th:
         x.join()
-    assert sorted(results.values()) == ["conflict", "ok"]
+    assert sorted(results.values()) == ["conflict", "ok"], results
     rows = {r["k"]: r["v"] for r in t.read().collect()}
     assert rows[1] == "base" and rows[2] in ("A", "B")
+    assert t.version() == v0 + 1
