@@ -236,13 +236,72 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_hyperplane_buckets")
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine of two embedding columns, same fold order as `cosine`."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) "
+        f"/ (SQRT(list_reduce(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) "
+        f"* SQRT(list_reduce(list_transform({b}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))"
+    )
+
+
+def _ann_buckets_oracle() -> str:
+    """Generated DuckDB oracle for the hyperplane-LSH bucket path: the 48
+    fixed hyperplanes are embedded as double literals (repr round-trips
+    exactly), each band key is the packed sign bits of three sequential-
+    fold dot products — the identical doubles in the identical order the
+    Spark side folds, so the signs (and hence the candidate set) match
+    bit-for-bit — and candidates verify with the standard cosine."""
+    planes = _hyperplanes()
+
+    def dot_sql(plane):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        return (
+            f"list_reduce(list_transform(list_zip(embedding, [{lits}]), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b)"
+        )
+
+    band_selects = []
+    for bi in range(_BANDS):
+        key = " + ".join(
+            f"(CASE WHEN {dot_sql(planes[bi * _PLANES_PER_BAND + pi])} > 0 "
+            f"THEN {1 << pi} ELSE 0 END)"
+            for pi in range(_PLANES_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {bi} AS band_id, ({key}) AS key FROM embeddings"
+        )
+    ex = "\n      UNION ALL ".join(band_selects)
+    cos = _cos_sql("ea.embedding", "eb.embedding")
+    return f"""
+    WITH ex AS (
+      {ex}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.key = b.key
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, ROUND({cos}, 6) AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE {cos} >= 0.42
+    """
+
+
+@query("sim_ann_hyperplane_buckets", _ann_buckets_oracle())
 def sim_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: banded hyperplane LSH (16 bands × 3 sign bits) →
     same-(band, key) candidate pairs → verify cosine ≥ 0.42 on candidates
-    only. Rows-only check (the fixed hyperplanes are engine-internal);
-    output ⊆ the brute-force baseline by construction, and recall ≥ 0.9
-    is asserted in tests/test_llmops.py."""
+    only. Promoted from rows-only to a FULL DuckDB oracle (round 3): the
+    48 hyperplanes travel into the oracle SQL as double literals and both
+    engines fold the same doubles in the same order, so the sign bits —
+    and therefore the candidate set — reproduce exactly; output ⊆ the
+    brute-force baseline by construction, and recall ≥ 0.9 is asserted
+    in tests/test_llmops.py."""
     em = read_table(spark, sf_dir, "embeddings")
     sigs = em.select(
         "vec_id", "embedding", F.posexplode(band_signatures(F.col("embedding"))).alias("band_id", "key")
@@ -279,7 +338,42 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
-@query("sim_quantized_cosine_topk")
+_QUANT_ORACLE = """
+    WITH base AS (
+      SELECT vec_id, label, embedding,
+             list_transform(embedding, x ->
+               CAST(ROUND(CAST(x AS DOUBLE) /
+                 (list_max(list_transform(embedding,
+                    y -> ABS(CAST(y AS DOUBLE)))) / 127.0)) AS BIGINT)) AS q
+      FROM embeddings
+    ), t AS (
+      SELECT q AS tq, embedding AS tv FROM base WHERE vec_id = 0
+    ), scored AS (
+      SELECT b.vec_id, b.label,
+             ROUND(
+               CAST(list_reduce(list_transform(list_zip(b.q, t.tq),
+                      p -> p[1] * p[2]), (a, c) -> a + c) AS DOUBLE)
+               / (SQRT(CAST(list_reduce(list_transform(b.q, x -> x * x),
+                       (a, c) -> a + c) AS DOUBLE))
+                * SQRT(CAST(list_reduce(list_transform(t.tq, x -> x * x),
+                       (a, c) -> a + c) AS DOUBLE))),
+             6) AS cos_q,
+             ROUND(
+               list_reduce(list_transform(list_zip(b.embedding, t.tv),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, c) -> a + c)
+               / (SQRT(list_reduce(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, c) -> a + c))
+                * SQRT(list_reduce(list_transform(t.tv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, c) -> a + c))),
+             6) AS cos_exact
+      FROM base b, t WHERE b.vec_id <> 0
+    )
+    SELECT vec_id, label, cos_q, cos_exact
+    FROM scored ORDER BY cos_q DESC, vec_id LIMIT 10
+"""
+
+
+@query("sim_quantized_cosine_topk", _QUANT_ORACLE)
 def sim_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 neighbors of vec_id=0 scored on int8-quantized vectors:
     cos ≈ (s_a·s_b·intdot(q_a,q_b)) / (s_a‖q_a‖ · s_b‖q_b‖) — the scales
@@ -287,11 +381,13 @@ def sim_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the quantized and the exact score per neighbor; the quantization
     error bound (|Δcos| < 2%) is asserted in tests/test_llmops.py.
 
-    Rows-only registry check: DuckDB reproduces the arithmetic but not
-    float32→double rounding at each element, so value-hash equality is
-    not the right bar for a lossy codec. The scale property is what
-    matters: the candidate scan reads 1/4 the bytes; integer folds
-    whole-stage-codegen like any arithmetic."""
+    Promoted from rows-only to a FULL DuckDB oracle (round 3): the
+    quantization is deterministic double arithmetic — per-vector scale
+    max|x|/127, HALF-UP rounding to integers, then an EXACT integer dot
+    — and both engines read the same float32 parquet and widen to
+    double, so the codes and the quantized cosine reproduce bit-for-bit
+    at 6 dp; the exact-cosine column reuses the same left-fold order the
+    `sim_cosine_topk` oracle already hash-matches."""
     em = read_table(spark, sf_dir, "embeddings")
     q, s = quantize_int8(F.col("embedding"))
     qem = em.select("vec_id", "label", "embedding", q.alias("q"), s.alias("s"))
