@@ -528,11 +528,57 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     return banded_hamming_pairs(sigs, "doc_id", "sim", max_hamming)
 
 
-@query("dedup_simhash_pairs")
+def _simhash_oracle() -> str:
+    """Generated DuckDB oracle for the SimHash pair path — promoted from
+    rows-only because the sketch is PURE INTEGER arithmetic, hence
+    engine-exact: per token, the first 8 md5 bytes big-endian equal
+    DuckDB's ('0x' || substr(md5(tok),1,16))::UBIGINT; the 64 per-bit
+    ±1 vote sums, the sign-assembled signature, the 4×16-bit band keys
+    and the xor bit_count are all integers — no floats anywhere, so the
+    candidate set and hamming distances match the Pandas-UDF sketch
+    bit-for-bit."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+        for b in range(64)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, sig, {i} AS band_id, (sig >> {i * 16}) & 65535 AS band_key FROM sigs"
+        for i in range(4)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+    ), v AS (
+      SELECT doc_id, {votes}
+      FROM th GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, ({sig}) AS sig FROM v
+    ), bands AS (
+      {bands}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sa, b.sig AS sb
+      FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+    """
+
+
+@query("dedup_simhash_pairs", _simhash_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check: the bit-voting sketch has
-    no tractable SQL oracle; correctness is asserted against the Jaccard
-    baseline in tests/test_llmops.py)."""
+    """SimHash near-dup pairs. Promoted from rows-only to a FULL DuckDB
+    oracle (round 3): the bit-voting sketch is pure integer arithmetic,
+    so a generated 64-term SQL reproduction matches it exactly (see
+    `_simhash_oracle`); overlap with the Jaccard baseline is separately
+    asserted in tests/test_llmops.py."""
     return simhash_pairs(read_table(spark, sf_dir, "documents"))
 
 

@@ -351,16 +351,62 @@ def _phash64(payloads: pd.Series) -> pd.Series:
     return payloads.map(one)
 
 
-@query("multimodal_phash_pairs")
+def _phash_oracle() -> str:
+    """Generated DuckDB oracle for the perceptual-hash pair path —
+    promoted from rows-only for the same reason as SimHash: the sketch
+    is pure integer arithmetic. The payload is the UTF-8 bytes of the
+    text and the corpus is ASCII (pinned by
+    `test_corpus_is_ascii_so_byte_offsets_equal_char_offsets`), so byte
+    4-grams equal `substr(text, i, 4)`; votes, signature bits, band keys
+    and xor bit_count are all integers — bit-for-bit reproducible."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+        for b in range(64)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, sig, {i} AS band_id, (sig >> {i * 16}) & 65535 AS band_key FROM sigs"
+        for i in range(4)
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 16))::UBIGINT AS h
+      FROM (SELECT doc_id, text, unnest(range(1, LENGTH(text) - 2)) AS i
+            FROM documents)
+    ), v AS (
+      SELECT doc_id, {votes}
+      FROM g GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, ({sig}) AS sig FROM v
+    ), bands AS (
+      {bands}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sa, b.sig AS sb
+      FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+    """
+
+
+@query("multimodal_phash_pairs", _phash_oracle())
 def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup pairs over BINARY media payloads: sketch
     each payload to 64 bits (Arrow-batched pandas UDF — the only Python
     step), then the same banded-hamming candidate join used by SimHash
     (`dedup.banded_hamming_pairs`). The media dedup path of an ingest
     pipeline: byte-identical dups fall to the md5 column; near-identical
-    payloads (re-encodes, metadata-stripped copies) fall here. Rows-only
-    check (banding is engine-internal); tests assert the planted text
-    near-dups surface as payload near-dups."""
+    payloads (re-encodes, metadata-stripped copies) fall here. Promoted
+    from rows-only to a FULL DuckDB oracle (round 3): the sketch is
+    pure integer arithmetic over byte 4-grams, reproduced by a
+    generated 64-term SQL (`_phash_oracle`); tests additionally assert
+    the planted text near-dups surface as payload near-dups."""
     from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
         banded_hamming_pairs,
     )
