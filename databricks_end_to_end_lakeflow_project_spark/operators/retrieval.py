@@ -227,7 +227,12 @@ def mmr_select(
     rel = cand["rel"].to_numpy(dtype=float)
     vecs = np.array([np.asarray(v, dtype=float) for v in cand["embedding"]])
     vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-    sims = vecs @ vecs.T  # candidate-candidate cosine, O(k^2) only
+    # candidate-candidate cosine, O(k^2) only. Rounded to 9dp so the
+    # greedy objective is ENGINE-REPRODUCIBLE: gemm summation order
+    # (BLAS kernel, thread count) perturbs last ulps, and an argmax over
+    # unquantized floats could flip on those — with the quantized
+    # objective the DuckDB oracle's replay picks identically.
+    sims = np.round(vecs @ vecs.T, 9)
     chosen: list[int] = []
     rest = list(range(len(ids)))
     while rest and len(chosen) < k:
@@ -253,7 +258,89 @@ def mmr_select(
     )
 
 
-@query("retrieval_mmr_rerank")
+_MMR_MODEL_DIR = __import__("os").path.join(
+    __import__("tempfile").gettempdir(), "lakeflow_sources"
+)
+_MMR_REL_PQ = __import__("os").path.join(_MMR_MODEL_DIR, "mmr_candidates.parquet")
+_MMR_SIM_PQ = __import__("os").path.join(_MMR_MODEL_DIR, "mmr_sims.parquet")
+
+
+def _export_mmr_model(cand_rows) -> None:
+    """Write the candidate model (rel scores + 9dp-quantized pairwise
+    cosines, both computed with the same numpy pipeline `mmr_select`
+    uses) to fixed parquet paths for the oracle — the model-export
+    pattern of `source_binaryfile_manifest`: 25 rows + 625 sims, model
+    moves, not data; atomic rename so a concurrent reader never tears."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = [int(r["doc_id"]) for r in cand_rows]
+    rel = [float(r["rel"]) for r in cand_rows]
+    vecs = np.array([np.asarray(r["embedding"], dtype=float) for r in cand_rows])
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(vecs @ vecs.T, 9)
+    os.makedirs(_MMR_MODEL_DIR, exist_ok=True)
+    for path, tbl in [
+        (
+            _MMR_REL_PQ,
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "rel": pa.array(rel)}),
+        ),
+        (
+            _MMR_SIM_PQ,
+            pa.table(
+                {
+                    "i": pa.array([a for a in ids for _ in ids], pa.int64()),
+                    "j": pa.array([b for _ in ids for b in ids], pa.int64()),
+                    "sim": pa.array([float(x) for row in sims for x in row]),
+                }
+            ),
+        ),
+    ]:
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+
+def _mmr_oracle() -> str:
+    """Generated 10-level unrolled greedy: level 1 seeds with the most
+    relevant candidate; level k scores the rest as
+    ``0.7·rel − (1 − 0.7)·max(sim to chosen)`` over the EXPORTED model
+    (same doubles, same expression → identical argmax) with ascending
+    doc_id tiebreaks — the exact `mmr_select` loop as SQL."""
+    lvls = ["s1 AS MATERIALIZED (SELECT doc_id FROM rel ORDER BY rel DESC, doc_id LIMIT 1)"]
+    chosen = "SELECT doc_id FROM s1"
+    for k in range(2, _MMR_K + 1):
+        lvls.append(
+            f"""c{k} AS MATERIALIZED (
+      SELECT r.doc_id, 0.7 * r.rel - (1 - 0.7) * MAX(s.sim) AS score
+      FROM rel r JOIN sims s ON s.i = r.doc_id AND s.j IN ({chosen})
+      WHERE r.doc_id NOT IN ({chosen})
+      GROUP BY r.doc_id, r.rel
+    ), s{k} AS MATERIALIZED (SELECT doc_id FROM c{k} ORDER BY score DESC, doc_id LIMIT 1)"""
+        )
+        chosen += f" UNION ALL SELECT doc_id FROM s{k}"
+    ranks = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {k} AS mmr_rank FROM s{k}" for k in range(1, _MMR_K + 1)
+    )
+    body = ",\n    ".join(lvls)
+    return f"""
+    WITH rel AS MATERIALIZED (SELECT doc_id, rel FROM read_parquet('{_MMR_REL_PQ}')),
+    sims AS MATERIALIZED (SELECT i, j, sim FROM read_parquet('{_MMR_SIM_PQ}')),
+    {body},
+    chosen AS (
+      {ranks}
+    )
+    SELECT c.doc_id, CAST(c.mmr_rank AS INT) AS mmr_rank,
+           ROUND(r.rel, 6) AS rel
+    FROM chosen c JOIN rel r USING (doc_id)
+    ORDER BY mmr_rank
+    """
+
+
+@query("retrieval_mmr_rerank", _mmr_oracle())
 def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-rank: take the top-25 cosine
     candidates for query vec_id=0, then greedily pick 10 balancing
@@ -262,11 +349,15 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: candidate generation is the distributed part (corpus
     scan → TakeOrderedAndProject top-25); the greedy O(k²) rerank runs
-    in ONE `applyInPandas` group on an executor, so no corpus data and
-    no vectors ever reach the driver. MMR's sequential greedy loop is
-    inherently order-dependent — not SQL-expressible — so this entry is
-    rows-only for the driver; `tests/test_retrieval.py` pins the exact
-    selection against an independent numpy implementation.
+    in ONE `applyInPandas` group on an executor, so no corpus data
+    reaches the driver beyond the 25-row candidate model. Promoted from
+    rows-only to a FULL DuckDB oracle (round 3): the greedy objective is
+    quantized (9dp pairwise cosines) so selection is engine-reproducible
+    by design, the candidate model (rel + sims) exports to fixed parquet
+    paths, and a generated 10-level unrolled SQL replays the exact
+    greedy argmax with the same doubles and tiebreaks;
+    `tests/test_retrieval.py` still pins the selection against an
+    independent numpy implementation.
     """
     em = read_table(spark, sf_dir, "embeddings")
     qv = _query_vector(em)
@@ -281,6 +372,9 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_MMR_CANDIDATES)
         .withColumn("g", F.lit(1))
     )
+    # model export for the oracle: 25 candidate rows — a bounded
+    # model-moves collect, same class as the PQ codebooks
+    _export_mmr_model(cand.collect())
     out_schema = StructType.fromDDL("doc_id long, mmr_rank int, rel double")
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
