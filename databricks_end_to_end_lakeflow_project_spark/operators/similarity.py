@@ -197,45 +197,6 @@ def ivf_assign(em: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataF
     return em.withColumn("cell", best_cell)
 
 
-@query("sim_ivf_topk")
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN top-10 for the vec_id=0 query: 8 deterministic seed
-    centroids (first 8 vectors) → every vector assigned to its
-    max-cosine cell (narrow map, no shuffle) → probe the query's 3
-    nearest cells → brute-force rank inside the probed partitions only.
-
-    Scan cost is nprobe/cells (here 3/8) of brute force; on clustered
-    corpora recall tracks the probe fraction steeply. Rows-only check
-    (cell assignment is engine-internal); tests assert every returned
-    neighbor carries its exact cosine and ranks consistently with the
-    brute-force baseline over the probed cells."""
-    em = read_table(spark, sf_dir, "embeddings")
-    seeds = [
-        (r["vec_id"], r["embedding"])
-        for r in em.filter(F.col("vec_id") < _IVF_CELLS).select("vec_id", "embedding").collect()
-    ]
-    qv_vals = [float(x) for x in next(e for i, e in seeds if i == 0)]
-    qv = F.array(*[F.lit(x) for x in qv_vals])
-
-    # driver-side probe selection: centroids are tiny, cosine in numpy
-    qn = np.array(qv_vals)
-    probed = sorted(
-        seeds,
-        key=lambda s: -float(
-            np.dot(qn, np.array(s[1])) / (np.linalg.norm(qn) * np.linalg.norm(np.array(s[1])))
-        ),
-    )[:_IVF_NPROBE]
-    probe_ids = [cell_id for cell_id, _ in probed]
-
-    assigned = ivf_assign(em, seeds)
-    return (
-        assigned.filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != 0))
-        .select("vec_id", "label", F.round(cosine(F.col("embedding"), qv), 6).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), "vec_id")
-        .limit(10)
-    )
-
-
 def _cos_sql(a: str, b: str) -> str:
     """DuckDB cosine of two embedding columns, same fold order as `cosine`."""
     return (
@@ -245,6 +206,92 @@ def _cos_sql(a: str, b: str) -> str:
         f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) "
         f"* SQRT(list_reduce(list_transform({b}, "
         f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))"
+    )
+
+
+def _seq_cosine(a, b) -> float:
+    """Driver-side cosine with the exact sequential fold order of
+    `cosine` / DuckDB's list_reduce — Python floats are IEEE doubles, so
+    the result is bit-identical to both engines' column expressions."""
+    import math
+
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na = na + float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb = nb + float(y) * float(y)
+    return s / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _ivf_oracle() -> str:
+    """Generated DuckDB replay of the whole IVF pipeline: the 8 seed
+    centroids ARE table rows (vec_id < 8), cell assignment is argmax of
+    the same sequential-fold cosine (ties → lowest cell, mirroring the
+    first-wins CASE chain in `ivf_assign`), probe selection reuses the
+    fold — every double matches bit-for-bit, so cells, probes and the
+    final top-10 are exact, not approximate."""
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS cell, embedding AS cvec
+      FROM embeddings WHERE vec_id < {_IVF_CELLS}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT cell FROM seeds, q
+      ORDER BY {_cos_sql('cvec', 'qv')} DESC, cell LIMIT {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, e.embedding, s.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 's.cvec')} DESC, s.cell
+             ) AS rn
+      FROM embeddings e CROSS JOIN seeds s
+    )
+    SELECT a.vec_id, a.label, ROUND({_cos_sql('a.embedding', 'q.qv')}, 6) AS cos_sim
+    FROM scored a, q
+    WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    """
+
+
+@query("sim_ivf_topk", _ivf_oracle())
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-10 for the vec_id=0 query: 8 deterministic seed
+    centroids (first 8 vectors) → every vector assigned to its
+    max-cosine cell (narrow map, no shuffle) → probe the query's 3
+    nearest cells → brute-force rank inside the probed partitions only.
+
+    Scan cost is nprobe/cells (here 3/8) of brute force; on clustered
+    corpora recall tracks the probe fraction steeply. Promoted from
+    rows-only to a FULL DuckDB oracle (round 3): the seed centroids are
+    themselves table rows and both assignment and probe selection use
+    the sequential-fold cosine, so the oracle replays cell assignment
+    bit-for-bit (no trained model, nothing engine-internal); tests
+    additionally pin returned neighbors to exact brute-force cosines."""
+    em = read_table(spark, sf_dir, "embeddings")
+    seeds = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in em.filter(F.col("vec_id") < _IVF_CELLS).select("vec_id", "embedding").collect()
+    )
+    qv_vals = [float(x) for x in next(e for i, e in seeds if i == 0)]
+    qv = F.array(*[F.lit(x) for x in qv_vals])
+
+    # driver-side probe selection over the tiny centroid set — the same
+    # sequential fold as the column expression, tie → lowest cell
+    probed = sorted(seeds, key=lambda s: (-_seq_cosine(s[1], qv_vals), s[0]))[:_IVF_NPROBE]
+    probe_ids = [cell_id for cell_id, _ in probed]
+
+    assigned = ivf_assign(em, seeds)
+    return (
+        assigned.filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", F.round(cosine(F.col("embedding"), qv), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
     )
 
 
@@ -686,21 +733,45 @@ def _pq_assign(mat: "np.ndarray", sub_codebook: "np.ndarray") -> "np.ndarray":
     return d2.argmin(axis=1)
 
 
+def _seq_normalize(mat: "np.ndarray") -> "np.ndarray":
+    """Unit-normalize rows with a SEQUENTIAL left-to-right sum of squares
+    — the exact fold order of DuckDB's list_reduce — so the normalized
+    doubles match the oracle bit-for-bit (np.linalg.norm's pairwise tree
+    sum differs in the last ulp)."""
+    s = np.zeros(mat.shape[0])
+    for d in range(mat.shape[1]):
+        s = s + mat[:, d] * mat[:, d]
+    return mat / np.sqrt(s)[:, None]
+
+
+def _seq_assign(mat: "np.ndarray", sub_codebook: "np.ndarray") -> "np.ndarray":
+    """argmin codeword per row, squared-L2 accumulated sequentially over
+    the subdims (matches list_reduce), ties to the lowest index."""
+    diff = mat[:, None, :] - sub_codebook[None, :, :]
+    sq = diff * diff
+    d2 = sq[:, :, 0]
+    for d in range(1, mat.shape[1]):
+        d2 = d2 + sq[:, :, d]
+    return d2.argmin(axis=1)
+
+
 def pq_encode(em: DataFrame, codebook: list[list[list[float]]]) -> DataFrame:
     """Assign every vector its M nearest-codeword indexes (column
     ``codes``: array<int> of length M). One `mapInPandas` pass: the
     ~4 KB codebook ships in the UDF closure, distances are numpy
-    batch matmuls — row-local, shuffle-free at any corpus size."""
+    batch matmuls — row-local, shuffle-free at any corpus size.
+    Normalization and distance accumulation use the sequential fold
+    order so encoding is bit-reproducible by the DuckDB oracle."""
     cb = [np.asarray(sub, dtype=float) for sub in codebook]
 
     def enc(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = _pq_normalize(np.stack(pdf["embedding"].map(
+            V = _seq_normalize(np.stack(pdf["embedding"].map(
                 lambda v: np.asarray(v, dtype=float))))
             codes = np.stack([
-                _pq_assign(V[:, m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM], cb[m])
+                _seq_assign(V[:, m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM], cb[m])
                 for m in range(_PQ_M)
             ], axis=1)
             yield pd.DataFrame({
@@ -775,7 +846,114 @@ def pq_adc_table(query: "np.ndarray", codebook: list[list[list[float]]]) -> list
     ]
 
 
-@query("sim_pq_adc_topk")
+_PQ_MODEL_DIR = __import__("os").path.join(
+    __import__("tempfile").gettempdir(), "lakeflow_sources"
+)
+_PQ_CB_PQ = __import__("os").path.join(_PQ_MODEL_DIR, "pq_codebook.parquet")
+_PQ_LUT_PQ = __import__("os").path.join(_PQ_MODEL_DIR, "pq_adc_lut.parquet")
+
+
+def _export_pq_model(codebook: list[list[list[float]]], table: list[list[float]]) -> None:
+    """Write the trained model (M×K codewords + the query's M×K ADC
+    lookup table — ~5 KB total) to fixed parquet paths for the oracle:
+    the model-export pattern of `retrieval_mmr_rerank`. The model moves,
+    never the data; atomic rename so a concurrent reader never tears."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_PQ_MODEL_DIR, exist_ok=True)
+    ms = [m for m in range(_PQ_M) for _ in range(_PQ_K)]
+    ks = [k for _ in range(_PQ_M) for k in range(_PQ_K)]
+    for path, tbl in [
+        (
+            _PQ_CB_PQ,
+            pa.table({
+                "m": pa.array(ms, pa.int32()),
+                "code": pa.array(ks, pa.int32()),
+                "cw": pa.array(
+                    [[float(x) for x in codebook[m][k]] for m, k in zip(ms, ks)],
+                    pa.list_(pa.float64()),
+                ),
+            }),
+        ),
+        (
+            _PQ_LUT_PQ,
+            pa.table({
+                "m": pa.array(ms, pa.int32()),
+                "code": pa.array(ks, pa.int32()),
+                "dist": pa.array([float(table[m][k]) for m, k in zip(ms, ks)]),
+            }),
+        ),
+    ]:
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+
+def _pq_oracle() -> str:
+    """Generated DuckDB replay of PQ-ADC over the EXPORTED model:
+    sequential-fold normalize → per-(vector, subspace) squared-L2 argmin
+    against the exported codewords (the same doubles, the same fold
+    order as `_seq_assign`, ties → lowest code) → ADC as the identical
+    left-to-right chain of LUT lookups → top-50 → exact cosine rerank.
+    Every double matches the Spark side bit-for-bit, so the lossy
+    quantization is replayed exactly rather than approximated."""
+    c_cols = ",\n        ".join(
+        f"MAX(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(_PQ_M)
+    )
+    lut_joins = "\n      ".join(
+        f"JOIN lut l{m} ON l{m}.m = {m} AND l{m}.code = p.c{m}" for m in range(_PQ_M)
+    )
+    adc_chain = " + ".join(f"l{m}.dist" for m in range(_PQ_M))
+    return f"""
+    WITH cb AS (SELECT m, code, cw FROM read_parquet('{_PQ_CB_PQ}')),
+    lut AS (SELECT m, code, dist FROM read_parquet('{_PQ_LUT_PQ}')),
+    nrm AS (
+      SELECT vec_id, label, embedding,
+             SQRT(list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nr
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    nvs AS (
+      SELECT vec_id, label, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nr) AS nv
+      FROM nrm
+    ),
+    dists AS (
+      SELECT n.vec_id, c.m, c.code,
+             list_reduce(list_transform(
+               list_zip(list_slice(n.nv, c.m * {_PQ_SUBDIM} + 1, c.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}), c.cw),
+               p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS d2
+      FROM nvs n CROSS JOIN cb c
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+        FROM dists) WHERE rn = 1
+    ),
+    pivoted AS (
+      SELECT vec_id,
+        {c_cols}
+      FROM codes GROUP BY vec_id
+    ),
+    adc AS (
+      SELECT p.vec_id, ROUND({adc_chain}, 6) AS adc_dist
+      FROM pivoted p
+      {lut_joins}
+    ),
+    cand AS (SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT {_PQ_RERANK}),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, c.adc_dist,
+           ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+    FROM cand c JOIN embeddings e USING (vec_id), q
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """
+
+
+@query("sim_pq_adc_topk", _pq_oracle())
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation and
     exact re-ranking — the compression half of FAISS-style IVF-PQ and
@@ -792,10 +970,13 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM element_at over broadcast literal tables ending in a
     TakeOrderedAndProject; the re-rank joins the 50 survivors back as a
     BROADCAST build side, so the full-precision vectors are read for 50
-    rows, not the corpus. Quantization is lossy ⇒ rows-only for the
-    driver; tests pin the ADC arithmetic to a numpy reimplementation,
-    the rerank scores to the exact brute force, and recall@10 on this
-    fixed corpus.
+    rows, not the corpus. Promoted from rows-only to a FULL DuckDB
+    oracle (round 3): encode uses sequential-fold normalize/distances
+    (bit-identical to list_reduce), the trained codebook + query LUT
+    export to fixed parquet paths (model moves, not data), and the
+    generated oracle replays encode → ADC chain → rerank exactly; tests
+    additionally pin ADC arithmetic to a numpy reimplementation, rerank
+    scores to the exact brute force, and recall@10 on this fixed corpus.
     """
     em = read_table(spark, sf_dir, "embeddings")
     codebook = pq_train(em)
@@ -805,6 +986,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     qv_vals = [float(x) for x in qrow]
     table = pq_adc_table(np.asarray(qv_vals, dtype=float), codebook)
+    # model export for the oracle: M*K codewords + the query's LUT —
+    # a bounded model-moves write, same class as the MMR candidate model
+    _export_pq_model(codebook, table)
     score = None
     for m in range(_PQ_M):
         lut = F.array(*[F.lit(v) for v in table[m]])
