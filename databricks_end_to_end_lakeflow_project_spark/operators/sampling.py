@@ -428,3 +428,70 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_log_imp").desc(), "doc_id")
         .limit(20)
     )
+
+
+# -- deterministic epoch shuffle ---------------------------------------------
+
+_EPOCH_SEED = 1
+_EPOCH_SHARDS = 8
+_HEX_ALPHABET = "0123456789abcdef"
+
+
+def epoch_shuffle(df: DataFrame, key: Column, epoch: int, n_shards: int) -> DataFrame:
+    """Deterministic global training-order permutation WITHOUT a global
+    sort: ``hkey = md5(epoch ':' key)`` is an epoch-seeded uniform draw;
+    ``shard`` is the first hex digit mod ``n_shards`` (a prefix of hkey,
+    so shard boundaries agree with hkey order within each residue class
+    and assignment is uniform by construction); ``pos`` ranks (hkey,
+    key) within the shard. Reading shards in (shard, pos) order yields a
+    reproducible global order, and changing ``epoch`` reshuffles
+    everything deterministically — the standard "shard, then shuffle
+    within shard" used to write 100 TB training data: one hash-partition
+    exchange plus shard-local sorts, never a range-partitioned total
+    sort (no sampling skew, no stragglers on a hot range).
+
+    Size ``n_shards`` to the corpus (shard ≈ one output file's worth);
+    the per-shard window below is exactly the exchange + local sort the
+    sharded write needs, so Catalyst plans the scale shape directly.
+    """
+    hkey = F.md5(F.concat(F.lit(f"{epoch}:"), key.cast("string")).cast("binary"))
+    out = df.select(key.alias("k"), hkey.alias("hkey"))
+    shard = (F.conv(F.substring("hkey", 1, 1), 16, 10).cast("int") % n_shards).alias("shard")
+    w = Window.partitionBy("shard").orderBy("hkey", "k")
+    return (
+        out.select("k", "hkey", shard)
+        .select("k", "shard", F.row_number().over(w).cast("long").alias("pos"))
+    )
+
+
+@query(
+    "sample_epoch_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((strpos('{_HEX_ALPHABET}', SUBSTRING(hkey, 1, 1)) - 1)
+                % {_EPOCH_SHARDS} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY (strpos('{_HEX_ALPHABET}', SUBSTRING(hkey, 1, 1)) - 1)
+                          % {_EPOCH_SHARDS}
+             ORDER BY hkey, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-seeded deterministic training-order shuffle of the corpus:
+    every document gets a (shard, pos) coordinate that is a pure
+    function of (epoch, doc_id) — stable across reruns, partitionings
+    and clusters — and the plan is one hash exchange + per-shard local
+    sorts, never a global range sort. The oracle replays the identical
+    md5 draw, shard digit and per-shard rank in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        epoch_shuffle(docs, F.col("doc_id"), _EPOCH_SEED, _EPOCH_SHARDS)
+        .withColumnRenamed("k", "doc_id")
+        .select("doc_id", "shard", "pos")
+    )

@@ -181,3 +181,51 @@ def test_dsir_importance_matches_pure_python(spark, monkeypatch):
     # target-like raw docs outrank the off-target one
     assert got[4]["avg_log_imp"] > got[3]["avg_log_imp"]
     assert got[2]["avg_log_imp"] > got[3]["avg_log_imp"]
+
+
+def test_epoch_shuffle_is_permutation_and_partition_invariant(spark):
+    """(shard, pos) must cover every doc exactly once with dense 1..n
+    positions per shard, be identical under repartitioning, and be
+    balanced across shards (uniform hash prefix)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        _EPOCH_SEED,
+        _EPOCH_SHARDS,
+        epoch_shuffle,
+    )
+
+    docs = _docs(spark)
+    n = docs.count()
+    out = epoch_shuffle(docs, F.col("doc_id"), _EPOCH_SEED, _EPOCH_SHARDS)
+    rows = out.collect()
+    assert len(rows) == n
+    assert len({r["k"] for r in rows}) == n  # every doc exactly once
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert 0 <= shard < _EPOCH_SHARDS
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 3 * n / _EPOCH_SHARDS  # no hot shard
+    again = epoch_shuffle(
+        docs.repartition(13), F.col("doc_id"), _EPOCH_SEED, _EPOCH_SHARDS
+    ).collect()
+    assert {(r["k"], r["shard"], r["pos"]) for r in again} == {
+        (r["k"], r["shard"], r["pos"]) for r in rows
+    }
+
+
+def test_epoch_shuffle_epoch_changes_order(spark):
+    """A different epoch seed must produce a genuinely different
+    permutation (that is the point of per-epoch shuffling)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        _EPOCH_SHARDS,
+        epoch_shuffle,
+    )
+
+    docs = _docs(spark)
+    e1 = {(r["k"], r["shard"], r["pos"]) for r in
+          epoch_shuffle(docs, F.col("doc_id"), 1, _EPOCH_SHARDS).collect()}
+    e2 = {(r["k"], r["shard"], r["pos"]) for r in
+          epoch_shuffle(docs, F.col("doc_id"), 2, _EPOCH_SHARDS).collect()}
+    assert len(e1 & e2) < len(e1) / 4  # almost every coordinate moved
