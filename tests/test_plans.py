@@ -468,3 +468,17 @@ def test_autocorr_single_resample_exchange(spark):
 
     plan = _plan(ts_autocorr_lags(spark, SF))
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_is_hash_sharded_not_range_sorted(spark):
+    """The epoch shuffle's whole point is a deterministic global order
+    WITHOUT a global sort: the plan must carry exactly one hash exchange
+    on the shard digit and NO range exchange (a range exchange would be
+    Spark's sampled total sort — skew-prone and needless here)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        sample_epoch_shuffle,
+    )
+
+    plan = _plan(sample_epoch_shuffle(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
