@@ -263,6 +263,68 @@ def rank_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
     return curve
 
 
+def shuffle_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
+    """Scale curve for the epoch shuffle (operators/sampling.py
+    epoch_shuffle) — evidence behind its no-global-sort claim: at
+    sf0.01, sf0.1 and a synthetic 10× replication, shard the corpus and
+    record rows, shard count, max/mean shard size and wall time. Pass
+    criteria: balance (max/mean) stays ~1 as rows grow 100× and shard
+    count scales up (the 4-hex-digit draw gives 65,536 uniform classes),
+    while wall time grows ~linearly — one hash exchange + local sorts,
+    never a sampled range partitioning."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    def docs(d):
+        return read_table(spark, d, "documents").select("doc_id")
+
+    def replicate(df, k):
+        parts = [
+            df.select((F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"))
+            for i in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    curve = []
+    for label, df, shards in [
+        ("sf0.01", docs(sf01_dir), 8),
+        ("sf0.1", docs(sf1_dir), 16),
+        ("sf0.1 x10", replicate(docs(sf1_dir), 10), 128),
+    ]:
+        spark.catalog.clearCache()
+        t0 = _t.perf_counter()
+        sizes = (
+            epoch_shuffle(df, F.col("doc_id"), 1, shards)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("pos").alias("max_pos"))
+            .collect()
+        )
+        sec = round(_t.perf_counter() - t0, 2)
+        ns = [r["n"] for r in sizes]
+        assert all(r["n"] == r["max_pos"] for r in sizes)  # dense per-shard ranks
+        curve.append(
+            {
+                "point": label,
+                "n_rows": sum(ns),
+                "n_shards": shards,
+                "max_shard": max(ns),
+                "mean_shard": round(sum(ns) / len(ns), 1),
+                "balance": round(max(ns) * len(ns) / sum(ns), 3),
+                "sec": sec,
+            }
+        )
+    spark.catalog.clearCache()
+    return curve
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -315,6 +377,7 @@ def main() -> None:
             spark.catalog.clearCache()
             out["dedup_curve"] = dedup_scale_curve(spark, sf01, sf1)
             out["rank_curve"] = rank_scale_curve(spark, sf01, sf1)
+            out["shuffle_curve"] = shuffle_scale_curve(spark, sf01, sf1)
 
     print(json.dumps(out))
     spark.stop()

@@ -440,15 +440,15 @@ _HEX_ALPHABET = "0123456789abcdef"
 def epoch_shuffle(df: DataFrame, key: Column, epoch: int, n_shards: int) -> DataFrame:
     """Deterministic global training-order permutation WITHOUT a global
     sort: ``hkey = md5(epoch ':' key)`` is an epoch-seeded uniform draw;
-    ``shard`` is the first hex digit mod ``n_shards`` (a prefix of hkey,
-    so shard boundaries agree with hkey order within each residue class
-    and assignment is uniform by construction); ``pos`` ranks (hkey,
-    key) within the shard. Reading shards in (shard, pos) order yields a
-    reproducible global order, and changing ``epoch`` reshuffles
-    everything deterministically — the standard "shard, then shuffle
-    within shard" used to write 100 TB training data: one hash-partition
-    exchange plus shard-local sorts, never a range-partitioned total
-    sort (no sampling skew, no stragglers on a hot range).
+    ``shard`` is the first FOUR hex digits (a uniform draw over 65,536
+    values — headroom for thousands of output shards at 100 TB) mod
+    ``n_shards``; ``pos`` ranks (hkey, key) within the shard. Reading
+    shards in (shard, pos) order yields a reproducible global order, and
+    changing ``epoch`` reshuffles everything deterministically — the
+    standard "shard, then shuffle within shard" used to write 100 TB
+    training data: one hash-partition exchange plus shard-local sorts,
+    never a range-partitioned total sort (no sampling skew, no
+    stragglers on a hot range).
 
     Size ``n_shards`` to the corpus (shard ≈ one output file's worth);
     the per-shard window below is exactly the exchange + local sort the
@@ -456,7 +456,9 @@ def epoch_shuffle(df: DataFrame, key: Column, epoch: int, n_shards: int) -> Data
     """
     hkey = F.md5(F.concat(F.lit(f"{epoch}:"), key.cast("string")).cast("binary"))
     out = df.select(key.alias("k"), hkey.alias("hkey"))
-    shard = (F.conv(F.substring("hkey", 1, 1), 16, 10).cast("int") % n_shards).alias("shard")
+    shard = (F.conv(F.substring("hkey", 1, 4), 16, 10).cast("long") % n_shards).cast(
+        "int"
+    ).alias("shard")
     w = Window.partitionBy("shard").orderBy("hkey", "k")
     return (
         out.select("k", "hkey", shard)
@@ -464,24 +466,35 @@ def epoch_shuffle(df: DataFrame, key: Column, epoch: int, n_shards: int) -> Data
     )
 
 
-@query(
-    "sample_epoch_shuffle",
-    f"""
+def _hex_prefix_sql(col: str, nchars: int) -> str:
+    """DuckDB integer value of the first ``nchars`` hex digits of a hex
+    string column — strpos digit lookups folded Horner-style (DuckDB has
+    no base-16 string→int conversion)."""
+    expr = "0"
+    for i in range(1, nchars + 1):
+        digit = f"(strpos('{_HEX_ALPHABET}', SUBSTRING({col}, {i}, 1)) - 1)"
+        expr = f"(({expr}) * 16 + {digit})"
+    return expr
+
+
+def _epoch_shuffle_oracle() -> str:
+    hex4 = _hex_prefix_sql("hkey", 4)
+    return f"""
     WITH h AS (
       SELECT doc_id,
              md5('{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS hkey
       FROM documents
     )
     SELECT doc_id,
-           CAST((strpos('{_HEX_ALPHABET}', SUBSTRING(hkey, 1, 1)) - 1)
-                % {_EPOCH_SHARDS} AS INT) AS shard,
+           CAST({hex4} % {_EPOCH_SHARDS} AS INT) AS shard,
            CAST(ROW_NUMBER() OVER (
-             PARTITION BY (strpos('{_HEX_ALPHABET}', SUBSTRING(hkey, 1, 1)) - 1)
-                          % {_EPOCH_SHARDS}
+             PARTITION BY {hex4} % {_EPOCH_SHARDS}
              ORDER BY hkey, doc_id) AS BIGINT) AS pos
     FROM h
-    """,
-)
+    """
+
+
+@query("sample_epoch_shuffle", _epoch_shuffle_oracle())
 def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-seeded deterministic training-order shuffle of the corpus:
     every document gets a (shard, pos) coordinate that is a pure
