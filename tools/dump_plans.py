@@ -170,6 +170,15 @@ SHOWCASE = [
         "own hashpartitioning exchange — zero SinglePartition exchanges at "
         "any customer count.",
     ),
+    (
+        "sample_epoch_shuffle",
+        "Epoch-seeded deterministic training-order shuffle: exactly ONE "
+        "Exchange (hashpartitioning on the 4-hex-digit shard) followed by "
+        "a shard-local Sort + Window — never an Exchange rangepartitioning "
+        "(Spark's sampled global sort). 'Shard then shuffle within shard' "
+        "is the shape a 100 TB training-data write needs: per-shard files, "
+        "no skewed range boundaries, no total-order straggler.",
+    ),
 ]
 
 
