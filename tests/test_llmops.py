@@ -867,3 +867,38 @@ def test_c4_delta_equals_full_run_restricted(spark, monkeypatch):
         assert got[s]["n_removed"] == full[s]["n_removed"] - base.get(
             s, {"n_removed": 0}
         )["n_removed"]
+
+
+def test_minhash_signature_numpy_matches_jvm_arithmetic(spark):
+    """The vectorized numpy signature kernel must be bit-identical to
+    the JVM long-arithmetic formulation (explode + 64 min() aggregates)
+    it replaced — int64-exact because h < P and a,b < P keep a*h+b under
+    2^63. Also pins the empty-shingle-drop semantics of the old explode."""
+    from pyspark.sql import functions as F
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        _N_PERM,
+        _P,
+        _perm_params,
+        minhash_signatures,
+        shingle_hashes,
+        shingles,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= 3).select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    )
+    got = {r["doc_id"]: r["sig"] for r in minhash_signatures(sh).collect()}
+
+    hashed = sh.select("doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("h"))
+    mins = []
+    for i in range(_N_PERM):
+        a, b = _perm_params(i)
+        mins.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"m{i}"))
+    ref = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(_N_PERM)]
+        for r in hashed.groupBy("doc_id").agg(*mins).collect()
+    }
+    assert got == ref
