@@ -652,23 +652,23 @@ def _cc_loop(bidir: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # the changed flag rides along in the checkpointed frame, so
+        # convergence detection is a shuffle-free scan of the checkpoint
+        # (partial counts), NOT an extra old-vs-new join per round
+        new_comp = F.least(
+            F.col("component"), F.coalesce("nbr_component", F.col("component"))
+        )
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp < F.col("component")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels
