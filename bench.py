@@ -325,6 +325,142 @@ def shuffle_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
     return curve
 
 
+def stream_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
+    """Scale curve for the watermarked stream-stream interval join —
+    the evidence behind its bounded-state claim: input rows ×100 while
+    the peak stream-state row count tracks the (watermark + interval)
+    window of data per side, NOT the stream length, and drained pairs /
+    wall time grow ~linearly. The 10× point replicates the stream
+    LENGTHWISE — ten copies shifted end-to-end in event time, the same
+    event rate for ten times longer (how an unbounded feed actually
+    grows) — so peak state must stay ~FLAT while input grows 10×; a
+    rate-wise 10× would honestly grow state 10× (state ∝ rate ×
+    window). Each point stages the events as TIME-ORDERED files (what
+    real ingestion produces — a range repartition on ts in the staging
+    step only, file count ∝ stream length so rows-per-file is constant)
+    and drains the same click→purchase interval join with availableNow
+    at a few files per micro-batch, so the watermark advances between
+    batches and evicts expired state exactly as on a live feed; peak
+    state rows come from the query's progress. A single-batch drain
+    would show state == input — a harness artifact (the watermark only
+    advances between micro-batches), not the operator's steady state."""
+    import time as _t
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+    from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+        ephemeral_dir,
+    )
+
+    def replicate_lengthwise(ev, k):
+        span = ev.agg(
+            F.max("ts").alias("hi"), F.min("ts").alias("lo")
+        ).collect()[0]
+        gap = int((span["hi"] - span["lo"]).total_seconds()) + 7200
+        parts = [
+            ev.select(
+                (F.col("user_id") + F.lit(i * 100_000_000)).alias("user_id"),
+                F.col("event_type"),
+                (F.col("ts") + F.expr(f"INTERVAL {i * gap} SECONDS")).alias("ts"),
+            )
+            for i in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    ev01 = read_table(spark, sf01_dir, "events").select("user_id", "event_type", "ts")
+    ev1 = read_table(spark, sf1_dir, "events").select("user_id", "event_type", "ts")
+
+    curve = []
+    for label, ev, nfiles, files_per_trigger in [
+        ("sf0.01", ev01, 20, 4),
+        ("sf0.1", ev1, 20, 4),
+        # 10× the length at the SAME batch time-span (file count ∝
+        # length, same files-per-trigger): peak state stays flat because
+        # both the watermark-retained window AND the in-flight batch
+        # cover the same wall-clock span of the feed as the base point
+        ("sf0.1 x10", replicate_lengthwise(ev1, 10), 200, 4),
+    ]:
+        spark.catalog.clearCache()
+        staged = ephemeral_dir("bench_stream_curve_")
+        ev.repartitionByRange(nfiles, "ts").write.mode("overwrite").parquet(staged)
+        # the file source replays in MODIFICATION-TIME order, but parallel
+        # write tasks finish out of range order — stamp mtimes to follow
+        # the range-partition (= event-time) order so the staged dir
+        # replays like a real time-ordered feed
+        import glob as _glob
+        import os as _os
+
+        base = _t.time()
+        for i, p in enumerate(sorted(_glob.glob(_os.path.join(staged, "part-*")))):
+            _os.utime(p, (base + i, base + i))
+        n_input = spark.read.parquet(staged).count()
+        schema = spark.read.parquet(staged).schema
+
+        t0 = _t.perf_counter()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(staged)
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "1 hour")
+        )
+        pairs = clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND p_ts >= c_ts"
+                " AND p_ts <= c_ts + interval 30 minutes"
+            ),
+        )
+        name = f"curve_ssj_{_uuid.uuid4().hex[:8]}"
+        old = spark.conf.get("spark.sql.shuffle.partitions", "32")
+        # 4 state partitions: the drain is micro-batch-count bound, and
+        # halving the per-batch state-store fan-out halves fixed latency
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                pairs.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            peak_state = max(
+                (
+                    so["numRowsTotal"]
+                    for p in q.recentProgress
+                    for so in p.get("stateOperators", [])
+                ),
+                default=0,
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        n_pairs = spark.table(name).count()
+        curve.append(
+            {
+                "point": label,
+                "n_input": n_input,
+                "n_pairs": n_pairs,
+                "peak_state_rows": peak_state,
+                "sec": round(_t.perf_counter() - t0, 2),
+            }
+        )
+    spark.catalog.clearCache()
+    return curve
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -378,6 +514,7 @@ def main() -> None:
             out["dedup_curve"] = dedup_scale_curve(spark, sf01, sf1)
             out["rank_curve"] = rank_scale_curve(spark, sf01, sf1)
             out["shuffle_curve"] = shuffle_scale_curve(spark, sf01, sf1)
+            out["stream_curve"] = stream_scale_curve(spark, sf01, sf1)
 
     print(json.dumps(out))
     spark.stop()
