@@ -603,16 +603,24 @@ def connected_components(
     reachable from it. Returns (node, component).
 
     ``nodes``: single-column frame of node ids; ``edges``: (src, dst)
-    undirected pairs (any orientation). Each round joins current labels
-    across edges, takes the per-node min of (own label, neighbors'
-    labels), and stops when no label changed — O(graph diameter) rounds,
-    2 shuffles per round. Near-dup graphs have tiny diameters (clusters
-    are quasi-cliques), so this terminates in 2-3 rounds in practice.
+    undirected pairs (any orientation) whose endpoints MUST be ids
+    present in ``nodes`` (every caller derives both from the same
+    table). Each round joins current labels across edges, takes the
+    per-node min of (own label, neighbors' labels), and stops when no
+    label changed — O(graph diameter) rounds, 2 shuffles per round.
+    Near-dup graphs have tiny diameters (clusters are quasi-cliques),
+    so this terminates in 2-3 rounds in practice.
 
-    Scale notes (100 TB): labels and edges shuffle on node id every
-    round; `localCheckpoint` truncates the growing lineage so round N's
-    plan does not replay rounds 1..N-1 (the classic iterative-algorithm
-    trap). The driver sees only a per-round changed-count.
+    Scale notes (100 TB): only EDGE-TOUCHED nodes iterate — a node in no
+    edge is its own singleton component by construction, so it is split
+    off with one anti-join and unioned back after convergence, never
+    joined or checkpointed per round. The iterated label frame therefore
+    scales with the graph's duplicate mass, not the corpus (on a clean
+    corpus that is orders of magnitude smaller). Labels and edges
+    shuffle on node id every round; `localCheckpoint` truncates the
+    growing lineage so round N's plan does not replay rounds 1..N-1
+    (the classic iterative-algorithm trap). The driver sees only a
+    per-round changed-count.
     """
     # undirected: propagate along both orientations
     fwd = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -634,13 +642,25 @@ def connected_components(
         repart = bidir.repartition(parts, "a").persist()
         bidir.unpersist()
         bidir = repart
-    labels = (
-        nodes.select(F.col("node"), F.col("node").alias("component"))
+    # the iterated node set is the edge endpoints, initial label = self;
+    # persisted (edge-scale, tiny) because the lazy singleton anti-join
+    # below reads it AFTER bidir unpersists — the same kernel-cache
+    # lifetime convention as the shingle cache above (cleared by the
+    # caller's / bench's clearCache, never re-derived from the edge plan)
+    endpoints = (
+        bidir.select(F.col("a").alias("node"))
         .repartition(parts, "node")
-        .localCheckpoint()
+        .distinct()  # reuses the repartition's hash exchange — one shuffle
+        .persist()
+    )
+    labels = endpoints.select(
+        "node", F.col("node").alias("component")
+    ).localCheckpoint()
+    singles = nodes.join(endpoints, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
     )
     try:
-        return _cc_loop(bidir, labels, max_iter)
+        return _cc_loop(bidir, labels, max_iter).unionByName(singles)
     finally:
         bidir.unpersist()
 
