@@ -902,3 +902,58 @@ def test_minhash_signature_numpy_matches_jvm_arithmetic(spark):
         for r in hashed.groupBy("doc_id").agg(*mins).collect()
     }
     assert got == ref
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Seeded random graphs (sparse, clique-heavy, long chains, empty)
+    must match a pure-Python union–find exactly — guards the active-node
+    optimization (only edge-touched nodes iterate; singletons rejoin via
+    anti-join) and multi-round convergence beyond diameter 2."""
+    import random
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def uf_components(n_nodes, edge_list):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min node id in the component
+        best: dict[int, int] = {}
+        for v in range(n_nodes):
+            r = find(v)
+            best[r] = min(best.get(r, v), v)
+        return {v: best[find(v)] for v in range(n_nodes)}
+
+    cases = []
+    rng = random.Random(7)
+    # sparse random
+    cases.append((40, [(rng.randrange(40), rng.randrange(40)) for _ in range(25)]))
+    # clique + satellites
+    cases.append((30, [(i, j) for i in range(8) for j in range(i + 1, 8)] + [(8, 9)]))
+    # one long chain: diameter 19 forces many propagation rounds
+    cases.append((25, [(i, i + 1) for i in range(19)]))
+    # empty edge set: everyone a singleton
+    cases.append((12, []))
+    for n_nodes, edge_list in cases:
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "node long")
+        if edge_list:
+            edges = spark.createDataFrame(edge_list, "src long, dst long")
+        else:
+            edges = spark.createDataFrame([], "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(nodes, edges).collect()
+        }
+        assert got == uf_components(n_nodes, edge_list)
