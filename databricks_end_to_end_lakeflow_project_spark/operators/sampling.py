@@ -501,7 +501,11 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of (epoch, doc_id) — stable across reruns, partitionings
     and clusters — and the plan is one hash exchange + per-shard local
     sorts, never a global range sort. The oracle replays the identical
-    md5 draw, shard digit and per-shard rank in SQL."""
+    md5 draw, shard digit and per-shard rank in SQL. This registry
+    entry pins 8 shards for the fixed oracle corpus; at scale callers
+    pass `epoch_shuffle` an n_shards sized so one shard ≈ one output
+    file (the 4-hex draw supports thousands), keeping each shard-local
+    sort file-sized — see bench.py's shuffle_curve (8→128 shards)."""
     docs = _t(spark, sf_dir, "documents")
     return (
         epoch_shuffle(docs, F.col("doc_id"), _EPOCH_SEED, _EPOCH_SHARDS)
