@@ -229,3 +229,43 @@ def test_epoch_shuffle_epoch_changes_order(spark):
     e2 = {(r["k"], r["shard"], r["pos"]) for r in
           epoch_shuffle(docs, F.col("doc_id"), 2, _EPOCH_SHARDS).collect()}
     assert len(e1 & e2) < len(e1) / 4  # almost every coordinate moved
+
+
+def test_epoch_shuffle_sharded_write_preserves_training_order(spark, tmp_path):
+    """The documented consumption pattern: repartition by shard, sort
+    within partitions by pos, write partitioned by shard — reading any
+    one shard file back yields its rows already in pos order, so a
+    trainer streaming shards in (shard, pos) order replays the exact
+    deterministic permutation with no sort at read time."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        _EPOCH_SEED,
+        _EPOCH_SHARDS,
+        epoch_shuffle,
+    )
+
+    docs = _docs(spark)
+    out = epoch_shuffle(docs, F.col("doc_id"), _EPOCH_SEED, _EPOCH_SHARDS)
+    dest = str(tmp_path / "epoch1")
+    (
+        out.repartition(_EPOCH_SHARDS, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .parquet(dest)
+    )
+    expected = {
+        (r["shard"], r["pos"]): r["k"] for r in out.collect()
+    }
+    import glob
+
+    shard_dirs = sorted(glob.glob(f"{dest}/shard=*"))
+    assert len(shard_dirs) == len({s for s, _ in expected})
+    seen = 0
+    for sd in shard_dirs:
+        shard = int(sd.rsplit("=", 1)[1])
+        rows = spark.read.parquet(sd).collect()
+        poss = [r["pos"] for r in rows]
+        assert poss == sorted(poss)  # file order IS training order
+        for r in rows:
+            assert expected[(shard, r["pos"])] == r["k"]
+            seen += 1
+    assert seen == len(expected)
