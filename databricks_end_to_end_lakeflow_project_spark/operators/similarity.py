@@ -183,18 +183,24 @@ def ivf_assign(em: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataF
     """Assign every vector to its max-cosine cell (IVF coarse quantizer).
 
     Centroids arrive as driver-side literals (they are tiny by design) so
-    assignment is a narrow map over the scan — no join, no shuffle."""
-    best_cell, best_score = None, None
-    for cell_id, c in centroids:
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        score = cosine(F.col("embedding"), cvec)
-        if best_cell is None:
-            best_cell, best_score = F.lit(cell_id), score
-        else:
-            hit = score > best_score
-            best_cell = F.when(hit, F.lit(cell_id)).otherwise(best_cell)
-            best_score = F.when(hit, score).otherwise(best_score)
-    return em.withColumn("cell", best_cell)
+    assignment is a narrow map over the scan — no join, no shuffle. The
+    argmax is one sorted (−score, cell) struct array (ties → lowest
+    cell, identical to ORDER BY score DESC, cell), NOT a chained CASE:
+    the chain's expression tree grows quadratically in the cell count
+    (each WHEN re-embeds every earlier cosine), which at 8 cells already
+    costs seconds of whole-stage-codegen compile and at a realistic
+    √n-cell quantizer would not compile at all. This form is linear —
+    each cosine appears once."""
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(
+                (-cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c]))).alias("ns"),
+                F.lit(cell_id).alias("cell"),
+            )
+            for cell_id, c in centroids
+        ])
+    )
+    return em.withColumn("cell", F.element_at(ranked, 1)["cell"])
 
 
 def _cos_sql(a: str, b: str) -> str:
