@@ -80,14 +80,23 @@ def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
     from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
     def replicate_docs(docs, k):
+        # per-replica SEEDED substitution cipher (not a rotation: only 26
+        # rotations exist, so a ×100 replication would repeat ciphers and
+        # re-introduce cross-replica duplicate mass): a bijection on chars
+        # preserves within-replica Jaccard structure exactly while
+        # decorrelating shingles across replicas
+        import random as _rnd
+
         alpha = string.ascii_lowercase
         parts = []
         for i in range(k):
-            rot = alpha[i:] + alpha[:i]
+            perm = list(alpha)
+            if i:
+                _rnd.Random(i).shuffle(perm)
             parts.append(
                 docs.select(
                     (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                    F.translate(F.col("text"), alpha, rot).alias("text"),
+                    F.translate(F.col("text"), alpha, "".join(perm)).alias("text"),
                 )
             )
         out = parts[0]
@@ -144,6 +153,9 @@ def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
         ("sf0.01", docs01),
         ("sf0.1", docs1),
         ("sf0.1 x10", replicate_docs(docs1, 10)),
+        # the ×100 decade (500k docs): candidate growth must stay linear
+        # and the driver sees only the same bounded stats row
+        ("sf0.1 x100", replicate_docs(docs1, 100)),
     ]:
         t0 = _t.perf_counter()
         stats = minhash_lsh_stats(d)
@@ -217,6 +229,10 @@ def rank_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
         ("sf0.01", ev01),
         ("sf0.1", ev1),
         ("sf0.1 x10", replicate_events(ev1, 10)),
+        # the ×100 decade (10M rows): hist_rows must stay ≤ nbins+1 (the
+        # driver collect is bounded at ANY row count) and max_bin_share
+        # ~1/nbins — no task ranks more than its slice
+        ("sf0.1 x100", replicate_events(ev1, 100)),
     ]:
         # shape 1: global event-time order (the sample_split_temporal /
         # watermark-replay kernel) — rank every event by (ts, event_id)
@@ -378,11 +394,16 @@ def stream_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
     for label, ev, nfiles, files_per_trigger in [
         ("sf0.01", ev01, 20, 4),
         ("sf0.1", ev1, 20, 4),
-        # 10× the length at the SAME batch time-span (file count ∝
-        # length, same files-per-trigger): peak state stays flat because
-        # both the watermark-retained window AND the in-flight batch
-        # cover the same wall-clock span of the feed as the base point
-        ("sf0.1 x10", replicate_lengthwise(ev1, 10), 200, 4),
+        # 10× the length with 16 files per trigger: the drain cost is
+        # micro-batch COUNT (fixed state-store latency per batch), so
+        # batching 4× more files per trigger cuts wall time ~3× at the
+        # honest price of a larger IN-FLIGHT batch (each batch spans
+        # 16/200 of the 10× feed ≈ 0.8× the base point's wall-clock
+        # span, vs 0.2× at 4/20) — peak state = watermark window +
+        # in-flight batch, so it rises by the batch-span ratio while
+        # remaining ∝ the trigger/watermark config, NOT stream length;
+        # the recorded point shows the tradeoff instead of hiding it
+        ("sf0.1 x10", replicate_lengthwise(ev1, 10), 200, 16),
     ]:
         spark.catalog.clearCache()
         staged = ephemeral_dir("bench_stream_curve_")
@@ -494,16 +515,19 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    # field ORDER is part of the artifact contract: the driver keeps only
+    # the last ~2,000 chars of stdout, so the headline total and per-query
+    # times go LAST (after the bulky curves) — a truncated-from-the-front
+    # tail still contains them. "value" is the driver's metric field; it is
+    # duplicated nowhere and printed at the very end.
     out = {
         "metric": "headline_queries_total_sec",
-        "value": total,
         "unit": "sec",
-        "queries": times,
         "sf": sf,
     }
 
     # dedup/ANN scale curve (candidate pairs + bucket/cell maxima vs
-    # corpus size incl. a synthetic 10x corpus); disable with
+    # corpus size incl. synthetic 10x/100x corpora); disable with
     # SPARK_GRAFT_BENCH_CURVE=0
     if os.environ.get("SPARK_GRAFT_BENCH_CURVE", "1") != "0":
         parent = os.path.dirname(sf_dir.rstrip("/"))
@@ -516,6 +540,8 @@ def main() -> None:
             out["shuffle_curve"] = shuffle_scale_curve(spark, sf01, sf1)
             out["stream_curve"] = stream_scale_curve(spark, sf01, sf1)
 
+    out["queries"] = times
+    out["value"] = total
     print(json.dumps(out))
     spark.stop()
 

@@ -221,13 +221,24 @@ class ManagedParquetTable:
         """Current state, or a retained snapshot by version number
         (Delta time-travel analogue; see :meth:`history`)."""
         if version is None:
-            return self.spark.read.parquet(self.path)
+            return self._read_dir(self.path)
         vpath = os.path.join(self._versions_dir(), str(version))
         if not os.path.isdir(vpath):
             raise ValueError(
                 f"version {version} not retained; available: {self.history()}"
             )
-        return self.spark.read.parquet(vpath)
+        return self._read_dir(vpath)
+
+    def _read_dir(self, path: str) -> DataFrame:
+        # unpartitioned tables publish appends as whole batch SUBDIRS
+        # (one atomic rename per commit — see `append`), so reads must
+        # descend into them; recursiveFileLookup is incompatible with
+        # partition discovery, which is exactly why partitioned tables
+        # keep the per-file append path instead
+        reader = self.spark.read
+        if not self.partition_by:
+            reader = reader.option("recursiveFileLookup", "true")
+        return reader.parquet(path)
 
     def _versions_dir(self) -> str:
         return f"{self.path}.__versions"
@@ -254,8 +265,24 @@ class ManagedParquetTable:
     @contextlib.contextmanager
     def _commit(self, expect_version: int | None, timeout: float = 30.0):
         """Directory-lock mutex around the O(1) commit section; verifies
-        the expected version INSIDE the lock, bumps it on success."""
+        the expected version INSIDE the lock, bumps it on success.
+
+        STALE-LOCK RECOVERY: the owner writes its pid into
+        ``{lock}/pid`` right after acquiring; a writer SIGKILLed between
+        mkdir and rmdir would otherwise brick the table (every later
+        commit timing out with no remediation path). Contenders that find
+        the pid belonging to a dead process (scratch.py's liveness probe)
+        break the lock and re-contend; a lock dir that never grew a pid
+        file (owner died inside the two-syscall acquire window) is broken
+        once its mtime is older than a grace period. Breaking races are
+        benign — removal errors are swallowed and the loop re-contends
+        through the atomic ``mkdir``."""
+        from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+            _alive,
+        )
+
         lock = f"{self.path}.__lock"
+        pid_file = os.path.join(lock, "pid")
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         deadline = time.monotonic() + timeout
         while True:
@@ -263,10 +290,35 @@ class ManagedParquetTable:
                 os.mkdir(lock)
                 break
             except FileExistsError:
+                owner: int | None = None
+                try:
+                    with open(pid_file) as fh:
+                        owner = int(fh.read().strip() or 0)
+                except (FileNotFoundError, ValueError, OSError):
+                    owner = None
+                stale = False
+                if owner is not None:
+                    stale = not _alive(owner)
+                else:
+                    # no pid yet: give a live owner time to write it; a dir
+                    # whose mtime stopped advancing past the grace window
+                    # has a dead owner (pid write bumps the dir mtime)
+                    try:
+                        stale = time.time() - os.stat(lock).st_mtime > 5.0
+                    except FileNotFoundError:
+                        continue  # released between mkdir and stat — retry
+                if stale:
+                    with contextlib.suppress(OSError):
+                        os.remove(pid_file)
+                    with contextlib.suppress(OSError):
+                        os.rmdir(lock)
+                    continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"commit lock busy: {lock}")
                 time.sleep(0.02)
         try:
+            with open(pid_file, "w") as fh:
+                fh.write(str(os.getpid()))
             if expect_version is not None and self.version() != expect_version:
                 raise ConcurrentWriteError(
                     f"{self.path}: version moved {expect_version} -> "
@@ -275,7 +327,10 @@ class ManagedParquetTable:
             yield
             self._bump_version()
         finally:
-            os.rmdir(lock)
+            with contextlib.suppress(OSError):
+                os.remove(pid_file)
+            with contextlib.suppress(OSError):
+                os.rmdir(lock)
 
     def history(self) -> list[int]:
         """Retained snapshot versions, oldest first (the CURRENT state is
@@ -300,6 +355,13 @@ class ManagedParquetTable:
             )
         tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
         shutil.copytree(vpath, tmp)
+        try:
+            self._restore_commit(tmp)
+        except (ConcurrentWriteError, TimeoutError):
+            shutil.rmtree(tmp, ignore_errors=True)  # abandoned stage
+            raise
+
+    def _restore_commit(self, tmp: str) -> None:
         with self._commit(None):
             if self.retain_versions > 0 and os.path.exists(self.path):
                 vdir = self._versions_dir()
@@ -345,15 +407,29 @@ class ManagedParquetTable:
                     shutil.rmtree(old, ignore_errors=True)
                 if self.retain_versions > 0:
                     self.vacuum(retain_last=self.retain_versions)
-        except ConcurrentWriteError:
+        except (ConcurrentWriteError, TimeoutError):
             shutil.rmtree(tmp, ignore_errors=True)  # abandoned stage
             raise
 
     def append(self, df: DataFrame, expect_version: int | None = None) -> None:
         """Append commit: the batch stages to a sibling dir OUTSIDE the
-        lock, then its data files move into the table with O(#files)
-        renames inside it — concurrent appends serialize, and a
-        conditional append conflicts like any other commit."""
+        lock, then publishes inside it.
+
+        UNPARTITIONED tables publish the whole staged batch as ONE
+        directory rename (``{table}/batch_<tag>/``) — atomic, so a
+        concurrent reader or a crash mid-commit observes either the
+        entire batch or none of it, matching the class guarantee; reads
+        descend into batch dirs via ``recursiveFileLookup`` (see
+        `_read_dir`).
+
+        PARTITIONED tables cannot nest batch dirs (recursive lookup is
+        incompatible with partition discovery), so their batch files
+        move with O(#files-per-touched-partition) renames — concurrent
+        appends still serialize through the lock, but a lock-less
+        READER racing the rename loop, or a crash mid-loop (which also
+        skips the version bump), can observe a partial batch: the same
+        reader caveat as the overwrite swap, and the part only a real
+        commit LOG fixes."""
         tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
         if self.partition_by:
@@ -362,20 +438,24 @@ class ManagedParquetTable:
         try:
             with self._commit(expect_version):
                 tag = uuid.uuid4().hex[:8]
-                for root, _dirs, files in os.walk(tmp):
-                    rel = os.path.relpath(root, tmp)
-                    dest_dir = (
-                        self.path if rel == "." else os.path.join(self.path, rel)
-                    )
-                    os.makedirs(dest_dir, exist_ok=True)
-                    for f in files:
-                        if f.startswith(("_", ".")):
-                            continue  # markers/CRCs: not data
-                        os.rename(
-                            os.path.join(root, f),
-                            os.path.join(dest_dir, f"app_{tag}_{f}"),
+                if not self.partition_by:
+                    os.makedirs(self.path, exist_ok=True)
+                    os.rename(tmp, os.path.join(self.path, f"batch_{tag}"))
+                else:
+                    for root, _dirs, files in os.walk(tmp):
+                        rel = os.path.relpath(root, tmp)
+                        dest_dir = (
+                            self.path if rel == "." else os.path.join(self.path, rel)
                         )
-        except ConcurrentWriteError:
+                        os.makedirs(dest_dir, exist_ok=True)
+                        for f in files:
+                            if f.startswith(("_", ".")):
+                                continue  # markers/CRCs: not data
+                            os.rename(
+                                os.path.join(root, f),
+                                os.path.join(dest_dir, f"app_{tag}_{f}"),
+                            )
+        except (ConcurrentWriteError, TimeoutError):
             shutil.rmtree(tmp, ignore_errors=True)
             raise
         shutil.rmtree(tmp, ignore_errors=True)

@@ -200,7 +200,14 @@ def _split_bucket_pairs(over: DataFrame, chunk: int) -> DataFrame:
     bucket expansion's order convention). Pair totals equal C(B,2)
     exactly — nothing is dropped; only the per-task expansion is capped.
     ``over`` is empty for non-degenerate corpora, so the extra stages
-    cost nothing in the common case."""
+    cost nothing in the common case.
+
+    Shuffle volume: the two ≤``chunk``-doc slices are PROJECTED BEFORE
+    the repartition, so each shuffled row carries at most 2·chunk ids —
+    O(B·k) ids total per bucket, the same order as the pair OUTPUT —
+    never the bucket's full doc array per chunk-pair row (which would be
+    O(B³/chunk²) bytes through the exchange for a truly hot bucket, the
+    exact degenerate case split mode exists for)."""
     c = chunk
     k = F.ceil(F.size("docs") / F.lit(c)).cast("int")
     chunk_pairs = F.flatten(
@@ -212,11 +219,18 @@ def _split_bucket_pairs(over: DataFrame, chunk: int) -> DataFrame:
             ),
         )
     )
-    ov = over.select("docs", F.explode(chunk_pairs).alias("cp")).repartition(
-        F.col("cp"), F.xxhash64(F.col("docs")[0])
+    ov = (
+        over.select("docs", F.explode(chunk_pairs).alias("cp"))
+        .select(
+            F.slice(F.col("docs"), F.col("cp.ci") * c + 1, c).alias("sa_col"),
+            F.slice(F.col("docs"), F.col("cp.cj") * c + 1, c).alias("sb_col"),
+            F.col("cp.ci").alias("ci"),
+            F.col("cp.cj").alias("cj"),
+        )
+        .repartition(F.col("ci"), F.col("cj"), F.xxhash64(F.col("sa_col")[0]))
     )
-    sa = F.slice(F.col("docs"), F.col("cp.ci") * c + 1, c)
-    sb = F.slice(F.col("docs"), F.col("cp.cj") * c + 1, c)
+    sa = F.col("sa_col")
+    sb = F.col("sb_col")
     within = F.flatten(
         F.transform(
             sa,
@@ -234,7 +248,7 @@ def _split_bucket_pairs(over: DataFrame, chunk: int) -> DataFrame:
             ),
         )
     )
-    pairs_arr = F.when(F.col("cp.ci") == F.col("cp.cj"), within).otherwise(cross)
+    pairs_arr = F.when(F.col("ci") == F.col("cj"), within).otherwise(cross)
     return ov.select(F.explode(pairs_arr).alias("p")).select("p.doc_a", "p.doc_b")
 
 
@@ -607,9 +621,12 @@ def connected_components(
     present in ``nodes`` (every caller derives both from the same
     table). Each round joins current labels across edges, takes the
     per-node min of (own label, neighbors' labels), and stops when no
-    label changed — O(graph diameter) rounds, 2 shuffles per round.
-    Near-dup graphs have tiny diameters (clusters are quasi-cliques),
-    so this terminates in 2-3 rounds in practice.
+    label changed — O(graph diameter) rounds, 2 shuffles per round,
+    with TWO rounds batched per checkpoint+count so driver round trips
+    are halved (see :func:`_cc_loop`). Near-dup graphs have tiny
+    diameters (clusters are quasi-cliques), so this terminates in 2-3
+    rounds — usually one batch — in practice. An edge-free graph
+    short-circuits to all-singletons with zero loop jobs.
 
     Scale notes (100 TB): only EDGE-TOUCHED nodes iterate — a node in no
     edge is its own singleton component by construction, so it is split
@@ -637,6 +654,12 @@ def connected_components(
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bidir = bidir.persist()
     n_edges = bidir.count()
+    if n_edges == 0:
+        # edge-free graph: every node is its own singleton component —
+        # skip the loop AND the endpoints anti-join entirely (zero extra
+        # jobs on a clean corpus / empty delta)
+        bidir.unpersist()
+        return nodes.select("node", F.col("node").alias("component"))
     parts = min(session_parts, max(1, n_edges // 25_000 + 1))
     if parts < session_parts:
         repart = bidir.repartition(parts, "a").persist()
@@ -665,28 +688,43 @@ def connected_components(
         bidir.unpersist()
 
 
-def _cc_loop(bidir: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
-    for _ in range(max_iter):
-        neighbor_min = (
-            bidir.join(labels, bidir["a"] == labels["node"])
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        # the changed flag rides along in the checkpointed frame, so
-        # convergence detection is a shuffle-free scan of the checkpoint
-        # (partial counts), NOT an extra old-vs-new join per round
-        new_comp = F.least(
-            F.col("component"), F.coalesce("nbr_component", F.col("component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
+def _cc_loop(
+    bidir: DataFrame, labels: DataFrame, max_iter: int, batch: int = 2
+) -> DataFrame:
+    """Min-label propagation with ``batch`` rounds per checkpoint+count.
+
+    At tiny graph sizes (SemDeDup's 2k-vector cells) the loop's cost is
+    DRIVER ROUND TRIPS — each ``localCheckpoint`` + changed-count is a
+    fixed-latency job pair — not shuffle volume. Batching two propagation
+    steps into one checkpointed plan halves those round trips; near-dup
+    graphs have diameter 2-3, so one batch usually converges. The changed
+    flag accumulates ACROSS the batch (labels decrease monotonically, so
+    ``chg_batch = chg_so_far OR (new < current)`` detects any in-batch
+    change) and still rides in the checkpointed frame — convergence
+    detection stays a shuffle-free checkpoint scan, never an old-vs-new
+    join. Worst case does one extra batch of wasted propagation after
+    convergence; at scale each propagation is label-frame-sized (edge-
+    touched nodes only), so the trade also holds at 100 TB where fewer
+    lineage barriers mean fewer full-frame materializations."""
+    it = 0
+    while it < max_iter:
+        cur = labels.withColumn("chg", F.lit(False))
+        for _ in range(min(batch, max_iter - it)):
+            neighbor_min = (
+                bidir.join(cur, bidir["a"] == cur["node"])
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            new_comp = F.least(
+                F.col("component"), F.coalesce("nbr_component", F.col("component"))
+            )
+            cur = cur.join(neighbor_min, "node", "left").select(
                 "node",
                 new_comp.alias("component"),
-                (new_comp < F.col("component")).alias("chg"),
+                (F.col("chg") | (new_comp < F.col("component"))).alias("chg"),
             )
-            .localCheckpoint()
-        )
+            it += 1
+        new_labels = cur.localCheckpoint()
         changed = new_labels.filter("chg").count()
         labels = new_labels.drop("chg")
         if changed == 0:

@@ -258,9 +258,16 @@ def mmr_select(
     )
 
 
-_MMR_MODEL_DIR = __import__("os").path.join(
-    __import__("tempfile").gettempdir(), "lakeflow_sources"
+# pid-tagged model dir (scratch.pid_model_dir): the oracle SQL embeds this
+# path at import time and the export writes to it at query time — same
+# process, so they agree; a CONCURRENT process (pytest vs driver gate) gets
+# its own dir and can no longer clobber the model between this process's
+# Spark run and its DuckDB oracle read.
+from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (  # noqa: E402
+    pid_model_dir,
 )
+
+_MMR_MODEL_DIR = pid_model_dir()
 _MMR_REL_PQ = __import__("os").path.join(_MMR_MODEL_DIR, "mmr_candidates.parquet")
 _MMR_SIM_PQ = __import__("os").path.join(_MMR_MODEL_DIR, "mmr_sims.parquet")
 

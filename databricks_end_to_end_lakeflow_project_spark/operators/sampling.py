@@ -367,16 +367,19 @@ def sample_balanced_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), consts AS (
       SELECT SUM(n_t) AS big_nt, SUM(n_r) AS big_nr, COUNT(*) AS v FROM vocab
     ), scored AS (
+      -- per-token log-ratio quantized to a fixed-point long (1e-9) BEFORE
+      -- summing: integer addition is order-independent, so the per-doc sum
+      -- is identical across engines and partitionings (double sums are not)
       SELECT t.doc_id,
              COUNT(*) AS n_tokens,
-             SUM(ln((vocab.n_t + 1.0) / (consts.big_nt + consts.v))
-                 - ln((vocab.n_r + 1.0) / (consts.big_nr + consts.v)))
-               AS lw
+             SUM(CAST(ROUND((ln((vocab.n_t + 1.0) / (consts.big_nt + consts.v))
+                 - ln((vocab.n_r + 1.0) / (consts.big_nr + consts.v))) * 1e9)
+               AS BIGINT)) AS lw_q
       FROM toks t JOIN vocab USING (tok) CROSS JOIN consts
       WHERE t.source <> 'src0'
       GROUP BY t.doc_id
     )
-    SELECT doc_id, n_tokens, ROUND(lw / n_tokens, 4) AS avg_log_imp
+    SELECT doc_id, n_tokens, ROUND(lw_q / 1e9 / n_tokens, 4) AS avg_log_imp
     FROM scored
     ORDER BY avg_log_imp DESC, doc_id
     LIMIT 20
@@ -414,16 +417,21 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = F.log((F.col("n_t") + 1.0) / F.lit(float(c["big_nt"] + c["v"]))) - F.log(
         (F.col("n_r") + 1.0) / F.lit(float(c["big_nr"] + c["v"]))
     )
-    ratios = vocab.select("tok", lr.alias("lr"))
+    # cross-engine exactness: quantize each VOCAB log-ratio to a fixed-point
+    # long (1e-9) and sum integers — Spark's partial-aggregate addition order
+    # is nondeterministic, so a double sum rounded at 4dp could flake near a
+    # boundary across runs/partitionings (the scalerank integer-weight rule);
+    # the per-vocab-row quantization itself is a deterministic scalar map
+    ratios = vocab.select("tok", F.round(lr * 1e9).cast("long").alias("lr_q"))
     return (
         toks.filter(F.col("source") != "src0")
         .join(ratios, "tok")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("lw"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr_q").alias("lw_q"))
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.col("lw") / F.col("n_tokens"), 4).alias("avg_log_imp"),
+            F.round(F.col("lw_q") / 1e9 / F.col("n_tokens"), 4).alias("avg_log_imp"),
         )
         .orderBy(F.col("avg_log_imp").desc(), "doc_id")
         .limit(20)

@@ -161,7 +161,11 @@ def with_global_ranks(
     # multi-spec call can never collect an unbounded joint histogram.
     default_bins = 128 if len(specs) == 1 else 16
     max_bins = 512 if len(specs) == 1 else 16
-    if persist_input:
+    if persist_input and not df.is_cached:
+        # is_cached guard: callers that pre-persist their own upstream
+        # (e.g. rfm's per-customer aggregate) keep cache OWNERSHIP — the
+        # kernel must not double-persist the same plan (CacheManager
+        # 'already cached' warning, two handles to one entry)
         df = df.persist()
 
     # 1. one pass: every spec's boundary sketch in a single aggregate
@@ -239,7 +243,11 @@ def with_global_cumsums(
     reduction-order-dependent, breaking cross-engine exactness. The
     input is persisted across the two collects and the returned plan
     (module docstring); the caller owns the cache handle."""
-    if persist_input:
+    if persist_input and not df.is_cached:
+        # is_cached guard: callers that pre-persist their own upstream
+        # (e.g. rfm's per-customer aggregate) keep cache OWNERSHIP — the
+        # kernel must not double-persist the same plan (CacheManager
+        # 'already cached' warning, two handles to one entry)
         df = df.persist()
     bv = bin_value if bin_value is not None else F.col(value)
     probs = F.array(*[F.lit(j / nbins) for j in range(1, nbins)])
@@ -300,7 +308,11 @@ def with_global_running_max(
     arrival/event id); use ranks first if it is not. The input is
     persisted across the two collects and the returned plan (module
     docstring); the caller owns the cache handle."""
-    if persist_input:
+    if persist_input and not df.is_cached:
+        # is_cached guard: callers that pre-persist their own upstream
+        # (e.g. rfm's per-customer aggregate) keep cache OWNERSHIP — the
+        # kernel must not double-persist the same plan (CacheManager
+        # 'already cached' warning, two handles to one entry)
         df = df.persist()
     bv = bin_value if bin_value is not None else F.col(order_value)
     probs = F.array(*[F.lit(j / nbins) for j in range(1, nbins)])

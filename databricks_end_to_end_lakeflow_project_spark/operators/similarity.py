@@ -852,9 +852,14 @@ def pq_adc_table(query: "np.ndarray", codebook: list[list[list[float]]]) -> list
     ]
 
 
-_PQ_MODEL_DIR = __import__("os").path.join(
-    __import__("tempfile").gettempdir(), "lakeflow_sources"
+# pid-tagged model dir: import-time path embedded in the generated oracle
+# SQL == query-time export path (same process); concurrent processes are
+# isolated (see scratch.pid_model_dir)
+from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (  # noqa: E402
+    pid_model_dir as _pid_model_dir,
 )
+
+_PQ_MODEL_DIR = _pid_model_dir()
 _PQ_CB_PQ = __import__("os").path.join(_PQ_MODEL_DIR, "pq_codebook.parquet")
 _PQ_LUT_PQ = __import__("os").path.join(_PQ_MODEL_DIR, "pq_adc_lut.parquet")
 

@@ -42,6 +42,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query  # noqa: E402
+from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (  # noqa: E402
+    pid_model_dir,
+)
 
 
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
@@ -221,13 +224,16 @@ def source_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXPECTED_MANIFEST = os.path.join(
-    # FIXED path (no sf/pid tag): the DuckDB oracle below must name it as a
-    # literal. The query callable atomically refreshes it for the sf_dir it
-    # was just called with, and the driver/check_oracle always run the Spark
-    # side before the oracle, so the two stay in step at any scale factor.
-    # (The verify recipe already forbids concurrent check runs.)
-    tempfile.gettempdir(),
-    "lakeflow_sources",
+    # PID-TAGGED path (scratch.pid_model_dir), no sf tag: the DuckDB oracle
+    # below names it as a literal captured at import time, the query
+    # callable atomically refreshes it for the sf_dir it was just called
+    # with, and the driver/check_oracle always run the Spark side before
+    # the oracle IN THE SAME PROCESS — so the literal and the export agree
+    # at any scale factor, while a concurrent process (pytest vs driver
+    # gate) writes its own pid dir and can never clobber this one between
+    # the Spark run and the oracle read. The same contract covers every
+    # model export (MMR, PQ).
+    pid_model_dir(),
     "binaryfile_expected_manifest.parquet",
 )
 

@@ -27,7 +27,12 @@ import re
 import shutil
 import tempfile
 
-_ROOTS = ("lakeflow_sources", "lakeflow_replay", "lakeflow_bucketed")
+_ROOTS = (
+    "lakeflow_sources",
+    "lakeflow_replay",
+    "lakeflow_bucketed",
+    "lakeflow_models",
+)
 _PID_SUFFIX = re.compile(r"_(\d+)$")
 _pruned = False
 _own_dirs: set[str] = set()
@@ -87,6 +92,19 @@ def ephemeral_dir(prefix: str) -> str:
     d = tempfile.mkdtemp(prefix=prefix)
     _own_dirs.add(d)
     return d
+
+
+def pid_model_dir(*parts: str) -> str:
+    """Pid-unique dir for ORACLE MODEL EXPORTS (the MMR / PQ /
+    binaryfile-manifest pattern: a bounded trained-model parquet the
+    generated oracle SQL reads back). The path is pid-tagged so a pytest
+    run concurrent with the driver gate can never overwrite a model
+    between the other process's Spark run and its DuckDB oracle read —
+    the oracle SQL strings embed the path at module-import time, and the
+    import, the Spark query and the oracle all happen in the SAME
+    process, so the tag is consistent where it must be and unique where
+    it must be. Same prune/atexit lifecycle as every pid scratch dir."""
+    return pid_scratch_dir("lakeflow_models", "models", *parts)
 
 
 def pid_scratch_dir(root: str, sf_dir: str, *parts: str) -> str:
