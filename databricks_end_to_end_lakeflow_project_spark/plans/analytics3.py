@@ -180,6 +180,61 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): count one quarter's
+    orders, per priority class, that had at least one LATE line. The
+    classic predicate is ``l_commitdate < l_receiptdate``; this corpus
+    carries neither column, so lateness is the same notion q21 uses —
+    shipped more than 60 days after the order date (the correlated
+    EXISTS shape, which is the point of Q4, is unchanged).
+
+    Plan: the quarter filter pushes to the orders scan, then ONE
+    left-semi shuffle join on the order key carries the correlated
+    ship-vs-order-date residual predicate (semi join ≡ EXISTS — no
+    duplicate counting, no distinct needed), and the per-priority count
+    is a 5-row aggregate. The oracle states the literal EXISTS SQL; the
+    hash match proves the semi-join rewrite, exactly like q21."""
+    od = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-07-01 00:00:00")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-10-01 00:00:00")))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        od.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "rfm_customer_segments",
     """
     WITH maxd AS (SELECT MAX(o_orderdate) AS md FROM orders),

@@ -627,3 +627,123 @@ def test_occ_concurrent_threads_one_wins(spark, tmp_path):
     rows = {r["k"]: r["v"] for r in t.read().collect()}
     assert rows[1] == "base" and rows[2] in ("A", "B")
     assert t.version() == v0 + 1
+
+
+def test_stale_lock_of_dead_owner_is_broken(spark, tmp_path):
+    """A writer SIGKILLed between mkdir and rmdir leaves the lock dir
+    behind with its pid inside; the NEXT commit must break that lock
+    (the pid is dead — it cannot be mid-commit) instead of timing out
+    forever with no remediation path."""
+    import os
+    import subprocess
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+    )
+
+    t = ManagedParquetTable(spark, str(tmp_path / "t"))
+    df = spark.range(3).selectExpr("id AS k")
+    # a pid that existed but is now certainly dead
+    p = subprocess.Popen(["true"])
+    p.wait()
+    lock = f"{t.path}.__lock"
+    os.makedirs(lock)
+    with open(os.path.join(lock, "pid"), "w") as fh:
+        fh.write(str(p.pid))
+
+    t.overwrite(df)  # must break the stale lock, not TimeoutError
+    assert t.read().count() == 3 and t.version() == 1
+    assert not os.path.exists(lock), "lock released after the commit"
+
+
+def test_stale_lock_without_pid_breaks_after_grace(spark, tmp_path):
+    """A lock dir that never grew a pid file (owner died inside the
+    two-syscall acquire window) is broken once its mtime is older than
+    the grace period."""
+    import os
+    import time as _time
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+    )
+
+    t = ManagedParquetTable(spark, str(tmp_path / "t"))
+    lock = f"{t.path}.__lock"
+    os.makedirs(lock)
+    past = _time.time() - 60
+    os.utime(lock, (past, past))
+
+    t.overwrite(spark.range(2).selectExpr("id AS k"))
+    assert t.read().count() == 2
+    assert not os.path.exists(lock)
+
+
+def test_lock_timeout_cleans_staged_tmp(spark, tmp_path, monkeypatch):
+    """A commit that times out on a held lock must clean its staged
+    __tmp_ dir just like a version conflict does — a busy table must
+    not leak one abandoned stage per failed writer."""
+    import os
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+    )
+
+    orig = ManagedParquetTable._commit
+    monkeypatch.setattr(
+        ManagedParquetTable,
+        "_commit",
+        lambda self, ev, timeout=30.0: orig(self, ev, timeout=0.3),
+    )
+    t = ManagedParquetTable(spark, str(tmp_path / "t"))
+    # a LIVE owner holds the lock (this process), so breaking is illegal
+    lock = f"{t.path}.__lock"
+    os.makedirs(lock)
+    with open(os.path.join(lock, "pid"), "w") as fh:
+        fh.write(str(os.getpid()))
+    try:
+        with pytest.raises(TimeoutError):
+            t.overwrite(spark.range(1).selectExpr("id AS k"))
+        leftovers = [d for d in os.listdir(tmp_path) if "__tmp_" in d]
+        assert leftovers == [], "staged dir must be cleaned on timeout"
+    finally:
+        os.remove(os.path.join(lock, "pid"))
+        os.rmdir(lock)
+
+
+def test_append_publishes_atomic_batch_dir_unpartitioned(spark, tmp_path):
+    """Unpartitioned appends land as ONE batch subdirectory per commit
+    (a single rename — readers see all of a batch or none of it), and
+    reads/overwrites over the nested layout behave identically to the
+    flat one."""
+    import os
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+    )
+
+    t = ManagedParquetTable(spark, str(tmp_path / "t"))
+    df = lambda lo, n: spark.range(lo, lo + n).selectExpr("id AS k")
+    t.append(df(0, 3))
+    t.append(df(10, 2))
+    batch_dirs = [d for d in os.listdir(t.path) if d.startswith("batch_")]
+    assert len(batch_dirs) == 2, "one dir rename per append commit"
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 1, 2, 10, 11]
+    # an overwrite collapses back to a fresh state and still reads fine
+    t.overwrite(df(100, 1))
+    assert [r["k"] for r in t.read().collect()] == [100]
+
+
+def test_append_partitioned_still_per_file(spark, tmp_path):
+    """Partitioned tables keep the per-file append path (batch dirs are
+    incompatible with partition discovery): rows land in their partition
+    dirs and the partition column reads back."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+    )
+
+    t = ManagedParquetTable(spark, str(tmp_path / "t"), partition_by=["p"])
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, p string")
+    t.append(df)
+    t.append(spark.createDataFrame([(3, "a")], "k long, p string"))
+    got = sorted((r["k"], r["p"]) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "a")]
