@@ -696,19 +696,20 @@ def _cc_loop(
     At tiny graph sizes (SemDeDup's 2k-vector cells) the loop's cost is
     DRIVER ROUND TRIPS — each ``localCheckpoint`` + changed-count is a
     fixed-latency job pair — not shuffle volume. Batching two propagation
-    steps into one checkpointed plan halves those round trips; near-dup
-    graphs have diameter 2-3, so one batch usually converges. The changed
-    flag accumulates ACROSS the batch (labels decrease monotonically, so
-    ``chg_batch = chg_so_far OR (new < current)`` detects any in-batch
-    change) and still rides in the checkpointed frame — convergence
-    detection stays a shuffle-free checkpoint scan, never an old-vs-new
-    join. Worst case does one extra batch of wasted propagation after
-    convergence; at scale each propagation is label-frame-sized (edge-
-    touched nodes only), so the trade also holds at 100 TB where fewer
-    lineage barriers mean fewer full-frame materializations."""
+    steps into one checkpointed plan halves those round trips, and the
+    convergence test only needs the LAST round's flag: min-label
+    propagation is monotone, so a round that changed nothing is a fixed
+    point even if earlier rounds in the same batch did change — a
+    diameter-2 cluster graph therefore stops after ONE checkpoint+count
+    (round 1 propagates, round 2 confirms). The flag still rides in the
+    checkpointed frame — convergence detection stays a shuffle-free
+    checkpoint scan, never an old-vs-new join. Worst case does batch−1
+    wasted propagations; at scale each propagation is label-frame-sized
+    (edge-touched nodes only), so the trade also holds at 100 TB where
+    fewer lineage barriers mean fewer full-frame materializations."""
     it = 0
     while it < max_iter:
-        cur = labels.withColumn("chg", F.lit(False))
+        cur = labels
         for _ in range(min(batch, max_iter - it)):
             neighbor_min = (
                 bidir.join(cur, bidir["a"] == cur["node"])
@@ -718,10 +719,14 @@ def _cc_loop(
             new_comp = F.least(
                 F.col("component"), F.coalesce("nbr_component", F.col("component"))
             )
-            cur = cur.join(neighbor_min, "node", "left").select(
+            cur = cur.select("node", "component").join(
+                neighbor_min, "node", "left"
+            ).select(
                 "node",
                 new_comp.alias("component"),
-                (F.col("chg") | (new_comp < F.col("component"))).alias("chg"),
+                # overwritten each round: only the FINAL round's flag
+                # decides convergence (monotone fixed-point test)
+                (new_comp < F.col("component")).alias("chg"),
             )
             it += 1
         new_labels = cur.localCheckpoint()
