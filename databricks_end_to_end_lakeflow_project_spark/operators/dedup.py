@@ -148,6 +148,113 @@ def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M = 4096  # filter bits (64 words); scale ≈ 10 bits per base doc
+_BLOOM_K = 4  # probe hashes; FPP ≈ (1 - e^(-K·|base|/M))^K
+
+
+def _bloom_pos(fp: Column, j: int) -> Column:
+    """Probe position j for fingerprint ``fp``: the first 8 hex digits of
+    ``md5(fp ':' j)`` as an integer, mod the filter size — identical
+    arithmetic to the oracle's ``('0x' || substr(md5(..),1,8))::UBIGINT``."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(fp, F.lit(f":{j}"))), 1, 8), 16, 10)
+        .cast("long")
+        % _BLOOM_M
+    )
+
+
+_BLOOM_ORACLE = f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             md5(array_to_string(string_split(trim(text), ' ')[1:10], ' ')) AS fp
+      FROM documents
+    ), base AS (SELECT fp FROM f WHERE source = 'src0'),
+    delta AS (SELECT doc_id, fp FROM f WHERE source <> 'src0'),
+    ks AS (SELECT unnest(range({_BLOOM_K})) AS j),
+    base_pos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(fp || ':' || j), 1, 8))::UBIGINT % {_BLOOM_M} AS pos
+      FROM base, ks
+    ),
+    probe AS (
+      SELECT d.doc_id,
+             ('0x' || substr(md5(d.fp || ':' || j), 1, 8))::UBIGINT % {_BLOOM_M} AS pos
+      FROM delta d, ks
+    ),
+    maybe AS (
+      SELECT doc_id, BOOL_AND(pos IN (SELECT pos FROM base_pos)) AS maybe_dup
+      FROM probe GROUP BY doc_id
+    )
+    SELECT m.doc_id, m.maybe_dup,
+           d.fp IN (SELECT fp FROM base) AS exact_dup
+    FROM maybe m JOIN delta d USING (doc_id)
+"""
+
+
+@query("dedup_bloom_delta_probe", _BLOOM_ORACLE)
+def dedup_bloom_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter for INCREMENTAL dedup — the
+    100 TB pattern where the base corpus is summarized ONCE into a
+    kilobyte bit array and every arriving delta batch probes that model
+    instead of joining the corpus: docs whose K probe bits are all set
+    are *maybe* duplicates (forwarded to exact/near-dup verification);
+    docs with any clear bit are *definitely new* (a Bloom filter has no
+    false negatives) and skip the expensive path entirely.
+
+    Returns one row per delta doc (``source <> 'src0'``; ``src0`` is the
+    base corpus): ``(doc_id, maybe_dup, exact_dup)`` — carrying the
+    ground-truth flag too, so false positives are auditable in the same
+    result. Fingerprint = first-10-token md5 (the `dedup_exact_prefix`
+    key).
+
+    Spark-first design: the filter is built EXECUTOR-SIDE as
+    ``M/64`` ``(word, bits)`` rows — one distinct + one ``bit_or``
+    aggregate over ``shiftleft`` masks — and broadcast to the probe
+    join, so the base corpus shuffles nothing and the model scales with
+    M, not the data. (Spark's own ``df.stat.bloomFilter`` collects an
+    opaque driver-side sketch object — unusable as a broadcastable
+    DataFrame and not reproducible in the oracle engine; this formation
+    is both.) All hashing is the oracle's exact integer arithmetic, so
+    even the false-positive SET matches DuckDB bit-for-bit. Size M ≈ 10
+    bits per base doc (K=4) for ~1% FPP; the constant here is pinned for
+    the fixed oracle corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    fp = F.md5(F.concat_ws(" ", F.slice(w, 1, 10)))
+    f = docs.select("doc_id", "source", fp.alias("fp"))
+    base = f.filter(F.col("source") == "src0")
+    delta = f.filter(F.col("source") != "src0").select("doc_id", "fp")
+
+    positions = F.array(*[_bloom_pos(F.col("fp"), j) for j in range(_BLOOM_K)])
+    words = (
+        base.select(F.explode(positions).alias("pos"))
+        .distinct()
+        .groupBy(F.shiftright(F.col("pos"), 6).alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    probe = delta.select("doc_id", F.explode(positions).alias("pos")).withColumn(
+        "word", F.shiftright(F.col("pos"), 6)
+    )
+    hit = F.coalesce(
+        F.expr("(shiftright(bits, CAST(pos % 64 AS INT)) & 1) = 1"), F.lit(False)
+    )
+    maybe = (
+        probe.join(F.broadcast(words), "word", "left")
+        .groupBy("doc_id")
+        .agg(F.min(hit.cast("int")).alias("__mh"))
+        .select("doc_id", (F.col("__mh") == 1).alias("maybe_dup"))
+    )
+    base_fps = base.select("fp").distinct().withColumn("__ex", F.lit(True))
+    exact = delta.join(base_fps, "fp", "left").select(
+        "doc_id", F.coalesce(F.col("__ex"), F.lit(False)).alias("exact_dup")
+    )
+    return maybe.join(exact, "doc_id")
+
+
 _JACCARD_PAIRS_ORACLE = """
     WITH toks AS (
       SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents

@@ -113,6 +113,75 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_hard_negatives",
+    """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS a_label, embedding AS av
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT a.anchor_id, e.vec_id, e.label,
+             ROUND(
+               list_reduce(list_transform(list_zip(e.embedding, a.av),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+               / (SQRT(list_reduce(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+                * SQRT(list_reduce(list_transform(a.av,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))),
+             6) AS cos_sim
+      FROM embeddings e JOIN a ON e.label <> a.a_label
+    ), ranked AS (
+      SELECT anchor_id, vec_id, label, cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id
+             ) AS rn
+      FROM scored
+    )
+    SELECT anchor_id, CAST(rn AS INT) AS neg_rank, vec_id, label, cos_sim
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor in
+    a query batch (vec_id < 10), the top-5 most-similar vectors whose
+    LABEL differs from the anchor's — the "hardest" negatives, the
+    standard batch construction for embedding-model training (highest-
+    cosine wrong-label examples carry the most gradient signal).
+
+    Plan: the anchor batch is bounded (a training batch), so it
+    BROADCASTS through the label-mismatch join — a narrow scoring pass
+    over the corpus, never an n×n product; the top-5 cut is a window
+    PARTITIONED on the anchor key (one shuffle keyed by anchor, each
+    anchor's candidates ranked inside its partition). At 100 TB compose
+    with an ANN pre-filter (`sim_ann_hyperplane_buckets` /
+    `sim_ivf_topk`) so the exact ranking sees candidate buckets instead
+    of the full corpus — the scoring/ranking stage here is unchanged by
+    that composition. Scores are 6dp-rounded with a vec_id tiebreak, and
+    the cosine is the sequential-fold form, so the selection is
+    bit-reproducible in the oracle."""
+    em = read_table(spark, sf_dir, "embeddings")
+    anchors = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("av"),
+    )
+    scored = (
+        em.join(F.broadcast(anchors), F.col("label") != F.col("a_label"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("av")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select("anchor_id", "neg_rank", "vec_id", "label", "cos_sim")
+    )
+
+
+@query(
     "sim_label_centroids",
     """
     SELECT label, pos - 1 AS dim_idx,

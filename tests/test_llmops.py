@@ -957,3 +957,89 @@ def test_connected_components_random_graphs_match_union_find(spark):
             for r in connected_components(nodes, edges).collect()
         }
         assert got == uf_components(n_nodes, edge_list)
+
+
+def test_bloom_probe_has_no_false_negatives_and_audits_fp(spark):
+    """Bloom guarantee: every exact duplicate is flagged maybe_dup (no
+    false negatives, ever); the false-positive set is exactly the
+    maybe-and-not-exact rows and stays a small fraction of the delta."""
+    rows = dedup.dedup_bloom_delta_probe(spark, SF).collect()
+    docs = read_table(spark, SF, "documents")
+    n_delta = docs.filter(F.col("source") != "src0").count()
+    assert len(rows) == n_delta, "one verdict row per delta doc"
+    for r in rows:
+        if r["exact_dup"]:
+            assert r["maybe_dup"], f"false negative on doc {r['doc_id']}"
+    fp = [r for r in rows if r["maybe_dup"] and not r["exact_dup"]]
+    assert len(fp) <= max(1, n_delta // 20), "FPP should be percent-level"
+
+
+def test_bloom_probe_matches_direct_membership(spark):
+    """The bit-array formulation must agree with a direct position-set
+    membership check computed independently in Python (same md5 math)."""
+    import hashlib
+
+    docs = read_table(spark, SF, "documents").collect()
+    def fp(text):
+        return hashlib.md5(
+            " ".join(text.strip().split(" ")[:10]).encode()
+        ).hexdigest()
+    def positions(f):
+        return {
+            int(hashlib.md5(f"{f}:{j}".encode()).hexdigest()[:8], 16) % 4096
+            for j in range(4)
+        }
+    base_pos = set()
+    base_fps = set()
+    for r in docs:
+        if r["source"] == "src0":
+            base_fps.add(fp(r["text"]))
+            base_pos |= positions(fp(r["text"]))
+    expected = {}
+    for r in docs:
+        if r["source"] != "src0":
+            f = fp(r["text"])
+            expected[r["doc_id"]] = (
+                positions(f) <= base_pos,
+                f in base_fps,
+            )
+    got = {
+        r["doc_id"]: (r["maybe_dup"], r["exact_dup"])
+        for r in dedup.dedup_bloom_delta_probe(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_hard_negatives_labels_differ_and_match_numpy(spark):
+    """Every mined negative's label differs from its anchor's, ranks are
+    dense 1..5 per anchor, and the selection equals an independent numpy
+    brute-force for every anchor."""
+    import numpy as np
+
+    rows = similarity.sim_hard_negatives(spark, SF).collect()
+    em = read_table(spark, SF, "embeddings").collect()
+    lab = {r["vec_id"]: r["label"] for r in em}
+    vec = {r["vec_id"]: np.asarray(r["embedding"], dtype=float) for r in em}
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        assert lab[r["anchor_id"]] != r["label"]
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for a, rs in by_anchor.items():
+        assert sorted(r["neg_rank"] for r in rs) == list(range(1, 6))
+        av = vec[a]
+        scored = sorted(
+            (
+                (
+                    -round(
+                        float(v @ av / (np.linalg.norm(v) * np.linalg.norm(av))),
+                        6,
+                    ),
+                    vid,
+                )
+                for vid, v in vec.items()
+                if lab[vid] != lab[a]
+            ),
+        )[:5]
+        want = [vid for _, vid in scored]
+        got = [r["vec_id"] for r in sorted(rs, key=lambda r: r["neg_rank"])]
+        assert got == want, f"anchor {a}"

@@ -34,6 +34,9 @@ NON_EQUI_WHITELIST = {
     "monitor_chisq_type_drift",  # 1-row broadcast totals over |categories| rows
     "q15_top_supplier",  # 1-row broadcast scalar MAX over the cached revenue frame
     "agg_histogram_price_bins",  # 1-row broadcast grand total over |bins| rows
+    # bounded ANCHOR BATCH broadcast (a training batch, not a table) through
+    # a label-mismatch predicate: O(|batch|·n) scoring pass by design
+    "sim_hard_negatives",
 }
 
 
