@@ -374,6 +374,27 @@ class ManagedParquetTable:
             if self.retain_versions > 0:
                 self.vacuum(retain_last=self.retain_versions)
 
+    def optimize(
+        self,
+        target_rows_per_file: int = 1 << 20,
+        expect_version: int | None = None,
+    ) -> int:
+        """Delta ``OPTIMIZE`` analogue: rewrite the table's current
+        content into ≈``target_rows_per_file``-row files, collapsing the
+        small files (and batch subdirectories) that accumulate under
+        append-heavy workloads. Pure compaction — ``coalesce``, never a
+        shuffle: bin-packing does not need co-location, and at 100 TB a
+        repartition would move every byte twice (use `cluster_zorder`
+        when data-skipping LAYOUT is the goal, not file count). The
+        rewrite is an ordinary optimistic-concurrency overwrite commit:
+        readers see old-or-new atomically, and a concurrent append
+        conflicts via ``expect_version`` instead of being silently
+        dropped. Returns the output file-bin count."""
+        n = self.read().count()
+        bins = max(1, -(-n // target_rows_per_file))
+        self.overwrite(self.read().coalesce(bins), expect_version=expect_version)
+        return bins
+
     def vacuum(self, retain_last: int = 0) -> int:
         """Drop all but the newest ``retain_last`` snapshots; returns the
         number removed (Delta VACUUM analogue at directory granularity)."""
@@ -1063,4 +1084,75 @@ def cdc_scd2_from_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", "cents",
         F.col("__START_AT").alias("start_at"),
         F.col("__END_AT").alias("end_at"),
+    )
+
+
+@query(
+    "cdc_table_optimize",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           TRUE AS files_reduced,
+           TRUE AS content_preserved
+    FROM orders
+    """,
+)
+def cdc_table_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``OPTIMIZE`` end-to-end through the managed table: create
+    from one quarter of ``orders``, append the other three quarters as
+    separate commits (accumulating small files / batch dirs — the
+    append-heavy degradation OPTIMIZE exists for), then compact with
+    :meth:`ManagedParquetTable.optimize` under an OCC-conditional
+    commit.
+
+    Contract oracle (the sketch-query pattern): the exact row count and
+    orderkey checksum AFTER compaction must equal the source table's —
+    DuckDB computes both from the parquet directly — and two invariant
+    flags must hold: ``files_reduced`` (data file count strictly
+    dropped) and ``content_preserved`` (pre- vs post-compaction count
+    and checksum identical). File counts themselves are
+    environment-dependent, so they assert as a flag, not a value.
+
+    Scale notes: compaction is a ``coalesce`` rewrite — no shuffle, each
+    output bin streams its input files; at 100 TB run it per partition
+    (the table's ``partition_by`` dirs) so only append-churned
+    partitions rewrite."""
+    import os as _os
+
+    from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+        ephemeral_dir,
+    )
+
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = ManagedParquetTable(spark, _os.path.join(ephemeral_dir("optimize_tbl_"), "t"))
+    for i in range(4):
+        part = od.filter(F.col("o_orderkey") % 4 == i)
+        if i == 0:
+            t.overwrite(part)
+        else:
+            t.append(part)
+
+    def n_data_files() -> int:
+        total = 0
+        for root, _dirs, files in _os.walk(t.path):
+            total += sum(1 for f in files if not f.startswith(("_", ".")))
+        return total
+
+    def checksum():
+        row = t.read().agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("s"),
+        ).collect()[0]
+        return row["n"], row["s"]
+
+    files_before = n_data_files()
+    pre = checksum()
+    t.optimize(target_rows_per_file=1_000_000, expect_version=t.version())
+    files_after = n_data_files()
+    post = checksum()
+    return spark.createDataFrame(
+        [(post[0], post[1], files_after < files_before, pre == post)],
+        "n_rows long, key_checksum long, files_reduced boolean, content_preserved boolean",
     )

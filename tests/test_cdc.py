@@ -747,3 +747,47 @@ def test_append_partitioned_still_per_file(spark, tmp_path):
     t.append(spark.createDataFrame([(3, "a")], "k long, p string"))
     got = sorted((r["k"], r["p"]) for r in t.read().collect())
     assert got == [(1, "a"), (2, "b"), (3, "a")]
+
+
+def test_optimize_compacts_files_and_preserves_content(spark, tmp_path):
+    """OPTIMIZE analogue: appends accumulate small files / batch dirs;
+    optimize() collapses them into ≈target-row bins via an ordinary OCC
+    overwrite commit — content identical, file count strictly down, and
+    history/time-travel still works across the compaction."""
+    import os
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ConcurrentWriteError,
+        ManagedParquetTable,
+    )
+
+    t = ManagedParquetTable(spark, str(tmp_path / "t"), retain_versions=2)
+    t.overwrite(spark.range(0, 100).selectExpr("id AS k").repartition(4))
+    for lo in (100, 200, 300):
+        t.append(spark.range(lo, lo + 100).selectExpr("id AS k").repartition(4))
+
+    def n_files():
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(t.path)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+
+    before = n_files()
+    v = t.version()
+    bins = t.optimize(target_rows_per_file=1_000_000, expect_version=v)
+    assert bins == 1
+    assert n_files() < before
+    assert t.read().count() == 400
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(400))
+    # compaction is a real commit: OCC version bumped, the pre-compaction
+    # state retained as a time-travel snapshot, and a stale
+    # expect_version conflicts
+    assert t.version() == v + 1
+    snap = t.history()[-1]
+    assert t.read(version=snap).count() == 400
+    import pytest
+
+    with pytest.raises(ConcurrentWriteError):
+        t.optimize(expect_version=v)
