@@ -520,3 +520,143 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("k", "doc_id")
         .select("doc_id", "shard", "pos")
     )
+
+
+_MIXTURE_WEIGHT_SQL = """CASE domain WHEN 'en' THEN 0.30 WHEN 'de' THEN 0.25
+             WHEN 'fr' THEN 0.05 ELSE 0.40 END"""
+
+
+@query(
+    "sample_token_budget_mixture",
+    f"""
+    WITH dom AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN lang IN ('en','de','fr') THEN lang ELSE 'other' END
+               AS domain
+      FROM documents
+    ), stats AS (
+      SELECT domain, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS avail_tokens
+      FROM dom GROUP BY domain
+    ), tot AS (
+      SELECT CAST(SUM(avail_tokens) AS DOUBLE) AS total FROM stats
+    ), plan0 AS (
+      SELECT s.*, {_MIXTURE_WEIGHT_SQL} * t.total AS target_d,
+             {_MIXTURE_WEIGHT_SQL} * t.total
+               / CAST(s.avail_tokens AS DOUBLE) AS epochs
+      FROM stats s CROSS JOIN tot t
+    ), plan AS (
+      SELECT domain, n_docs, avail_tokens,
+             CAST(FLOOR(target_d) AS BIGINT) AS target_tokens,
+             CAST(FLOOR(epochs) AS INT) AS n_full_epochs,
+             CAST(FLOOR((epochs - FLOOR(epochs)) * 16777216.0) AS BIGINT)
+               AS frac_threshold
+      FROM plan0
+    ), fracs AS (
+      SELECT d.domain, COUNT(*) AS n_frac,
+             CAST(SUM(d.n_chars) AS BIGINT) AS frac_tokens
+      FROM dom d JOIN plan p USING (domain)
+      WHERE ('0x' || SUBSTRING(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 6))
+              ::BIGINT < p.frac_threshold
+      GROUP BY d.domain
+    )
+    SELECT p.domain, p.n_docs, p.avail_tokens, p.target_tokens,
+           p.n_full_epochs, p.frac_threshold,
+           CAST(p.n_docs * p.n_full_epochs + COALESCE(f.n_frac, 0) AS BIGINT)
+             AS n_docs_emitted,
+           CAST(p.avail_tokens * p.n_full_epochs + COALESCE(f.frac_tokens, 0)
+                AS BIGINT) AS emitted_tokens
+    FROM plan p LEFT JOIN fracs f USING (domain)
+    ORDER BY p.domain
+    """,
+)
+def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture solver + emitter — the "how many epochs of
+    each domain" step of LLM pre-training data curation (the mixture
+    table in every LLaMA/Pile-style data card, repeat factors per
+    Muennighoff et al.'s data-constrained scaling): given target domain
+    weights and a total token budget (here: one corpus-size worth),
+    each domain needs ``target = w_d x budget`` tokens out of
+    ``avail_d`` on hand, i.e. ``epochs_d = target/avail_d`` passes —
+    ``floor(epochs)`` FULL copies of the domain plus a fractional
+    remainder sampled by deterministic content hash.
+
+    The emitted counts come from the REAL emitted frame (full copies
+    via ``explode(array_repeat(...))`` + the hash-filtered fractional
+    pass), not from the arithmetic — the query proves the emission plan
+    and the solver agree. Everything reported is an integer (thresholds
+    as raw 16^6-ths), so the oracle match is exact: both engines do the
+    identical double division/floor on identical BIGINT sums.
+
+    Distributed shape: one map-side-partial groupBy over #domains keys,
+    a 1-row total broadcast-joined back (never an unpartitioned
+    window), the 4-row plan broadcast into the corpus scan, and one
+    final #domains-key count — no corpus-scale shuffle anywhere; the
+    full-epoch fan-out is row-local (array_repeat/explode in-stage), so
+    at 100 TB the job is ~(1 + mean_epochs) scans' worth of I/O and
+    nothing else."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    dom = docs.withColumn(
+        "domain",
+        F.when(F.col("lang").isin("en", "de", "fr"), F.col("lang")).otherwise(
+            F.lit("other")
+        ),
+    )
+    stats = dom.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("avail_tokens"),
+    )
+    total = stats.agg(F.sum("avail_tokens").cast("double").alias("total"))
+    w = (
+        F.when(F.col("domain") == "en", 0.30)
+        .when(F.col("domain") == "de", 0.25)
+        .when(F.col("domain") == "fr", 0.05)
+        .otherwise(0.40)
+    )
+    target_d = w * F.col("total")
+    epochs = target_d / F.col("avail_tokens").cast("double")
+    plan = stats.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        "avail_tokens",
+        F.floor(target_d).cast("long").alias("target_tokens"),
+        F.floor(epochs).cast("int").alias("n_full_epochs"),
+        F.floor((epochs - F.floor(epochs)) * F.lit(16777216.0))
+        .cast("long")
+        .alias("frac_threshold"),
+    )
+    joined = dom.join(F.broadcast(plan), "domain")
+    full_copies = joined.select(
+        "domain",
+        "n_chars",
+        F.explode(F.array_repeat(F.lit(1), F.col("n_full_epochs"))).alias("_e"),
+    ).drop("_e")
+    draw = F.conv(
+        hash_hex(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), 6), 16, 10
+    ).cast("long")
+    fractional = joined.filter(draw < F.col("frac_threshold")).select(
+        "domain", "n_chars"
+    )
+    emitted = full_copies.unionByName(fractional)
+    counts = emitted.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_emitted"),
+        F.sum("n_chars").cast("long").alias("emitted_tokens"),
+    )
+    return (
+        plan.join(counts, "domain", "left")
+        .select(
+            "domain",
+            "n_docs",
+            "avail_tokens",
+            "target_tokens",
+            "n_full_epochs",
+            "frac_threshold",
+            F.coalesce("n_docs_emitted", F.lit(0)).cast("long").alias(
+                "n_docs_emitted"
+            ),
+            F.coalesce("emitted_tokens", F.lit(0)).cast("long").alias(
+                "emitted_tokens"
+            ),
+        )
+        .orderBy("domain")
+    )

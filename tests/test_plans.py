@@ -37,6 +37,7 @@ NON_EQUI_WHITELIST = {
     # bounded ANCHOR BATCH broadcast (a training batch, not a table) through
     # a label-mismatch predicate: O(|batch|·n) scoring pass by design
     "sim_hard_negatives",
+    "sample_token_budget_mixture",  # 1-row broadcast corpus total over #domains rows
 }
 
 

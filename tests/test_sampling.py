@@ -269,3 +269,38 @@ def test_epoch_shuffle_sharded_write_preserves_training_order(spark, tmp_path):
             assert expected[(shard, r["pos"])] == r["k"]
             seen += 1
     assert seen == len(expected)
+
+
+def test_token_budget_mixture_solver_invariants(spark):
+    """The mixture solver's emitted counts must agree with its own
+    arithmetic (full epochs x domain size + the fractional-pass count),
+    full epochs must be floor(target/avail), the fractional threshold
+    must encode the leftover epoch fraction, and emitted tokens must
+    land within one fractional-sample noise band of the target."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        sample_token_budget_mixture,
+    )
+
+    rows = {r["domain"]: r for r in sample_token_budget_mixture(spark, SF).collect()}
+    assert set(rows) == {"en", "de", "fr", "other"}
+    budget = sum(r["avail_tokens"] for r in rows.values())
+    weights = {"en": 0.30, "de": 0.25, "fr": 0.05, "other": 0.40}
+    for d, r in rows.items():
+        target = weights[d] * budget
+        assert r["target_tokens"] == int(target)
+        epochs = target / r["avail_tokens"]
+        assert r["n_full_epochs"] == int(epochs)
+        assert r["frac_threshold"] == int((epochs - int(epochs)) * 16777216.0)
+        # emission agrees with the solver: full copies exactly, the
+        # fractional pass within hash-sampling noise of its expectation
+        assert r["n_docs_emitted"] >= r["n_docs"] * r["n_full_epochs"]
+        assert r["emitted_tokens"] >= r["avail_tokens"] * r["n_full_epochs"]
+        frac_tokens = r["emitted_tokens"] - r["avail_tokens"] * r["n_full_epochs"]
+        expect_frac = (epochs - int(epochs)) * r["avail_tokens"]
+        # 500-doc fixture: allow generous but bounded sampling noise
+        assert abs(frac_tokens - expect_frac) <= 0.5 * r["avail_tokens"]
+    # a rerun is bit-identical (pure function of the data)
+    again = {r["domain"]: r for r in sample_token_budget_mixture(spark, SF).collect()}
+    assert {d: tuple(r) for d, r in rows.items()} == {
+        d: tuple(r) for d, r in again.items()
+    }
