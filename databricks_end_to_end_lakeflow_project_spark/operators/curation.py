@@ -559,3 +559,111 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_QSCORE_Q_SQL = """CAST(ROUND((0.4 * LEAST(LENGTH(w)::DOUBLE / 100.0, 1.0)
+         + 0.4 * LENGTH(list_distinct(w))::DOUBLE / LENGTH(w)
+         + 0.2 * (1.0 - LENGTH(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE
+                        / LENGTH(w))) * 10000.0) AS BIGINT)"""
+
+
+@query(
+    "curation_source_reputation_gate",
+    f"""
+    WITH scored AS (
+      SELECT source, {_QSCORE_Q_SQL} AS q
+      FROM (SELECT source, string_split(trim(text), ' ') AS w FROM documents)
+    ), per_src AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(q) AS sum_q FROM scored
+      GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_docs) AS n_all, SUM(sum_q) AS sum_all FROM per_src
+    ), gated AS (
+      SELECT p.*, (p.sum_q * t.n_all >= t.sum_all * p.n_docs) AS passed
+      FROM per_src p CROSS JOIN tot t
+    ), kept AS (
+      SELECT s.source, COUNT(*) AS n_docs_kept
+      FROM scored s JOIN gated g USING (source)
+      WHERE g.passed AND s.q * g.n_docs >= g.sum_q
+      GROUP BY s.source
+    )
+    SELECT g.source, CAST(g.n_docs AS BIGINT) AS n_docs,
+           ROUND(g.sum_q / g.n_docs / 10000.0, 4) AS mean_quality,
+           g.passed,
+           CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept
+    FROM gated g LEFT JOIN kept k USING (source)
+    ORDER BY g.source
+    """,
+)
+def curation_source_reputation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain-level reputation gating (the RefinedWeb / C4
+    curation move: judge the *site*, then the page) — score every doc
+    with the composite quality formula, aggregate a per-``source``
+    reputation, PASS sources whose mean quality is at or above the
+    corpus mean, then within passing sources keep only the docs at or
+    above their own source's mean.
+
+    Cross-engine exactness: the per-doc score is quantized to a
+    fixed-point long (1e-4) BEFORE any aggregation, so the sums are
+    order-independent integers, and both gates compare by integer
+    cross-multiplication (``sum_q*n_all >= sum_all*n_docs``), never a
+    double division — the repo's scalerank/DSIR rule. (At true 100 TB
+    the cross-products need DECIMAL(38,0) or a pre-divided double mean;
+    the fixture longs are exact to ~1e14 docs x 1e4 score.)
+
+    Distributed shape: one scan computes row-local scores; one
+    map-side-partial groupBy over #sources keys; a 1-row corpus total
+    broadcast-joined back (never an unpartitioned window); the
+    #sources-row gate frame broadcast into a second scan for the
+    per-doc keep filter. Two scans, two tiny shuffles — no corpus-scale
+    exchange, no window."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        STOPWORDS,
+        stopword_hits,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = tokens(F.col("text"))
+    n = F.size(w).cast("double")
+    score = (
+        0.4 * F.least(n / 100.0, F.lit(1.0))
+        + 0.4 * F.size(F.array_distinct(w)).cast("double") / n
+        + 0.2 * (1.0 - stopword_hits(w, STOPWORDS).cast("double") / n)
+    )
+    scored = docs.select(
+        "source", F.round(score * 10000.0).cast("long").alias("q")
+    )
+    per_src = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("q").alias("sum_q")
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").alias("n_all"), F.sum("sum_q").alias("sum_all")
+    )
+    gated = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sum_q",
+        (F.col("sum_q") * F.col("n_all") >= F.col("sum_all") * F.col("n_docs")).alias(
+            "passed"
+        ),
+    )
+    kept = (
+        scored.join(F.broadcast(gated), "source")
+        .filter(F.col("passed") & (F.col("q") * F.col("n_docs") >= F.col("sum_q")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs_kept"))
+    )
+    return (
+        gated.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("sum_q") / F.col("n_docs") / 10000.0, 4).alias(
+                "mean_quality"
+            ),
+            "passed",
+            F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+        )
+        .orderBy("source")
+    )

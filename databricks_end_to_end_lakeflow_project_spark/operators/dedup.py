@@ -39,6 +39,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql import types as T
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.session import persist_once
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
 # deterministic permutation parameters: (a*h31 + b) mod P, products stay
@@ -416,7 +417,7 @@ def minhash_lsh_pairs(
     sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= ngram).select(
         "doc_id", shingles(F.col("text"), ngram).alias("sh")
     )
-    sh = sh.persist()
+    sh = persist_once(sh)
     sig = minhash_signatures(sh, n_perm)
 
     # band rows carry ONLY (doc_id, band key) — the shingle arrays stay out
@@ -452,8 +453,8 @@ def minhash_lsh_pairs(
         band_rows.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
-        .persist()
     )
+    buckets_all = persist_once(buckets_all)
     buckets = buckets_all.filter(F.size("docs") <= max_bucket)
     docs_col = F.col("docs")
     candidates = buckets.select(
@@ -717,7 +718,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+    small_graph_rows: int = 100_000,
 ) -> DataFrame:
     """Distributed connected components by iterative min-label
     propagation: every node's label converges to the smallest node id
@@ -767,6 +771,49 @@ def connected_components(
         # jobs on a clean corpus / empty delta)
         bidir.unpersist()
         return nodes.select("node", F.col("node").alias("component"))
+    if n_edges <= small_graph_rows:
+        # SMALL-GRAPH FAST PATH: the duplicate graph fits a bounded driver
+        # buffer (`small_graph_rows` bidir rows — an explicit cap set by
+        # the caller, NOT an unbounded collect), so the whole fixed-point
+        # loop — each round a checkpoint+count job pair whose cost at this
+        # size is pure driver latency — collapses to one collect, an
+        # in-memory union-find, and one broadcast mapping join. The result
+        # is bit-identical to the loop (same min-label components); at
+        # real scale the count exceeds the cap and the distributed
+        # edge-touched iteration below runs instead — the same adaptive
+        # small-vs-large switch AQE applies to joins.
+        pairs = bidir.collect()
+        bidir.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in pairs:
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                # min root stays representative → labels == min reachable id
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        mapping = [(n, find(n)) for n in parent]
+        node_type = nodes.schema["node"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type, False),
+                T.StructField("component", node_type, False),
+            ]
+        )
+        mapping_df = spark.createDataFrame(mapping, schema)
+        return nodes.join(F.broadcast(mapping_df), "node", "left").select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
     parts = min(session_parts, max(1, n_edges // 25_000 + 1))
     if parts < session_parts:
         repart = bidir.repartition(parts, "a").persist()
@@ -1076,7 +1123,7 @@ def incremental_lsh_delta_pairs(
     sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= ngram).select(
         "doc_id", is_delta.alias("is_d"), shingles(F.col("text"), ngram).alias("sh")
     )
-    sh = sh.persist()
+    sh = persist_once(sh)
     sig = minhash_signatures(sh, n_perm).join(
         sh.select("doc_id", "is_d"), "doc_id"
     )

@@ -79,3 +79,20 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def persist_once(df):
+    """``df.persist()`` unless the CacheManager already holds an entry for
+    the same CANONICALIZED plan. ``DataFrame.is_cached`` is object-local
+    (a fresh identical plan reports False), but the CacheManager matches
+    by canonical plan — so a query invoked twice in one session (the
+    bench harness runs each query twice and clears cache per query, not
+    per run) would re-persist its intermediates and log
+    ``CacheManager: Asked to cache already cached data``. Skipping the
+    persist is safe: plan-cache substitution applies to ANY matching
+    subtree at planning time, so the second run still reads the first
+    run's cache entry."""
+    jspark = df.sparkSession._jsparkSession
+    if jspark.sharedState().cacheManager().lookupCachedData(df._jdf).isDefined():
+        return df
+    return df.persist()

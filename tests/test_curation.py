@@ -112,3 +112,49 @@ def test_pretraining_export_invariants(spark):
     for r in rows.values():
         assert r["avg_quality"] >= 0.55
         assert r["total_tokens"] > 0
+
+
+def test_source_reputation_gate_matches_pure_python(spark):
+    """Gate semantics recomputed independently in pure Python from the
+    same parquet: per-source fixed-point mean quality, pass iff source
+    mean >= corpus mean (integer cross-multiplication), kept = docs at
+    or above their source's mean within passing sources."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.curation import (
+        curation_source_reputation_gate,
+    )
+
+    got = {r["source"]: r for r in curation_source_reputation_gate(spark, SF).collect()}
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"])
+    per = {}
+    for source, text in zip(
+        tbl.column("source").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        w = text.strip().split(" ")
+        n = float(len(w))
+        score = (
+            0.4 * min(n / 100.0, 1.0)
+            + 0.4 * len(set(w)) / n
+            + 0.2 * (1.0 - sum(1 for x in w if x in ("the", "a")) / n)
+        )
+        q = round(score * 10000.0)
+        per.setdefault(source, []).append(q)
+
+    n_all = sum(len(v) for v in per.values())
+    sum_all = sum(sum(v) for v in per.values())
+    assert set(got) == set(per)
+    for src, qs in per.items():
+        r = got[src]
+        assert r["n_docs"] == len(qs)
+        passed = sum(qs) * n_all >= sum_all * len(qs)
+        assert r["passed"] == passed
+        expect_kept = (
+            sum(1 for q in qs if q * len(qs) >= sum(qs)) if passed else 0
+        )
+        assert r["n_docs_kept"] == expect_kept
+        assert r["mean_quality"] == round(sum(qs) / len(qs) / 10000.0, 4)
+    # at least one source on each side of the gate, or the gate is vacuous
+    assert any(r["passed"] for r in got.values())
+    assert any(not r["passed"] for r in got.values())

@@ -952,11 +952,22 @@ def test_connected_components_random_graphs_match_union_find(spark):
             edges = spark.createDataFrame(edge_list, "src long, dst long")
         else:
             edges = spark.createDataFrame([], "src long, dst long")
-        got = {
+        want = uf_components(n_nodes, edge_list)
+        # BOTH execution paths must agree with the reference: the bounded
+        # driver union-find fast path (default threshold) and the
+        # distributed min-label propagation loop (threshold 0 forces it)
+        got_fast = {
             r["node"]: r["component"]
             for r in connected_components(nodes, edges).collect()
         }
-        assert got == uf_components(n_nodes, edge_list)
+        got_dist = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                nodes, edges, small_graph_rows=0
+            ).collect()
+        }
+        assert got_fast == want
+        assert got_dist == want
 
 
 def test_bloom_probe_has_no_false_negatives_and_audits_fp(spark):

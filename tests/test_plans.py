@@ -38,6 +38,7 @@ NON_EQUI_WHITELIST = {
     # a label-mismatch predicate: O(|batch|·n) scoring pass by design
     "sim_hard_negatives",
     "sample_token_budget_mixture",  # 1-row broadcast corpus total over #domains rows
+    "curation_source_reputation_gate",  # 1-row broadcast corpus mean over #sources rows
 }
 
 
@@ -486,3 +487,30 @@ def test_epoch_shuffle_is_hash_sharded_not_range_sorted(spark):
     plan = _plan(sample_epoch_shuffle(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_persist_once_skips_plan_identical_cache_entries(spark):
+    """persist_once must not re-register a canonical plan the
+    CacheManager already holds (the `Asked to cache already cached
+    data` warning the bench tripped on repeat runs), and must still
+    persist a genuinely new plan."""
+    from pyspark.sql import functions as F
+
+    from databricks_end_to_end_lakeflow_project_spark.session import persist_once
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+
+    a = persist_once(spark.range(100).select((F.col("id") * 3).alias("x")))
+    a.count()
+    assert a.is_cached
+    # fresh object, identical canonical plan: must NOT persist again,
+    # but the cache entry still substitutes at planning time
+    b = spark.range(100).select((F.col("id") * 3).alias("x"))
+    b2 = persist_once(b)
+    assert not b2.is_cached  # object-local flag untouched — no re-register
+    assert cm.lookupCachedData(b2._jdf).isDefined()
+    # a different plan still persists normally
+    c = persist_once(spark.range(100).select((F.col("id") * 4).alias("x")))
+    assert c.is_cached
+    spark.catalog.clearCache()
