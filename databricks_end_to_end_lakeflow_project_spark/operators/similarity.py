@@ -1468,3 +1468,151 @@ def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("node") == F.col("component")).alias("keep"),
         )
     )
+
+
+_RECALL_Q_LO, _RECALL_Q_HI, _RECALL_K = 8, 27, 10
+
+
+def _recall_eval_oracle() -> str:
+    """DuckDB replay of the full recall@k evaluation: seed cells, probe
+    selection, IVF candidate ranking AND the brute-force ground truth
+    all reuse the sequential-fold cosine, so both rankings (ties →
+    lowest vec_id) match the Spark side bit-for-bit and the recall
+    counts are exact."""
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS cell, embedding AS cvec
+      FROM embeddings WHERE vec_id < {_IVF_CELLS}
+    ), queries AS (
+      SELECT vec_id AS q_vec, embedding AS qv
+      FROM embeddings WHERE vec_id BETWEEN {_RECALL_Q_LO} AND {_RECALL_Q_HI}
+    ), probe AS (
+      SELECT q_vec, cell FROM (
+        SELECT q.q_vec, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_vec
+                 ORDER BY {_cos_sql('s.cvec', 'q.qv')} DESC, s.cell
+               ) AS rn
+        FROM queries q CROSS JOIN seeds s
+      ) WHERE rn <= {_IVF_NPROBE}
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 's.cvec')} DESC, s.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ), gt AS (
+      SELECT q_vec, vec_id FROM (
+        SELECT q.q_vec, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_vec
+                 ORDER BY {_cos_sql('e.embedding', 'q.qv')} DESC, e.vec_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN queries q
+        WHERE e.vec_id <> q.q_vec
+      ) WHERE rn <= {_RECALL_K}
+    ), ivf AS (
+      SELECT q_vec, vec_id FROM (
+        SELECT p.q_vec, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.q_vec
+                 ORDER BY {_cos_sql('e.embedding', 'q.qv')} DESC, e.vec_id
+               ) AS rn
+        FROM probe p
+        JOIN assigned a ON a.cell = p.cell
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN queries q ON q.q_vec = p.q_vec
+        WHERE e.vec_id <> p.q_vec
+      ) WHERE rn <= {_RECALL_K}
+    )
+    SELECT g.q_vec,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(i.vec_id) / {_RECALL_K}.0, 2) AS recall_at_k
+    FROM gt g LEFT JOIN ivf i ON g.q_vec = i.q_vec AND g.vec_id = i.vec_id
+    GROUP BY g.q_vec ORDER BY g.q_vec
+    """
+
+
+@query("sim_recall_at_k_eval", _recall_eval_oracle())
+def sim_recall_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation — per-query recall@10 of the IVF
+    index (`sim_ivf_topk`'s quantizer/probe config) against brute-force
+    ground truth for a 20-query eval batch: the accept/reject gate every
+    production ANN deployment runs before swapping an index in ("is
+    nprobe/cells good enough on MY data?").
+
+    Both rankings use the sequential-fold cosine with vec_id tiebreak,
+    so the oracle replays ground truth AND index answer bit-for-bit —
+    recall counts are exact, not approximate.
+
+    Distributed shape: the eval batch (20 queries) is a BOUNDED
+    broadcast, standard recall-eval protocol — ground truth is an
+    intentional |batch| x n scoring pass (the one exact-scan pass the
+    eval requires; at 100 TB you'd run it on a sampled shard, which is
+    this same plan with a hash filter on the scan). The IVF side scans
+    only probed cells via the 60-row (q_vec, cell) probe broadcast;
+    per-query rankings are windows PARTITIONED on q_vec; the final
+    hit-count is a 20-key groupBy."""
+    em = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in em.filter(F.col("vec_id") < _IVF_CELLS).collect()
+    )
+    queries = em.filter(
+        F.col("vec_id").between(_RECALL_Q_LO, _RECALL_Q_HI)
+    ).select(F.col("vec_id").alias("q_vec"), F.col("embedding").alias("qv"))
+
+    # probe selection per query: same linear sorted-struct argmax as
+    # ivf_assign, keeping the top-nprobe cells
+    ranked_cells = F.array_sort(
+        F.array(*[
+            F.struct(
+                (-cosine(F.col("qv"), F.array(*[F.lit(float(x)) for x in c]))).alias("ns"),
+                F.lit(cell_id).alias("cell"),
+            )
+            for cell_id, c in seeds
+        ])
+    )
+    probes = queries.select(
+        "q_vec",
+        F.explode(
+            F.transform(F.slice(ranked_cells, 1, _IVF_NPROBE), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+
+    w = Window.partitionBy("q_vec").orderBy(F.col("cos").desc(), "vec_id")
+
+    gt = (
+        em.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_vec"))
+        .select("q_vec", "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("q_vec", "vec_id")
+    )
+    assigned = ivf_assign(em, seeds).select("vec_id", "embedding", "cell")
+    ivf = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_vec"))
+        .join(F.broadcast(queries), "q_vec")
+        .select("q_vec", "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("q_vec", F.col("vec_id").alias("hit_vec"))
+    )
+    return (
+        gt.join(
+            ivf,
+            (gt["q_vec"] == ivf["q_vec"]) & (gt["vec_id"] == ivf["hit_vec"]),
+            "left",
+        )
+        .groupBy(gt["q_vec"].alias("q_vec"))
+        .agg(
+            F.count("hit_vec").cast("long").alias("n_hits"),
+            F.round(F.count("hit_vec") / float(_RECALL_K), 2).alias("recall_at_k"),
+        )
+        .orderBy("q_vec")
+    )

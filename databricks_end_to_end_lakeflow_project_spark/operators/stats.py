@@ -981,3 +981,91 @@ def monitor_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks"),
     )
+
+
+@query(
+    "monitor_unigram_kl_drift",
+    """
+    WITH toks AS (
+      SELECT doc_id % 2 = 1 AS is_new, UNNEST(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ), per_tok AS (
+      SELECT tok,
+             COUNT(*) FILTER (WHERE NOT is_new) AS c_base,
+             COUNT(*) FILTER (WHERE is_new) AS c_new
+      FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT SUM(c_base) AS n_base, SUM(c_new) AS n_new,
+             COUNT(*) AS v
+      FROM per_tok
+    ), contrib AS (
+      SELECT p.tok, p.c_base, p.c_new,
+             CAST(ROUND(
+               ((p.c_new + 1.0) / (t.n_new + t.v))
+               * ln(((p.c_new + 1.0) * (t.n_base + t.v))
+                    / ((p.c_base + 1.0) * (t.n_new + t.v))) * 1e12)
+               AS BIGINT) AS contrib_q
+      FROM per_tok p CROSS JOIN tot t
+    ), total AS (
+      SELECT CAST(SUM(contrib_q) AS BIGINT) AS kl_total_q FROM contrib
+    )
+    SELECT c.tok, CAST(c.c_base AS BIGINT) AS c_base,
+           CAST(c.c_new AS BIGINT) AS c_new, c.contrib_q, s.kl_total_q
+    FROM contrib c CROSS JOIN total s
+    ORDER BY c.contrib_q DESC, c.tok
+    LIMIT 10
+    """,
+)
+def monitor_unigram_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots as a
+    smoothed unigram KL divergence — the language-mixture drift gate a
+    recurring ingestion pipeline runs before a new crawl joins the
+    training mix (companion to the PSI/chi-square/KS gates, which watch
+    scalar columns; this one watches the TEXT itself). Snapshots are
+    the even/odd doc_id halves (deterministic stand-ins for
+    base-vs-new-crawl); add-1 smoothing over the union vocabulary keeps
+    unseen tokens finite. Reports the 10 largest drift contributors
+    (the tokens a reviewer looks at first) with the corpus-level total
+    on every row.
+
+    Cross-engine exactness (the DSIR rule): each token's KL
+    contribution ``p_new * ln(p_new/p_base)`` is quantized to a
+    fixed-point long (1e-12) BEFORE summation, so the corpus total is
+    an order-independent integer sum; both engines evaluate the same
+    double expression on the same BIGINT counts.
+
+    Distributed shape: explode→per-token counts is one
+    partial-aggregatable shuffle on the token key; totals are a 1-row
+    broadcast (never an unpartitioned window); top-10 is
+    TakeOrderedAndProject, no global sort. At 100 TB the shuffled frame
+    is vocabulary-sized, not corpus-sized."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 1).alias("is_new"),
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    )
+    per_tok = toks.groupBy("tok").agg(
+        F.count(F.when(~F.col("is_new"), 1)).alias("c_base"),
+        F.count(F.when(F.col("is_new"), 1)).alias("c_new"),
+    )
+    tot = per_tok.agg(
+        F.sum("c_base").alias("n_base"),
+        F.sum("c_new").alias("n_new"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p_new = (F.col("c_new") + 1.0) / (F.col("n_new") + F.col("v"))
+    ratio = ((F.col("c_new") + 1.0) * (F.col("n_base") + F.col("v"))) / (
+        (F.col("c_base") + 1.0) * (F.col("n_new") + F.col("v"))
+    )
+    contrib = per_tok.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.col("c_base").cast("long").alias("c_base"),
+        F.col("c_new").cast("long").alias("c_new"),
+        F.round(p_new * F.log(ratio) * 1e12).cast("long").alias("contrib_q"),
+    )
+    total = contrib.agg(F.sum("contrib_q").cast("long").alias("kl_total_q"))
+    return (
+        contrib.crossJoin(F.broadcast(total))
+        .orderBy(F.col("contrib_q").desc(), "tok")
+        .limit(10)
+    )

@@ -39,6 +39,8 @@ NON_EQUI_WHITELIST = {
     "sim_hard_negatives",
     "sample_token_budget_mixture",  # 1-row broadcast corpus total over #domains rows
     "curation_source_reputation_gate",  # 1-row broadcast corpus mean over #sources rows
+    "monitor_unigram_kl_drift",  # 1-row broadcast totals + 1-row KL total over vocab rows
+    "sim_recall_at_k_eval",  # bounded 20-query eval batch x corpus: exact ground-truth pass
 }
 
 

@@ -86,3 +86,48 @@ def test_hybrid_rrf_spark(spark):
     for _, r in both.iterrows():
         expect = 1.0 / (60 + r["lex_rank"]) + 1.0 / (60 + r["vec_rank"])
         assert r["rrf_score"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_recall_at_k_eval_matches_pure_python(spark):
+    """Recall@10 recomputed independently: pure-Python sequential-fold
+    cosines build the ground-truth and IVF answer sets per query; the
+    Spark counts must match exactly, and probing ALL cells must yield
+    recall 1.0 by construction (the IVF set equals ground truth when
+    nothing is pruned)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        _IVF_CELLS,
+        _IVF_NPROBE,
+        _RECALL_K,
+        _RECALL_Q_HI,
+        _RECALL_Q_LO,
+        _seq_cosine,
+        sim_recall_at_k_eval,
+    )
+
+    got = {r["q_vec"]: r for r in sim_recall_at_k_eval(spark, SF_DIR).collect()}
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = dict(zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()))
+    seeds = [(i, emb[i]) for i in sorted(emb) if i < _IVF_CELLS]
+
+    def top_cells(v, k):
+        return [c for c, _ in sorted(seeds, key=lambda s: (-_seq_cosine(s[1], v), s[0]))[:k]]
+
+    assigned = {vid: top_cells(v, 1)[0] for vid, v in emb.items()}
+    for q in range(_RECALL_Q_LO, _RECALL_Q_HI + 1):
+        qv = emb[q]
+        ranked = sorted(
+            (vid for vid in emb if vid != q),
+            key=lambda vid: (-_seq_cosine(emb[vid], qv), vid),
+        )
+        gt = set(ranked[:_RECALL_K])
+        probe = set(top_cells(qv, _IVF_NPROBE))
+        ivf = [vid for vid in ranked if assigned[vid] in probe][:_RECALL_K]
+        n_hits = len(gt & set(ivf))
+        assert got[q]["n_hits"] == n_hits, q
+        assert got[q]["recall_at_k"] == round(n_hits / _RECALL_K, 2)
+        # un-pruned sanity: probing every cell reproduces ground truth
+        all_cells = [vid for vid in ranked if assigned[vid] in set(range(_IVF_CELLS))][:_RECALL_K]
+        assert set(all_cells) == gt

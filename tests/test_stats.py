@@ -220,3 +220,43 @@ def test_drift_monitors_invariants(spark):
     finally:
         S.read_table = orig
     assert chi1 > 100
+
+
+def test_unigram_kl_drift_matches_pure_python(spark):
+    """KL drift recomputed independently in pure Python from the same
+    parquet: identical top-10 tokens, per-token quantized contributions,
+    and total; the smoothed KL total must be non-negative."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        monitor_unigram_kl_drift,
+    )
+
+    got = monitor_unigram_kl_drift(spark, SF).collect()
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    c_base, c_new = {}, {}
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        tgt = c_new if doc_id % 2 == 1 else c_base
+        for t in text.strip().split(" "):
+            tgt[t] = tgt.get(t, 0) + 1
+    vocab = set(c_base) | set(c_new)
+    n_base, n_new, v = sum(c_base.values()), sum(c_new.values()), len(vocab)
+    contrib = {}
+    for t in vocab:
+        cb, cn = c_base.get(t, 0), c_new.get(t, 0)
+        p = (cn + 1.0) / (n_new + v)
+        term = p * math.log(((cn + 1.0) * (n_base + v)) / ((cb + 1.0) * (n_new + v)))
+        contrib[t] = round(term * 1e12)
+    total = sum(contrib.values())
+    assert total >= 0  # KL of proper smoothed distributions
+    top = sorted(contrib.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["tok"], r["contrib_q"]) for r in got] == top
+    for r in got:
+        assert r["kl_total_q"] == total
+        assert r["c_base"] == c_base.get(r["tok"], 0)
+        assert r["c_new"] == c_new.get(r["tok"], 0)
