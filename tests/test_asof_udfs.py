@@ -148,3 +148,30 @@ def test_temporal_scd2_join_matches_hand_replay(spark):
     for t, (n, rev) in expected.items():
         assert got[t]["n_purchases"] == n
         assert abs(got[t]["revenue"] - round(rev, 2)) < 0.05
+
+
+def test_map_in_arrow_agrees_with_map_in_pandas(spark):
+    """The Arrow-native batch path must produce the same doc_id→n_chars
+    map as the pandas path (shared columns), plus a correct uppercase
+    count on a hand row — guards the RecordBatch column plumbing."""
+    from databricks_end_to_end_lakeflow_project_spark.functions.udfs import (
+        udf_map_in_arrow,
+        udf_map_in_pandas,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    arrow = {r["doc_id"]: r for r in udf_map_in_arrow(spark, sf).collect()}
+    pandas = {r["doc_id"]: r for r in udf_map_in_pandas(spark, sf).collect()}
+    assert set(arrow) == set(pandas)
+    for did, r in arrow.items():
+        assert r["n_chars"] == pandas[did]["n_chars"]
+
+    df = spark.createDataFrame([(1, "The Quick brown Fox")], "doc_id long, text string")
+    out = df.mapInArrow(
+        __import__(
+            "databricks_end_to_end_lakeflow_project_spark.functions.udfs",
+            fromlist=["_arrow_stats_batches"],
+        )._arrow_stats_batches,
+        schema="doc_id long, n_chars long, n_tokens long, n_upper long",
+    ).collect()[0]
+    assert (out["n_chars"], out["n_tokens"], out["n_upper"]) == (19, 4, 3)
