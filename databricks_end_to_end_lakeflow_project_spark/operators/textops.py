@@ -1256,3 +1256,67 @@ def text_dedup_span_c4_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_dedup_sentences_global",
+    """
+    WITH segs AS (
+      SELECT doc_id,
+             generate_subscripts(parts, 1) AS idx,
+             unnest(parts) AS seg
+      FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)
+    ), f AS (
+      SELECT doc_id, idx, seg FROM segs WHERE LENGTH(seg) >= 20
+    ), firsts AS (
+      SELECT md5(seg) AS h, MIN(doc_id * 1000000 + idx) AS first_enc
+      FROM f GROUP BY md5(seg)
+    ), flagged AS (
+      SELECT f.doc_id, (f.doc_id * 1000000 + f.idx) <> fs.first_enc AS is_dup
+      FROM f JOIN firsts fs ON md5(f.seg) = fs.h
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sents,
+           CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_removed
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_dedup_sentences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact sentence-level dedup (the RefinedWeb / CCNet
+    line-dedup pass, a different granularity from `text_dedup_span_c4`'s
+    3-sentence spans): every '. '-delimited sentence of >= 20 chars is
+    hashed corpus-wide; only its FIRST occurrence — smallest
+    (doc_id, position), the deterministic survivor rule — is kept, and
+    each document reports how many of its sentences a rewrite pass
+    would drop. Boilerplate (cookie banners, nav text) concentrates
+    exactly here.
+
+    First-occurrence selection is a MIN over an integer (doc_id,
+    position) encoding per hash — one partial-aggregatable groupBy on
+    the sentence hash, no window, so a hash shared by millions of docs
+    (the boilerplate hot key at 100 TB) still reduces map-side instead
+    of sorting one giant partition. The per-doc rollup shuffles doc
+    keys only."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    segs = (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col("text"), "\\. ")).alias("pos", "seg")
+        )
+        .filter(F.length("seg") >= 20)
+        .select(
+            "doc_id",
+            (F.col("doc_id") * 1000000 + F.col("pos") + 1).alias("enc"),
+            F.md5(F.col("seg").cast("binary")).alias("h"),
+        )
+    )
+    firsts = segs.groupBy("h").agg(F.min("enc").alias("first_enc"))
+    return (
+        segs.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sents"),
+            F.count(F.when(F.col("enc") != F.col("first_enc"), 1))
+            .cast("long")
+            .alias("n_dup_removed"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1054,3 +1054,44 @@ def test_hard_negatives_labels_differ_and_match_numpy(spark):
         want = [vid for _, vid in scored]
         got = [r["vec_id"] for r in sorted(rs, key=lambda r: r["neg_rank"])]
         assert got == want, f"anchor {a}"
+
+
+def test_sentence_dedup_global_first_occurrence_rule(spark):
+    """Pure-Python replay of the global sentence-dedup pass: per-doc
+    sentence and removal counts must match exactly; corpus-wide,
+    removals == occurrences − distinct sentences, and every sentence's
+    first (doc_id, position) occurrence is never removed."""
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_dedup_sentences_global,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_sents"], r["n_dup_removed"])
+        for r in text_dedup_sentences_global(spark, SF).collect()
+    }
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    first: dict[str, tuple[int, int]] = {}
+    per_doc: dict[int, list[tuple[int, str]]] = {}
+    for doc_id, text in sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    ):
+        for i, seg in enumerate(text.split(". "), start=1):
+            if len(seg) < 20:
+                continue
+            per_doc.setdefault(doc_id, []).append((i, seg))
+            if seg not in first or (doc_id, i) < first[seg]:
+                first[seg] = (doc_id, i)
+    want = {
+        d: (
+            len(occ),
+            sum(1 for i, seg in occ if first[seg] != (d, i)),
+        )
+        for d, occ in per_doc.items()
+    }
+    assert got == want
+    total_occ = sum(n for n, _ in want.values())
+    total_removed = sum(r for _, r in want.values())
+    assert total_removed == total_occ - len(first)
