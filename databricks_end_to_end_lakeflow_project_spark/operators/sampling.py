@@ -660,3 +660,95 @@ def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+_CURRICULUM_EPOCHS = 3
+_CURRICULUM_TILES = 4
+
+
+def _curriculum_oracle() -> str:
+    hex4 = _hex_prefix_sql("hkey", 4)
+    epochs = []
+    for e in range(1, _CURRICULUM_EPOCHS + 1):
+        epochs.append(f"""
+      SELECT {e} AS epoch,
+             CAST({hex4} % {_EPOCH_SHARDS} AS INT) AS shard,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY {hex4} % {_EPOCH_SHARDS}
+               ORDER BY hkey, doc_id) AS BIGINT) AS pos,
+             doc_id, quartile
+      FROM (
+        SELECT doc_id, quartile,
+               md5('{e}:' || CAST(doc_id AS VARCHAR)) AS hkey
+        FROM tiled WHERE quartile <= {e + 1}
+      )""")
+    body = "\n      UNION ALL".join(epochs)
+    return f"""
+    WITH tiled AS (
+      SELECT doc_id,
+             CAST(NTILE({_CURRICULUM_TILES}) OVER (ORDER BY n_chars, doc_id)
+                  AS INT) AS quartile
+      FROM documents
+    )
+    {body}
+    ORDER BY epoch, shard, pos
+    """
+
+
+@query("sample_curriculum_order", _curriculum_oracle())
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: documents are ranked into length
+    quartiles (short = easy first, the classic length-based curriculum)
+    and each epoch trains on a cumulatively growing pool — epoch 1 sees
+    quartiles 1-2, epoch 2 adds quartile 3, epoch 3 the full corpus —
+    with a fresh epoch-seeded deterministic shuffle inside each pool
+    (same draw as :func:`epoch_shuffle`: ``md5(epoch:doc_id)``, 4-hex
+    shard digit, per-shard rank). Reading (epoch, shard, pos) order IS
+    the training schedule, reproducible on any cluster.
+
+    Distributed shape: the quartile comes from `with_ntile` (exact
+    distributed NTILE, no global sort; the tiled frame is persisted once
+    — it feeds all three epoch pools); each epoch is one hash exchange +
+    shard-local sorts, never a range partition. At 100 TB this is
+    exactly the sharded-write plan per epoch, quartile filters pushed to
+    the persisted frame."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from databricks_end_to_end_lakeflow_project_spark.session import persist_once
+
+    tiled = persist_once(
+        with_ntile(
+            docs,
+            _CURRICULUM_TILES,
+            value="n_chars",
+            tiebreaks=["doc_id"],
+            out="quartile",
+            persist_input=False,
+        ).select("doc_id", F.col("quartile").cast("int").alias("quartile"))
+    )
+    parts = []
+    for e in range(1, _CURRICULUM_EPOCHS + 1):
+        pool = tiled.filter(F.col("quartile") <= e + 1)
+        hkey = F.md5(
+            F.concat(F.lit(f"{e}:"), F.col("doc_id").cast("string")).cast("binary")
+        )
+        shard = (
+            (F.conv(F.substring("hkey", 1, 4), 16, 10).cast("long") % _EPOCH_SHARDS)
+            .cast("int")
+            .alias("shard")
+        )
+        w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+        parts.append(
+            pool.select("doc_id", "quartile", hkey.alias("hkey"))
+            .select("doc_id", "quartile", "hkey", shard)
+            .select(
+                F.lit(e).alias("epoch"),
+                "shard",
+                F.row_number().over(w).cast("long").alias("pos"),
+                "doc_id",
+                "quartile",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("epoch", "shard", "pos")

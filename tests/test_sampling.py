@@ -304,3 +304,40 @@ def test_token_budget_mixture_solver_invariants(spark):
     assert {d: tuple(r) for d, r in rows.items()} == {
         d: tuple(r) for d, r in again.items()
     }
+
+
+def test_curriculum_order_pools_and_determinism(spark):
+    """Epoch pools grow cumulatively by quartile; every epoch's order is
+    a contiguous per-shard ranking; quartiles partition the corpus into
+    near-equal bins; reruns are bit-identical; and different epochs
+    genuinely reorder their common pool."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        sample_curriculum_order,
+    )
+
+    rows = sample_curriculum_order(spark, SF).collect()
+    n_docs = read_table(spark, SF, "documents").count()
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {1, 2, 3}
+    # cumulative pools: epoch e carries quartiles 1..e+1
+    for e, rs in by_epoch.items():
+        assert {r["quartile"] for r in rs} == set(range(1, e + 2))
+        # per-shard positions are 1..len contiguous
+        shards: dict[int, list[int]] = {}
+        for r in rs:
+            shards.setdefault(r["shard"], []).append(r["pos"])
+        for poss in shards.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+    assert len(by_epoch[3]) == n_docs  # final epoch = full corpus
+    assert abs(len(by_epoch[1]) - n_docs // 2) <= 2  # 2 of 4 quartiles
+    # different epochs reshuffle: the common pool's (shard, pos) differ
+    coords = {
+        e: {r["doc_id"]: (r["shard"], r["pos"]) for r in rs}
+        for e, rs in by_epoch.items()
+    }
+    common = set(coords[1]) & set(coords[2])
+    assert any(coords[1][d] != coords[2][d] for d in common)
+    again = sample_curriculum_order(spark, SF).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
