@@ -357,3 +357,74 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderstatus")
     )
+
+
+_SKEW_TARGET_ROWS = 10_000  # rows a single join task should carry
+
+
+@query(
+    "diag_key_skew_profile",
+    f"""
+    WITH per_key AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT COUNT(*) AS n_keys, SUM(cnt) AS total, MAX(cnt) AS max_cnt
+      FROM per_key
+    )
+    SELECT p.key, CAST(p.cnt AS BIGINT) AS cnt,
+           CAST(FLOOR(p.cnt * 1000000 / t.total) AS BIGINT) AS share_ppm,
+           CAST(t.n_keys AS BIGINT) AS n_keys,
+           CAST(t.max_cnt AS BIGINT) AS max_cnt,
+           CAST(FLOOR(t.max_cnt * t.n_keys * 1000 / t.total) AS BIGINT)
+             AS skew_x1000,
+           CAST(FLOOR((t.max_cnt + {_SKEW_TARGET_ROWS - 1})
+                      / {_SKEW_TARGET_ROWS}) AS BIGINT) AS salt_factor
+    FROM per_key p CROSS JOIN tot t
+    ORDER BY p.cnt DESC, p.key LIMIT 10
+    """,
+)
+def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle skew diagnosis — the profile you run BEFORE picking a
+    salting factor or trusting AQE's skew-join split on a 100 TB join
+    key: the 10 heaviest keys with their row share (ppm), the key-space
+    size, the hottest key's absolute count, the skew ratio
+    (max/mean, x1000 — 1000 means perfectly uniform), and the salt
+    factor that would cap any single task at ~{_SKEW_TARGET_ROWS} rows
+    (`salted_join`'s input parameter, computed instead of guessed).
+
+    Everything is integer arithmetic on exact counts (shares in ppm,
+    ratios x1000 via integer cross-multiplication — the repo's
+    cross-engine exactness rule). One partial-aggregatable groupBy on
+    the key, a 1-row totals broadcast, top-10 via TakeOrdered — the
+    profile costs one scan regardless of key-space size."""
+    per_key = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    t = _SKEW_TARGET_ROWS
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.floor(F.col("cnt") * 1000000 / F.col("total"))
+            .cast("long")
+            .alias("share_ppm"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("max_cnt").cast("long").alias("max_cnt"),
+            F.floor(F.col("max_cnt") * F.col("n_keys") * 1000 / F.col("total"))
+            .cast("long")
+            .alias("skew_x1000"),
+            F.floor((F.col("max_cnt") + (t - 1)) / t)
+            .cast("long")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(10)
+    )

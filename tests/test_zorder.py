@@ -87,3 +87,39 @@ def test_zorder_date_dimension(spark, tmp_path):
     hi = datetime.datetime(1994, 1, 31, 23, 59, 59)
     z_hit = _files_overlapping(zr, "l_shipdate", lo, hi)
     assert z_hit <= N_FILES // 2
+
+
+def test_key_skew_profile_matches_pure_python(spark):
+    """Profile recomputed independently from the parquet: per-key counts,
+    ppm shares, skew ratio and salt factor — all integer-exact."""
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.partitioning import (
+        _SKEW_TARGET_ROWS,
+        diag_key_skew_profile,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = [tuple(r) for r in diag_key_skew_profile(spark, sf).collect()]
+
+    keys = pq.read_table(f"{sf}/orders.parquet", columns=["o_custkey"]).column(
+        "o_custkey"
+    ).to_pylist()
+    cnt: dict[int, int] = {}
+    for k in keys:
+        cnt[k] = cnt.get(k, 0) + 1
+    n_keys, total, max_cnt = len(cnt), sum(cnt.values()), max(cnt.values())
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want = [
+        (
+            k,
+            c,
+            c * 1000000 // total,
+            n_keys,
+            max_cnt,
+            max_cnt * n_keys * 1000 // total,
+            (max_cnt + _SKEW_TARGET_ROWS - 1) // _SKEW_TARGET_ROWS,
+        )
+        for k, c in top
+    ]
+    assert got == want
