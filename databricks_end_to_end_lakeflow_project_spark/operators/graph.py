@@ -278,3 +278,61 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "ante", "cons")
         .limit(20)
     )
+
+
+@query(
+    "graph_common_neighbors_topk",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ), cn AS (
+      SELECT e1.src AS part_a, e2.src AS part_b,
+             COUNT(*) AS common_neighbors
+      FROM edges e1 JOIN edges e2
+        ON e1.dst = e2.dst AND e1.src < e2.src
+      GROUP BY e1.src, e2.src
+    ), linked AS (SELECT src, dst FROM edges)
+    SELECT c.part_a, c.part_b, CAST(c.common_neighbors AS BIGINT)
+             AS common_neighbors
+    FROM cn c LEFT JOIN linked l ON l.src = c.part_a AND l.dst = c.part_b
+    WHERE l.src IS NULL
+    ORDER BY c.common_neighbors DESC, c.part_a, c.part_b
+    LIMIT 20
+    """,
+)
+def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count over the product-affinity
+    graph: the top-20 part pairs that are NOT yet co-ordered but share
+    the most co-order partners — the "customers who bought these also
+    bought..." candidate generator (common-neighbors is the standard
+    link-prediction baseline; Adamic-Adar and Jaccard are reweightings
+    of this same frame).
+
+    Shape: candidate pairs come from one self-join of the edge list on
+    the SHARED NEIGHBOR key — work is Σ deg(v)² over neighbors, the
+    wedge count, not |V|² — then a left-anti join against existing
+    edges removes already-linked pairs; top-20 via TakeOrdered. All
+    counts are integers; at 100 TB the wedge expansion is bounded by
+    capping hub degrees first (the standard trick; the profile query
+    `diag_key_skew_profile` is how you'd find the hubs)."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li)
+    e1 = edges.select(F.col("src").alias("part_a"), F.col("dst").alias("nbr"))
+    e2 = edges.select(F.col("src").alias("part_b"), F.col("dst").alias("nbr"))
+    cn = (
+        e1.join(e2, "nbr")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    return (
+        cn.join(
+            edges,
+            (cn["part_a"] == edges["src"]) & (cn["part_b"] == edges["dst"]),
+            "left_anti",
+        )
+        .orderBy(F.col("common_neighbors").desc(), "part_a", "part_b")
+        .limit(20)
+    )

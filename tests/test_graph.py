@@ -92,3 +92,29 @@ def test_triangle_count_on_hand_graph(spark, tmp_path):
     ).write.parquet(d + "/lineitem.parquet")
     got = {r["node"]: r["n_triangles"] for r in graph_triangle_count(spark, d).collect()}
     assert got == {4: 2, 8: 2, 12: 1, 16: 1}
+
+
+def test_common_neighbors_candidates_not_linked_and_counts_exact(spark):
+    """Every predicted pair must be UNLINKED in the co-order graph, and
+    its common-neighbor count must match a pure-Python recount."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.graph import (
+        graph_common_neighbors_topk,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = graph_common_neighbors_topk(spark, sf).collect()
+    assert len(got) > 0
+
+    rows = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").collect()
+    by_order: dict[int, set[int]] = {}
+    for r in rows:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    nbrs: dict[int, set[int]] = {}
+    for parts in by_order.values():
+        for p in parts:
+            nbrs.setdefault(p, set()).update(x for x in parts if x != p)
+    for r in got:
+        a, b = r["part_a"], r["part_b"]
+        assert b not in nbrs.get(a, set()), "predicted pair already linked"
+        assert r["common_neighbors"] == len(nbrs[a] & nbrs[b])
