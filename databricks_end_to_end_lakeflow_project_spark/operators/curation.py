@@ -667,3 +667,77 @@ def curation_source_reputation_gate(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source")
     )
+
+
+_PACK_CANDIDATE_LENS = [512, 1024, 2048]
+
+
+@query(
+    "curation_pack_efficiency",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok FROM documents
+    ), cand AS (
+      SELECT * FROM (VALUES {", ".join(f"({L})" for L in _PACK_CANDIDATE_LENS)})
+        AS t(seq_len)
+    )
+    SELECT c.seq_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(l.n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(CEIL(l.n_tok / CAST(c.seq_len AS DOUBLE)) AS BIGINT)
+                    * c.seq_len) AS BIGINT) AS padded_tokens,
+           CAST(FLOOR((SUM(CAST(CEIL(l.n_tok / CAST(c.seq_len AS DOUBLE)) AS BIGINT)
+                           * c.seq_len) - SUM(l.n_tok)) * 1000000
+                      / SUM(CAST(CEIL(l.n_tok / CAST(c.seq_len AS DOUBLE)) AS BIGINT)
+                            * c.seq_len)) AS BIGINT) AS waste_ppm
+    FROM lens l CROSS JOIN cand c
+    GROUP BY c.seq_len ORDER BY c.seq_len
+    """,
+)
+def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length decision support: for each candidate training
+    sequence length (512/1024/2048), the padding waste if every document
+    is chunked to that length and the tail chunk padded — the number a
+    pretraining team compares against sequence packing (`
+    pack_sequences_token_budget`) before burning GPU-hours on dead
+    tokens. ``waste_ppm`` is the fraction of padded positions that carry
+    no content, in ppm.
+
+    All arithmetic is integer-exact (chunk counts via CEIL on an exact
+    integer/double ratio — identical IEEE doubles both engines — and a
+    FLOOR'd ppm cross-ratio). Shape: one scan computes row-local token
+    counts, the 3-row candidate frame broadcasts through a cross join
+    (3x row multiplier, not a shuffle), and the rollup is a 3-key
+    partial-aggregatable groupBy."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lens = docs.select(
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tok")
+    )
+    cand_df = docs.sparkSession.createDataFrame(
+        [(L,) for L in _PACK_CANDIDATE_LENS], "seq_len int"
+    )
+    joined = lens.crossJoin(F.broadcast(cand_df))
+    chunks = F.ceil(F.col("n_tok") / F.col("seq_len").cast("double")).cast("long")
+    padded = chunks * F.col("seq_len")
+    return (
+        joined.groupBy("seq_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(padded).cast("long").alias("padded_tokens"),
+        )
+        .select(
+            "seq_len",
+            "n_docs",
+            "total_tokens",
+            "padded_tokens",
+            F.floor(
+                (F.col("padded_tokens") - F.col("total_tokens"))
+                * 1000000
+                / F.col("padded_tokens")
+            )
+            .cast("long")
+            .alias("waste_ppm"),
+        )
+        .orderBy("seq_len")
+    )

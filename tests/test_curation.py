@@ -158,3 +158,35 @@ def test_source_reputation_gate_matches_pure_python(spark):
     # at least one source on each side of the gate, or the gate is vacuous
     assert any(r["passed"] for r in got.values())
     assert any(not r["passed"] for r in got.values())
+
+
+def test_pack_efficiency_matches_pure_python_and_monotone(spark):
+    """Padding waste recomputed independently; waste must not increase
+    as the candidate length shrinks toward typical doc length (the
+    decision signal the op exists for) and every padded total must
+    cover the content total."""
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.curation import (
+        _PACK_CANDIDATE_LENS,
+        curation_pack_efficiency,
+    )
+
+    got = {r["seq_len"]: r for r in curation_pack_efficiency(spark, SF).collect()}
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).column(
+        "text"
+    ).to_pylist()
+    toks = [len(t.strip().split(" ")) for t in texts]
+    for L in _PACK_CANDIDATE_LENS:
+        padded = sum(-(-n // L) * L for n in toks)
+        total = sum(toks)
+        r = got[L]
+        assert r["n_docs"] == len(toks)
+        assert r["total_tokens"] == total
+        assert r["padded_tokens"] == padded
+        assert r["waste_ppm"] == (padded - total) * 1000000 // padded
+        assert r["padded_tokens"] >= r["total_tokens"]
+    # docs are shorter than 512 tokens in this corpus, so larger seq_len
+    # strictly worsens tail padding
+    wastes = [got[L]["waste_ppm"] for L in sorted(_PACK_CANDIDATE_LENS)]
+    assert wastes == sorted(wastes)
