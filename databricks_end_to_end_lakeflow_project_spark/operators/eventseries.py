@@ -656,3 +656,90 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cusum(1), 4).alias("cusum_pos"),
         F.round(cusum(-1), 4).alias("cusum_neg"),
     ).orderBy("event_type")
+
+
+_BOT_MIN_GAPS = 5
+_BOT_RATIO_PPM = 1_250_000  # n*Σx²/(Σx)² < 1.25 ⇔ CV² < 0.25 ⇔ CV < 0.5
+
+
+@query(
+    "events_bot_regularity_topk",
+    f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS ts_s FROM events
+    ), gaps AS (
+      SELECT user_id,
+             ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS gap
+      FROM ev
+    ), st AS (
+      SELECT user_id, COUNT(gap) AS n_gaps,
+             SUM(gap) AS sum_gap, SUM(gap * gap) AS sum_gap_sq
+      FROM gaps WHERE gap IS NOT NULL
+      GROUP BY user_id
+      HAVING COUNT(gap) >= {_BOT_MIN_GAPS} AND SUM(gap) > 0
+    )
+    SELECT user_id,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(sum_gap AS BIGINT) AS sum_gap_s,
+           CAST(sum_gap_sq AS BIGINT) AS sum_gap_sq,
+           CAST(FLOOR(CAST(n_gaps * sum_gap_sq AS DOUBLE) * 1000000.0
+                      / CAST(sum_gap * sum_gap AS DOUBLE)) AS BIGINT)
+             AS ratio_ppm,
+           CAST(FLOOR(CAST(n_gaps * sum_gap_sq AS DOUBLE) * 1000000.0
+                      / CAST(sum_gap * sum_gap AS DOUBLE)) AS BIGINT)
+             < {_BOT_RATIO_PPM} AS is_regular_bot
+    FROM st ORDER BY ratio_ppm, user_id LIMIT 20
+    """,
+)
+def events_bot_regularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by inter-event regularity — the traffic
+    filter a web-crawl curation pipeline runs before user-generated text
+    enters the corpus: humans arrive with high gap dispersion (Poisson
+    arrivals → CV ≈ 1), schedulers metronome (CV → 0). Per user, the
+    squared coefficient of variation of inter-event gaps comes out of
+    three integer moments (n, Σgap, Σgap²) as the ratio
+    ``n·Σx²/(Σx)²`` (= 1 + CV²), reported in FLOOR'd ppm; the 20 most
+    regular users with ≥{_BOT_MIN_GAPS} gaps surface, flagged when
+    CV < 0.5.
+
+    Exactness: gaps are integer seconds (micros integer-div 1e6); the
+    gap MULTISET of a sorted-by-time sequence is permutation-invariant
+    under timestamp ties, so the moments are deterministic without a
+    tiebreak column; the single double division mirrors literally.
+
+    Shape: one per-user LAG window (the natural partitioning), a
+    per-user 3-moment aggregate — partial-aggregatable, one shuffle on
+    user_id that the window already paid — and a TakeOrdered top-20."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 1000000").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    gaps = ev.select(
+        "user_id", (F.col("ts_s") - F.lag("ts_s").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    st = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.sum("gap").alias("sum_gap"),
+            F.sum(F.col("gap") * F.col("gap")).alias("sum_gap_sq"),
+        )
+        .filter((F.col("n_gaps") >= _BOT_MIN_GAPS) & (F.col("sum_gap") > 0))
+    )
+    ratio = F.floor(
+        (F.col("n_gaps") * F.col("sum_gap_sq")).cast("double")
+        * 1000000.0
+        / (F.col("sum_gap") * F.col("sum_gap")).cast("double")
+    ).cast("long")
+    return (
+        st.select(
+            "user_id",
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.col("sum_gap").cast("long").alias("sum_gap_s"),
+            F.col("sum_gap_sq").cast("long").alias("sum_gap_sq"),
+            ratio.alias("ratio_ppm"),
+            (ratio < _BOT_RATIO_PPM).alias("is_regular_bot"),
+        )
+        .orderBy("ratio_ppm", "user_id")
+        .limit(20)
+    )

@@ -333,3 +333,37 @@ def test_late_arrivals_per_shard_matches_hand_replay(spark):
     glob = late_arrivals(only_a).collect()
     shrd = late_arrivals(only_a, shard_col="shard").collect()
     assert sorted(map(tuple, glob)) == sorted(map(tuple, shrd))
+
+
+def test_bot_regularity_matches_pure_python(spark):
+    """Per-user gap moments recomputed independently in pure Python; the
+    top-20 selection, ppm ratios and bot flags must match exactly, and
+    the ratio must be >= 1e6 (n·Σx²/(Σx)² >= 1 by Cauchy–Schwarz)."""
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        _BOT_MIN_GAPS,
+        _BOT_RATIO_PPM,
+        events_bot_regularity_topk,
+    )
+
+    got = [tuple(r) for r in events_bot_regularity_topk(spark, SF).collect()]
+
+    tbl = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    per: dict[int, list[int]] = {}
+    for uid, ts in zip(tbl.column("user_id").to_pylist(), tbl.column("ts").to_pylist()):
+        per.setdefault(uid, []).append(int(ts.timestamp() * 1_000_000) // 1_000_000)
+    import math
+
+    stats = []
+    for uid, tss in per.items():
+        tss.sort()
+        gaps = [b - a for a, b in zip(tss, tss[1:])]
+        n, s, s2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        if n >= _BOT_MIN_GAPS and s > 0:
+            ratio = math.floor(float(n * s2) * 1000000.0 / float(s * s))
+            stats.append((uid, n, s, s2, ratio, ratio < _BOT_RATIO_PPM))
+    want = sorted(stats, key=lambda t: (t[4], t[0]))[:20]
+    assert got == want
+    for row in got:
+        assert row[4] >= 1_000_000
