@@ -743,3 +743,57 @@ def events_bot_regularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ratio_ppm", "user_id")
         .limit(20)
     )
+
+
+@query(
+    "ts_seasonal_profile_hourly",
+    """
+    WITH h AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+             event_type
+      FROM events
+    ), cnt AS (
+      SELECT hour_of_day, event_type, COUNT(*) AS n FROM h
+      GROUP BY hour_of_day, event_type
+    ), tot AS (
+      SELECT event_type, SUM(n) AS n_type FROM cnt GROUP BY event_type
+    )
+    SELECT c.hour_of_day, c.event_type, CAST(c.n AS BIGINT) AS n_events,
+           CAST(FLOOR(c.n * 1000000 / t.n_type) AS BIGINT) AS share_ppm,
+           CAST(FLOOR(c.n * 24000 / t.n_type) AS BIGINT) AS seasonal_x1000
+    FROM cnt c JOIN tot t USING (event_type)
+    ORDER BY c.event_type, c.hour_of_day
+    """,
+)
+def ts_seasonal_profile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type — the baseline
+    curve behind every traffic anomaly rule ("is 3am volume normal for
+    3am?"): per (event_type, hour) counts, each hour's share of its
+    type (ppm) and the seasonal index vs a uniform 1/24 (x1000; 1000 =
+    flat). Feeding CUSUM/anomaly gates with the seasonal index instead
+    of raw counts removes the one false-positive source they all share.
+    Integer-exact via FLOOR'd cross-ratios.
+
+    Shape: two partial-aggregatable groupBys (24 x #types, then
+    #types) and a broadcast-sized join — one scan, no corpus-scale
+    shuffle."""
+    h = read_table(spark, sf_dir, "events").select(
+        F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
+    )
+    cnt = h.groupBy("hour_of_day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("event_type").agg(F.sum("n").alias("n_type"))
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .select(
+            "hour_of_day",
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.floor(F.col("n") * 1000000 / F.col("n_type"))
+            .cast("long")
+            .alias("share_ppm"),
+            F.floor(F.col("n") * 24000 / F.col("n_type"))
+            .cast("long")
+            .alias("seasonal_x1000"),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )

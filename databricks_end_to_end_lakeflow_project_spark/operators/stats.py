@@ -1069,3 +1069,57 @@ def monitor_unigram_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("contrib_q").desc(), "tok")
         .limit(10)
     )
+
+
+@query(
+    "monitor_source_freshness",
+    """
+    WITH src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             MAX(doc_id) AS max_doc_id
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT MAX(max_doc_id) AS global_max FROM src
+    )
+    SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.max_doc_id AS BIGINT) AS latest_doc_id,
+           CAST(t.global_max - s.max_doc_id AS BIGINT) AS staleness_docs,
+           t.global_max - s.max_doc_id > 100 AS is_stale
+    FROM src s CROSS JOIN tot t
+    ORDER BY s.source
+    """,
+)
+def monitor_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ingestion freshness — the lag dashboard a multi-feed
+    lakehouse checks before trusting a downstream join (a source whose
+    latest arrival trails the corpus head has silently stopped
+    ingesting; its dimension rows go stale and its CDC stream is
+    suspect). Arrival order is doc_id (the corpus's monotone ingest
+    sequence); staleness = global head minus the source's head, flagged
+    past a threshold. On a timestamped feed the same plan runs on an
+    event-time column; all outputs are exact integers either way.
+
+    Shape: one partial-aggregatable groupBy over #sources keys + a
+    1-row global-head broadcast — one scan regardless of corpus size."""
+    src = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+    tot = src.agg(F.max("max_doc_id").alias("global_max"))
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("max_doc_id").cast("long").alias("latest_doc_id"),
+            (F.col("global_max") - F.col("max_doc_id"))
+            .cast("long")
+            .alias("staleness_docs"),
+            (F.col("global_max") - F.col("max_doc_id") > 100).alias("is_stale"),
+        )
+        .orderBy("source")
+    )

@@ -367,3 +367,40 @@ def test_bot_regularity_matches_pure_python(spark):
     assert got == want
     for row in got:
         assert row[4] >= 1_000_000
+
+
+def test_seasonal_profile_shares_sum_and_bounds(spark):
+    """Per type: hourly shares must sum to ~1e6 ppm (within 24 floor
+    truncations), hours must cover 0..23, seasonal index is FLOOR'd
+    n*24000/n_type, and a uniform-traffic type stays near 1000."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        ts_seasonal_profile_hourly,
+    )
+
+    rows = ts_seasonal_profile_hourly(spark, SF).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        assert {r["hour_of_day"] for r in rs} <= set(range(24))
+        total_ppm = sum(r["share_ppm"] for r in rs)
+        assert 1_000_000 - 24 <= total_ppm <= 1_000_000
+        n_type = sum(r["n_events"] for r in rs)
+        for r in rs:
+            assert r["seasonal_x1000"] == r["n_events"] * 24000 // n_type
+            assert r["share_ppm"] == r["n_events"] * 1000000 // n_type
+
+
+def test_source_freshness_head_and_staleness(spark):
+    """Exactly one source sits at the global head (staleness 0); every
+    staleness equals head − source max; flags match the threshold."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        monitor_source_freshness,
+    )
+
+    rows = monitor_source_freshness(spark, SF).collect()
+    head = max(r["latest_doc_id"] for r in rows)
+    assert sum(1 for r in rows if r["staleness_docs"] == 0) >= 1
+    for r in rows:
+        assert r["staleness_docs"] == head - r["latest_doc_id"]
+        assert r["is_stale"] == (r["staleness_docs"] > 100)

@@ -43,6 +43,7 @@ NON_EQUI_WHITELIST = {
     "sim_recall_at_k_eval",  # bounded 20-query eval batch x corpus: exact ground-truth pass
     "diag_key_skew_profile",  # 1-row broadcast totals over #keys rows
     "curation_pack_efficiency",  # 3-row candidate-length frame broadcast: bounded 3x multiplier
+    "monitor_source_freshness",  # 1-row global-head broadcast over #sources rows
 }
 
 
