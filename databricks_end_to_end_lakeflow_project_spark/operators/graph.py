@@ -28,7 +28,7 @@ contribution = rank/out-degree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
@@ -280,9 +280,13 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINKPRED_ANCHORS = 10  # bounded anchor batch: per-item serving shape
+_LINKPRED_PER_ANCHOR = 2
+
+
 @query(
     "graph_common_neighbors_topk",
-    """
+    f"""
     WITH edges AS (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
@@ -291,48 +295,66 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e1.src AS part_a, e2.src AS part_b,
              COUNT(*) AS common_neighbors
       FROM edges e1 JOIN edges e2
-        ON e1.dst = e2.dst AND e1.src < e2.src
+        ON e1.dst = e2.dst AND e1.src <> e2.src
+      WHERE e1.src <= {_LINKPRED_ANCHORS}
       GROUP BY e1.src, e2.src
-    ), linked AS (SELECT src, dst FROM edges)
-    SELECT c.part_a, c.part_b, CAST(c.common_neighbors AS BIGINT)
-             AS common_neighbors
-    FROM cn c LEFT JOIN linked l ON l.src = c.part_a AND l.dst = c.part_b
-    WHERE l.src IS NULL
-    ORDER BY c.common_neighbors DESC, c.part_a, c.part_b
-    LIMIT 20
+    ), unlinked AS (
+      SELECT c.part_a, c.part_b, c.common_neighbors
+      FROM cn c LEFT JOIN edges l ON l.src = c.part_a AND l.dst = c.part_b
+      WHERE l.src IS NULL
+    )
+    SELECT part_a, part_b, CAST(common_neighbors AS BIGINT) AS common_neighbors
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY part_a
+        ORDER BY common_neighbors DESC, part_b) AS rn
+      FROM unlinked
+    ) WHERE rn <= {_LINKPRED_PER_ANCHOR}
+    ORDER BY part_a, common_neighbors DESC, part_b
     """,
 )
 def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction by common-neighbor count over the product-affinity
-    graph: the top-20 part pairs that are NOT yet co-ordered but share
-    the most co-order partners — the "customers who bought these also
-    bought..." candidate generator (common-neighbors is the standard
-    link-prediction baseline; Adamic-Adar and Jaccard are reweightings
-    of this same frame).
+    graph, in the per-item SERVING shape: for each of a bounded anchor
+    batch (the parts a recommendations page is being built for), the
+    top-{_LINKPRED_PER_ANCHOR} parts NOT yet co-ordered with it that
+    share the most co-order partners — the "customers who bought this
+    also bought..." candidate generator (common-neighbors is the
+    standard link-prediction baseline; Adamic-Adar and Jaccard are
+    reweightings of this same frame).
 
-    Shape: candidate pairs come from one self-join of the edge list on
-    the SHARED NEIGHBOR key — work is Σ deg(v)² over neighbors, the
-    wedge count, not |V|² — then a left-anti join against existing
-    edges removes already-linked pairs; top-20 via TakeOrdered. All
-    counts are integers; at 100 TB the wedge expansion is bounded by
-    capping hub degrees first (the standard trick; the profile query
-    `diag_key_skew_profile` is how you'd find the hubs)."""
+    Shape: wedges expand only from the ANCHORS' adjacency — work is
+    Σ_a deg(a)·d̄, linear in the anchor count and mean degree, never the
+    full graph's Σdeg² (an all-pairs batch run of the same plan is
+    linear in nodes at constant degree, ~n·d̄², but belongs in a batch
+    job, not a query; this corpus measures d̄≈120, so full-graph wedges
+    hit 3·10⁸ rows at sf0.1). Already-linked pairs drop via one
+    left-anti join; the per-anchor top-k is a window PARTITIONED on the
+    anchor key. All counts are integers."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = cooccurrence_edges(li)
-    e1 = edges.select(F.col("src").alias("part_a"), F.col("dst").alias("nbr"))
+    e1 = (
+        edges.filter(F.col("src") <= _LINKPRED_ANCHORS)
+        .select(F.col("src").alias("part_a"), F.col("dst").alias("nbr"))
+    )
     e2 = edges.select(F.col("src").alias("part_b"), F.col("dst").alias("nbr"))
     cn = (
         e1.join(e2, "nbr")
-        .filter(F.col("part_a") < F.col("part_b"))
+        .filter(F.col("part_a") != F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
     )
+    unlinked = cn.join(
+        edges,
+        (cn["part_a"] == edges["src"]) & (cn["part_b"] == edges["dst"]),
+        "left_anti",
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.col("common_neighbors").desc(), "part_b"
+    )
     return (
-        cn.join(
-            edges,
-            (cn["part_a"] == edges["src"]) & (cn["part_b"] == edges["dst"]),
-            "left_anti",
-        )
-        .orderBy(F.col("common_neighbors").desc(), "part_a", "part_b")
-        .limit(20)
+        unlinked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _LINKPRED_PER_ANCHOR)
+        .drop("rn")
+        .orderBy("part_a", F.col("common_neighbors").desc(), "part_b")
     )

@@ -95,9 +95,13 @@ def test_triangle_count_on_hand_graph(spark, tmp_path):
 
 
 def test_common_neighbors_candidates_not_linked_and_counts_exact(spark):
-    """Every predicted pair must be UNLINKED in the co-order graph, and
-    its common-neighbor count must match a pure-Python recount."""
+    """Every predicted pair must be UNLINKED in the co-order graph, its
+    common-neighbor count must match a pure-Python recount, each anchor
+    surfaces its per-anchor top-k exactly, and anchors stay in the
+    bounded batch."""
     from databricks_end_to_end_lakeflow_project_spark.operators.graph import (
+        _LINKPRED_ANCHORS,
+        _LINKPRED_PER_ANCHOR,
         graph_common_neighbors_topk,
     )
     from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
@@ -114,7 +118,21 @@ def test_common_neighbors_candidates_not_linked_and_counts_exact(spark):
     for parts in by_order.values():
         for p in parts:
             nbrs.setdefault(p, set()).update(x for x in parts if x != p)
+    by_anchor: dict[int, list] = {}
     for r in got:
         a, b = r["part_a"], r["part_b"]
+        assert a <= _LINKPRED_ANCHORS
         assert b not in nbrs.get(a, set()), "predicted pair already linked"
         assert r["common_neighbors"] == len(nbrs[a] & nbrs[b])
+        by_anchor.setdefault(a, []).append(r)
+    for a, rs in by_anchor.items():
+        assert len(rs) <= _LINKPRED_PER_ANCHOR
+        want = sorted(
+            (
+                (len(nbrs[a] & nbrs[b]), b)
+                for b in nbrs
+                if b != a and b not in nbrs[a] and nbrs[a] & nbrs[b]
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:_LINKPRED_PER_ANCHOR]
+        assert [(r["common_neighbors"], r["part_b"]) for r in rs] == want
