@@ -1320,3 +1320,71 @@ def text_dedup_sentences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+             )) AS g
+      FROM toks WHERE len(w) >= 3
+    ), df AS (
+      SELECT g, COUNT(*) AS n_docs FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE df.n_docs = 1) AS BIGINT) AS n_unique,
+           CAST(FLOOR(COUNT(*) FILTER (WHERE df.n_docs = 1) * 1000000
+                      / COUNT(*)) AS BIGINT) AS novelty_ppm
+    FROM grams gr JOIN df USING (g)
+    GROUP BY gr.doc_id ORDER BY gr.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the memorization/boilerplate lens on
+    a corpus: the share of a document's distinct word trigrams that
+    appear in NO other document (novelty_ppm → 1e6 means wholly original
+    text; → 0 means the document is assembled from corpus-common
+    phrasing — template/boilerplate mass the dedup passes may have
+    missed because no single pair crosses their thresholds).
+
+    Shape: distinct trigrams per doc (row-local zip_with slices, no
+    explode of raw tokens), one partial-aggregatable groupBy on the gram
+    key for document frequency, a join back on the gram key (both sides
+    gram-partitioned — one shuffle each), and a per-doc rollup. The gram
+    df frame is vocabulary-scale; nothing shuffles the corpus twice."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from databricks_end_to_end_lakeflow_project_spark.operators.curation import (
+        grams_all,
+    )
+
+    grams = (
+        docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(grams_all(F.col("text"), 3))).alias("g"),
+        )
+    )
+    df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count(F.when(F.col("n_docs") == 1, 1)).cast("long").alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            F.floor(F.col("n_unique") * 1000000 / F.col("n_grams"))
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1095,3 +1095,31 @@ def test_sentence_dedup_global_first_occurrence_rule(spark):
     total_occ = sum(n for n, _ in want.values())
     total_removed = sum(r for _, r in want.values())
     assert total_removed == total_occ - len(first)
+
+
+def test_ngram_novelty_matches_pure_python(spark):
+    """Novelty recomputed independently: distinct-trigram sets per doc,
+    document frequency, unique counts and FLOOR'd ppm — exact."""
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_ngram_novelty,
+    )
+
+    got = {r["doc_id"]: tuple(r)[1:] for r in text_ngram_novelty(spark, SF).collect()}
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    per: dict[int, set[str]] = {}
+    for doc_id, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        w = text.strip().split(" ")
+        if len(w) < 3:
+            continue
+        per[doc_id] = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    from collections import Counter
+
+    df = Counter(g for gs in per.values() for g in gs)
+    want = {}
+    for d, gs in per.items():
+        n_unique = sum(1 for g in gs if df[g] == 1)
+        want[d] = (len(gs), n_unique, n_unique * 1000000 // len(gs))
+    assert got == want
