@@ -1289,3 +1289,93 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_DECILE_QSCORE_SQL = """CAST(ROUND((0.4 * LEAST(LENGTH(w)::DOUBLE / 100.0, 1.0)
+         + 0.4 * LENGTH(list_distinct(w))::DOUBLE / LENGTH(w)
+         + 0.2 * (1.0 - LENGTH(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE
+                        / LENGTH(w))) * 10000.0) AS BIGINT)"""
+
+
+@query(
+    "dedup_rate_by_quality_decile",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, {_DECILE_QSCORE_SQL} AS q,
+             md5(array_to_string(w[1:10], ' ')) AS fp
+      FROM t
+    ), g AS (
+      SELECT doc_id, fp,
+             CAST(NTILE(10) OVER (ORDER BY q, doc_id) AS INT) AS decile
+      FROM s
+    ), gs AS (
+      SELECT fp, COUNT(*) AS gsz FROM s GROUP BY fp
+    )
+    SELECT g.decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE gs.gsz > 1) AS BIGINT) AS n_dup_members,
+           CAST(FLOOR(COUNT(*) FILTER (WHERE gs.gsz > 1) * 1000000 / COUNT(*))
+                AS BIGINT) AS dup_ppm
+    FROM g JOIN gs USING (fp)
+    GROUP BY g.decile ORDER BY g.decile
+    """,
+)
+def dedup_rate_by_quality_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal curation calibration: duplication rate per quality
+    decile — the diagnostic that tells a pipeline whether its dedup and
+    quality filters see the SAME bad mass (low-quality deciles dominated
+    by duplicates → one pass may subsume the other) or complementary
+    mass (uniform dup rate → both passes earn their cost). Quality is
+    the fixed-point composite score ranked into exact NTILE(10) deciles
+    via scalerank (no global sort); duplication is membership in a
+    shared first-10-token fingerprint group (`dedup_exact_prefix`'s
+    signal).
+
+    Shape: one scan computes row-local score + fingerprint; the decile
+    comes from the distributed rank kernel; group sizes are one
+    fingerprint-key groupBy joined back on the fingerprint; the rollup
+    is a 10-key aggregate. FLOOR'd integer ppm keeps the oracle exact."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        with_ntile,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        STOPWORDS,
+        stopword_hits,
+        tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = tokens(F.col("text"))
+    n = F.size(w).cast("double")
+    score = (
+        0.4 * F.least(n / 100.0, F.lit(1.0))
+        + 0.4 * F.size(F.array_distinct(w)).cast("double") / n
+        + 0.2 * (1.0 - stopword_hits(w, STOPWORDS).cast("double") / n)
+    )
+    s = docs.select(
+        "doc_id",
+        F.round(score * 10000.0).cast("long").alias("q"),
+        F.md5(F.concat_ws(" ", F.slice(w, 1, 10)).cast("binary")).alias("fp"),
+    )
+    g = with_ntile(s, 10, value="q", tiebreaks=["doc_id"], out="decile").select(
+        "doc_id", "fp", F.col("decile").cast("int").alias("decile")
+    )
+    gs = s.groupBy("fp").agg(F.count(F.lit(1)).alias("gsz"))
+    return (
+        g.join(gs, "fp")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("gsz") > 1, 1)).cast("long").alias("n_dup_members"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_dup_members",
+            F.floor(F.col("n_dup_members") * 1000000 / F.col("n_docs"))
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("decile")
+    )

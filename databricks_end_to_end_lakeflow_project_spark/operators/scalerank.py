@@ -68,6 +68,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.session import persist_once
 from pyspark.sql import types as T
 
 
@@ -165,8 +167,11 @@ def with_global_ranks(
         # is_cached guard: callers that pre-persist their own upstream
         # (e.g. rfm's per-customer aggregate) keep cache OWNERSHIP — the
         # kernel must not double-persist the same plan (CacheManager
-        # 'already cached' warning, two handles to one entry)
-        df = df.persist()
+        # 'already cached' warning, two handles to one entry).
+        # persist_once additionally checks the CacheManager by CANONICAL
+        # plan: a repeat same-session invocation of the same query builds
+        # a fresh (is_cached == False) object over an already-cached plan
+        df = persist_once(df)
 
     # 1. one pass: every spec's boundary sketch in a single aggregate
     # (materializes the persisted input; passes 2 and 3 read the cache)
@@ -247,8 +252,11 @@ def with_global_cumsums(
         # is_cached guard: callers that pre-persist their own upstream
         # (e.g. rfm's per-customer aggregate) keep cache OWNERSHIP — the
         # kernel must not double-persist the same plan (CacheManager
-        # 'already cached' warning, two handles to one entry)
-        df = df.persist()
+        # 'already cached' warning, two handles to one entry).
+        # persist_once additionally checks the CacheManager by CANONICAL
+        # plan: a repeat same-session invocation of the same query builds
+        # a fresh (is_cached == False) object over an already-cached plan
+        df = persist_once(df)
     bv = bin_value if bin_value is not None else F.col(value)
     probs = F.array(*[F.lit(j / nbins) for j in range(1, nbins)])
     bounds = sorted(
@@ -312,8 +320,11 @@ def with_global_running_max(
         # is_cached guard: callers that pre-persist their own upstream
         # (e.g. rfm's per-customer aggregate) keep cache OWNERSHIP — the
         # kernel must not double-persist the same plan (CacheManager
-        # 'already cached' warning, two handles to one entry)
-        df = df.persist()
+        # 'already cached' warning, two handles to one entry).
+        # persist_once additionally checks the CacheManager by CANONICAL
+        # plan: a repeat same-session invocation of the same query builds
+        # a fresh (is_cached == False) object over an already-cached plan
+        df = persist_once(df)
     bv = bin_value if bin_value is not None else F.col(order_value)
     probs = F.array(*[F.lit(j / nbins) for j in range(1, nbins)])
     bounds = sorted(

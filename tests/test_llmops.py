@@ -1123,3 +1123,25 @@ def test_ngram_novelty_matches_pure_python(spark):
         n_unique = sum(1 for g in gs if df[g] == 1)
         want[d] = (len(gs), n_unique, n_unique * 1000000 // len(gs))
     assert got == want
+
+
+def test_dup_rate_by_quality_decile_consistent_with_prefix_groups(spark):
+    """Decile sizes must be NTILE-balanced; summed dup members must equal
+    the total membership of >1-sized prefix-fingerprint groups; ppm is
+    the FLOOR'd ratio."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        dedup_exact_prefix,
+        dedup_rate_by_quality_decile,
+    )
+
+    rows = dedup_rate_by_quality_decile(spark, SF).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # exact NTILE balance
+    n_total = sum(sizes)
+    groups = dedup_exact_prefix(spark, SF).collect()
+    assert n_total == sum(g["group_size"] for g in groups)
+    dup_members = sum(g["group_size"] for g in groups if g["group_size"] > 1)
+    assert sum(r["n_dup_members"] for r in rows) == dup_members
+    for r in rows:
+        assert r["dup_ppm"] == r["n_dup_members"] * 1000000 // r["n_docs"]
