@@ -1616,3 +1616,112 @@ def sim_recall_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_vec")
     )
+
+
+_CONTRAST_PAIRS = 10
+_CONTRAST_NEGS = 2
+_CONTRAST_TAU = 0.42
+
+
+def _contrastive_oracle() -> str:
+    cos_ab = _cos_sql("a.embedding", "b.embedding")
+    cos_an = _cos_sql("a.embedding", "n.embedding")
+    return f"""
+    WITH pos AS (
+      SELECT a.vec_id AS anchor, b.vec_id AS positive,
+             a.label AS anchor_label,
+             ROUND({cos_ab}, 6) AS pos_cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {cos_ab} >= {_CONTRAST_TAU}
+      ORDER BY pos_cos DESC, anchor, positive LIMIT {_CONTRAST_PAIRS}
+    ), negs AS (
+      SELECT p.anchor, p.positive, p.pos_cos,
+             n.vec_id AS negative, ROUND({cos_an}, 6) AS neg_cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.anchor, p.positive
+               ORDER BY {cos_an} DESC, n.vec_id) AS rn
+      FROM pos p JOIN embeddings a ON a.vec_id = p.anchor
+      JOIN embeddings n ON n.label <> p.anchor_label
+        AND n.vec_id <> p.anchor AND n.vec_id <> p.positive
+    )
+    SELECT anchor, positive, pos_cos, negative, neg_cos
+    FROM negs WHERE rn <= {_CONTRAST_NEGS}
+    ORDER BY anchor, positive, neg_cos DESC, negative
+    """
+
+
+@query("pipeline_contrastive_pairs", _contrastive_oracle())
+def pipeline_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-batch construction end-to-end — the table an
+    embedding-model fine-tune actually trains on: POSITIVES are the
+    {_CONTRAST_PAIRS} strongest near-duplicate pairs (cosine >=
+    {_CONTRAST_TAU}, the `sim_embedding_near_dup_pairs` signal), and
+    each (anchor, positive) row carries its {_CONTRAST_NEGS} hardest
+    NEGATIVES — highest-cosine vectors whose label differs from the
+    anchor's (the `sim_hard_negatives` rule). One query emits the
+    (anchor, positive, negative) triplets with both similarity scores.
+
+    Shape: the positive-pair search is the brute all-pairs baseline on
+    this fixture (at 100 TB the LSH bucket path generates the same
+    candidates — `sim_ann_hyperplane_buckets`); the winning pairs are a
+    BOUNDED TakeOrdered batch that broadcasts through the label-mismatch
+    scoring pass, and the per-pair top-k is a window PARTITIONED on the
+    pair key. Sequential-fold cosines make the oracle bit-exact."""
+    em = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    a = em.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = em.select(F.col("vec_id").alias("positive"), F.col("embedding").alias("b_emb"))
+    pair_cos = cosine(F.col("a_emb"), F.col("b_emb"))
+    pos = (
+        a.join(b, F.col("anchor") < F.col("positive"))
+        .filter(pair_cos >= _CONTRAST_TAU)
+        .select(
+            "anchor",
+            "positive",
+            "anchor_label",
+            "a_emb",
+            F.round(pair_cos, 6).alias("pos_cos"),
+        )
+        .orderBy(F.col("pos_cos").desc(), "anchor", "positive")
+        .limit(_CONTRAST_PAIRS)
+    )
+    negs = em.select(
+        F.col("vec_id").alias("negative"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("n_emb"),
+    )
+    neg_cos = cosine(F.col("a_emb"), F.col("n_emb"))
+    w = Window.partitionBy("anchor", "positive").orderBy(
+        F.col("neg_cos_raw").desc(), "negative"
+    )
+    return (
+        F.broadcast(pos)
+        .join(
+            negs,
+            (F.col("n_label") != F.col("anchor_label"))
+            & (F.col("negative") != F.col("anchor"))
+            & (F.col("negative") != F.col("positive")),
+        )
+        .select(
+            "anchor",
+            "positive",
+            "pos_cos",
+            "negative",
+            neg_cos.alias("neg_cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CONTRAST_NEGS)
+        .select(
+            "anchor",
+            "positive",
+            "pos_cos",
+            "negative",
+            F.round(F.col("neg_cos_raw"), 6).alias("neg_cos"),
+        )
+        .orderBy("anchor", "positive", F.col("neg_cos").desc(), "negative")
+    )

@@ -1145,3 +1145,43 @@ def test_dup_rate_by_quality_decile_consistent_with_prefix_groups(spark):
     assert sum(r["n_dup_members"] for r in rows) == dup_members
     for r in rows:
         assert r["dup_ppm"] == r["n_dup_members"] * 1000000 // r["n_docs"]
+
+
+def test_contrastive_pairs_triplet_invariants(spark):
+    """Triplet construction rules: positives are the strongest near-dup
+    pairs; every negative's label differs from its anchor's; negatives
+    are the per-pair hardest (numpy recount); positive similarity
+    exceeds both negatives' (margin exists on this corpus)."""
+    import numpy as np
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        _CONTRAST_NEGS,
+        _CONTRAST_PAIRS,
+        pipeline_contrastive_pairs,
+    )
+
+    rows = pipeline_contrastive_pairs(spark, SF).collect()
+    assert len(rows) == _CONTRAST_PAIRS * _CONTRAST_NEGS
+
+    em = read_table(spark, SF, "embeddings").collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in em}
+    L = {r["vec_id"]: r["label"] for r in em}
+
+    def cos(x, y):
+        return float(V[x] @ V[y] / (np.linalg.norm(V[x]) * np.linalg.norm(V[y])))
+
+    by_pair: dict[tuple, list] = {}
+    for r in rows:
+        by_pair.setdefault((r["anchor"], r["positive"]), []).append(r)
+    for (anc, pos), rs in by_pair.items():
+        assert len(rs) == _CONTRAST_NEGS
+        for r in rs:
+            assert L[r["negative"]] != L[anc]
+            assert r["negative"] not in (anc, pos)
+            assert r["pos_cos"] >= r["neg_cos"]  # the triplet margin
+        # hardest-negative recount (anchor/positive excluded)
+        cand = sorted(
+            (v for v in V if L[v] != L[anc] and v not in (anc, pos)),
+            key=lambda v: (-cos(anc, v), v),
+        )[:_CONTRAST_NEGS]
+        assert [r["negative"] for r in rs] == cand

@@ -44,6 +44,7 @@ NON_EQUI_WHITELIST = {
     "diag_key_skew_profile",  # 1-row broadcast totals over #keys rows
     "curation_pack_efficiency",  # 3-row candidate-length frame broadcast: bounded 3x multiplier
     "monitor_source_freshness",  # 1-row global-head broadcast over #sources rows
+    "pipeline_contrastive_pairs",  # all-pairs positive baseline + bounded pair-batch broadcast
 }
 
 
