@@ -1156,3 +1156,60 @@ def cdc_table_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(post[0], post[1], files_after < files_before, pre == post)],
         "n_rows long, key_checksum long, files_reduced boolean, content_preserved boolean",
     )
+
+
+@query(
+    "cdc_table_ttl_purge",
+    """
+    SELECT CAST(COUNT(*) FILTER (WHERE o_orderdate >= DATE '1996-01-01')
+                AS BIGINT) AS n_retained,
+           CAST(COUNT(*) FILTER (WHERE o_orderdate < DATE '1996-01-01')
+                AS BIGINT) AS n_purged,
+           CAST(SUM(o_orderkey) FILTER (WHERE o_orderdate >= DATE '1996-01-01')
+                AS BIGINT) AS retained_checksum,
+           TRUE AS purged_unrecoverable
+    FROM orders
+    """,
+)
+def cdc_table_ttl_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy purge end-to-end (`DELETE FROM ... WHERE age >
+    ttl` — the GDPR/TTL primitive): a managed table is built from
+    ``orders``, rows older than the 1996-01-01 cutoff are deleted via
+    :func:`delete_where`, and the snapshot history is vacuumed so the
+    purged rows leave NO recoverable version (the compliance
+    requirement that distinguishes purge from ordinary delete).
+
+    Contract oracle: the retained count/checksum must equal what DuckDB
+    computes from the cutoff directly; ``n_purged`` is the operator's
+    own deletion report; ``purged_unrecoverable`` asserts the table has
+    zero retained snapshots AND the live directory equals the retained
+    set exactly. Scale: delete_where is one filtered rewrite commit —
+    on a date-partitioned table the scan prunes to affected partitions."""
+    import os as _os
+
+    from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+        ephemeral_dir,
+    )
+
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    t = ManagedParquetTable(
+        spark, _os.path.join(ephemeral_dir("ttl_tbl_"), "t"), retain_versions=2
+    )
+    t.overwrite(od)
+    n_purged = delete_where(t, "o_orderdate < DATE '1996-01-01'")
+    t.vacuum(retain_last=0)
+    row = t.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+        F.max(F.col("o_orderdate") < F.lit("1996-01-01").cast("date")).alias(
+            "any_old"
+        ),
+    ).collect()[0]
+    unrecoverable = (t.history() == []) and (not row["any_old"])
+    return spark.createDataFrame(
+        [(row["n"], n_purged, row["s"], unrecoverable)],
+        "n_retained long, n_purged long, retained_checksum long, "
+        "purged_unrecoverable boolean",
+    )
