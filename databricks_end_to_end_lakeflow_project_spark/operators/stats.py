@@ -1123,3 +1123,91 @@ def monitor_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "stats_winsorize_price",
+    """
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             ROW_NUMBER() OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    ), bounds AS (
+      SELECT MAX(CASE WHEN rn = CAST(CEIL(0.01 * n) AS BIGINT) THEN v END)
+               AS lo,
+             MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN v END)
+               AS hi,
+             MAX(n) AS n
+      FROM r
+    )
+    SELECT CAST(b.n AS BIGINT) AS n_rows,
+           CAST(b.lo AS DOUBLE) AS lo_bound,
+           CAST(b.hi AS DOUBLE) AS hi_bound,
+           CAST(COUNT(*) FILTER (WHERE r.v < b.lo) AS BIGINT) AS n_clipped_low,
+           CAST(COUNT(*) FILTER (WHERE r.v > b.hi) AS BIGINT) AS n_clipped_high,
+           ROUND(SUM(LEAST(GREATEST(r.v, b.lo), b.hi)), 2)::DOUBLE
+             AS winsorized_sum,
+           ROUND(SUM(r.v), 2)::DOUBLE AS raw_sum
+    FROM r CROSS JOIN bounds b
+    GROUP BY b.n, b.lo, b.hi
+    """,
+)
+def stats_winsorize_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping) of a heavy-tailed numeric
+    feature — the standard outlier treatment before a feature feeds
+    model training or drift stats: values below the exact p01 / above
+    the exact p99 clamp to the boundary. Boundaries are defined by
+    RANK, not interpolation (the value at sorted position ceil(q·n)),
+    so both engines agree bit-for-bit with no quantile-definition
+    ambiguity — Spark gets the rank from the distributed scalerank
+    kernel (no global sort), DuckDB from ROW_NUMBER.
+
+    Shape: one rank-kernel pass over the projected column, two 1-row
+    boundary lookups by rank (broadcast — never an unpartitioned
+    window), then one clipped re-aggregate with exact decimal sums
+    rounded at 2dp."""
+    from databricks_end_to_end_lakeflow_project_spark.functions.compat import dsum
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        RankSpec,
+        with_global_ranks,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked, n = with_global_ranks(
+        li,
+        [
+            RankSpec(
+                out="rn",
+                value="l_extendedprice",
+                tiebreaks=["l_orderkey", "l_linenumber"],
+            )
+        ],
+    )
+    import math
+
+    k_lo, k_hi = math.ceil(0.01 * n), math.ceil(0.99 * n)
+    bounds = (
+        ranked.filter(F.col("rn").isin([k_lo, k_hi]))
+        .agg(
+            F.max(F.when(F.col("rn") == k_lo, F.col("l_extendedprice"))).alias("lo"),
+            F.max(F.when(F.col("rn") == k_hi, F.col("l_extendedprice"))).alias("hi"),
+        )
+    )
+    v = F.col("l_extendedprice")
+    clipped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return (
+        ranked.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.lit(n).cast("long").alias("n_rows"),
+            F.first("lo").cast("double").alias("lo_bound"),
+            F.first("hi").cast("double").alias("hi_bound"),
+            F.count(F.when(v < F.col("lo"), 1)).cast("long").alias("n_clipped_low"),
+            F.count(F.when(v > F.col("hi"), 1)).cast("long").alias("n_clipped_high"),
+            dsum(clipped).alias("winsorized_sum"),
+            dsum(v).alias("raw_sum"),
+        )
+    )

@@ -45,6 +45,7 @@ NON_EQUI_WHITELIST = {
     "curation_pack_efficiency",  # 3-row candidate-length frame broadcast: bounded 3x multiplier
     "monitor_source_freshness",  # 1-row global-head broadcast over #sources rows
     "pipeline_contrastive_pairs",  # all-pairs positive baseline + bounded pair-batch broadcast
+    "stats_winsorize_price",  # 1-row boundary frame broadcast through the clip pass
 }
 
 

@@ -260,3 +260,35 @@ def test_unigram_kl_drift_matches_pure_python(spark):
         assert r["kl_total_q"] == total
         assert r["c_base"] == c_base.get(r["tok"], 0)
         assert r["c_new"] == c_new.get(r["tok"], 0)
+
+
+def test_winsorize_matches_pure_python(spark):
+    """Rank-defined boundaries and clipped sums recomputed independently
+    (exact Decimal arithmetic) from the parquet."""
+    import math
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        stats_winsorize_price,
+    )
+
+    r = stats_winsorize_price(spark, SF).collect()[0]
+
+    vals = sorted(
+        Decimal(str(v))
+        for v in pq.read_table(
+            f"{SF}/lineitem.parquet", columns=["l_extendedprice"]
+        ).column("l_extendedprice").to_pylist()
+    )
+    n = len(vals)
+    lo, hi = vals[math.ceil(0.01 * n) - 1], vals[math.ceil(0.99 * n) - 1]
+    assert r["n_rows"] == n
+    assert Decimal(str(r["lo_bound"])) == lo
+    assert Decimal(str(r["hi_bound"])) == hi
+    assert r["n_clipped_low"] == sum(1 for v in vals if v < lo)
+    assert r["n_clipped_high"] == sum(1 for v in vals if v > hi)
+    wsum = sum(min(max(v, lo), hi) for v in vals)
+    assert Decimal(str(r["winsorized_sum"])) == wsum
+    assert Decimal(str(r["raw_sum"])) == sum(vals)
