@@ -1211,3 +1211,102 @@ def stats_winsorize_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(v).alias("raw_sum"),
         )
     )
+
+
+_CM_DEPTH = 4
+_CM_WIDTH = 64
+
+
+def _cm_pos_sql(tok: str, j: int) -> str:
+    return f"('0x' || substr(md5({tok} || ':{j}'), 1, 8))::UBIGINT % {_CM_WIDTH}"
+
+
+@query(
+    "agg_count_min_sketch",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ), exact AS (
+      SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok
+    ), hh AS (
+      SELECT tok, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, tok LIMIT 5
+    ), cells AS (
+      {" UNION ALL ".join(
+        f'''SELECT {j} AS j, {_cm_pos_sql('tok', j)} AS pos,
+            SUM(exact_cnt) AS cell FROM exact GROUP BY pos'''
+        for j in range(_CM_DEPTH)
+      )}
+    ), est AS (
+      SELECT h.tok, h.exact_cnt, MIN(c.cell) AS cm_estimate
+      FROM hh h JOIN cells c
+        ON c.pos = CASE c.j
+             {" ".join(f"WHEN {j} THEN {_cm_pos_sql('h.tok', j)}" for j in range(_CM_DEPTH))}
+           END
+      GROUP BY h.tok, h.exact_cnt
+    )
+    SELECT tok, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           cm_estimate >= exact_cnt AS is_upper_bound,
+           {_CM_DEPTH} AS depth, {_CM_WIDTH} AS width
+    FROM est ORDER BY exact_cnt DESC, tok
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation — the streaming-frequency
+    sibling of the repo's HLL (distinct), theta (set algebra), GK
+    (quantile) and Misra-Gries (top-k) sketches: a {_CM_DEPTH}x
+    {_CM_WIDTH} counter grid where every token occurrence increments one
+    cell per row (position = md5(tok:j) mod width) and a token's
+    estimate is the MIN over its {_CM_DEPTH} cells — never below the
+    true count (one-sided error, the CM guarantee), overshooting only by
+    collision mass ~N/width per cell.
+
+    Contract oracle (the sketch-query pattern): the 5 heaviest tokens'
+    EXACT counts, their CM estimates from identical integer md5
+    arithmetic (both engines build the same grid), and the
+    ``is_upper_bound`` guarantee flag per token.
+
+    Shape: one vocab-scale exact-count groupBy (the sketch's input here;
+    a production stream increments cells directly), {_CM_DEPTH} cell
+    aggregations over it — each a {_CM_WIDTH}-key partial-aggregatable
+    groupBy — and a 5-row heavy-hitter broadcast probing the
+    {_CM_DEPTH * _CM_WIDTH}-cell grid. The sketch is tiny, mergeable
+    across partitions/streams by cell-wise addition."""
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+
+    def pos(tok_col, j):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(tok_col, F.lit(f":{j}"))), 1, 8), 16, 10
+            ).cast("long")
+            % _CM_WIDTH
+        )
+
+    cells = None
+    for j in range(_CM_DEPTH):
+        c = exact.groupBy(pos(F.col("tok"), j).alias("pos")).agg(
+            F.sum("exact_cnt").alias("cell")
+        ).select(F.lit(j).alias("j"), "pos", "cell")
+        cells = c if cells is None else cells.unionByName(c)
+    hh = exact.orderBy(F.col("exact_cnt").desc(), "tok").limit(5)
+    probe = None
+    for j in range(_CM_DEPTH):
+        p = hh.select("tok", "exact_cnt", F.lit(j).alias("j"), pos(F.col("tok"), j).alias("pos"))
+        probe = p if probe is None else probe.unionByName(p)
+    return (
+        probe.join(cells, ["j", "pos"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cell").alias("cm_estimate"))
+        .select(
+            "tok",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            (F.col("cm_estimate") >= F.col("exact_cnt")).alias("is_upper_bound"),
+            F.lit(_CM_DEPTH).alias("depth"),
+            F.lit(_CM_WIDTH).alias("width"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "tok")
+    )

@@ -292,3 +292,40 @@ def test_winsorize_matches_pure_python(spark):
     wsum = sum(min(max(v, lo), hi) for v in vals)
     assert Decimal(str(r["winsorized_sum"])) == wsum
     assert Decimal(str(r["raw_sum"])) == sum(vals)
+
+
+def test_count_min_sketch_guarantee_and_exact_grid(spark):
+    """CM guarantee: every estimate >= exact count (one-sided), and the
+    estimate equals the pure-Python grid's min-cell exactly."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        _CM_DEPTH,
+        _CM_WIDTH,
+        agg_count_min_sketch,
+    )
+
+    got = agg_count_min_sketch(spark, SF).collect()
+    assert len(got) == 5
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).column(
+        "text"
+    ).to_pylist()
+    from collections import Counter
+
+    exact = Counter(t for text in texts for t in text.strip().split(" "))
+
+    def pos(tok, j):
+        return int(hashlib.md5(f"{tok}:{j}".encode()).hexdigest()[:8], 16) % _CM_WIDTH
+
+    grid = [[0] * _CM_WIDTH for _ in range(_CM_DEPTH)]
+    for tok, c in exact.items():
+        for j in range(_CM_DEPTH):
+            grid[j][pos(tok, j)] += c
+    for r in got:
+        assert r["exact_cnt"] == exact[r["tok"]]
+        want_est = min(grid[j][pos(r["tok"], j)] for j in range(_CM_DEPTH))
+        assert r["cm_estimate"] == want_est
+        assert r["is_upper_bound"] and r["cm_estimate"] >= r["exact_cnt"]
