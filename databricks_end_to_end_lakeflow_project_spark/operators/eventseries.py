@@ -797,3 +797,102 @@ def ts_seasonal_profile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_of_day")
     )
+
+
+@query(
+    "events_attribution_first_last",
+    """
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts,
+             ROUND(value, 2) AS revenue
+      FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT event_id AS v_id, user_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ), touched AS (
+      SELECT p.p_id, p.user_id, p.revenue, v.v_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.p_id ORDER BY v.v_ts, v.v_id) AS rn_first,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.p_id ORDER BY v.v_ts DESC, v.v_id DESC) AS rn_last,
+             COUNT(*) OVER (PARTITION BY p.p_id) AS n_touches
+      FROM purchases p JOIN views v
+        ON v.user_id = p.user_id
+       AND v.v_ts < p.p_ts
+       AND v.v_ts >= p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT p_id AS purchase_id, user_id, revenue,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(MAX(CASE WHEN rn_first = 1 THEN v_id END) AS BIGINT)
+             AS first_touch_id,
+           CAST(MAX(CASE WHEN rn_last = 1 THEN v_id END) AS BIGINT)
+             AS last_touch_id
+    FROM touched
+    GROUP BY p_id, user_id, revenue, n_touches
+    ORDER BY p_id
+    """,
+)
+def events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution, first- and last-touch: every purchase is
+    credited to the user's FIRST and LAST ``view`` inside a 7-day
+    lookback window — the two canonical single-touch models a revenue
+    dashboard reconciles (first-touch rewards acquisition, last-touch
+    conversion; multi-touch models interpolate between these
+    endpoints).
+
+    Shape: an equi-join on user_id carries the lookback range predicate
+    (per-user event counts are session-scale, so the range expansion is
+    bounded per key — never a cross product); the first/last picks are
+    ROW_NUMBER windows PARTITIONED on the purchase, deterministic under
+    timestamp ties via the event-id tiebreak. At 100 TB both sides
+    shuffle once on user_id and everything downstream stays on the
+    purchase key."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round("value", 2).alias("revenue"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+    )
+    touched = purchases.join(views, "user_id").filter(
+        (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    w_first = Window.partitionBy("p_id").orderBy("v_ts", "v_id")
+    w_last = Window.partitionBy("p_id").orderBy(
+        F.col("v_ts").desc(), F.col("v_id").desc()
+    )
+    return (
+        touched.select(
+            "p_id",
+            "user_id",
+            "revenue",
+            "v_id",
+            F.row_number().over(w_first).alias("rn_first"),
+            F.row_number().over(w_last).alias("rn_last"),
+        )
+        .groupBy("p_id", "user_id", "revenue")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.max(F.when(F.col("rn_first") == 1, F.col("v_id")))
+            .cast("long")
+            .alias("first_touch_id"),
+            F.max(F.when(F.col("rn_last") == 1, F.col("v_id")))
+            .cast("long")
+            .alias("last_touch_id"),
+        )
+        .select(
+            F.col("p_id").alias("purchase_id"),
+            "user_id",
+            "revenue",
+            "n_touches",
+            "first_touch_id",
+            "last_touch_id",
+        )
+        .orderBy("purchase_id")
+    )

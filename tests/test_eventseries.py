@@ -404,3 +404,44 @@ def test_source_freshness_head_and_staleness(spark):
     for r in rows:
         assert r["staleness_docs"] == head - r["latest_doc_id"]
         assert r["is_stale"] == (r["staleness_docs"] > 100)
+
+
+def test_attribution_first_last_matches_pure_python(spark):
+    """First/last-touch picks recomputed independently with the 7-day
+    lookback and (ts, id) tiebreak; first <= last in view order."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        events_attribution_first_last,
+    )
+
+    got = {r["purchase_id"]: r for r in events_attribution_first_last(spark, SF).collect()}
+
+    tbl = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    rows = list(zip(*(tbl.column(c).to_pylist() for c in
+                      ("event_id", "ts", "user_id", "event_type", "value"))))
+    views_by_user: dict[int, list] = {}
+    for eid, ts, uid, et, _v in rows:
+        if et == "view":
+            views_by_user.setdefault(uid, []).append((ts, eid))
+    want = {}
+    for eid, ts, uid, et, v in rows:
+        if et != "purchase":
+            continue
+        lo = ts - dt.timedelta(days=7)
+        touches = sorted(
+            (vt, vid) for vt, vid in views_by_user.get(uid, [])
+            if lo <= vt < ts
+        )
+        if touches:
+            want[eid] = (uid, round(v, 2), len(touches), touches[0][1], touches[-1][1])
+    assert set(got) == set(want)
+    for pid, (uid, rev, n, first, last) in want.items():
+        r = got[pid]
+        assert (r["user_id"], r["n_touches"], r["first_touch_id"], r["last_touch_id"]) == (
+            uid, n, first, last,
+        )
