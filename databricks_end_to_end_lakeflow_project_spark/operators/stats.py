@@ -1310,3 +1310,87 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_cnt").desc(), "tok")
     )
+
+
+_BOOT_B = 32
+# Poisson(1) CDF cutoffs scaled to the 2^32 hash range (k = 0,1,2,3; ≥4
+# beyond the last): floor(CDF(k) * 2^32) — weight assignment is pure
+# integer comparison, no doubles anywhere in the draw
+_BOOT_CUTS = (1580030168, 3160060337, 3950075421, 4213413783)
+
+
+def _boot_w_sql(key: str, b: str) -> str:
+    h = f"('0x' || substr(md5({key} || ':' || {b}), 1, 8))::UBIGINT"
+    return (
+        f"(CASE WHEN {h} < {_BOOT_CUTS[0]} THEN 0"
+        f" WHEN {h} < {_BOOT_CUTS[1]} THEN 1"
+        f" WHEN {h} < {_BOOT_CUTS[2]} THEN 2"
+        f" WHEN {h} < {_BOOT_CUTS[3]} THEN 3 ELSE 4 END)"
+    )
+
+
+@query(
+    "stats_bootstrap_poisson",
+    f"""
+    WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+    weighted AS (
+      SELECT r.b, {_boot_w_sql('o.o_orderkey', 'r.b')} AS w, o.o_totalprice AS x
+      FROM orders o CROSS JOIN reps r
+    )
+    SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+           ROUND(CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 4)
+             AS rep_mean
+    FROM weighted GROUP BY b ORDER BY b
+    """,
+)
+def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the large-scale resampling of Chamandy et al.:
+    multinomial resample counts approximated by independent Poisson(1)
+    weights, so each replicate is ONE weighted pass — no data movement,
+    no sampling-with-replacement shuffle): {_BOOT_B} replicate means of
+    the order value, from which a consumer reads off standard error and
+    rank-based confidence intervals. The uncertainty-quantification
+    primitive behind every "is this week's metric move real?" check.
+
+    The weight draw is deterministic and engine-exact: a 2^32-range md5
+    integer compared against precomputed Poisson CDF cutoffs — pure
+    integer comparisons, not a single double until the final mean
+    (exact decimal weighted sum, one double division, 4dp round).
+
+    Shape: the {_BOOT_B}-row replicate frame broadcasts through a cross
+    join (bounded {_BOOT_B}x row multiplier, map-side), and the rollup
+    is a {_BOOT_B}-key partial-aggregatable groupBy — one scan total;
+    at 100 TB this is THE way to bootstrap (per-row i.i.d. weights need
+    no coordination across partitions)."""
+    od = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = od.sparkSession.createDataFrame([(b,) for b in range(_BOOT_B)], "b int")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":"), F.col("b").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        F.when(h < _BOOT_CUTS[0], 0)
+        .when(h < _BOOT_CUTS[1], 1)
+        .when(h < _BOOT_CUTS[2], 2)
+        .when(h < _BOOT_CUTS[3], 3)
+        .otherwise(4)
+    )
+    return (
+        od.crossJoin(F.broadcast(reps))
+        .select("b", w.alias("w"), F.col("o_totalprice").alias("x"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("x")).cast("double")
+                / F.sum("w").cast("double"),
+                4,
+            ).alias("rep_mean"),
+        )
+        .orderBy("b")
+    )

@@ -46,6 +46,7 @@ NON_EQUI_WHITELIST = {
     "monitor_source_freshness",  # 1-row global-head broadcast over #sources rows
     "pipeline_contrastive_pairs",  # all-pairs positive baseline + bounded pair-batch broadcast
     "stats_winsorize_price",  # 1-row boundary frame broadcast through the clip pass
+    "stats_bootstrap_poisson",  # 32-row replicate frame broadcast: bounded 32x multiplier
 }
 
 

@@ -329,3 +329,53 @@ def test_count_min_sketch_guarantee_and_exact_grid(spark):
         want_est = min(grid[j][pos(r["tok"], j)] for j in range(_CM_DEPTH))
         assert r["cm_estimate"] == want_est
         assert r["is_upper_bound"] and r["cm_estimate"] >= r["exact_cnt"]
+
+
+def test_bootstrap_poisson_matches_pure_python_and_sane(spark):
+    """Replicate weights and means recomputed independently (integer
+    cutoff draws + Decimal sums); replicate dispersion must sit near the
+    CLT prediction sd/sqrt(n) (within 3x either way)."""
+    import hashlib
+    import math
+    import statistics
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        _BOOT_B,
+        _BOOT_CUTS,
+        stats_bootstrap_poisson,
+    )
+
+    got = {r["b"]: r for r in stats_bootstrap_poisson(spark, SF).collect()}
+    assert set(got) == set(range(_BOOT_B))
+
+    tbl = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    keys = tbl.column("o_orderkey").to_pylist()
+    vals = [Decimal(str(v)) for v in tbl.column("o_totalprice").to_pylist()]
+
+    def weight(k, b):
+        h = int(hashlib.md5(f"{k}:{b}".encode()).hexdigest()[:8], 16)
+        for w, cut in enumerate(_BOOT_CUTS):
+            if h < cut:
+                return w
+        return 4
+
+    means = []
+    for b in range(_BOOT_B):
+        sw = swx = 0
+        for k, x in zip(keys, vals):
+            w = weight(k, b)
+            sw += w
+            swx += w * x
+        rep = round(float(swx) / float(sw), 4)
+        means.append(rep)
+        assert got[b]["n_eff"] == sw
+        assert got[b]["rep_mean"] == rep
+    pop_mean = float(sum(vals)) / len(vals)
+    pop_sd = statistics.pstdev(float(v) for v in vals)
+    se_pred = pop_sd / math.sqrt(len(vals))
+    se_obs = statistics.stdev(means)
+    assert se_pred / 3 < se_obs < se_pred * 3
+    assert abs(statistics.mean(means) - pop_mean) < 5 * se_pred
