@@ -741,3 +741,121 @@ def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_len")
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             string_split(trim(text), ' ') AS w,
+             md5(array_to_string(string_split(trim(text), ' ')[1:10], ' ')) AS fp
+      FROM documents
+    ), base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM({_QSCORE_Q_SQL}) AS BIGINT) AS sum_q
+      FROM t
+    ), top_lang AS (
+      SELECT lang AS top_lang, COUNT(*) AS lang_n FROM t
+      GROUP BY lang ORDER BY lang_n DESC, lang LIMIT 1
+    ), dups AS (
+      SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_dup_docs
+      FROM (SELECT COUNT(*) AS c FROM t GROUP BY fp HAVING COUNT(*) > 1)
+    )
+    SELECT b.n_docs, b.n_tokens, b.n_chars, b.n_sources, b.n_langs,
+           l.top_lang,
+           CAST(FLOOR(l.lang_n * 1000000 / b.n_docs) AS BIGINT)
+             AS top_lang_ppm,
+           d.n_dup_docs,
+           CAST(FLOOR(d.n_dup_docs * 1000000 / b.n_docs) AS BIGINT) AS dup_ppm,
+           ROUND(b.sum_q / b.n_docs / 10000.0, 4) AS mean_quality
+    FROM base b CROSS JOIN top_lang l CROSS JOIN dups d
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one query — the summary table every released
+    corpus ships (HuggingFace dataset-card "Dataset Statistics"
+    section): sizes (docs/tokens/chars), source and language diversity,
+    the dominant language with its share, duplicate mass under the
+    prefix-fingerprint signal, and mean quality — each number
+    integer-exact or fixed-point so the card is reproducible
+    bit-for-bit on any engine or cluster.
+
+    Shape: one scan feeds a single multi-aggregate (every statistic is
+    partial-aggregatable — COUNT DISTINCT over bounded-cardinality
+    columns, fixed-point quality sum), plus a #langs-key mode lookup and
+    a fingerprint groupBy; the three 1-row frames broadcast-join into
+    the final row. At 100 TB the card costs ~two scans of the projected
+    columns."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        STOPWORDS,
+        stopword_hits,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    w = tokens(F.col("text"))
+    n = F.size(w).cast("double")
+    score = (
+        0.4 * F.least(n / 100.0, F.lit(1.0))
+        + 0.4 * F.size(F.array_distinct(w)).cast("double") / n
+        + 0.2 * (1.0 - stopword_hits(w, STOPWORDS).cast("double") / n)
+    )
+    fp = F.md5(F.concat_ws(" ", F.slice(w, 1, 10)).cast("binary"))
+    t = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(w).alias("n_tok"),
+        F.round(score * 10000.0).cast("long").alias("q"),
+        fp.alias("fp"),
+    )
+    base = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("q").cast("long").alias("sum_q"),
+    )
+    top_lang = (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("lang_n"))
+        .orderBy(F.col("lang_n").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "lang_n")
+    )
+    dups = (
+        t.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_dup_docs"))
+    )
+    return (
+        base.crossJoin(F.broadcast(top_lang))
+        .crossJoin(F.broadcast(dups))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_sources",
+            "n_langs",
+            "top_lang",
+            F.floor(F.col("lang_n") * 1000000 / F.col("n_docs"))
+            .cast("long")
+            .alias("top_lang_ppm"),
+            "n_dup_docs",
+            F.floor(F.col("n_dup_docs") * 1000000 / F.col("n_docs"))
+            .cast("long")
+            .alias("dup_ppm"),
+            F.round(F.col("sum_q") / F.col("n_docs") / 10000.0, 4).alias(
+                "mean_quality"
+            ),
+        )
+    )

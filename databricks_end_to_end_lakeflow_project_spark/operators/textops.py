@@ -1388,3 +1388,62 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_code_detection",
+    """
+    WITH feat AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[{};()=<>\\[\\]]', '', 'g'))
+               AS n_symbols,
+             len(regexp_extract_all(text,
+               '\\b(def|return|import|class|void|int|function|var|const)\\b'))
+               AS n_keywords,
+             len(regexp_extract_all(text, '[a-z][A-Z]')) AS n_camel
+      FROM documents WHERE LENGTH(text) > 0
+    )
+    SELECT doc_id, CAST(n_symbols AS BIGINT) AS n_symbols,
+           CAST(n_keywords AS BIGINT) AS n_keywords,
+           CAST(n_camel AS BIGINT) AS n_camel,
+           CAST(FLOOR((n_symbols * 20 + n_keywords * 100 + n_camel * 50)
+                      * 1000 / n_chars) AS BIGINT) AS code_score_x1000,
+           (n_symbols * 20 + n_keywords * 100 + n_camel * 50) * 1000 / n_chars
+             >= 15 AS looks_like_code
+    FROM feat ORDER BY doc_id
+    """,
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing heuristic — the corpus splitter that sends
+    source files to a code pipeline (different dedup granularity,
+    different tokenizer, different quality rules) before text curation
+    ever sees them: weighted density of code symbols ({};()=<>[]),
+    language keywords, and camelCase transitions per character, as a
+    FLOOR'd x1000 integer score with a routing flag. Heuristic
+    front-end of the classifier cascade (cheap rule first, model only
+    on the uncertain band).
+
+    Shape: pure row-local regexp counting inside the scan — no shuffle
+    at all except the final sort; all features and the score are
+    integers, so the oracle is exact."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chars = F.length("text")
+    n_symbols = n_chars - F.length(F.regexp_replace("text", r"[{};()=<>\[\]]", ""))
+    n_keywords = F.size(
+        F.regexp_extract_all(
+            F.col("text"),
+            F.lit(r"\b(def|return|import|class|void|int|function|var|const)\b"),
+            0,
+        )
+    )
+    n_camel = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z][A-Z]"), 0))
+    raw = n_symbols * 20 + n_keywords * 100 + n_camel * 50
+    return docs.select(
+        "doc_id",
+        n_symbols.cast("long").alias("n_symbols"),
+        n_keywords.cast("long").alias("n_keywords"),
+        n_camel.cast("long").alias("n_camel"),
+        F.floor(raw * 1000 / n_chars).cast("long").alias("code_score_x1000"),
+        (raw * 1000 / n_chars >= 15).alias("looks_like_code"),
+    ).orderBy("doc_id")

@@ -190,3 +190,49 @@ def test_pack_efficiency_matches_pure_python_and_monotone(spark):
     # strictly worsens tail padding
     wastes = [got[L]["waste_ppm"] for L in sorted(_PACK_CANDIDATE_LENS)]
     assert wastes == sorted(wastes)
+
+
+def test_dataset_card_matches_pure_python(spark):
+    """Every card number recomputed independently from the parquet."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.curation import (
+        pipeline_dataset_card,
+    )
+
+    r = pipeline_dataset_card(spark, SF).collect()[0]
+    tbl = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars", "text"]
+    )
+    langs = tbl.column("lang").to_pylist()
+    sources = tbl.column("source").to_pylist()
+    n_chars = tbl.column("n_chars").to_pylist()
+    texts = tbl.column("text").to_pylist()
+
+    n_docs = len(texts)
+    toks = [t.strip().split(" ") for t in texts]
+    assert r["n_docs"] == n_docs
+    assert r["n_tokens"] == sum(len(w) for w in toks)
+    assert r["n_chars"] == sum(n_chars)
+    assert r["n_sources"] == len(set(sources))
+    assert r["n_langs"] == len(set(langs))
+    lc = Counter(langs)
+    top = sorted(lc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert r["top_lang"] == top[0]
+    assert r["top_lang_ppm"] == top[1] * 1000000 // n_docs
+    fps = Counter(" ".join(w[:10]) for w in toks)
+    n_dup = sum(c for c in fps.values() if c > 1)
+    assert r["n_dup_docs"] == n_dup
+    assert r["dup_ppm"] == n_dup * 1000000 // n_docs
+    qs = []
+    for w in toks:
+        n = float(len(w))
+        score = (
+            0.4 * min(n / 100.0, 1.0)
+            + 0.4 * len(set(w)) / n
+            + 0.2 * (1.0 - sum(1 for x in w if x in ("the", "a")) / n)
+        )
+        qs.append(round(score * 10000.0))
+    assert r["mean_quality"] == round(sum(qs) / n_docs / 10000.0, 4)

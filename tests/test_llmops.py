@@ -1185,3 +1185,28 @@ def test_contrastive_pairs_triplet_invariants(spark):
             key=lambda v: (-cos(anc, v), v),
         )[:_CONTRAST_NEGS]
         assert [r["negative"] for r in rs] == cand
+
+
+def test_code_detection_matches_pure_python(spark):
+    """Feature counts and the x1000 score recomputed with Python re."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_code_detection,
+    )
+
+    got = {r["doc_id"]: tuple(r)[1:] for r in text_code_detection(spark, SF).collect()}
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        if not text:
+            continue
+        n_sym = len(re.findall(r"[{};()=<>\[\]]", text))
+        n_kw = len(re.findall(r"\b(?:def|return|import|class|void|int|function|var|const)\b", text))
+        n_camel = len(re.findall("[a-z][A-Z]", text))
+        raw = n_sym * 20 + n_kw * 100 + n_camel * 50
+        score = raw * 1000 // len(text)
+        assert got[doc_id] == (
+            n_sym, n_kw, n_camel, score, raw * 1000 / len(text) >= 15,
+        ), doc_id
