@@ -1725,3 +1725,94 @@ def pipeline_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor", "positive", F.col("neg_cos").desc(), "negative")
     )
+
+
+_KNN_Q_LO, _KNN_Q_HI, _KNN_K = 100, 119, 5
+
+
+def _knn_eval_oracle() -> str:
+    cos = _cos_sql("e.embedding", "q.qv")
+    return f"""
+    WITH queries AS (
+      SELECT vec_id AS q_vec, label AS true_label, embedding AS qv
+      FROM embeddings WHERE vec_id BETWEEN {_KNN_Q_LO} AND {_KNN_Q_HI}
+    ), nn AS (
+      SELECT q_vec, true_label, label FROM (
+        SELECT q.q_vec, q.true_label, e.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_vec
+                 ORDER BY {cos} DESC, e.vec_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN queries q
+        WHERE e.vec_id <> q.q_vec
+      ) WHERE rn <= {_KNN_K}
+    ), votes AS (
+      SELECT q_vec, true_label, label AS pred_label, COUNT(*) AS n_votes,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_vec ORDER BY COUNT(*) DESC, label
+             ) AS vr
+      FROM nn GROUP BY q_vec, true_label, label
+    )
+    SELECT q_vec, CAST(true_label AS INT) AS true_label,
+           CAST(pred_label AS INT) AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           pred_label = true_label AS correct
+    FROM votes WHERE vr = 1 ORDER BY q_vec
+    """
+
+
+@query("sim_knn_label_eval", _knn_eval_oracle())
+def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification evaluation over the embedding space — the
+    label-quality check run before trusting embeddings for routing or
+    weak supervision: each of 20 held-out vectors is classified by
+    majority vote of its {_KNN_K} nearest neighbors (self excluded),
+    ties broken toward the smallest label; per-query verdicts let the
+    consumer read accuracy AND the confusion structure.
+
+    Exactness: neighbor ranking is the sequential-fold cosine with
+    vec_id tiebreak (bit-identical both engines) and the vote is
+    integer counting with a deterministic tie rule, so the oracle
+    replays the whole evaluation.
+
+    Shape: the bounded query batch broadcasts through one corpus
+    scoring pass (the standard eval protocol — sample the shard at
+    100 TB); per-query ranking and voting are windows/groupBys
+    PARTITIONED on the query key."""
+    em = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    queries = em.filter(F.col("vec_id").between(_KNN_Q_LO, _KNN_Q_HI)).select(
+        F.col("vec_id").alias("q_vec"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qv"),
+    )
+    w = Window.partitionBy("q_vec").orderBy(F.col("cos").desc(), "vec_id")
+    nn = (
+        em.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_vec"))
+        .select(
+            "q_vec",
+            "true_label",
+            "label",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+    )
+    wv = Window.partitionBy("q_vec").orderBy(F.col("n_votes").desc(), "pred_label")
+    return (
+        nn.groupBy("q_vec", "true_label", F.col("label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_vec",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("pred_label").cast("int").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("q_vec")
+    )

@@ -1210,3 +1210,37 @@ def test_code_detection_matches_pure_python(spark):
         assert got[doc_id] == (
             n_sym, n_kw, n_camel, score, raw * 1000 / len(text) >= 15,
         ), doc_id
+
+
+def test_knn_label_eval_matches_pure_python(spark):
+    """k-NN majority-vote predictions recomputed independently with the
+    sequential-fold cosine and the deterministic tie rules."""
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        _KNN_K,
+        _KNN_Q_HI,
+        _KNN_Q_LO,
+        _seq_cosine,
+        sim_knn_label_eval,
+    )
+
+    got = {r["q_vec"]: r for r in sim_knn_label_eval(spark, SF).collect()}
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    emb = dict(zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()))
+    lab = dict(zip(tbl.column("vec_id").to_pylist(), tbl.column("label").to_pylist()))
+    from collections import Counter
+
+    for q in range(_KNN_Q_LO, _KNN_Q_HI + 1):
+        qv = emb[q]
+        nn = sorted(
+            (v for v in emb if v != q),
+            key=lambda v: (-_seq_cosine(emb[v], qv), v),
+        )[:_KNN_K]
+        votes = Counter(lab[v] for v in nn)
+        pred, n_votes = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        r = got[q]
+        assert (r["true_label"], r["pred_label"], r["n_votes"], r["correct"]) == (
+            lab[q], pred, n_votes, pred == lab[q],
+        ), q

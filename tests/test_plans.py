@@ -41,6 +41,7 @@ NON_EQUI_WHITELIST = {
     "curation_source_reputation_gate",  # 1-row broadcast corpus mean over #sources rows
     "monitor_unigram_kl_drift",  # 1-row broadcast totals + 1-row KL total over vocab rows
     "sim_recall_at_k_eval",  # bounded 20-query eval batch x corpus: exact ground-truth pass
+    "sim_knn_label_eval",  # bounded 20-query eval batch x corpus: exact scoring pass
     "diag_key_skew_profile",  # 1-row broadcast totals over #keys rows
     "curation_pack_efficiency",  # 3-row candidate-length frame broadcast: bounded 3x multiplier
     "monitor_source_freshness",  # 1-row global-head broadcast over #sources rows
