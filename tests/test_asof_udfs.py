@@ -175,3 +175,29 @@ def test_map_in_arrow_agrees_with_map_in_pandas(spark):
         schema="doc_id long, n_chars long, n_tokens long, n_upper long",
     ).collect()[0]
     assert (out["n_chars"], out["n_tokens"], out["n_upper"]) == (19, 4, 3)
+
+
+def test_apply_in_arrow_agrees_with_plain_groupby(spark):
+    """The Arrow grouped path must equal the plain JVM aggregation."""
+    from pyspark.sql import functions as F
+
+    from databricks_end_to_end_lakeflow_project_spark.functions.udfs import (
+        udf_apply_in_arrow,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in udf_apply_in_arrow(spark, sf).collect()}
+    want = {
+        tuple(r)
+        for r in read_table(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(F.length("text")).cast("long").alias("min_chars"),
+            F.max(F.length("text")).cast("long").alias("max_chars"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+        .collect()
+    }
+    assert got == want
