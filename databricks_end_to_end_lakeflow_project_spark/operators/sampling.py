@@ -752,3 +752,66 @@ def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("epoch", "shard", "pos")
+
+
+@query(
+    "sample_negative_table_skipgram",
+    """
+    WITH cnt AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ), wq AS (
+      SELECT tok, c,
+             CAST(ROUND(POW(CAST(c AS DOUBLE), 0.75) * 1000000000) AS BIGINT)
+               AS w_q
+      FROM cnt
+    ), tot AS (SELECT SUM(w_q) AS total_w FROM wq)
+    SELECT w.tok, CAST(w.c AS BIGINT) AS cnt, w.w_q,
+           CAST(FLOOR(w.w_q * 1000000 / t.total_w) AS BIGINT) AS sample_ppm
+    FROM wq w CROSS JOIN tot t
+    ORDER BY w.w_q DESC, w.tok LIMIT 20
+    """,
+)
+def sample_negative_table_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: each vocabulary token's
+    sampling weight is count^0.75 (the unigram-smoothing exponent that
+    keeps frequent words from dominating negatives while still favoring
+    them), normalized to ppm — the lookup table a skip-gram or
+    contrastive trainer draws negatives from. Top-20 heaviest shown;
+    the full table is the same frame un-limited.
+
+    Exactness: the single double operation (count^0.75 on an exact
+    BIGINT) is quantized to a fixed-point long BEFORE the normalization
+    sum, so the total and every ppm share are order-independent integer
+    arithmetic (the DSIR rule).
+
+    Shape: one vocabulary-scale partial-aggregatable groupBy, a 1-row
+    total broadcast, TakeOrdered top-20 — one scan."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wq = toks.select(
+        "tok",
+        "c",
+        F.round(F.pow(F.col("c").cast("double"), 0.75) * 1000000000)
+        .cast("long")
+        .alias("w_q"),
+    )
+    tot = wq.agg(F.sum("w_q").alias("total_w"))
+    return (
+        wq.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.col("c").cast("long").alias("cnt"),
+            "w_q",
+            F.floor(F.col("w_q") * 1000000 / F.col("total_w"))
+            .cast("long")
+            .alias("sample_ppm"),
+        )
+        .orderBy(F.col("w_q").desc(), "tok")
+        .limit(20)
+    )

@@ -49,6 +49,7 @@ NON_EQUI_WHITELIST = {
     "stats_winsorize_price",  # 1-row boundary frame broadcast through the clip pass
     "stats_bootstrap_poisson",  # 32-row replicate frame broadcast: bounded 32x multiplier
     "pipeline_dataset_card",  # three 1-row summary frames broadcast into the final row
+    "sample_negative_table_skipgram",  # 1-row total broadcast over vocab rows
 }
 
 

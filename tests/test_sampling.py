@@ -341,3 +341,32 @@ def test_curriculum_order_pools_and_determinism(spark):
     assert any(coords[1][d] != coords[2][d] for d in common)
     again = sample_curriculum_order(spark, SF).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_negative_sampling_table_matches_pure_python(spark):
+    """count^0.75 weights, fixed-point quantization, and ppm shares
+    recomputed independently; shares must flatten relative to raw counts
+    (the smoothing the 0.75 exponent exists for)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        sample_negative_table_skipgram,
+    )
+
+    got = [tuple(r) for r in sample_negative_table_skipgram(spark, SF).collect()]
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).column(
+        "text"
+    ).to_pylist()
+    cnt = Counter(t for text in texts for t in text.strip().split(" "))
+    wq = {t: round((float(c) ** 0.75) * 1000000000) for t, c in cnt.items()}
+    total = sum(wq.values())
+    top = sorted(wq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = [(t, cnt[t], w, w * 1000000 // total) for t, w in top]
+    assert got == want
+    # smoothing: the heaviest token's sampled share sits below its raw share
+    heavy = got[0]
+    raw_share = cnt[heavy[0]] * 1000000 // sum(cnt.values())
+    assert heavy[3] < raw_share
