@@ -358,3 +358,78 @@ def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("part_a", F.col("common_neighbors").desc(), "part_b")
     )
+
+
+@query(
+    "graph_adamic_adar_topk",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ), deg AS (
+      SELECT dst AS nbr,
+             CAST(ROUND(1000000000.0 / ln(COUNT(*)) ) AS BIGINT) AS aa_q
+      FROM edges GROUP BY dst
+    ), aa AS (
+      SELECT e1.src AS part_a, e2.src AS part_b,
+             CAST(SUM(d.aa_q) AS BIGINT) AS aa_score_q
+      FROM edges e1
+      JOIN edges e2 ON e1.dst = e2.dst AND e1.src <> e2.src
+      JOIN deg d ON d.nbr = e1.dst
+      WHERE e1.src <= {_LINKPRED_ANCHORS}
+      GROUP BY e1.src, e2.src
+    ), unlinked AS (
+      SELECT a.part_a, a.part_b, a.aa_score_q
+      FROM aa a LEFT JOIN edges l ON l.src = a.part_a AND l.dst = a.part_b
+      WHERE l.src IS NULL
+    )
+    SELECT part_a, part_b, aa_score_q
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY part_a ORDER BY aa_score_q DESC, part_b) AS rn
+      FROM unlinked
+    ) WHERE rn <= {_LINKPRED_PER_ANCHOR}
+    ORDER BY part_a, aa_score_q DESC, part_b
+    """,
+)
+def graph_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction — the standard reweighting of
+    common-neighbors: each shared neighbor contributes 1/ln(degree), so
+    a rare shared partner is stronger evidence than a ubiquitous hub
+    (the exact weakness plain common-neighbor counting has on hubby
+    co-purchase graphs). Same per-anchor serving shape and wedge bound
+    as `graph_common_neighbors_topk`; per-neighbor weights quantize to
+    fixed-point longs (1e-9) BEFORE the sum, so scores are
+    order-independent integers and the oracle is exact."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li)
+    deg = edges.groupBy(F.col("dst").alias("nbr")).agg(
+        F.round(F.lit(1000000000.0) / F.log(F.count(F.lit(1)).cast("double")))
+        .cast("long")
+        .alias("aa_q")
+    )
+    e1 = (
+        edges.filter(F.col("src") <= _LINKPRED_ANCHORS)
+        .select(F.col("src").alias("part_a"), F.col("dst").alias("nbr"))
+    )
+    e2 = edges.select(F.col("src").alias("part_b"), F.col("dst").alias("nbr"))
+    aa = (
+        e1.join(e2, "nbr")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .join(deg, "nbr")
+        .groupBy("part_a", "part_b")
+        .agg(F.sum("aa_q").cast("long").alias("aa_score_q"))
+    )
+    unlinked = aa.join(
+        edges,
+        (aa["part_a"] == edges["src"]) & (aa["part_b"] == edges["dst"]),
+        "left_anti",
+    )
+    w = Window.partitionBy("part_a").orderBy(F.col("aa_score_q").desc(), "part_b")
+    return (
+        unlinked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _LINKPRED_PER_ANCHOR)
+        .drop("rn")
+        .orderBy("part_a", F.col("aa_score_q").desc(), "part_b")
+    )

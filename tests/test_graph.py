@@ -136,3 +136,42 @@ def test_common_neighbors_candidates_not_linked_and_counts_exact(spark):
             key=lambda t: (-t[0], t[1]),
         )[:_LINKPRED_PER_ANCHOR]
         assert [(r["common_neighbors"], r["part_b"]) for r in rs] == want
+
+
+def test_adamic_adar_matches_pure_python(spark):
+    """AA scores (fixed-point 1/ln(deg) sums over shared neighbors,
+    anchors only, unlinked pairs, per-anchor top-k) recomputed
+    independently."""
+    import math
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.graph import (
+        _LINKPRED_ANCHORS,
+        _LINKPRED_PER_ANCHOR,
+        graph_adamic_adar_topk,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in graph_adamic_adar_topk(spark, sf).collect()]
+
+    rows = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").collect()
+    by_order: dict[int, set[int]] = {}
+    for r in rows:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    nbrs: dict[int, set[int]] = {}
+    for parts in by_order.values():
+        for p in parts:
+            nbrs.setdefault(p, set()).update(x for x in parts if x != p)
+    aa_q = {v: round(1000000000.0 / math.log(len(ns))) for v, ns in nbrs.items()}
+    want = []
+    for a in sorted(nbrs):
+        if a > _LINKPRED_ANCHORS:
+            continue
+        scored = [
+            (sum(aa_q[n] for n in nbrs[a] & nbrs[b]), b)
+            for b in nbrs
+            if b != a and b not in nbrs[a] and nbrs[a] & nbrs[b]
+        ]
+        top = sorted(scored, key=lambda t: (-t[0], t[1]))[:_LINKPRED_PER_ANCHOR]
+        want.extend((a, b, s) for s, b in top)
+    assert got == want
