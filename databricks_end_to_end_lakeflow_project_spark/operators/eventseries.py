@@ -896,3 +896,92 @@ def events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "events_time_to_convert",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT s.user_id,
+             epoch_us(MIN(e.ts)) // 1000000 - epoch_us(s.signup_ts) // 1000000
+               AS latency_s
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts > s.signup_ts
+      GROUP BY s.user_id, s.signup_ts
+    ), r AS (
+      SELECT latency_s,
+             ROW_NUMBER() OVER (ORDER BY latency_s, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MIN(latency_s) AS BIGINT) AS min_latency_s,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                         THEN latency_s END) AS BIGINT) AS median_latency_s,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                         THEN latency_s END) AS BIGINT) AS p90_latency_s,
+           CAST(MAX(latency_s) AS BIGINT) AS max_latency_s
+    FROM r
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile: seconds from a user's FIRST signup to
+    their first subsequent purchase, summarized as min / rank-defined
+    median and p90 / max over converted users — the growth metric
+    behind "how long does activation take?", with the same
+    rank-percentile definition as `stats_winsorize_price` (value at
+    sorted position ceil(q·n)) so both engines agree exactly.
+
+    Shape: two per-user aggregates (signup min, then the conditional
+    purchase min through an equi-join carrying the after-signup
+    predicate — session-bounded per-key expansion), then the latency
+    frame (≤ #users rows) ranks through the distributed kernel and the
+    percentile picks are rank lookups."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        RankSpec,
+        with_global_ranks,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    lat = (
+        signups.join(purchases, "user_id")
+        .filter(F.col("p_ts") > F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase"))
+        .select(
+            "user_id",
+            (
+                F.expr("unix_micros(first_purchase) div 1000000")
+                - F.expr("unix_micros(signup_ts) div 1000000")
+            ).alias("latency_s"),
+        )
+    )
+    ranked, n = with_global_ranks(
+        lat, [RankSpec(out="rn", value="latency_s", tiebreaks=["user_id"])]
+    )
+    import math
+
+    k50, k90 = math.ceil(0.5 * n), math.ceil(0.9 * n)
+    return ranked.agg(
+        F.lit(n).cast("long").alias("n_converted"),
+        F.min("latency_s").cast("long").alias("min_latency_s"),
+        F.max(F.when(F.col("rn") == k50, F.col("latency_s")))
+        .cast("long")
+        .alias("median_latency_s"),
+        F.max(F.when(F.col("rn") == k90, F.col("latency_s")))
+        .cast("long")
+        .alias("p90_latency_s"),
+        F.max("latency_s").cast("long").alias("max_latency_s"),
+    )

@@ -445,3 +445,42 @@ def test_attribution_first_last_matches_pure_python(spark):
         assert (r["user_id"], r["n_touches"], r["first_touch_id"], r["last_touch_id"]) == (
             uid, n, first, last,
         )
+
+
+def test_time_to_convert_matches_pure_python(spark):
+    """Latencies and rank-defined percentiles recomputed independently."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        events_time_to_convert,
+    )
+
+    r = events_time_to_convert(spark, SF).collect()[0]
+
+    tbl = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"])
+    first_signup: dict[int, object] = {}
+    rows = list(zip(*(tbl.column(c).to_pylist() for c in ("user_id", "event_type", "ts"))))
+    for uid, et, ts in rows:
+        if et == "signup" and (uid not in first_signup or ts < first_signup[uid]):
+            first_signup[uid] = ts
+    first_purch: dict[int, object] = {}
+    for uid, et, ts in rows:
+        if et == "purchase" and uid in first_signup and ts > first_signup[uid]:
+            if uid not in first_purch or ts < first_purch[uid]:
+                first_purch[uid] = ts
+
+    def secs(t):
+        return int(t.timestamp() * 1_000_000) // 1_000_000
+
+    lats = sorted(
+        (secs(first_purch[u]) - secs(first_signup[u]), u) for u in first_purch
+    )
+    vals = [l for l, _ in lats]
+    n = len(vals)
+    assert r["n_converted"] == n
+    assert r["min_latency_s"] == vals[0]
+    assert r["median_latency_s"] == vals[math.ceil(0.5 * n) - 1]
+    assert r["p90_latency_s"] == vals[math.ceil(0.9 * n) - 1]
+    assert r["max_latency_s"] == vals[-1]
