@@ -1394,3 +1394,77 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b")
     )
+
+
+@query(
+    "monitor_fk_integrity_audit",
+    """
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans,
+           COUNT(*) = 0 AS intact
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_partkey IS NULL
+    UNION ALL
+    SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_suppkey IS NULL
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    ORDER BY fk
+    """,
+)
+def monitor_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema — the data-quality
+    gate run BEFORE trusting inner joins (an orphaned foreign key turns
+    an inner join into silent row loss; this query converts that silent
+    loss into a number): orphan counts for every fact→dimension edge
+    via left-anti joins.
+
+    Shape: each check is one left-anti join — dimensions broadcast when
+    bounded, AQE picks the strategy otherwise; counts are
+    partial-aggregatable. At 100 TB this is the cheap daily audit whose
+    nonzero row is the page that fires before the revenue dashboard
+    goes wrong."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    od = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+    def orphan(name, left, right, lk, rk):
+        n = left.join(right, left[lk] == right[rk], "left_anti").count()
+        return (name, n, n == 0)
+
+    rows = [
+        orphan(
+            "lineitem->orders", li, od.select("o_orderkey"), "l_orderkey", "o_orderkey"
+        ),
+        orphan(
+            "lineitem->part",
+            li,
+            read_table(spark, sf_dir, "part").select("p_partkey"),
+            "l_partkey",
+            "p_partkey",
+        ),
+        orphan(
+            "lineitem->supplier",
+            li,
+            read_table(spark, sf_dir, "supplier").select("s_suppkey"),
+            "l_suppkey",
+            "s_suppkey",
+        ),
+        orphan(
+            "orders->customer",
+            od,
+            read_table(spark, sf_dir, "customer").select("c_custkey"),
+            "o_custkey",
+            "c_custkey",
+        ),
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "fk string, n_orphans long, intact boolean"
+    )
