@@ -985,3 +985,96 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_latency_s"),
         F.max("latency_s").cast("long").alias("max_latency_s"),
     )
+
+
+@query(
+    "events_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_week, COUNT(*) AS n_users FROM firsts GROUP BY cohort_week
+    ), rev AS (
+      SELECT f.cohort_week,
+             CAST(FLOOR(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) / 7) AS INT)
+               AS week_offset,
+             SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS rev_cents
+      FROM firsts f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts >= f.cohort_week
+      GROUP BY 1, 2
+    )
+    SELECT CAST(r.cohort_week AS DATE) AS cohort_week, r.week_offset,
+           CAST(s.n_users AS BIGINT) AS n_users,
+           ROUND(r.rev_cents / 100.0, 2) AS revenue,
+           ROUND(SUM(r.rev_cents) OVER (
+                   PARTITION BY r.cohort_week ORDER BY r.week_offset
+                 ) / 100.0, 2) AS cum_revenue
+    FROM rev r JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue companion of the
+    retention-cohort table: users grouped by signup week, purchase
+    revenue rolled up per week-offset since the cohort started, with
+    the running cumulative that IS the LTV curve a growth team reads
+    payback periods off.
+
+    Exactness: revenue quantizes to integer cents per row BEFORE any
+    aggregation (double sums are reduction-order-dependent; integer
+    cents are not), the cumulative is an integer window sum, and week
+    arithmetic is Monday-truncated on both engines.
+
+    Shape: per-user first-signup aggregate, one equi-join on user
+    carrying the after-cohort predicate, a (cohort, offset) rollup, and
+    the cumulative as a window PARTITIONED by cohort — a few dozen rows
+    per cohort at any corpus size."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    firsts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        firsts.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", "ts", "value"
+            ),
+            "user_id",
+        )
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sizes, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_offset",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            F.round(F.sum("rev_cents").over(w) / 100.0, 2).alias("cum_revenue"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

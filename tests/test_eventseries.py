@@ -484,3 +484,60 @@ def test_time_to_convert_matches_pure_python(spark):
     assert r["median_latency_s"] == vals[math.ceil(0.5 * n) - 1]
     assert r["p90_latency_s"] == vals[math.ceil(0.9 * n) - 1]
     assert r["max_latency_s"] == vals[-1]
+
+
+def test_cohort_ltv_matches_pure_python(spark):
+    """Cohort sizes, per-offset revenue (integer cents), and cumulative
+    LTV recomputed independently; cumulative must be non-decreasing."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        events_cohort_ltv,
+    )
+
+    got = [tuple(r) for r in events_cohort_ltv(spark, SF).collect()]
+
+    tbl = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_type", "ts", "value"]
+    )
+    rows = list(zip(*(tbl.column(c).to_pylist() for c in
+                      ("user_id", "event_type", "ts", "value"))))
+
+    def week_start(t):
+        d = t.date()
+        return d - dt.timedelta(days=d.weekday())
+
+    first: dict[int, object] = {}
+    for uid, et, ts, _v in rows:
+        if et == "signup" and (uid not in first or ts < first[uid]):
+            first[uid] = ts
+    cohort = {u: week_start(t) for u, t in first.items()}
+    sizes: dict = {}
+    for c in cohort.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    rev: dict = {}
+    for uid, et, ts, v in rows:
+        if et != "purchase" or uid not in cohort:
+            continue
+        cw = cohort[uid]
+        if ts.date() < cw:
+            continue
+        off = (week_start(ts) - cw).days // 7
+        rev[(cw, off)] = rev.get((cw, off), 0) + round(v * 100)
+    want = []
+    for cw in sorted(sizes):
+        cum = 0
+        for off in sorted(o for c, o in rev if c == cw):
+            cum += rev[(cw, off)]
+            want.append(
+                (cw, off, sizes[cw], round(rev[(cw, off)] / 100.0, 2),
+                 round(cum / 100.0, 2))
+            )
+    assert got == want
+    by_cohort: dict = {}
+    for cw, off, _n, _r, cum in got:
+        by_cohort.setdefault(cw, []).append(cum)
+    for cums in by_cohort.values():
+        assert cums == sorted(cums)
