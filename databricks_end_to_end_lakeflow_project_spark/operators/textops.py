@@ -1447,3 +1447,51 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(raw * 1000 / n_chars).cast("long").alias("code_score_x1000"),
         (raw * 1000 / n_chars >= 15).alias("looks_like_code"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_sft_pair_prep",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             array_to_string(w[1:8], ' ') AS prompt,
+             array_to_string(w[9:len(w)], ' ') AS completion,
+             len(w) - 8 AS n_tok_completion
+      FROM toks WHERE len(w) >= 18
+    )
+    SELECT doc_id, CAST(8 AS BIGINT) AS n_tok_prompt,
+           CAST(n_tok_completion AS BIGINT) AS n_tok_completion,
+           md5(prompt) AS prompt_md5, md5(completion) AS completion_md5
+    FROM pairs ORDER BY doc_id
+    """,
+)
+def text_sft_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-completion pair construction — the continuation-training /
+    FIM-style data-prep step that turns raw documents into (prompt,
+    completion) pairs: the first 8 tokens become the prompt, the
+    remainder the completion, gated by a minimum completion budget
+    (>= 10 tokens — the degenerate-pair filter every pair pipeline
+    applies; documents under 18 tokens drop). Both sides are
+    checksummed so the oracle verifies CONTENT, not just counts; the
+    real pipeline writes the same frame with the text columns kept.
+
+    Shape: pure row-local array slicing inside the scan — no shuffle;
+    the length gate is a pushable filter. At 100 TB this runs at I/O
+    speed."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), " ")
+    pairs = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(w, 1, 8)).alias("prompt"),
+        F.concat_ws(" ", F.slice(w, 9, F.size(w))).alias("completion"),
+        (F.size(w) - 8).alias("n_tok_completion"),
+    ).filter(F.size(w) >= 18)
+    return pairs.select(
+        "doc_id",
+        F.lit(8).cast("long").alias("n_tok_prompt"),
+        F.col("n_tok_completion").cast("long").alias("n_tok_completion"),
+        F.md5(F.col("prompt").cast("binary")).alias("prompt_md5"),
+        F.md5(F.col("completion").cast("binary")).alias("completion_md5"),
+    ).orderBy("doc_id")

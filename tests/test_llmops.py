@@ -1244,3 +1244,34 @@ def test_knn_label_eval_matches_pure_python(spark):
         assert (r["true_label"], r["pred_label"], r["n_votes"], r["correct"]) == (
             lab[q], pred, n_votes, pred == lab[q],
         ), q
+
+
+def test_sft_pair_prep_content_and_gates(spark):
+    """Pair checksums recomputed independently; every completion meets
+    the minimum budget; prompt + completion reassemble the document."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_sft_pair_prep,
+    )
+
+    got = {r["doc_id"]: r for r in text_sft_pair_prep(spark, SF).collect()}
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n_expected = 0
+    for doc_id, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        w = text.strip().split(" ")
+        if len(w) < 18:
+            assert doc_id not in got
+            continue
+        n_expected += 1
+        prompt, completion = " ".join(w[:8]), " ".join(w[8:])
+        r = got[doc_id]
+        assert r["n_tok_prompt"] == 8
+        assert r["n_tok_completion"] == len(w) - 8 >= 10
+        assert r["prompt_md5"] == hashlib.md5(prompt.encode()).hexdigest()
+        assert r["completion_md5"] == hashlib.md5(completion.encode()).hexdigest()
+        assert f"{prompt} {completion}" == text.strip()
+    assert len(got) == n_expected
