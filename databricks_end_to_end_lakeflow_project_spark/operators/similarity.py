@@ -370,13 +370,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_buckets_oracle() -> str:
-    """Generated DuckDB oracle for the hyperplane-LSH bucket path: the 48
-    fixed hyperplanes are embedded as double literals (repr round-trips
-    exactly), each band key is the packed sign bits of three sequential-
-    fold dot products — the identical doubles in the identical order the
-    Spark side folds, so the signs (and hence the candidate set) match
-    bit-for-bit — and candidates verify with the standard cosine."""
+def _ann_cand_cte() -> str:
+    """The `ex`/`cand` CTE body replaying the hyperplane-LSH candidate
+    generation in DuckDB: the 48 fixed hyperplanes travel as double
+    literals (repr round-trips exactly) and each band key packs the sign
+    bits of three sequential-fold dot products — identical doubles in
+    identical order to the Spark fold, so the candidate set matches
+    bit-for-bit. Shared by the ANN-buckets oracle and every oracle that
+    composes over LSH candidates (contrastive pairs)."""
     planes = _hyperplanes()
 
     def dot_sql(plane):
@@ -397,15 +398,19 @@ def _ann_buckets_oracle() -> str:
             f"SELECT vec_id, {bi} AS band_id, ({key}) AS key FROM embeddings"
         )
     ex = "\n      UNION ALL ".join(band_selects)
-    cos = _cos_sql("ea.embedding", "eb.embedding")
-    return f"""
-    WITH ex AS (
+    return f"""ex AS (
       {ex}
     ), cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM ex a JOIN ex b ON a.band_id = b.band_id AND a.key = b.key
       WHERE a.vec_id < b.vec_id
-    )
+    )"""
+
+
+def _ann_buckets_oracle() -> str:
+    cos = _cos_sql("ea.embedding", "eb.embedding")
+    return f"""
+    WITH {_ann_cand_cte()}
     SELECT c.vec_a, c.vec_b, ROUND({cos}, 6) AS cos_sim
     FROM cand c
     JOIN embeddings ea ON ea.vec_id = c.vec_a
@@ -1627,11 +1632,13 @@ def _contrastive_oracle() -> str:
     cos_ab = _cos_sql("a.embedding", "b.embedding")
     cos_an = _cos_sql("a.embedding", "n.embedding")
     return f"""
-    WITH pos AS (
+    WITH {_ann_cand_cte()}, pos AS (
       SELECT a.vec_id AS anchor, b.vec_id AS positive,
              a.label AS anchor_label,
              ROUND({cos_ab}, 6) AS pos_cos
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.vec_a
+      JOIN embeddings b ON b.vec_id = c.vec_b
       WHERE {cos_ab} >= {_CONTRAST_TAU}
       ORDER BY pos_cos DESC, anchor, positive LIMIT {_CONTRAST_PAIRS}
     ), negs AS (
@@ -1661,14 +1668,30 @@ def pipeline_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor's (the `sim_hard_negatives` rule). One query emits the
     (anchor, positive, negative) triplets with both similarity scores.
 
-    Shape: the positive-pair search is the brute all-pairs baseline on
-    this fixture (at 100 TB the LSH bucket path generates the same
-    candidates — `sim_ann_hyperplane_buckets`); the winning pairs are a
+    Shape: the positive-pair search runs over the hyperplane-LSH
+    candidate buckets (`sim_ann_hyperplane_buckets`'s generator — banded
+    sign-bit keys, one bucket shuffle), never an all-pairs product, and
+    the oracle replays the SAME candidate set bit-for-bit via the shared
+    bucket CTE, so pruning costs no exactness; the winning pairs are a
     BOUNDED TakeOrdered batch that broadcasts through the label-mismatch
     scoring pass, and the per-pair top-k is a window PARTITIONED on the
     pair key. Sequential-fold cosines make the oracle bit-exact."""
     em = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
+    )
+    sigs = em.select(
+        "vec_id",
+        F.posexplode(band_signatures(F.col("embedding"))).alias("band_id", "key"),
+    )
+    cand = (
+        sigs.select("band_id", "key", F.col("vec_id").alias("anchor"))
+        .join(
+            sigs.select("band_id", "key", F.col("vec_id").alias("positive")),
+            ["band_id", "key"],
+        )
+        .filter(F.col("anchor") < F.col("positive"))
+        .select("anchor", "positive")
+        .dropDuplicates(["anchor", "positive"])
     )
     a = em.select(
         F.col("vec_id").alias("anchor"),
@@ -1678,7 +1701,8 @@ def pipeline_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = em.select(F.col("vec_id").alias("positive"), F.col("embedding").alias("b_emb"))
     pair_cos = cosine(F.col("a_emb"), F.col("b_emb"))
     pos = (
-        a.join(b, F.col("anchor") < F.col("positive"))
+        cand.join(a, "anchor")
+        .join(b, "positive")
         .filter(pair_cos >= _CONTRAST_TAU)
         .select(
             "anchor",

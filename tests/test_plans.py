@@ -45,7 +45,7 @@ NON_EQUI_WHITELIST = {
     "diag_key_skew_profile",  # 1-row broadcast totals over #keys rows
     "curation_pack_efficiency",  # 3-row candidate-length frame broadcast: bounded 3x multiplier
     "monitor_source_freshness",  # 1-row global-head broadcast over #sources rows
-    "pipeline_contrastive_pairs",  # all-pairs positive baseline + bounded pair-batch broadcast
+    "pipeline_contrastive_pairs",  # bounded pair-batch broadcast through the negative scoring pass
     "stats_winsorize_price",  # 1-row boundary frame broadcast through the clip pass
     "stats_bootstrap_poisson",  # 32-row replicate frame broadcast: bounded 32x multiplier
     "pipeline_dataset_card",  # three 1-row summary frames broadcast into the final row
