@@ -1840,3 +1840,65 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_vec")
     )
+
+
+@query(
+    "sim_embedding_standardize_audit",
+    """
+    WITH vals AS (
+      SELECT u.i AS dim,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS v_q
+      FROM embeddings, LATERAL unnest(range(1, 65)) u(i)
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v_q) AS BIGINT) AS sum_q,
+           CAST(SUM(v_q * v_q) AS BIGINT) AS sum_sq_q,
+           ROUND(SUM(v_q) / COUNT(*) / 1000000.0, 6) AS mean,
+           ROUND(SQRT((CAST(SUM(v_q * v_q) AS DOUBLE) / COUNT(*)
+                       - (CAST(SUM(v_q) AS DOUBLE) / COUNT(*))
+                         * (CAST(SUM(v_q) AS DOUBLE) / COUNT(*)))
+                      ) / 1000000.0, 6) AS std
+    FROM vals GROUP BY dim ORDER BY dim
+    """,
+)
+def sim_embedding_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization audit of the embedding space — the
+    fit step of feature standardization (and the drift check re-run
+    before any model that assumed zero-mean/unit-ish features): each of
+    the 64 dimensions' mean and population std, computed from
+    FIXED-POINT integer moments (values quantized to 1e-6 longs BEFORE
+    summation, so the sums are reduction-order-independent; the only
+    doubles are the final two divisions and one sqrt, identical on both
+    engines).
+
+    Shape: one explode to (dim, value) rows — 64x row multiplier,
+    map-side — and a 64-key partial-aggregatable groupBy; at 100 TB the
+    shuffle carries 64 x #partitions partial moments, nothing else. The
+    transform step is then a row-local broadcast of the 64-row
+    (mean, std) frame."""
+    em = read_table(spark, sf_dir, "embeddings").select("embedding")
+    vals = em.select(
+        F.posexplode(F.col("embedding")).alias("dim0", "x")
+    ).select(
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("v_q"),
+    )
+    n = F.count(F.lit(1))
+    sum_q = F.sum("v_q")
+    sum_sq = F.sum(F.col("v_q") * F.col("v_q"))
+    mean_d = sum_q.cast("double") / n
+    return (
+        vals.groupBy("dim")
+        .agg(
+            n.cast("long").alias("n"),
+            sum_q.cast("long").alias("sum_q"),
+            sum_sq.cast("long").alias("sum_sq_q"),
+            F.round(sum_q / n / 1000000.0, 6).alias("mean"),
+            F.round(
+                F.sqrt(sum_sq.cast("double") / n - mean_d * mean_d) / 1000000.0, 6
+            ).alias("std"),
+        )
+        .orderBy("dim")
+    )

@@ -1495,3 +1495,61 @@ def text_sft_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("prompt").cast("binary")).alias("prompt_md5"),
         F.md5(F.col("completion").cast("binary")).alias("completion_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_tokenizer_fertility_by_lang",
+    f"""
+    WITH f AS (
+      SELECT lang, LENGTH(text) AS n_chars,
+             len(regexp_extract_all(text, '{_BPE_ISH_SQL}')) AS n_bpe,
+             len(string_split(trim(text), ' ')) AS n_ws
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(FLOOR(SUM(n_chars) * 1000 / SUM(n_bpe)) AS BIGINT)
+             AS chars_per_bpe_x1000,
+           CAST(FLOOR(SUM(n_chars) * 1000 / SUM(n_ws)) AS BIGINT)
+             AS chars_per_ws_x1000,
+           CAST(FLOOR(SUM(n_bpe) * 1000 / SUM(n_ws)) AS BIGINT)
+             AS fertility_x1000
+    FROM f GROUP BY lang ORDER BY lang
+    """,
+)
+def text_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the tokenizer-selection metric
+    (bpe tokens per word, x1000): a tokenizer that fragments one
+    language into 2x the subwords of another silently halves that
+    language's effective context window and doubles its training cost
+    per word, which is why multilingual data cards report fertility per
+    language. Chars-per-token alongside as the compression proxy.
+    All-integer FLOOR'd cross-ratios on exact count sums.
+
+    Shape: row-local regexp/split counting inside the scan, one
+    #langs-key partial-aggregatable groupBy — one pass."""
+    docs = read_table(spark, sf_dir, "documents").select("lang", "text")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), F.lit(0)))
+    f = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        bpe.alias("n_bpe"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_ws"),
+    )
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+            F.floor(F.sum("n_chars") * 1000 / F.sum("n_bpe"))
+            .cast("long")
+            .alias("chars_per_bpe_x1000"),
+            F.floor(F.sum("n_chars") * 1000 / F.sum("n_ws"))
+            .cast("long")
+            .alias("chars_per_ws_x1000"),
+            F.floor(F.sum("n_bpe") * 1000 / F.sum("n_ws"))
+            .cast("long")
+            .alias("fertility_x1000"),
+        )
+        .orderBy("lang")
+    )

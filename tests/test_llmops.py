@@ -1275,3 +1275,65 @@ def test_sft_pair_prep_content_and_gates(spark):
         assert r["completion_md5"] == hashlib.md5(completion.encode()).hexdigest()
         assert f"{prompt} {completion}" == text.strip()
     assert len(got) == n_expected
+
+
+def test_standardize_audit_matches_numpy_fixed_point(spark):
+    """Per-dim integer moments and derived mean/std recomputed with
+    numpy int64 on the quantized values."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        sim_embedding_standardize_audit,
+    )
+
+    got = {r["dim"]: r for r in sim_embedding_standardize_audit(spark, SF).collect()}
+    emb = np.array(
+        pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"]).column(
+            "embedding"
+        ).to_pylist(),
+        dtype=np.float64,
+    )
+    q = np.round(emb * 1000000).astype(np.int64)
+    n = q.shape[0]
+    for d in range(q.shape[1]):
+        col = q[:, d]
+        s, s2 = int(col.sum()), int((col * col).sum())
+        r = got[d + 1]
+        assert (r["n"], r["sum_q"], r["sum_sq_q"]) == (n, s, s2)
+        assert r["mean"] == round(s / n / 1000000.0, 6)
+        assert r["std"] == round(
+            math.sqrt(float(s2) / n - (float(s) / n) ** 2) / 1000000.0, 6
+        )
+
+
+def test_tokenizer_fertility_by_lang_matches_pure_python(spark):
+    """Fertility and compression ratios recomputed with Python re."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        _BPE_ISH,
+        text_tokenizer_fertility_by_lang,
+    )
+
+    got = {r["lang"]: tuple(r)[1:] for r in text_tokenizer_fertility_by_lang(spark, SF).collect()}
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "text"])
+    agg: dict[str, list[int]] = {}
+    rx = re.compile(_BPE_ISH)
+    for lang, text in zip(tbl.column("lang").to_pylist(), tbl.column("text").to_pylist()):
+        a = agg.setdefault(lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(text)
+        a[2] += len(rx.findall(text))
+        a[3] += len(text.strip().split(" "))
+    want = {
+        lang: (
+            n, bpe, chars * 1000 // bpe, chars * 1000 // ws, bpe * 1000 // ws,
+        )
+        for lang, (n, chars, bpe, ws) in agg.items()
+    }
+    assert got == want
