@@ -30,6 +30,7 @@ permutation count trades recall for CPU linearly.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -1378,4 +1379,140 @@ def dedup_rate_by_quality_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_ppm"),
         )
         .orderBy("decile")
+    )
+
+
+from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (  # noqa: E402
+    pid_model_dir,
+)
+
+_MH_AUDIT_DIR = pid_model_dir()
+_MH_SIG_PQ = os.path.join(_MH_AUDIT_DIR, "minhash_audit_sigs.parquet")
+
+
+def _export_minhash_sigs(rows) -> None:
+    """Model-export pattern (see retrieval's MMR oracle): the audited
+    pairs' 64-slot signatures move to a pid-tagged parquet the oracle
+    reads — the model moves, never the corpus; atomic rename."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    os.makedirs(_MH_AUDIT_DIR, exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([int(r["doc_id"]) for r in rows], pa.int64()),
+            "sig": pa.array([list(map(int, r["sig"])) for r in rows],
+                            pa.list_(pa.int64())),
+        }
+    )
+    tmp = _MH_SIG_PQ + ".tmp"
+    pq_.write_table(tbl, tmp)
+    os.replace(tmp, _MH_SIG_PQ)
+
+
+def _minhash_audit_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM toks WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                   / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                   * 10000) AS BIGINT) AS jaccard_x10000
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ), sigs AS (
+      SELECT doc_id, sig FROM read_parquet('{_MH_SIG_PQ}')
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard_x10000,
+           CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2]))
+                AS BIGINT) AS n_matching_slots,
+           CAST(FLOOR(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2]))
+                      * 10000 / 64) AS BIGINT) AS est_x10000,
+           CAST(ABS(CAST(FLOOR(len(list_filter(list_zip(sa.sig, sb.sig),
+                                               z -> z[1] = z[2]))
+                               * 10000 / 64) AS BIGINT) - p.jaccard_x10000)
+                AS BIGINT) AS abs_err_x10000
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """
+
+
+@query("dedup_minhash_estimate_audit", _minhash_audit_oracle())
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for MinHash: on the exact near-dup pairs
+    (Jaccard >= 0.8, the brute baseline), compare the TRUE Jaccard to
+    the 64-permutation signature estimate (matching-slot fraction —
+    E[matches]/64 = J, sd ~ sqrt(J(1-J)/64) ~ 0.05 here) — the
+    calibration check that justifies the LSH operating point before
+    anyone trusts its thresholds at scale.
+
+    The signatures are engine-internal (xxhash64 permutations DuckDB
+    cannot reproduce), so the audit uses the established model-export
+    contract: the audited pairs' 64-slot signatures move to a
+    pid-tagged parquet the oracle reads back (the model moves, never
+    the corpus), and slot matching / error arithmetic is all integers.
+
+    Shape: the baseline pair search is the whitelisted brute scan; the
+    signature kernel is the shuffle-free Arrow/numpy path
+    (`minhash_signatures`); only the ~50 audited docs' signatures ever
+    leave the cluster."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    sh = docs.filter(F.size(w) >= 3).select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    j = inter / union
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(j >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(j * 10000).cast("long").alias("jaccard_x10000"),
+        )
+    )
+    pairs = persist_once(pairs)
+    audited = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sigs = minhash_signatures(
+        sh.join(audited, sh["doc_id"] == audited["doc_id"], "left_semi")
+    )
+    _export_minhash_sigs(sigs.collect())
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.floor(matches * 10000 / 64).cast("long")
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_x10000",
+            matches.cast("long").alias("n_matching_slots"),
+            est.alias("est_x10000"),
+            F.abs(est - F.col("jaccard_x10000")).cast("long").alias("abs_err_x10000"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

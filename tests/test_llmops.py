@@ -1337,3 +1337,24 @@ def test_tokenizer_fertility_by_lang_matches_pure_python(spark):
         for lang, (n, chars, bpe, ws) in agg.items()
     }
     assert got == want
+
+
+def test_minhash_estimate_audit_bounds(spark):
+    """Every audited pair's estimate must sit within 4 binomial sd of
+    its true Jaccard (sd = sqrt(J(1-J)/64)), and slot matching must be
+    consistent with the exported integer arithmetic."""
+    import math
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        dedup_minhash_estimate_audit,
+    )
+
+    rows = dedup_minhash_estimate_audit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        j = r["jaccard_x10000"] / 10000.0
+        assert 0.8 <= j <= 1.0
+        assert 0 <= r["n_matching_slots"] <= 64
+        assert r["est_x10000"] == r["n_matching_slots"] * 10000 // 64
+        sd = math.sqrt(max(j * (1 - j), 1e-9) / 64)
+        assert abs(r["est_x10000"] / 10000.0 - j) <= max(4 * sd, 0.04), r

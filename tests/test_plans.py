@@ -50,6 +50,7 @@ NON_EQUI_WHITELIST = {
     "stats_bootstrap_poisson",  # 32-row replicate frame broadcast: bounded 32x multiplier
     "pipeline_dataset_card",  # three 1-row summary frames broadcast into the final row
     "sample_negative_table_skipgram",  # 1-row total broadcast over vocab rows
+    "dedup_minhash_estimate_audit",  # brute all-pairs baseline (whitelisted like jaccard)
 }
 
 
