@@ -274,9 +274,17 @@ class ManagedParquetTable:
         the pid belonging to a dead process (scratch.py's liveness probe)
         break the lock and re-contend; a lock dir that never grew a pid
         file (owner died inside the two-syscall acquire window) is broken
-        once its mtime is older than a grace period. Breaking races are
-        benign — removal errors are swallowed and the loop re-contends
-        through the atomic ``mkdir``."""
+        once its mtime is older than a grace period. Breaking is ATOMIC:
+        the whole lock dir is renamed aside to a unique grave first
+        (``_break_lock``), so rename wins for exactly one breaker and a
+        lock that was meanwhile released-and-re-acquired can never be
+        torn apart piecemeal (the old remove-pid-then-rmdir sequence
+        could delete a NEW live owner's pid). A live owner whose lock is
+        renamed aside before its pid write FAILS LOUDLY — the pid write
+        targets a path inside the now-gone dir — instead of silently
+        entering the critical section; a pid-carrying live owner found
+        inside the grave (stale decision made against a prior incarnation
+        of the path) gets its lock renamed back untouched."""
         from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
             _alive,
         )
@@ -302,16 +310,18 @@ class ManagedParquetTable:
                 else:
                     # no pid yet: give a live owner time to write it; a dir
                     # whose mtime stopped advancing past the grace window
-                    # has a dead owner (pid write bumps the dir mtime)
+                    # has a dead owner (pid write bumps the dir mtime).
+                    # Generous grace: a live owner suspended here (SIGSTOP,
+                    # swap, GC pause) that outlives it STILL cannot commit
+                    # unlocked — its pid write lands inside the renamed-away
+                    # dir and raises, so a too-eager break aborts the owner
+                    # rather than admitting two writers.
                     try:
-                        stale = time.time() - os.stat(lock).st_mtime > 5.0
+                        stale = time.time() - os.stat(lock).st_mtime > 30.0
                     except FileNotFoundError:
                         continue  # released between mkdir and stat — retry
                 if stale:
-                    with contextlib.suppress(OSError):
-                        os.remove(pid_file)
-                    with contextlib.suppress(OSError):
-                        os.rmdir(lock)
+                    self._break_lock(lock)
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"commit lock busy: {lock}")
@@ -331,6 +341,41 @@ class ManagedParquetTable:
                 os.remove(pid_file)
             with contextlib.suppress(OSError):
                 os.rmdir(lock)
+
+    @staticmethod
+    def _break_lock(lock: str) -> None:
+        """Atomically retire a lock dir judged stale: rename the WHOLE dir
+        aside to a unique grave, then rmtree the grave. ``os.rename`` of a
+        directory is atomic and succeeds for at most one breaker, so two
+        contenders that both observed a dead owner cannot interleave their
+        removals, and a released-then-re-acquired lock is never half
+        deleted. Safety re-check: if the grave turns out to contain a LIVE
+        pid (the stale decision was made against a previous incarnation of
+        the path and the rename grabbed a fresh owner's lock), rename it
+        straight back — the owner never notices. A live owner broken
+        BEFORE its pid write fails loudly instead (its ``open`` targets a
+        path inside the gone dir), so no path admits two writers."""
+        from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+            _alive,
+        )
+
+        grave = f"{lock}.broken.{os.getpid()}.{uuid.uuid4().hex}"
+        try:
+            os.rename(lock, grave)
+        except OSError:
+            return  # another breaker won, or the owner released — re-contend
+        owner = 0
+        try:
+            with open(os.path.join(grave, "pid")) as fh:
+                owner = int(fh.read().strip() or 0)
+        except (FileNotFoundError, ValueError, OSError):
+            owner = 0
+        if owner and _alive(owner):
+            # we grabbed a live writer's freshly re-acquired lock: undo.
+            with contextlib.suppress(OSError):
+                os.rename(grave, lock)
+            return
+        shutil.rmtree(grave, ignore_errors=True)
 
     def history(self) -> list[int]:
         """Retained snapshot versions, oldest first (the CURRENT state is
@@ -389,7 +434,15 @@ class ManagedParquetTable:
         rewrite is an ordinary optimistic-concurrency overwrite commit:
         readers see old-or-new atomically, and a concurrent append
         conflicts via ``expect_version`` instead of being silently
-        dropped. Returns the output file-bin count."""
+        dropped. When the caller does not pass ``expect_version``, the
+        CURRENT version is captured up front — compaction reads the table
+        twice outside the lock (count for bin sizing, then the staging
+        scan), so an unconditional overwrite would silently discard any
+        append landing between those reads; pinning the version makes
+        every concurrent commit a loud ``ConcurrentWriteError`` instead
+        of a lost update. Returns the output file-bin count."""
+        if expect_version is None:
+            expect_version = self.version()
         n = self.read().count()
         bins = max(1, -(-n // target_rows_per_file))
         self.overwrite(self.read().coalesce(bins), expect_version=expect_version)

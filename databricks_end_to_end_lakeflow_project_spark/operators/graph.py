@@ -370,7 +370,7 @@ def graph_common_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), deg AS (
       SELECT dst AS nbr,
              CAST(ROUND(1000000000.0 / ln(COUNT(*)) ) AS BIGINT) AS aa_q
-      FROM edges GROUP BY dst
+      FROM edges GROUP BY dst HAVING COUNT(*) >= 2
     ), aa AS (
       SELECT e1.src AS part_a, e2.src AS part_b,
              CAST(SUM(d.aa_q) AS BIGINT) AS aa_score_q
@@ -401,13 +401,23 @@ def graph_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graphs). Same per-anchor serving shape and wedge bound
     as `graph_common_neighbors_topk`; per-neighbor weights quantize to
     fixed-point longs (1e-9) BEFORE the sum, so scores are
-    order-independent integers and the oracle is exact."""
+    order-independent integers and the oracle is exact. Degree-1
+    neighbors are dropped up front: ln(1)=0 would divide to +inf (cast
+    chaos differs per engine — Spark truncates to Long.MaxValue, DuckDB's
+    ROUND(inf) errors), and a neighbor with a single edge can anchor no
+    wedge anyway, so the filter changes zero result rows."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = cooccurrence_edges(li)
-    deg = edges.groupBy(F.col("dst").alias("nbr")).agg(
-        F.round(F.lit(1000000000.0) / F.log(F.count(F.lit(1)).cast("double")))
-        .cast("long")
-        .alias("aa_q")
+    deg = (
+        edges.groupBy(F.col("dst").alias("nbr"))
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .filter(F.col("_deg") >= 2)
+        .select(
+            "nbr",
+            F.round(F.lit(1000000000.0) / F.log(F.col("_deg").cast("double")))
+            .cast("long")
+            .alias("aa_q"),
+        )
     )
     e1 = (
         edges.filter(F.col("src") <= _LINKPRED_ANCHORS)

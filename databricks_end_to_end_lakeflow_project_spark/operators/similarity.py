@@ -1606,12 +1606,16 @@ def sim_recall_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_vec", "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _RECALL_K)
-        .select("q_vec", F.col("vec_id").alias("hit_vec"))
+        # rename the join key: both sides descend from `queries`, and an
+        # eq predicate between same-named attributes of one lineage makes
+        # Spark warn "trivially true equals predicate" (it can resolve
+        # both to the same attribute). A distinct name is unambiguous.
+        .select(F.col("q_vec").alias("q_vec_ivf"), F.col("vec_id").alias("hit_vec"))
     )
     return (
         gt.join(
             ivf,
-            (gt["q_vec"] == ivf["q_vec"]) & (gt["vec_id"] == ivf["hit_vec"]),
+            (gt["q_vec"] == ivf["q_vec_ivf"]) & (gt["vec_id"] == ivf["hit_vec"]),
             "left",
         )
         .groupBy(gt["q_vec"].alias("q_vec"))

@@ -91,8 +91,21 @@ def persist_once(df):
     ``CacheManager: Asked to cache already cached data``. Skipping the
     persist is safe: plan-cache substitution applies to ANY matching
     subtree at planning time, so the second run still reads the first
-    run's cache entry."""
-    jspark = df.sparkSession._jsparkSession
-    if jspark.sharedState().cacheManager().lookupCachedData(df._jdf).isDefined():
+    run's cache entry.
+
+    The CacheManager probe reaches through py4j internals that exist only
+    on classic JVM-local sessions (``_jsparkSession`` is absent under
+    Spark Connect and private API everywhere) — so it is best-effort: any
+    failure to reach the JVM handle falls back to a plain ``persist()``,
+    which is always correct (the skip is purely a log-noise/refcount
+    optimization)."""
+    try:
+        jspark = df.sparkSession._jsparkSession
+        cached = (
+            jspark.sharedState().cacheManager().lookupCachedData(df._jdf).isDefined()
+        )
+    except Exception:  # Spark Connect / API drift: probe unavailable
+        cached = False
+    if cached:
         return df
     return df.persist()
