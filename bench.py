@@ -84,25 +84,40 @@ def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
         # rotations exist, so a ×100 replication would repeat ciphers and
         # re-introduce cross-replica duplicate mass): a bijection on chars
         # preserves within-replica Jaccard structure exactly while
-        # decorrelating shingles across replicas
+        # decorrelating shingles across replicas.
+        #
+        # SHAPE: one broadcast cross-join branch, NOT a k-way union. The
+        # union formulation produced k codegen branches + k scans; at
+        # k=100 the per-branch planning/compile constant dominated the
+        # curve (this was most of the r4 ×100 cliff — 26× wall for 10×
+        # rows). The ciphers ride a k-row broadcast frame through the
+        # column-argument form of `translate`, so the output corpus is
+        # BIT-IDENTICAL (same seeds, same doc_id offsets → same stats,
+        # same pair set) from a single scan and a single codegen branch.
+        # The base is round-robin repartitioned first so the ×k expansion
+        # inherits full parallelism (the raw scan is 1-2 file splits).
         import random as _rnd
 
         alpha = string.ascii_lowercase
-        parts = []
+        rows = []
         for i in range(k):
             perm = list(alpha)
             if i:
                 _rnd.Random(i).shuffle(perm)
-            parts.append(
-                docs.select(
-                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                    F.translate(F.col("text"), alpha, "".join(perm)).alias("text"),
-                )
+            rows.append((i, alpha, "".join(perm)))
+        spark = docs.sparkSession
+        reps = spark.createDataFrame(rows, "rep int, m string, r string")
+        n_parts = spark.sparkContext.defaultParallelism
+        return (
+            docs.repartition(n_parts)
+            .crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("doc_id") + F.col("rep").cast("long") * 10_000_000).alias(
+                    "doc_id"
+                ),
+                F.expr("translate(text, m, r)").alias("text"),
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        )
 
     def replicate_embeddings(em, k):
         # per-replica signed coordinate permutation (a cheap deterministic
@@ -149,6 +164,10 @@ def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
     em1 = read_table(spark, sf1_dir, "embeddings")
 
     curve: dict = {"lsh": [], "semdedup": []}
+    # same min-of-N convention as the headline loop: this host's load noise
+    # is ±3× (observed 7–74 s for the identical ×100 plan), so a single
+    # sample measures the neighbors, not the engine
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     for label, d in [
         ("sf0.01", docs01),
         ("sf0.1", docs1),
@@ -157,11 +176,12 @@ def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
         # and the driver sees only the same bounded stats row
         ("sf0.1 x100", replicate_docs(docs1, 100)),
     ]:
-        t0 = _t.perf_counter()
-        stats = minhash_lsh_stats(d)
-        curve["lsh"].append(
-            {"point": label, **stats, "sec": round(_t.perf_counter() - t0, 2)}
-        )
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = _t.perf_counter()
+            stats = minhash_lsh_stats(d)
+            best = min(best, _t.perf_counter() - t0)
+        curve["lsh"].append({"point": label, **stats, "sec": round(best, 2)})
     for label, e, n in [
         ("sf0.01", em01, em01.count()),
         ("sf0.1", em1, em1.count()),
@@ -175,10 +195,13 @@ def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
             (r["vec_id"], r["embedding"])
             for r in e.filter(F.col("vec_id") < k).select("vec_id", "embedding").collect()
         )
-        t0 = _t.perf_counter()
-        stats = semdedup_cell_stats(e, seeds)
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = _t.perf_counter()
+            stats = semdedup_cell_stats(e, seeds)
+            best = min(best, _t.perf_counter() - t0)
         curve["semdedup"].append(
-            {"point": label, "n_seed_cells": k, **stats, "sec": round(_t.perf_counter() - t0, 2)}
+            {"point": label, "n_seed_cells": k, **stats, "sec": round(best, 2)}
         )
     return curve
 

@@ -48,6 +48,9 @@ from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_ta
 _P = (1 << 31) - 1  # Mersenne prime
 _N_PERM = 64
 _BANDS = 16
+# signature-kernel chunk: bounds the (n_perm × shingles) int64 temporary to
+# ~64 MB per Python worker, independent of Arrow batch row count
+_KERNEL_CHUNK_SHINGLES = 1 << 17
 
 
 
@@ -85,33 +88,59 @@ def minhash_signatures(sh_df: DataFrame, n_perm: int = _N_PERM) -> DataFrame:
     """(doc_id, sh) → (doc_id, sig: array<long>[n_perm]).
 
     Shingles are hashed ONCE on the JVM (`shingle_hashes`), then the
-    n_perm permutation minima are one Arrow-batched numpy broadcast per
-    document — ``((a[:,None]·h + b[:,None]) % P).min(axis=1)`` — inside
-    `mapInPandas`. The signature is a pure per-row function, so this
-    stage is shuffle-free and row-local at any corpus size; the math is
-    int64-exact (h < P = 2³¹−1 and a,b < P keep a·h+b under 2⁶³, so
-    numpy int64 equals the JVM long arithmetic bit-for-bit — pinned by
-    `tests/test_llmops.py`). Measured 4× faster at sf0.1 than the
-    previous explode + 64-``min()``-aggregate groupBy (SIMD beats 64
-    codegen aggregate updates per exploded shingle row); higher-order-
-    function formulations are 10-100× slower still (re-hash per
-    permutation, codegen method-size overflow). Documents whose shingle
-    array is empty produce no row, matching the explode form."""
+    n_perm permutation minima are computed batch-at-a-time inside
+    `mapInPandas`: every document's hash array in the Arrow batch is
+    flattened into ONE int64 vector, the 64 affine permutations are one
+    ``(a[:,None]·flat + b[:,None]) % P`` broadcast over it, and per-doc
+    minima come back via ``np.minimum.reduceat`` on the doc offsets — no
+    per-row Python loop, so the Python-side cost per document is O(1)
+    numpy dispatch amortized over the whole batch (measured ~2× over the
+    prior per-doc formulation at 500k docs; that one was itself 4× over
+    the explode + 64-``min()``-aggregate groupBy, and higher-order-
+    function formulations are 10-100× slower still). The flat vector is
+    processed in ≤``_KERNEL_CHUNK_SHINGLES``-shingle slices so the
+    (n_perm × chunk) temporary stays ~64 MB regardless of Arrow batch
+    size — the batch-sizing cliff the r4 scale curve flagged. The
+    signature is a pure per-row function, so the stage is shuffle-free
+    and row-local at any corpus size; the math is int64-exact (h < P =
+    2³¹−1 and a,b < P keep a·h+b under 2⁶³, so numpy int64 equals the
+    JVM long arithmetic bit-for-bit — pinned by `tests/test_llmops.py`).
+    Documents whose shingle array is empty produce no row, matching the
+    explode form."""
     a = np.array([_perm_params(i)[0] for i in range(n_perm)], dtype=np.int64)
     b = np.array([_perm_params(i)[1] for i in range(n_perm)], dtype=np.int64)
 
     def mins(batches):
         for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
-                hv = np.asarray(h, dtype=np.int64)
-                if not len(hv):
-                    continue
-                ids.append(doc_id)
-                sigs.append(
-                    ((a[:, None] * hv[None, :] + b[:, None]) % _P).min(axis=1).tolist()
+            col = pdf["h"]
+            lens = np.fromiter((len(h) for h in col), dtype=np.int64, count=len(col))
+            keep = np.flatnonzero(lens)
+            if not len(keep):
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"), "sig": []}
                 )
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+                continue
+            ids = pdf["doc_id"].to_numpy()[keep]
+            lens = lens[keep]
+            flat = np.concatenate(
+                [np.asarray(col.iloc[i], dtype=np.int64) for i in keep]
+            )
+            bounds = np.concatenate(([0], np.cumsum(lens)))
+            sigs = np.empty((len(keep), n_perm), dtype=np.int64)
+            lo = 0
+            while lo < len(keep):
+                hi = lo + 1  # always take ≥1 doc, however large
+                while (
+                    hi < len(keep)
+                    and bounds[hi + 1] - bounds[lo] <= _KERNEL_CHUNK_SHINGLES
+                ):
+                    hi += 1
+                seg = flat[bounds[lo] : bounds[hi]]
+                m = (a[:, None] * seg[None, :] + b[:, None]) % _P
+                offs = bounds[lo:hi] - bounds[lo]
+                sigs[lo:hi] = np.minimum.reduceat(m, offs, axis=1).T
+                lo = hi
+            yield pd.DataFrame({"doc_id": ids, "sig": list(sigs)})
 
     return sh_df.select("doc_id", shingle_hashes(F.col("sh")).alias("h")).mapInPandas(
         mins, schema="doc_id long, sig array<long>"
