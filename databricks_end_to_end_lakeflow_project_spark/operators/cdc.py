@@ -377,6 +377,23 @@ class ManagedParquetTable:
             return
         shutil.rmtree(grave, ignore_errors=True)
 
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        """Snapshot ``src`` into ``dst`` with hardlinks — O(#files)
+        metadata operations, ZERO data bytes copied. Safe because table
+        data files are immutable by construction: every writer creates
+        new names (append batch tags, tmp-dir swaps), nothing rewrites a
+        parquet file in place, so a hardlinked snapshot can never be
+        mutated through the live table. This is what makes
+        partition-pruned commits compatible with time travel at scale:
+        the snapshot cost tracks file COUNT, not table bytes."""
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            droot = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(droot, exist_ok=True)
+            for f in files:
+                os.link(os.path.join(root, f), os.path.join(droot, f))
+
     def history(self) -> list[int]:
         """Retained snapshot versions, oldest first (the CURRENT state is
         always one newer than the last entry)."""
@@ -551,7 +568,17 @@ class ManagedParquetTable:
         table, null-filled for untouched rows. Without it, unknown
         update columns are dropped (Delta's default strictness). Column
         removals never propagate — existing columns are null-filled on
-        the update side either way."""
+        the update side either way.
+
+        PARTITION PRUNING: when the table is partitioned and every
+        partition column is part of the merge key (so a row can never
+        move between partitions — Delta's documented pruned-MERGE
+        precondition), the merge reads ONLY the partitions the updates
+        batch touches and the commit swaps only those directories; see
+        `_upsert_pruned`. Otherwise (partition column not in the key,
+        ``merge_schema``, or ``truncate_col`` — a truncate is a
+        whole-table directive) the merge falls back to the full-table
+        rewrite, trading cost for unconditional correctness."""
         keys = list(keys or self.keys)
         sequence_by = sequence_by or self.sequence_by
         if not keys:
@@ -580,6 +607,21 @@ class ManagedParquetTable:
                 ).drop(delete_col)
             self.overwrite(first, expect_version=expect_version)
             return
+        if (
+            self.partition_by
+            and not merge_schema
+            and not truncate_col
+            and set(self.partition_by) <= set(keys)
+            and all(p in updates.columns for p in self.partition_by)
+        ):
+            self._upsert_pruned(
+                updates,
+                keys,
+                sequence_by,
+                delete_col=delete_col,
+                expect_version=expect_version,
+            )
+            return
         target = self.read()
         if merge_schema:
             extra = [c for c in (delete_col, truncate_col) if c]
@@ -596,6 +638,117 @@ class ManagedParquetTable:
         # a concurrent commit between read and swap raises instead of
         # clobbering, matching Delta's conflict detection
         self.overwrite(merged, expect_version=expect_version)
+
+    def _upsert_pruned(
+        self,
+        updates: DataFrame,
+        keys: Sequence[str],
+        sequence_by: str | None,
+        *,
+        delete_col: str | None = None,
+        expect_version: int | None = None,
+    ) -> None:
+        """Partition-pruned MERGE — the `plans/gold.py` fact-builder
+        contract ("partition the fact target by a date column for pruned
+        rewrites"), valid because `upsert` routes here only when the
+        partition columns are part of the merge key, so a key's rows can
+        never move between partitions and a partition the updates batch
+        does not name is provably unaffected.
+
+        Cost shape (the point at 100 TB): the touched partition VALUES
+        come off the updates batch (bounded — a micro-batch touches a
+        handful of dates); the target scan filters on them, so Catalyst
+        prunes every other partition directory (zero read); the merge
+        plan runs over that slice only (one shuffle on the grain key,
+        sized by the slice, not the table); and the commit swaps ONLY
+        the touched partition dirs (zero write, zero rename elsewhere).
+        With version retention on, the pre-state snapshot is hardlinked
+        (`_link_tree`) — metadata-only, so time travel stays O(#files)
+        instead of O(table bytes).
+
+        Reader caveat: per-directory swaps are not one atomic rename, so
+        a lock-less reader racing the commit can observe some partitions
+        new and others old — the same caveat as the partitioned `append`
+        path, and the part only a real commit LOG fixes."""
+        import functools
+        import operator
+        from urllib.parse import unquote, urlparse
+
+        touched = [
+            tuple(r[p] for p in self.partition_by)
+            for r in updates.select(*self.partition_by).distinct().collect()
+        ]
+        if not touched:
+            return  # empty batch: nothing to merge, no commit
+        pred = functools.reduce(
+            operator.or_,
+            [
+                functools.reduce(
+                    operator.and_,
+                    [
+                        # eqNullSafe: a NULL partition value must select the
+                        # __HIVE_DEFAULT_PARTITION__ directory, not nothing
+                        F.col(p).eqNullSafe(F.lit(v))
+                        for p, v in zip(self.partition_by, vals)
+                    ],
+                )
+                for vals in touched
+            ],
+        )
+        target_slice = self.read().filter(pred)
+        # the OLD touched partition dirs, engine-encoded: parents of the
+        # files the pruned scan actually reads. Asking Spark (instead of
+        # hand-rolling hive path escaping) keeps value encoding — dates,
+        # specials, __HIVE_DEFAULT_PARTITION__ — exactly consistent with
+        # what the writer produced. The scan is partition-pruned and
+        # column-empty, so it costs one pass over the touched slice only.
+        old_dirs = sorted(
+            {
+                os.path.dirname(unquote(urlparse(r["__f"]).path))
+                for r in target_slice.select(F.input_file_name().alias("__f"))
+                .distinct()
+                .collect()
+            }
+        )
+        merged = merge_upsert_plan(
+            target_slice, updates, keys, sequence_by, delete_col=delete_col
+        )
+        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy(*self.partition_by).parquet(
+            tmp
+        )  # expensive stage: OUTSIDE the commit lock
+        # new partition dirs present in the merge output (a touched
+        # partition whose rows all got deleted simply has no dir here)
+        new_rels = sorted(
+            {
+                os.path.relpath(root, tmp)
+                for root, _dirs, files in os.walk(tmp)
+                if any(not f.startswith(("_", ".")) for f in files)
+            }
+        )
+        try:
+            with self._commit(expect_version):
+                if self.retain_versions > 0 and os.path.exists(self.path):
+                    vdir = self._versions_dir()
+                    os.makedirs(vdir, exist_ok=True)
+                    nxt = (self.history() or [-1])[-1] + 1
+                    self._link_tree(self.path, os.path.join(vdir, str(nxt)))
+                for d in old_dirs:
+                    shutil.rmtree(d)  # loudly: a failure aborts pre-bump
+                for rel in new_rels:
+                    dest = os.path.join(self.path, rel)
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    if os.path.isdir(dest):
+                        # touched partition dir that held no readable data
+                        # (not in old_dirs): clear it before the swap
+                        shutil.rmtree(dest)
+                    os.rename(os.path.join(tmp, rel), dest)
+                if self.retain_versions > 0:
+                    self.vacuum(retain_last=self.retain_versions)
+        except (ConcurrentWriteError, TimeoutError):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def scd2_from_history(
@@ -1265,4 +1418,70 @@ def cdc_table_ttl_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row["n"], n_purged, row["s"], unrecoverable)],
         "n_retained long, n_purged long, retained_checksum long, "
         "purged_unrecoverable boolean",
+    )
+
+
+@query(
+    "cdc_merge_upsert_pruned",
+    """
+    WITH base AS (
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month,
+             o_orderpriority
+      FROM orders
+    ), tm AS (
+      SELECT MAX(o_month) AS m FROM base
+    )
+    SELECT o_orderkey, o_month,
+           CASE WHEN o_month = (SELECT m FROM tm)
+                THEN 'U-' || o_orderpriority
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM base
+    WHERE o_orderkey % 5 <> 0 OR o_month = (SELECT m FROM tm)
+    ORDER BY o_orderkey, o_month
+    """,
+)
+def cdc_merge_upsert_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned fact MERGE end-to-end — the `plans/gold.py`
+    "partition the fact target by a date column for pruned rewrites"
+    claim exercised through a real date-partitioned
+    :class:`ManagedParquetTable` (reference S8/`FACT_Gold_Layer.py:182-192`,
+    the MERGE-at-scale shape: grain includes the date, so the partition
+    column is part of the merge key and a one-month update batch rewrites
+    exactly one partition directory — `tests/test_cdc.py` pins the
+    file-level pruning, this query pins the merged VALUES).
+
+    Setup: a table over (o_orderkey, o_month, o_orderpriority)
+    partitioned by order month, seeded with keys where ``o_orderkey % 5
+    != 0``. The updates batch is the LAST month's full slice with
+    priorities rewritten to ``U-<priority>`` — so the merge must update
+    that month's existing keys, insert its held-out ``% 5 == 0`` keys,
+    and leave every other month byte-untouched. The oracle recomputes
+    the expected final state from ``orders`` directly."""
+    import os as _os
+
+    from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+        ephemeral_dir,
+    )
+
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_orderpriority",
+    )
+    target_month = od.agg(F.max("o_month")).collect()[0][0]
+    t = ManagedParquetTable(
+        spark,
+        _os.path.join(ephemeral_dir("pruned_merge_tbl_"), "t"),
+        keys=["o_month", "o_orderkey"],
+        partition_by=["o_month"],
+    )
+    t.overwrite(od.filter(F.col("o_orderkey") % 5 != 0))
+    updates = od.filter(F.col("o_month") == target_month).withColumn(
+        "o_orderpriority", F.concat(F.lit("U-"), F.col("o_orderpriority"))
+    )
+    t.upsert(updates)
+    return (
+        t.read()
+        .select("o_orderkey", "o_month", "o_orderpriority")
+        .orderBy("o_orderkey", "o_month")
     )

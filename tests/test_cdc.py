@@ -791,3 +791,195 @@ def test_optimize_compacts_files_and_preserves_content(spark, tmp_path):
 
     with pytest.raises(ConcurrentWriteError):
         t.optimize(expect_version=v)
+
+
+# ---------------------------------------------------------------------------
+# partition-pruned MERGE (upsert on a date-partitioned fact)
+# ---------------------------------------------------------------------------
+
+
+def _file_inventory(table_path):
+    """{partition_rel_dir: {(filename, inode, size)}} for data files."""
+    import os
+
+    inv = {}
+    for root, _dirs, files in os.walk(table_path):
+        rel = os.path.relpath(root, table_path)
+        data = {
+            (f, os.stat(os.path.join(root, f)).st_ino,
+             os.stat(os.path.join(root, f)).st_size)
+            for f in files
+            if not f.startswith(("_", "."))
+        }
+        if data:
+            inv[rel] = data
+    return inv
+
+
+def _mk_partitioned(spark, tmp_path, retain_versions=0):
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+    )
+
+    rows = [
+        (k, month, f"p{k}")
+        for month in ("2024-01", "2024-02", "2024-03")
+        for k in range(10)
+        if k % 3 != 0  # hold out %3==0 keys for insert coverage
+    ]
+    df = spark.createDataFrame(rows, "k long, month string, attr string")
+    t = ManagedParquetTable(
+        spark,
+        str(tmp_path / "fact"),
+        keys=["month", "k"],
+        partition_by=["month"],
+        retain_versions=retain_versions,
+    )
+    t.overwrite(df)
+    return t
+
+
+def test_upsert_prunes_untouched_partitions(spark, tmp_path):
+    """The gold.py claim: a one-partition update batch on a
+    date-partitioned fact rewrites ONLY that partition directory —
+    untouched partitions keep the exact same files (same inodes, so not
+    even rewritten-in-place), and the merged values are right."""
+    t = _mk_partitioned(spark, tmp_path)
+    before = _file_inventory(t.path)
+    assert set(before) == {"month=2024-01", "month=2024-02", "month=2024-03"}
+    v0 = t.version()
+
+    updates = spark.createDataFrame(
+        [(k, "2024-02", f"u{k}") for k in range(10)],
+        "k long, month string, attr string",
+    )
+    t.upsert(updates)
+
+    after = _file_inventory(t.path)
+    assert after["month=2024-01"] == before["month=2024-01"], "untouched rewritten"
+    assert after["month=2024-03"] == before["month=2024-03"], "untouched rewritten"
+    assert after["month=2024-02"] != before["month=2024-02"], "touched unchanged"
+    assert t.version() == v0 + 1
+
+    state = {(r["k"], r["month"]): r["attr"] for r in t.read().collect()}
+    expected = {}
+    for month in ("2024-01", "2024-03"):
+        for k in range(10):
+            if k % 3 != 0:
+                expected[(k, month)] = f"p{k}"
+    for k in range(10):  # updated existing + inserted held-out keys
+        expected[(k, "2024-02")] = f"u{k}"
+    assert state == expected
+
+
+def test_pruned_upsert_new_partition_and_partition_delete(spark, tmp_path):
+    """Inserting a brand-new month creates exactly one new partition dir;
+    a delete batch wiping every row of a month removes its dir; other
+    partitions keep their exact files either way."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    t = _mk_partitioned(spark, tmp_path)
+    before = _file_inventory(t.path)
+
+    new_month = spark.createDataFrame(
+        [(k, "2024-04", f"n{k}") for k in range(3)],
+        "k long, month string, attr string",
+    )
+    t.upsert(new_month)
+    inv = _file_inventory(t.path)
+    assert set(inv) == set(before) | {"month=2024-04"}
+    for rel in before:
+        assert inv[rel] == before[rel], f"{rel} disturbed by new-partition insert"
+
+    wipe = spark.createDataFrame(
+        [(k, "2024-01", "x", True) for k in range(10)],
+        "k long, month string, attr string, is_del boolean",
+    )
+    t.upsert(wipe, delete_col="is_del")
+    inv2 = _file_inventory(t.path)
+    assert "month=2024-01" not in inv2, "emptied partition dir must go"
+    assert inv2["month=2024-02"] == inv["month=2024-02"]
+    assert inv2["month=2024-03"] == inv["month=2024-03"]
+    assert inv2["month=2024-04"] == inv["month=2024-04"]
+    assert t.read().filter(F.col("month") == "2024-01").count() == 0
+
+
+def test_pruned_upsert_time_travel_hardlink_snapshot(spark, tmp_path):
+    """With retention on, a pruned upsert snapshots the FULL pre-state via
+    hardlinks (metadata-only): time travel reads the old values, restore
+    round-trips, and the snapshot survives the touched-dir removal."""
+    t = _mk_partitioned(spark, tmp_path, retain_versions=2)
+    pre = {(r["k"], r["month"]): r["attr"] for r in t.read().collect()}
+
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "2024-02", "changed")], "k long, month string, attr string"
+        )
+    )
+    snap = t.history()[-1]
+    old = {(r["k"], r["month"]): r["attr"] for r in t.read(version=snap).collect()}
+    assert old == pre, "snapshot must hold the complete pre-merge state"
+    assert {
+        (r["k"], r["month"]): r["attr"] for r in t.read().collect()
+    } != pre
+
+    t.restore(snap)
+    assert {(r["k"], r["month"]): r["attr"] for r in t.read().collect()} == pre
+
+
+def test_upsert_falls_back_when_partition_not_in_keys(spark, tmp_path):
+    """Partition column outside the merge key → rows may move partitions,
+    so upsert must take the full-rewrite path and still be correct: the
+    moved key exists ONCE, in its new partition."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ManagedParquetTable,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01", "a"), (2, "2024-02", "b")],
+        "k long, month string, attr string",
+    )
+    t = ManagedParquetTable(
+        spark, str(tmp_path / "t"), keys=["k"], partition_by=["month"]
+    )
+    t.overwrite(df)
+    # key 1 MOVES from 2024-01 to 2024-03
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "2024-03", "a2")], "k long, month string, attr string"
+        )
+    )
+    rows = {(r["k"]): (r["month"], r["attr"]) for r in t.read().collect()}
+    assert rows == {1: ("2024-03", "a2"), 2: ("2024-02", "b")}
+
+
+def test_pruned_upsert_occ_conflict_cleans_tmp(spark, tmp_path):
+    """A pruned upsert conditional on a stale version must raise
+    ConcurrentWriteError, leave the table untouched, and clean its
+    staged tmp dir."""
+    import os
+
+    import pytest
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        ConcurrentWriteError,
+    )
+
+    t = _mk_partitioned(spark, tmp_path)
+    v0 = t.version()
+    t.append(
+        spark.createDataFrame(
+            [(100, "2024-03", "later")], "k long, month string, attr string"
+        )
+    )
+    before = _file_inventory(t.path)
+    with pytest.raises(ConcurrentWriteError):
+        t.upsert(
+            spark.createDataFrame(
+                [(1, "2024-02", "stale")], "k long, month string, attr string"
+            ),
+            expect_version=v0,
+        )
+    assert _file_inventory(t.path) == before
+    parent = os.path.dirname(t.path)
+    assert [d for d in os.listdir(parent) if "__tmp_" in d] == []
