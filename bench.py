@@ -393,22 +393,22 @@ def stream_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
     )
 
     def replicate_lengthwise(ev, k):
+        # one broadcast cross-join branch, not a k-way union (same plan-
+        # shape fix as replicate_docs: at k=100 the per-branch codegen
+        # constant dominates the measurement). Each replica shifts
+        # end-to-end in event time — same event rate for k times longer.
         span = ev.agg(
             F.max("ts").alias("hi"), F.min("ts").alias("lo")
         ).collect()[0]
         gap = int((span["hi"] - span["lo"]).total_seconds()) + 7200
-        parts = [
-            ev.select(
-                (F.col("user_id") + F.lit(i * 100_000_000)).alias("user_id"),
-                F.col("event_type"),
-                (F.col("ts") + F.expr(f"INTERVAL {i * gap} SECONDS")).alias("ts"),
-            )
-            for i in range(k)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        reps = ev.sparkSession.range(k).select(F.col("id").cast("int").alias("rep"))
+        return ev.crossJoin(F.broadcast(reps)).select(
+            (F.col("user_id") + F.col("rep").cast("long") * 100_000_000).alias(
+                "user_id"
+            ),
+            F.col("event_type"),
+            F.timestamp_add("SECOND", F.col("rep") * gap, F.col("ts")).alias("ts"),
+        )
 
     ev01 = read_table(spark, sf01_dir, "events").select("user_id", "event_type", "ts")
     ev1 = read_table(spark, sf1_dir, "events").select("user_id", "event_type", "ts")
@@ -427,6 +427,13 @@ def stream_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
         # remaining ∝ the trigger/watermark config, NOT stream length;
         # the recorded point shows the tradeoff instead of hiding it
         ("sf0.1 x10", replicate_lengthwise(ev1, 10), 200, 16),
+        # the ×100 decade (10M rows): rows-per-file (5k) and
+        # files-per-trigger (16) both match the ×10 point, so the
+        # in-flight batch is the SAME row count — peak state must
+        # PLATEAU at the ×10 level (~predicted bound below) while input
+        # grows 10×. That is the whole claim: state ∝ trigger batch +
+        # watermark window (rate-proportional), NEVER stream length.
+        ("sf0.1 x100", replicate_lengthwise(ev1, 100), 2000, 16),
     ]:
         spark.catalog.clearCache()
         staged = ephemeral_dir("bench_stream_curve_")
@@ -443,6 +450,27 @@ def stream_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
             _os.utime(p, (base + i, base + i))
         n_input = spark.read.parquet(staged).count()
         schema = spark.read.parquet(staged).schema
+        # predicted peak-state bound, derived from the DATA, not tuned to
+        # the measurement: the join's state at any instant is (a) the
+        # in-flight micro-batch's click+purchase rows — eviction happens
+        # when the NEXT batch advances the watermark — plus (b) the
+        # steady-state watermark residue: clicks live (1h watermark +
+        # 30min interval), purchases 1h, at the stream's arrival rate.
+        # Rate-proportional and trigger-proportional; NEVER length-
+        # proportional — the ×100 point verifies exactly this.
+        st = spark.read.parquet(staged).agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("n_c"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_p"),
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+        ).collect()[0]
+        span_sec = max(1.0, (st["hi"] - st["lo"]).total_seconds())
+        n_batches = max(1, -(-nfiles // files_per_trigger))
+        predicted_peak = int(
+            (st["n_c"] + st["n_p"]) / n_batches
+            + st["n_c"] / span_sec * 5400
+            + st["n_p"] / span_sec * 3600
+        )
 
         t0 = _t.perf_counter()
         stream = (
@@ -469,9 +497,17 @@ def stream_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
         )
         name = f"curve_ssj_{_uuid.uuid4().hex[:8]}"
         old = spark.conf.get("spark.sql.shuffle.partitions", "32")
+        old_keep = spark.conf.get(
+            "spark.sql.streaming.numRecentProgressUpdates", "100"
+        )
         # 4 state partitions: the drain is micro-batch-count bound, and
         # halving the per-batch state-store fan-out halves fixed latency
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # the ×100 drain runs 125 micro-batches; the default retains the
+        # last 100 progress rows, which could silently clip the peak scan
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", str(n_batches + 10)
+        )
         try:
             q = (
                 pairs.writeStream.format("memory")
@@ -491,13 +527,18 @@ def stream_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+            spark.conf.set(
+                "spark.sql.streaming.numRecentProgressUpdates", old_keep
+            )
         n_pairs = spark.table(name).count()
         curve.append(
             {
                 "point": label,
                 "n_input": n_input,
+                "n_batches": n_batches,
                 "n_pairs": n_pairs,
                 "peak_state_rows": peak_state,
+                "predicted_peak_rows": predicted_peak,
                 "sec": round(_t.perf_counter() - t0, 2),
             }
         )

@@ -556,3 +556,45 @@ def test_join_then_window_agg_boundary(spark, tmp_path):
     }
     got = {(r["window"]["end"], r["n"]) for r in out.collect()}
     assert got == want
+
+
+def test_file_stream_replays_in_mtime_order(spark, tmp_path):
+    """The stream scale curve (bench.py) stages a time-ordered feed by
+    stamping file mtimes in event-time order — valid only because
+    Spark's file source, under maxFilesPerTrigger, admits the OLDEST
+    files (by modification time) first. Pin that contract: files whose
+    mtimes are stamped in REVERSE name order must replay in mtime order,
+    not name order."""
+    import glob
+    import os
+    import time
+    import uuid
+
+    staged = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(i,) for i in range(6)], "v long"
+    ).repartitionByRange(6, "v").write.mode("overwrite").parquet(staged)
+    parts = sorted(glob.glob(os.path.join(staged, "part-*")))
+    assert len(parts) == 6
+    # name order ascending v; mtime order DESCENDING v
+    base = time.time()
+    for i, p in enumerate(parts):
+        os.utime(p, (base - i, base - i))
+
+    seen: list[list[int]] = []
+
+    def collect(batch_df, _bid):
+        seen.append(sorted(r["v"] for r in batch_df.collect()))
+
+    q = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream.foreachBatch(collect)
+        .trigger(availableNow=True)
+        .queryName(f"mtime_order_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination()
+    flat = [v for batch in seen for v in batch]
+    assert flat == [5, 4, 3, 2, 1, 0], f"replay must follow mtime order: {seen}"
