@@ -116,6 +116,11 @@ def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
                     "doc_id"
                 ),
                 F.expr("translate(text, m, r)").alias("text"),
+                # source rides through unchanged (per-replica repetition just
+                # scales each source's mass linearly) — the pretraining
+                # pipeline curve derives its mixture domains from it; the
+                # LSH stats path prunes it away
+                F.col("source"),
             )
         )
 
@@ -202,6 +207,81 @@ def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
             best = min(best, _t.perf_counter() - t0)
         curve["semdedup"].append(
             {"point": label, "n_seed_cells": k, **stats, "sec": round(best, 2)}
+        )
+
+    # end-to-end pretraining pipeline (langid → quality → LSH dedup →
+    # decontam → mixture → shuffle → pack → export) at the same decades:
+    # the 100 TB rehearsal run as ONE plan, with the per-stage survivor
+    # funnel recorded. This is the in-pipeline composition that would have
+    # caught the r4 LSH cliff — the stats probe above measures the
+    # operator, this measures the operator inside its real workload.
+    from databricks_end_to_end_lakeflow_project_spark.operators.curation import (
+        pretraining_run,
+    )
+
+    def replicate_docs_lang(docs, k):
+        # language-PRESERVING decorrelation for the pipeline curve: the
+        # char cipher above scrambles lexicon words, so the langid gate
+        # would kill every non-identity replica (caught live: the ×10
+        # funnel collapsed to the base corpus). Instead each replica tags
+        # every NON-lexicon word (w → r{rep}_w): langid hits, stopword
+        # counts, token counts and uniqueness ratios are preserved
+        # exactly per replica (a word bijection), while any shingle
+        # containing a filler word — the overwhelming majority — is
+        # replica-unique, so near-dup structure still repeats per copy
+        # instead of multiplying across copies.
+        from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+            LEXICONS,
+        )
+
+        lexwords = sorted({w for lex in LEXICONS.values() for w in lex})
+        spark = docs.sparkSession
+        reps = spark.range(k).select(F.col("id").cast("int").alias("rep"))
+        n_parts = spark.sparkContext.defaultParallelism
+        tagged = F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.trim(F.col("text")), " "),
+                lambda w: F.when(
+                    (F.col("rep") == 0) | w.isin(*lexwords), w
+                ).otherwise(
+                    F.concat(
+                        F.lit("r"), F.col("rep").cast("string"), F.lit("_"), w
+                    )
+                ),
+            ),
+        )
+        return (
+            docs.repartition(n_parts)
+            .crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("doc_id") + F.col("rep").cast("long") * 10_000_000).alias(
+                    "doc_id"
+                ),
+                tagged.alias("text"),
+                F.col("source"),
+            )
+        )
+
+    curve["pipeline"] = []
+    for label, d in [
+        ("sf0.1", docs1),
+        ("sf0.1 x10", replicate_docs_lang(docs1, 10)),
+        ("sf0.1 x100", replicate_docs_lang(docs1, 100)),
+    ]:
+        best, funnel = float("inf"), {}
+        for _ in range(repeat):
+            # the pipeline persists narrow intermediates; clear BETWEEN
+            # repeats so the min is a cold plan, not a cache read
+            spark.catalog.clearCache()
+            t0 = _t.perf_counter()
+            rows = pretraining_run(
+                d.select("doc_id", "text", "source")
+            ).collect()
+            best = min(best, _t.perf_counter() - t0)
+            funnel = {r["stage"]: r["n_rows"] for r in rows}
+        curve["pipeline"].append(
+            {"point": label, "funnel": funnel, "sec": round(best, 2)}
         )
     return curve
 

@@ -505,6 +505,423 @@ def pipeline_pretraining_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# end-to-end pretraining capstone: the 100 TB rehearsal
+# ---------------------------------------------------------------------------
+
+_RUN_QUALITY_MIN = 0.55
+_RUN_EPOCH_CAP = 4.0  # data-constrained repeat cap (≤4 passes per domain)
+_RUN_SHARDS = 8
+_RUN_EPOCH_SEED = 1
+_RUN_CK_A = 1000003  # order-checksum moduli: keep products far from 2^63
+_RUN_CK_B = 997
+_RUN_CK_PACK = 9973
+
+_RUN_WEIGHT_SQL = """CASE s.domain WHEN 'web' THEN 0.35 WHEN 'books' THEN 0.25
+               WHEN 'code' THEN 0.25 ELSE 0.15 END"""
+
+# mixture DOMAIN = a deterministic hash bucket of the source column (langid
+# is the GATE; sources are what real mixtures weight). Hash-bucketing works
+# for any source vocabulary, including the bench curve's replicated corpora.
+_RUN_DOMAIN_SQL = """CASE ('0x' || SUBSTRING(md5(source), 1, 1))::BIGINT % 4
+               WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+               WHEN 2 THEN 'code' ELSE 'forums' END"""
+
+
+def _pretraining_run_oracle() -> str:
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        _langid_sql_hits,
+    )
+
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w,
+             LENGTH(string_split(trim(text), ' '))::BIGINT AS ntok,
+             {_RUN_DOMAIN_SQL} AS domain
+      FROM documents
+    ), lid AS (
+      SELECT doc_id, w, ntok, domain,
+           {_langid_sql_hits()}
+      FROM t
+    ), langid AS (
+      SELECT doc_id, w, ntok, domain
+      FROM lid
+      WHERE NOT (hits_en = 0 AND hits_fr = 0 AND hits_es = 0 AND hits_de = 0)
+    ), gated AS (
+      SELECT doc_id, w, ntok, domain,
+             0.4 * LEAST(ntok::DOUBLE / 100.0, 1.0)
+           + 0.4 * (LENGTH(list_distinct(w))::DOUBLE / ntok)
+           + 0.2 * (1.0 - LENGTH(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE
+                          / ntok) AS score
+      FROM langid
+      WHERE 0.4 * LEAST(ntok::DOUBLE / 100.0, 1.0)
+          + 0.4 * (LENGTH(list_distinct(w))::DOUBLE / ntok)
+          + 0.2 * (1.0 - LENGTH(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE
+                         / ntok) >= {_RUN_QUALITY_MIN}
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM gated WHERE len(w) >= 3
+    ), lsh_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM lsh_pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM gated
+      UNION
+      SELECT e.b AS node, r.lbl
+      FROM reach r JOIN edges e ON e.a = r.node
+      WHERE r.lbl < e.b
+    ), comp AS (
+      SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    ), ranked AS (
+      SELECT comp.node AS doc_id, g.w, g.ntok, g.domain,
+             ROW_NUMBER() OVER (
+               PARTITION BY comp.cluster_id ORDER BY g.score DESC, comp.node
+             ) AS rn
+      FROM comp JOIN gated g ON g.doc_id = comp.node
+    ), deduped AS (
+      SELECT doc_id, w, ntok, domain FROM ranked WHERE rn = 1
+    ), grams AS (
+      SELECT doc_id, array_to_string(w[u.i:u.i+4], ' ') AS g
+      FROM t, LATERAL unnest(range(1, len(w) - 3)) u(i)
+    ), bench AS (
+      SELECT DISTINCT g FROM grams
+      WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ), contam AS (
+      SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)
+    ), clean AS (
+      SELECT d.doc_id, d.ntok, d.domain FROM deduped d
+      WHERE SUBSTRING(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> '0'
+        AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+    ), stats AS (
+      SELECT domain, CAST(SUM(ntok) AS BIGINT) AS avail
+      FROM clean GROUP BY domain
+    ), tot AS (
+      SELECT CAST(SUM(avail) AS DOUBLE) AS total FROM stats
+    ), plan AS (
+      SELECT s.domain,
+             LEAST({_RUN_WEIGHT_SQL} * t.total / CAST(s.avail AS DOUBLE),
+                   {_RUN_EPOCH_CAP}) AS epochs
+      FROM stats s CROSS JOIN tot t
+    ), plan2 AS (
+      SELECT domain, CAST(FLOOR(epochs) AS INT) AS n_full,
+             CAST(FLOOR((epochs - FLOOR(epochs)) * 16777216.0) AS BIGINT) AS thr
+      FROM plan
+    ), copies AS (
+      SELECT c.doc_id, c.domain, c.ntok, u.i AS copy_no
+      FROM clean c JOIN plan2 p USING (domain),
+           LATERAL unnest(range(0, p.n_full
+             + CASE WHEN ('0x' || SUBSTRING(
+                     md5('mix:' || CAST(c.doc_id AS VARCHAR)), 1, 6))::BIGINT
+                    < p.thr THEN 1 ELSE 0 END)) u(i)
+    ), emitted AS (
+      SELECT doc_id * 8 + copy_no AS emit_key, domain, ntok FROM copies
+    ), shuf AS (
+      SELECT emit_key, domain, ntok,
+             md5('{_RUN_EPOCH_SEED}:' || CAST(emit_key AS VARCHAR)) AS hkey
+      FROM emitted
+    ), ordered AS (
+      SELECT emit_key, domain, ntok,
+             CAST(('0x' || SUBSTRING(hkey, 1, 4))::BIGINT % {_RUN_SHARDS}
+                  AS INT) AS shard,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY ('0x' || SUBSTRING(hkey, 1, 4))::BIGINT
+                            % {_RUN_SHARDS}
+               ORDER BY hkey, emit_key) AS BIGINT) AS pos
+      FROM shuf
+    ), packed AS (
+      SELECT shard, ntok,
+             CAST(FLOOR((SUM(ntok) OVER (PARTITION BY shard ORDER BY pos)
+                         - ntok) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+      FROM ordered
+    ), bins AS (
+      SELECT shard, bin_id, CAST(SUM(ntok) AS BIGINT) AS bin_tokens
+      FROM packed GROUP BY shard, bin_id
+    )
+    SELECT 1 AS stage_ord, 'raw' AS stage, COUNT(*)::BIGINT AS n_rows,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS checksum FROM t
+    UNION ALL SELECT 2, 'langid', COUNT(*), CAST(SUM(ntok) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT) FROM langid
+    UNION ALL SELECT 3, 'quality', COUNT(*), CAST(SUM(ntok) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT) FROM gated
+    UNION ALL SELECT 4, 'dedup', COUNT(*), CAST(SUM(ntok) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT) FROM deduped
+    UNION ALL SELECT 5, 'decontam', COUNT(*), CAST(SUM(ntok) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT) FROM clean
+    UNION ALL SELECT 6, 'mixture', COUNT(*), CAST(SUM(ntok) AS BIGINT),
+           CAST(SUM(emit_key) AS BIGINT) FROM emitted
+    UNION ALL SELECT 7, 'shuffle', COUNT(*), CAST(SUM(ntok) AS BIGINT),
+           CAST(SUM((emit_key % {_RUN_CK_A}) * (pos % {_RUN_CK_B}))
+                AS BIGINT) FROM ordered
+    UNION ALL SELECT 8, 'pack', COUNT(*), CAST(SUM(bin_tokens) AS BIGINT),
+           CAST(SUM((shard + 1) * (bin_id + 1) * (bin_tokens % {_RUN_CK_PACK}))
+                AS BIGINT) FROM bins
+    UNION ALL SELECT 9, 'export:' || domain, COUNT(*),
+           CAST(SUM(ntok) AS BIGINT), CAST(SUM(emit_key) AS BIGINT)
+      FROM emitted GROUP BY domain
+    ORDER BY stage_ord, stage
+    """
+
+
+def pretraining_run(docs: DataFrame) -> DataFrame:
+    """The full pretraining data pipeline as ONE plan over (doc_id,
+    text, source) — the 100 TB rehearsal the LLM-ops stack exists for,
+    chaining the individually-verified operators in curation order:
+
+    langid gate (lexicon argmax ≠ unknown) → quality gate (score ≥
+    0.55) → MinHash-LSH near-dup
+    graph + connected components, best-quality survivor per cluster →
+    benchmark decontamination (any shared 5-gram with the held-out
+    hash-slice eval set drops the doc) → token-budget mixture over
+    source-derived DOMAINS (source hash-bucketed into web/books/code/
+    forums — sources are what real mixtures weight; per-domain epochs =
+    weight·budget/avail, capped at {cap} passes; full copies +
+    hash-thresholded fractional pass) → epoch-seeded deterministic
+    shuffle (shard, pos) → GPT-style concat-and-chunk packing into
+    {budget}-token bins in shuffle order → per-domain export stats.
+
+    Returns one row per STAGE: (stage_ord, stage, n_rows, n_tokens,
+    checksum) — the survivor funnel every data card reports. Checksums
+    pin content (Σ doc_id / Σ emit_key), ORDER (Σ (key mod a)·(pos mod
+    b) over the shuffle), and packing (Σ shard·bin·token terms), so the
+    DuckDB oracle catches a wrong survivor set, a wrong training order,
+    and a wrong bin cut — not just wrong counts.
+
+    Scale notes: every stage is the scale shape its standalone operator
+    already proved — the gates are scan projections; LSH is banded
+    candidate generation (never all-pairs); CC state scales with
+    duplicate mass; the benchmark gram set broadcasts (eval suites are
+    MBs); the mixture plan is a #domains-row broadcast and the epoch
+    fan-out is row-local; the shuffle is one hash exchange + shard-local
+    sorts (never a global sort); packing is the same per-shard window.
+    Nothing in the chain materializes the corpus more than the
+    persist-marked narrow frames (ids + token counts, no text)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        LEXICONS,
+        STOPWORDS,
+        stopword_hits,
+        tokens,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.session import persist_once
+
+    w = tokens(F.col("text"))
+    domain = (
+        F.conv(hash_hex(F.col("source"), 1), 16, 10).cast("long") % 4
+    )
+    t = docs.select(
+        "doc_id",
+        "text",
+        F.size(w).cast("long").alias("ntok"),
+        F.when(domain == 0, "web")
+        .when(domain == 1, "books")
+        .when(domain == 2, "code")
+        .otherwise("forums")
+        .alias("domain"),
+    )
+
+    hits = {lang: stopword_hits(w, lex) for lang, lex in LEXICONS.items()}
+    known = ~(
+        (hits["en"] == 0) & (hits["fr"] == 0) & (hits["es"] == 0) & (hits["de"] == 0)
+    )
+    langid = t.filter(known)
+
+    n = F.col("ntok").cast("double")
+    score = (
+        0.4 * F.least(n / 100.0, F.lit(1.0))
+        + 0.4 * (F.size(F.array_distinct(w)).cast("double") / n)
+        + 0.2 * (F.lit(1.0) - stopword_hits(w, STOPWORDS).cast("double") / n)
+    )
+    gated = langid.withColumn("score", score).filter(
+        F.col("score") >= _RUN_QUALITY_MIN
+    )
+
+    pairs = minhash_lsh_pairs(gated).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(
+        gated.select(F.col("doc_id").alias("node")), pairs
+    )
+    ranked = comp.join(
+        gated.select("doc_id", "ntok", "domain", "score"),
+        comp["node"] == F.col("doc_id"),
+    ).select(F.col("component").alias("cluster_id"), "doc_id", "ntok", "domain", "score")
+    win = Window.partitionBy("cluster_id").orderBy(F.col("score").desc(), "doc_id")
+    deduped = persist_once(
+        ranked.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "ntok", "domain")
+    )
+
+    grams = t.select(
+        "doc_id",
+        hash_hex(F.col("doc_id"), 1).alias("hd"),
+        F.explode(grams_all(F.col("text"), 5)).alias("g"),
+    )
+    bench = grams.filter(F.col("hd") == "0").select("g").distinct()
+    contam = (
+        grams.join(F.broadcast(bench), "g").select("doc_id").distinct()
+    )
+    clean = persist_once(
+        deduped.filter(hash_hex(F.col("doc_id"), 1) != "0").join(
+            contam, "doc_id", "left_anti"
+        )
+    )
+
+    stats = clean.groupBy("domain").agg(F.sum("ntok").cast("long").alias("avail"))
+    total = stats.agg(F.sum("avail").cast("double").alias("total"))
+    wcol = (
+        F.when(F.col("domain") == "web", 0.35)
+        .when(F.col("domain") == "books", 0.25)
+        .when(F.col("domain") == "code", 0.25)
+        .otherwise(0.15)
+    )
+    epochs = F.least(
+        wcol * F.col("total") / F.col("avail").cast("double"),
+        F.lit(_RUN_EPOCH_CAP),
+    )
+    plan = stats.crossJoin(F.broadcast(total)).select(
+        "domain",
+        F.floor(epochs).cast("int").alias("n_full"),
+        F.floor((epochs - F.floor(epochs)) * F.lit(16777216.0))
+        .cast("long")
+        .alias("thr"),
+    )
+    joined = clean.join(F.broadcast(plan), "domain")
+    draw = F.conv(
+        hash_hex(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), 6), 16, 10
+    ).cast("long")
+    emitted = persist_once(
+        joined.withColumn(
+            "n_copies", F.col("n_full") + (draw < F.col("thr")).cast("int")
+        )
+        .select(
+            "doc_id",
+            "domain",
+            "ntok",
+            F.posexplode(F.array_repeat(F.lit(1), F.col("n_copies"))).alias(
+                "copy_no", "_one"
+            ),
+        )
+        .select(
+            (F.col("doc_id") * 8 + F.col("copy_no")).cast("long").alias("emit_key"),
+            "domain",
+            "ntok",
+        )
+    )
+
+    shuf = epoch_shuffle(
+        emitted, F.col("emit_key"), _RUN_EPOCH_SEED, _RUN_SHARDS
+    ).withColumnRenamed("k", "emit_key")
+    ordered = persist_once(shuf.join(emitted, "emit_key"))
+
+    pwin = Window.partitionBy("shard").orderBy("pos")
+    cum = F.sum("ntok").over(pwin)
+    bins = (
+        ordered.select(
+            "shard",
+            "ntok",
+            F.floor((cum - F.col("ntok")) / PACK_BUDGET).alias("bin_id"),
+        )
+        .groupBy("shard", "bin_id")
+        .agg(F.sum("ntok").cast("long").alias("bin_tokens"))
+    )
+
+    def stage_row(df, ord_, name, tok_col, ck_col):
+        return (
+            df.groupBy()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(tok_col).cast("long").alias("n_tokens"),
+                F.sum(ck_col).cast("long").alias("checksum"),
+            )
+            .select(
+                F.lit(ord_).cast("int").alias("stage_ord"),
+                F.lit(name).alias("stage"),
+                "n_rows",
+                "n_tokens",
+                "checksum",
+            )
+        )
+
+    doc_ck = F.col("doc_id")
+    rows = stage_row(t, 1, "raw", F.col("ntok"), doc_ck)
+    for df, ord_, name in [
+        (langid, 2, "langid"),
+        (gated, 3, "quality"),
+        (deduped, 4, "dedup"),
+        (clean, 5, "decontam"),
+    ]:
+        rows = rows.unionByName(stage_row(df, ord_, name, F.col("ntok"), doc_ck))
+    rows = rows.unionByName(
+        stage_row(emitted, 6, "mixture", F.col("ntok"), F.col("emit_key"))
+    )
+    rows = rows.unionByName(
+        stage_row(
+            ordered,
+            7,
+            "shuffle",
+            F.col("ntok"),
+            (F.col("emit_key") % _RUN_CK_A) * (F.col("pos") % _RUN_CK_B),
+        )
+    )
+    rows = rows.unionByName(
+        stage_row(
+            bins,
+            8,
+            "pack",
+            F.col("bin_tokens"),
+            (F.col("shard") + 1).cast("long")
+            * (F.col("bin_id") + 1)
+            * (F.col("bin_tokens") % _RUN_CK_PACK),
+        )
+    )
+    export = (
+        emitted.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum("emit_key").cast("long").alias("checksum"),
+        )
+        .select(
+            F.lit(9).cast("int").alias("stage_ord"),
+            F.concat(F.lit("export:"), F.col("domain")).alias("stage"),
+            "n_rows",
+            "n_tokens",
+            "checksum",
+        )
+    )
+    return rows.unionByName(export).orderBy("stage_ord", "stage")
+
+
+@query("pipeline_pretraining_run", _pretraining_run_oracle())
+def pipeline_pretraining_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for :func:`pretraining_run` over the `documents`
+    table — green here means the DuckDB oracle replays the ENTIRE
+    8-stage pipeline (langid → quality → LSH dedup → decontamination →
+    mixture → shuffle → pack → export) and every stage's survivor
+    count, token total, and content/order checksum match exactly.
+    bench.py's dedup curve runs the same callable at 50k and 500k docs
+    and records the wall time + funnel."""
+    return pretraining_run(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
+
+
 @query(
     "events_dau_wau_mau",
     """

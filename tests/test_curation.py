@@ -236,3 +236,228 @@ def test_dataset_card_matches_pure_python(spark):
         )
         qs.append(round(score * 10000.0))
     assert r["mean_quality"] == round(sum(qs) / n_docs / 10000.0, 4)
+
+
+def test_pretraining_run_pure_python_parity(spark):
+    """Full 8-stage pipeline vs an independent pure-Python replay on a
+    synthetic corpus engineered to hit every branch: unknown-language
+    docs (langid gate), low-quality spam (quality gate), near-identical
+    duplicates (LSH dedup), a benchmark hash-slice overlap
+    (decontamination), 4 source domains with unequal token mass
+    (mixture full copies + fractional pass), and enough emitted rows to
+    cut multiple pack bins per shard."""
+    import hashlib
+    import math
+    import random
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.curation import (
+        PACK_BUDGET,
+        _RUN_CK_A,
+        _RUN_CK_B,
+        _RUN_CK_PACK,
+        _RUN_EPOCH_CAP,
+        _RUN_EPOCH_SEED,
+        _RUN_QUALITY_MIN,
+        _RUN_SHARDS,
+        pretraining_run,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        LEXICONS,
+        STOPWORDS,
+    )
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    rng = random.Random(7)
+    lexwords = sorted({w for lex in LEXICONS.values() for w in lex})
+    filler = [f"w{i}" for i in range(60)]
+    # sources chosen by md5 bucket: beta→books, alpha→code, s2→forums —
+    # three balanced domains (epochs < 1: fractional pass), plus ONE tiny
+    # web-bucket doc below so the web domain's epochs hit the repeat cap
+    cyc = ["beta", "alpha", "s2"]
+    rows = []
+    for d in range(40):
+        nw = rng.randint(30, 120)
+        words = [
+            rng.choice(lexwords) if rng.random() < 0.3 else rng.choice(filler)
+            for _ in range(nw)
+        ]
+        rows.append((d, " ".join(words), cyc[d % 3]))
+    # unknown-language docs: no lexicon token anywhere
+    rows.append((40, " ".join(rng.choice(filler) for _ in range(50)), "beta"))
+    rows.append((41, "zz1 zz2 zz3 zz4", "alpha"))
+    # low-quality spam: one token repeated (uniq ratio ~0)
+    rows.append((42, " ".join(["the"] * 80), "s2"))
+    # near-identical duplicates of doc 0 (jaccard ~1 > 0.8)
+    base = rows[0][1]
+    rows.append((43, base + " extraword", "beta"))
+    rows.append((44, base, "alpha"))
+    # the lone web-domain doc ('s1' hashes to bucket 0): ~30 unique tokens
+    # out of ~2.5k total → epochs = min(0.35·total/30, 4) = the CAP
+    rows.append(
+        (45, " ".join(["the", "a"] + [f"wf{i}" for i in range(28)]), "s1")
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    got = [
+        (r["stage_ord"], r["stage"], r["n_rows"], r["n_tokens"], r["checksum"])
+        for r in pretraining_run(docs).collect()
+    ]
+
+    # ---- independent replay ----
+    DOMS = ["web", "books", "code", "forums"]
+    W = {"web": 0.35, "books": 0.25, "code": 0.25, "forums": 0.15}
+
+    def dom(src):
+        return DOMS[int(md5(src)[0], 16) % 4]
+
+    t = [(d, x.strip().split(" "), dom(src)) for d, x, src in rows]
+    stages = []
+
+    def stage(ord_, name, items, tok, ck):
+        stages.append(
+            (
+                ord_,
+                name,
+                len(items),
+                sum(tok(i) for i in items) if items else None,
+                sum(ck(i) for i in items) if items else None,
+            )
+        )
+
+    stage(1, "raw", t, lambda i: len(i[1]), lambda i: i[0])
+    langid = [
+        (d, w, dm)
+        for d, w, dm in t
+        if any(x in lex for lex in LEXICONS.values() for x in w)
+    ]
+    stage(2, "langid", langid, lambda i: len(i[1]), lambda i: i[0])
+
+    def score(w):
+        n = float(len(w))
+        return (
+            0.4 * min(n / 100.0, 1.0)
+            + 0.4 * len(set(w)) / n
+            + 0.2 * (1.0 - sum(1 for x in w if x in STOPWORDS) / n)
+        )
+
+    gated = [(d, w, dm) for d, w, dm in langid if score(w) >= _RUN_QUALITY_MIN]
+    stage(3, "quality", gated, lambda i: len(i[1]), lambda i: i[0])
+
+    def sh3(w):
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    shs = {d: sh3(w) for d, w, _ in gated if len(w) >= 3}
+    parent = {d: d for d, _, _ in gated}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(shs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(shs[a] & shs[b])
+            union = len(shs[a] | shs[b])
+            if union and inter / union >= 0.8:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    best = {}
+    for d, w, dm in gated:
+        c = find(d)
+        cur = best.get(c)
+        key = (-score(w), d)
+        if cur is None or key < cur[0]:
+            best[c] = (key, (d, w, dm))
+    deduped = sorted((v[1] for v in best.values()), key=lambda i: i[0])
+    stage(4, "dedup", deduped, lambda i: len(i[1]), lambda i: i[0])
+
+    def g5(w):
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+
+    bench_grams = set()
+    for d, w, _ in t:
+        if md5(str(d))[0] == "0":
+            bench_grams |= g5(w)
+    clean = [
+        (d, w, dm)
+        for d, w, dm in deduped
+        if md5(str(d))[0] != "0" and not (g5(w) & bench_grams)
+    ]
+    stage(5, "decontam", clean, lambda i: len(i[1]), lambda i: i[0])
+
+    avail = {}
+    for d, w, dm in clean:
+        avail[dm] = avail.get(dm, 0) + len(w)
+    total = float(sum(avail.values()))
+    plan = {}
+    for dm, av in avail.items():
+        epochs = min(W[dm] * total / float(av), _RUN_EPOCH_CAP)
+        plan[dm] = (int(math.floor(epochs)), int(math.floor((epochs - math.floor(epochs)) * 16777216.0)))
+    emitted = []
+    for d, w, dm in clean:
+        n_full, thr = plan[dm]
+        n_copies = n_full + (1 if int(md5(f"mix:{d}")[:6], 16) < thr else 0)
+        for c in range(n_copies):
+            emitted.append((d * 8 + c, dm, len(w)))
+    stage(6, "mixture", emitted, lambda i: i[2], lambda i: i[0])
+
+    shuffled = []
+    for k, dm, ntok in emitted:
+        hk = md5(f"{_RUN_EPOCH_SEED}:{k}")
+        shuffled.append((int(hk[:4], 16) % _RUN_SHARDS, hk, k, dm, ntok))
+    ordered = []
+    for shard in range(_RUN_SHARDS):
+        inshard = sorted(
+            (s for s in shuffled if s[0] == shard), key=lambda s: (s[1], s[2])
+        )
+        for pos, (sd, _hk, k, dm, ntok) in enumerate(inshard, start=1):
+            ordered.append((sd, pos, k, dm, ntok))
+    stage(
+        7,
+        "shuffle",
+        ordered,
+        lambda i: i[4],
+        lambda i: (i[2] % _RUN_CK_A) * (i[1] % _RUN_CK_B),
+    )
+
+    bins = {}
+    for shard in range(_RUN_SHARDS):
+        cum = 0
+        for sd, pos, k, dm, ntok in sorted(
+            (o for o in ordered if o[0] == shard), key=lambda o: o[1]
+        ):
+            cum += ntok
+            b = int(math.floor((cum - ntok) / PACK_BUDGET))
+            bins[(shard, b)] = bins.get((shard, b), 0) + ntok
+    binrows = sorted(bins.items())
+    stage(
+        8,
+        "pack",
+        binrows,
+        lambda i: i[1],
+        lambda i: (i[0][0] + 1) * (i[0][1] + 1) * (i[1] % _RUN_CK_PACK),
+    )
+    perdom = {}
+    for k, dm, ntok in emitted:
+        n, tk, ck = perdom.get(dm, (0, 0, 0))
+        perdom[dm] = (n + 1, tk + ntok, ck + k)
+    for dm in sorted(perdom):
+        n, tk, ck = perdom[dm]
+        stages.append((9, f"export:{dm}", n, tk, ck))
+
+    want = sorted(stages)
+    assert sorted(got) == want, f"\ngot:  {sorted(got)}\nwant: {want}"
+    # the synthetic corpus must actually exercise every gate
+    by = {s[1]: s for s in want}
+    assert by["raw"][2] > by["langid"][2] > by["quality"][2] > by["dedup"][2]
+    assert by["dedup"][2] > by["decontam"][2]
+    assert any(k % 8 == 3 for k, _, _ in emitted), (
+        "the tiny web domain must hit the 4-epoch repeat cap"
+    )
+    assert any(
+        0 < plan[dm][1] < 16777216 for dm in plan
+    ), "a fractional pass must be exercised"
+    assert by["pack"][2] >= _RUN_SHARDS, "several bins per shard expected"

@@ -51,6 +51,7 @@ NON_EQUI_WHITELIST = {
     "pipeline_dataset_card",  # three 1-row summary frames broadcast into the final row
     "sample_negative_table_skipgram",  # 1-row total broadcast over vocab rows
     "dedup_minhash_estimate_audit",  # brute all-pairs baseline (whitelisted like jaccard)
+    "pipeline_pretraining_run",  # 1-row broadcast corpus total over #domains rows (mixture plan)
 }
 
 
