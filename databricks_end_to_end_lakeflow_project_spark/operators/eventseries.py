@@ -1078,3 +1078,94 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_HOLT_A, _HOLT_B = 0.5, 0.3  # level / trend smoothing factors
+
+
+@query(
+    "ts_holt_linear",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY CAST(ts AS DATE)
+             ) AS i,
+             CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    holt AS (
+      SELECT event_type, i, y AS l, CAST(0 AS DOUBLE) AS b
+      FROM daily WHERE i = 1
+      UNION ALL
+      SELECT d.event_type, d.i,
+             {_HOLT_A} * d.y + {1 - _HOLT_A} * (h.l + h.b) AS l,
+             {_HOLT_B} * (({_HOLT_A} * d.y + {1 - _HOLT_A} * (h.l + h.b))
+                          - h.l) + {1 - _HOLT_B} * h.b AS b
+      FROM holt h
+      JOIN daily d ON d.event_type = h.event_type AND d.i = h.i + 1
+    ),
+    fin AS (SELECT event_type, MAX(i) AS n_days FROM daily GROUP BY event_type)
+    SELECT h.event_type, fin.n_days,
+           ROUND(h.l, 4) AS level,
+           ROUND(h.b, 4) AS trend,
+           ROUND(h.l + 3 * h.b, 4) AS forecast_h3
+    FROM holt h JOIN fin ON h.event_type = fin.event_type AND h.i = fin.n_days
+    ORDER BY h.event_type
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level α=0.5, trend β=0.3) of
+    each event type's daily value total, reporting the final level/trend
+    state and the 3-step-ahead linear forecast — the trend-aware sibling
+    of ``ts_ewma_final``, which only tracks a level.
+
+    Implemented as an order-pinned struct fold: daily totals are summed
+    in DECIMAL (order-independent exactness), the per-type series is
+    collected sorted by day, and ``F.aggregate`` left-folds the
+    (level, trend) pair; the seed is the textbook init l₁=y₁, b₁=0. The
+    oracle runs the IDENTICAL operation sequence as a DuckDB recursive
+    CTE (one row per step), so IEEE doubles hash-match. (A ``list_reduce``
+    struct-fold oracle was rejected: DuckDB 1.0 evaluates accumulator
+    struct fields sequentially IN PLACE, so the trend field would read
+    the already-updated level — measured, not hypothesized.)
+
+    Scale: one shuffle on the series key; per-key arrays are bounded by
+    calendar days, not event rows (the daily pre-aggregate map-side
+    combines). Unbounded series go through the streaming engine's
+    stateful recurrence instead (stream_stateful_totals).
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "y"))).alias("s")
+    )
+    pts = F.transform(
+        F.col("s"),
+        lambda e: F.struct(e["y"].alias("l"), F.lit(0.0).alias("b")),
+    )
+
+    def _step(acc, x):
+        l_new = F.lit(_HOLT_A) * x["l"] + F.lit(1 - _HOLT_A) * (acc["l"] + acc["b"])
+        b_new = F.lit(_HOLT_B) * (l_new - acc["l"]) + F.lit(1 - _HOLT_B) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    folded = F.aggregate(
+        F.slice(pts, 2, F.greatest(F.size(pts) - 1, F.lit(0))),
+        F.element_at(pts, 1),
+        _step,
+    )
+    return series.select(
+        "event_type",
+        F.size("s").alias("n_days"),
+        F.round(folded["l"], 4).alias("level"),
+        F.round(folded["b"], 4).alias("trend"),
+        F.round(folded["l"] + 3 * folded["b"], 4).alias("forecast_h3"),
+    ).orderBy("event_type")

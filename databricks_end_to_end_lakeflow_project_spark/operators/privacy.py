@@ -1,0 +1,265 @@
+"""Privacy / re-identification-risk audits for data release.
+
+A training-data pipeline that exports user-derived tables (the reference's
+gold layer publishes customer-grained dims, ``DIM_Gold_layer.py``) needs a
+release gate: how identifiable is a row from its quasi-identifiers, and
+what does a noisy release look like? This module implements the standard
+audits — k-anonymity, l-diversity, generalization planning — plus a
+deterministic differential-privacy noisy-count release.
+
+Oracle notes: the DP mechanism draws its Laplace noise from a
+*hash-derived* uniform (a 31-bit LCG over the group key) so both engines
+compute bit-identical noise — this is a TEST HARNESS determinism device;
+a production release would use a CSPRNG (the mechanism arithmetic is
+otherwise the textbook inverse-CDF Laplace draw). All float outputs are
+rounded before hashing.
+
+Scale notes (100 TB): every audit here is one hash-aggregate over the
+quasi-identifier key — partial-aggregatable, one shuffle, output rows
+bounded by QI-group cardinality (not input rows). l-diversity's distinct
+count is a two-level aggregate (exact distinct per group), which at
+extreme sensitive-value cardinality would switch to an HLL sketch
+(``approx_count_distinct``) with the same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+
+# quasi-identifier projection shared by the k-anonymity family:
+# nation + market segment + coarse account-balance band.
+# (a function, not a module constant: Column construction needs an active
+# SparkContext, which imports must not assume)
+def _qi():
+    return [
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000)).cast("long").alias("qi_bal_band"),
+    ]
+
+_QI_SQL = (
+    "c_nationkey AS qi_nation, c_mktsegment AS qi_segment, "
+    "CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS qi_bal_band"
+)
+
+
+@query(
+    "privacy_k_anonymity",
+    f"""
+    WITH qi AS (
+      SELECT {_QI_SQL} FROM customer
+    ),
+    grp AS (
+      SELECT qi_nation, qi_segment, qi_bal_band, COUNT(*) AS sz
+      FROM qi GROUP BY ALL
+    ),
+    ks AS (SELECT UNNEST([2, 5, 10, 25]) AS k)
+    SELECT k,
+           COUNT(*) FILTER (WHERE sz < k) AS groups_below_k,
+           COALESCE(SUM(sz) FILTER (WHERE sz < k), 0) AS rows_at_risk,
+           ROUND(100.0 * COALESCE(SUM(sz) FILTER (WHERE sz < k), 0)
+                 / SUM(sz), 4) AS pct_at_risk
+    FROM grp CROSS JOIN ks
+    GROUP BY k ORDER BY k
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer quasi-identifier projection
+    (nation, segment, $1000 balance band): for each candidate k, how many
+    QI groups have fewer than k members and how many rows they expose.
+
+    Plan: one hash-aggregate over the QI key (partial-aggregatable), then
+    a 4-row threshold cross join over the *group* table — the second pass
+    touches group-cardinality rows, never input rows, so at 100 TB the
+    audit costs one shuffle of the QI projection.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    grp = cust.select(*_qi()).groupBy("qi_nation", "qi_segment", "qi_bal_band").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    ks = spark.range(1).select(F.explode(F.array(*[F.lit(k) for k in (2, 5, 10, 25)])).alias("k"))
+    below = F.when(F.col("sz") < F.col("k"), 1).otherwise(0)
+    risk = F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(F.lit(0))
+    return (
+        grp.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(below).alias("groups_below_k"),
+            F.sum(risk).alias("rows_at_risk"),
+            F.round(100.0 * F.sum(risk) / F.sum("sz"), 4).alias("pct_at_risk"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "privacy_l_diversity",
+    """
+    WITH grp AS (
+      SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+             COUNT(*) AS group_size,
+             COUNT(DISTINCT LEAST(CAST(FLOOR(c_acctbal / 2500) AS BIGINT), 3))
+               AS l_distinct
+      FROM customer GROUP BY ALL
+    )
+    SELECT qi_nation, qi_segment, group_size, l_distinct
+    FROM grp WHERE l_distinct < 3
+    ORDER BY l_distinct, group_size, qi_nation, qi_segment
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: QI groups (nation, segment) whose sensitive
+    attribute (account-balance quartile band, clamped to 4 buckets) takes
+    fewer than 3 distinct values — a homogeneity attack surface even when
+    k-anonymity passes.
+
+    Plan: exact distinct per group = two-level hash aggregate, one
+    shuffle on the QI key; swap in ``approx_count_distinct`` at extreme
+    sensitive-value cardinality (same shape, sketch mergeable).
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    sensitive = F.least(
+        F.floor(F.col("c_acctbal") / F.lit(2500)).cast("long"), F.lit(3)
+    )
+    return (
+        cust.select(
+            F.col("c_nationkey").alias("qi_nation"),
+            F.col("c_mktsegment").alias("qi_segment"),
+            sensitive.alias("sens"),
+        )
+        .groupBy("qi_nation", "qi_segment")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("sens").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 3)
+        .orderBy("l_distinct", "group_size", "qi_nation", "qi_segment")
+    )
+
+
+@query(
+    "privacy_generalization_ladder",
+    f"""
+    WITH qi AS (SELECT {_QI_SQL} FROM customer),
+    lvl0 AS (
+      SELECT 0 AS level, COUNT(*) AS sz
+      FROM qi GROUP BY qi_nation, qi_segment, qi_bal_band
+    ),
+    lvl1 AS (
+      SELECT 1 AS level, COUNT(*) AS sz
+      FROM qi GROUP BY qi_nation, qi_segment, CAST(FLOOR(qi_bal_band / 5) AS BIGINT)
+    ),
+    lvl2 AS (
+      SELECT 2 AS level, COUNT(*) AS sz
+      FROM qi GROUP BY qi_nation, qi_segment
+    ),
+    lvl3 AS (
+      SELECT 3 AS level, COUNT(*) AS sz FROM qi GROUP BY qi_nation
+    ),
+    allg AS (
+      SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1
+      UNION ALL SELECT * FROM lvl2 UNION ALL SELECT * FROM lvl3
+    )
+    SELECT level, COUNT(*) AS n_groups, MIN(sz) AS min_group_size,
+           COALESCE(SUM(sz) FILTER (WHERE sz < 5), 0) AS rows_at_risk_k5
+    FROM allg GROUP BY level ORDER BY level
+    """,
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization planning: re-run the k-anonymity group profile at
+    four successive coarsenings of the QI (full → $5000 band → drop band →
+    nation only) and report min group size + rows at risk (k=5) per
+    level — the curve an anonymization step uses to pick the cheapest
+    generalization that clears the release bar.
+
+    Plan: four hash-aggregates over one cached QI projection, unioned at
+    group granularity; each level is partial-aggregatable and the union
+    holds group-cardinality rows only.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    qi = cust.select(*_qi())
+    levels = [
+        (0, ["qi_nation", "qi_segment", "qi_bal_band"], None),
+        (1, ["qi_nation", "qi_segment"], F.floor(F.col("qi_bal_band") / 5).cast("long")),
+        (2, ["qi_nation", "qi_segment"], None),
+        (3, ["qi_nation"], None),
+    ]
+    parts = []
+    for lvl, keys, extra in levels:
+        g = qi
+        gb = list(keys)
+        if extra is not None:
+            g = g.withColumn("qi_coarse", extra)
+            gb = gb + ["qi_coarse"]
+        parts.append(
+            g.groupBy(*gb)
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .select(F.lit(lvl).alias("level"), "sz")
+        )
+    allg = parts[0]
+    for p in parts[1:]:
+        allg = allg.unionByName(p)
+    risk = F.when(F.col("sz") < 5, F.col("sz")).otherwise(F.lit(0))
+    return (
+        allg.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("sz").alias("min_group_size"),
+            F.sum(risk).alias("rows_at_risk_k5"),
+        )
+        .orderBy("level")
+    )
+
+
+# 31-bit LCG over the release key — deterministic uniform in (0, 1)
+# exclusive of the endpoints (denominator is one above the modulus).
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2147483647
+
+
+@query(
+    "privacy_dp_noisy_counts",
+    f"""
+    WITH counts AS (
+      SELECT c_nationkey AS nation, COUNT(*) AS true_n
+      FROM customer GROUP BY c_nationkey
+    ),
+    noise AS (
+      SELECT nation, true_n,
+             (((CAST(nation AS BIGINT) * {_LCG_A}) + {_LCG_C}) % {_LCG_M})
+               / {_LCG_M}.0 AS u
+      FROM counts
+    )
+    SELECT nation,
+           ROUND(true_n
+                 - 1.0 * SIGN(u - 0.5) * LN(1 - 2 * ABS(u - 0.5)), 6)
+             AS noisy_count
+    FROM noise ORDER BY nation
+    """,
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private noisy count release per nation: Laplace
+    mechanism with sensitivity 1 and ε=1 (scale b=1), noise drawn by
+    inverse-CDF from a key-derived uniform so the test harness is
+    deterministic (production swaps the LCG for a CSPRNG — the release
+    arithmetic is unchanged). True counts are NOT in the output.
+
+    Plan: one hash-aggregate then per-group scalar arithmetic — the noise
+    step is JVM-side expression work on group-cardinality rows.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    counts = cust.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    u = (
+        (F.col("nation").cast("long") * _LCG_A + _LCG_C) % _LCG_M
+    ) / F.lit(float(_LCG_M))
+    lap = -F.lit(1.0) * F.signum(u - 0.5) * F.log(1 - 2 * F.abs(u - 0.5))
+    return (
+        counts.select(
+            "nation", F.round(F.col("true_n") + lap, 6).alias("noisy_count")
+        ).orderBy("nation")
+    )

@@ -1553,3 +1553,60 @@ def text_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_bpe_top_merges",
+    """
+    WITH wf AS (
+      SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+      WHERE LENGTH(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, cnt
+      FROM (
+        SELECT word, cnt,
+               unnest(generate_series(1, LENGTH(word) - 1)) AS i
+        FROM wf
+      )
+    )
+    SELECT pair, SUM(cnt) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step 1: corpus-wide adjacent-symbol-pair
+    frequencies over the word-frequency table, top-20 merge candidates —
+    the aggregate a byte-pair-encoding trainer runs once per merge round.
+    Symbols here are characters (round 0); the chosen pair would become a
+    new symbol and the count repeats.
+
+    Plan shape is the one that matters at 100 TB: the corpus collapses to
+    a WORD-FREQUENCY table first (one shuffle, output bounded by
+    vocabulary not corpus size), and every subsequent merge round scans
+    only that table — pairs explode per DISTINCT word (len−1 rows, ≤~20
+    each), weighted by the precomputed counts. A full trainer is a driver
+    loop of these aggregates over the (small, persisted) word table;
+    round 0 is registered since later rounds repeat the identical plan
+    with re-segmented symbol arrays.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = wf.select(
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        "word",
+        "cnt",
+    ).select(F.substring("word", F.col("i"), F.lit(2)).alias("pair"), "cnt")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )

@@ -44,6 +44,8 @@ _QUERY_MODULES = [
     "databricks_end_to_end_lakeflow_project_spark.operators.sampling",
     "databricks_end_to_end_lakeflow_project_spark.operators.rollup",
     "databricks_end_to_end_lakeflow_project_spark.operators.curation",
+    "databricks_end_to_end_lakeflow_project_spark.operators.privacy",
+    "databricks_end_to_end_lakeflow_project_spark.operators.entity",
     "databricks_end_to_end_lakeflow_project_spark.operators.graph",
     "databricks_end_to_end_lakeflow_project_spark.operators.eventseries",
     "databricks_end_to_end_lakeflow_project_spark.operators.retrieval",

@@ -1,0 +1,195 @@
+"""Invariants for the round-5 operator additions: privacy audits
+(operators/privacy.py), entity resolution (operators/entity.py), label
+propagation, Holt smoothing, CUPED, and BPE merge counting."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from databricks_end_to_end_lakeflow_project_spark.operators.entity import (
+    er_golden_record,
+    er_match_quality,
+)
+from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+    ts_holt_linear,
+)
+from databricks_end_to_end_lakeflow_project_spark.operators.graph import (
+    graph_label_propagation,
+)
+from databricks_end_to_end_lakeflow_project_spark.operators.privacy import (
+    privacy_dp_noisy_counts,
+    privacy_generalization_ladder,
+    privacy_k_anonymity,
+    privacy_l_diversity,
+)
+from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+    stats_ab_cuped,
+)
+from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+    text_bpe_top_merges,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- privacy
+
+
+def test_k_anonymity_monotone_in_k(spark):
+    rows = {r["k"]: r for r in privacy_k_anonymity(spark, SF).collect()}
+    ks = sorted(rows)
+    for lo, hi in zip(ks, ks[1:]):
+        # larger k can only flag more groups / more rows
+        assert rows[lo]["groups_below_k"] <= rows[hi]["groups_below_k"]
+        assert rows[lo]["rows_at_risk"] <= rows[hi]["rows_at_risk"]
+    for r in rows.values():
+        assert 0.0 <= r["pct_at_risk"] <= 100.0
+
+
+def test_generalization_ladder_monotone(spark):
+    """Each ladder level is a strict coarsening of the previous partition,
+    so min group size is nondecreasing and rows-at-risk nonincreasing."""
+    rows = sorted(
+        privacy_generalization_ladder(spark, SF).collect(),
+        key=lambda r: r["level"],
+    )
+    assert [r["level"] for r in rows] == [0, 1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b["min_group_size"] >= a["min_group_size"]
+        assert b["rows_at_risk_k5"] <= a["rows_at_risk_k5"]
+        assert b["n_groups"] <= a["n_groups"]
+
+
+def test_l_diversity_threshold(spark):
+    for r in privacy_l_diversity(spark, SF).collect():
+        assert r["l_distinct"] < 3
+        assert r["group_size"] >= r["l_distinct"] >= 1
+
+
+def test_dp_noise_bounded_and_nonzero(spark):
+    """Laplace(b=1) noise from a 31-bit uniform is bounded by
+    |ln(1/2^31)| ≈ 21.5; it is exactly zero only at u=0.5 (measure-zero
+    for the LCG on integer keys)."""
+    truth = dict(
+        duckdb.sql(
+            f"SELECT c_nationkey, COUNT(*) FROM '{SF}/customer.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    noised = 0
+    for r in privacy_dp_noisy_counts(spark, SF).collect():
+        true_n = truth[r["nation"]]
+        assert abs(r["noisy_count"] - true_n) <= 22.0
+        if abs(r["noisy_count"] - true_n) > 1e-9:
+            noised += 1
+    assert noised == len(truth)  # every group actually perturbed
+
+
+# ----------------------------------------------------------------- graph
+
+
+def test_label_propagation_deterministic_and_bounded(spark):
+    a = graph_label_propagation(spark, SF).collect()
+    b = graph_label_propagation(spark, SF).collect()
+    assert a == b
+    sizes = [r["n_members"] for r in a]
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(s >= 1 for s in sizes)
+    labels = [r["community"] for r in a]
+    assert len(set(labels)) == len(labels)
+
+
+# ------------------------------------------------------------ timeseries
+
+
+def test_holt_matches_python_reference_fold(spark):
+    daily = duckdb.sql(
+        f"""
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+        FROM '{SF}/events.parquet' GROUP BY ALL ORDER BY event_type, d
+        """
+    ).fetchall()
+    series: dict[str, list[float]] = {}
+    for et, _, y in daily:
+        series.setdefault(et, []).append(y)
+    expect = {}
+    for et, ys in series.items():
+        lvl, tr = ys[0], 0.0
+        for y in ys[1:]:
+            new = 0.5 * y + 0.5 * (lvl + tr)
+            tr = 0.3 * (new - lvl) + 0.7 * tr
+            lvl = new
+        expect[et] = (round(lvl, 4), round(tr, 4))
+    for r in ts_holt_linear(spark, SF).collect():
+        lvl, tr = expect[r["event_type"]]
+        assert r["level"] == lvl and r["trend"] == tr
+        # forecast rounds the UNROUNDED l+3b; compare against the rounded
+        # reference within the induced tolerance
+        assert abs(r["forecast_h3"] - (lvl + 3 * tr)) < 0.001
+
+
+# ----------------------------------------------------------------- stats
+
+
+def test_cuped_reduces_pooled_variance(spark):
+    """θ = cov/var pooled is the OLS minimizer, so the POOLED variance of
+    the adjusted metric cannot exceed the raw one; per-variant ratios are
+    reported by the query and must be positive and finite."""
+    rows = stats_ab_cuped(spark, SF).collect()
+    assert {r["variant"] for r in rows} == {0, 1}
+    for r in rows:
+        assert r["n_users"] > 0
+        assert r["var_ratio"] is not None and r["var_ratio"] > 0.0
+    n_users = sum(r["n_users"] for r in rows)
+    distinct = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert n_users == distinct
+
+
+# ------------------------------------------------------------------ text
+
+
+def test_bpe_top_merge_matches_reference(spark):
+    ref = duckdb.sql(
+        f"""
+        WITH wf AS (
+          SELECT w AS word, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(trim(text), ' ')) AS w
+            FROM '{SF}/documents.parquet') WHERE LENGTH(w) >= 2 GROUP BY w
+        )
+        SELECT substr(word, CAST(i AS INT), 2) AS pair, SUM(cnt) AS c
+        FROM (SELECT word, cnt, unnest(generate_series(1, LENGTH(word)-1)) AS i
+              FROM wf)
+        GROUP BY pair ORDER BY c DESC, pair LIMIT 1
+        """
+    ).fetchone()
+    got = text_bpe_top_merges(spark, SF).collect()
+    assert (got[0]["pair"], got[0]["pair_count"]) == (ref[0], ref[1])
+    assert all(len(r["pair"]) == 2 for r in got)
+    counts = [r["pair_count"] for r in got]
+    assert counts == sorted(counts, reverse=True)
+
+
+# -------------------------------------------------------------------- er
+
+
+def test_er_recall_perfect_precision_high(spark):
+    """The true owner is always at edit distance exactly 1 inside its
+    block, so every dirty record matches (recall 1.0); precision can dip
+    below 1 only on single-digit-difference name ties."""
+    r = er_match_quality(spark, SF).collect()[0]
+    assert r["n_matched"] == r["n_dirty"]
+    assert r["match_recall"] == 1.0
+    assert r["match_precision"] >= 0.8
+    assert r["n_correct"] <= r["n_matched"]
+
+
+def test_er_golden_record_invariants(spark):
+    rows = er_golden_record(spark, SF).collect()
+    assert rows, "expected resolved entities"
+    for r in rows:
+        assert 1 <= r["match_dist"] <= 2
+        assert r["n_sources"] == 2
+        assert r["golden_name"].startswith("Customer#")
