@@ -1276,3 +1276,95 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "monitor_data_contract_check",
+    """
+    WITH n AS (SELECT COUNT(*) AS total FROM orders),
+    v AS (
+      SELECT 'totalprice_positive' AS rule,
+             COUNT(*) FILTER (WHERE o_totalprice <= 0) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'orderdate_in_window',
+             COUNT(*) FILTER (WHERE o_orderdate < DATE '1995-01-01'
+                               OR o_orderdate > DATE '2001-12-31')
+      FROM orders
+      UNION ALL
+      SELECT 'status_enum',
+             COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+      FROM orders
+      UNION ALL
+      SELECT 'priority_format',
+             COUNT(*) FILTER (WHERE NOT regexp_matches(o_orderpriority,
+                                                       '^[1-5]-'))
+      FROM orders
+      UNION ALL
+      SELECT 'custkey_fk_resolves', COUNT(*)
+      FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT rule, n_violations,
+           ROUND(100.0 * n_violations / n.total, 4) AS pct_violating
+    FROM v CROSS JOIN n ORDER BY rule
+    """,
+)
+def monitor_data_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation gate for a published table: five typed
+    rules over `orders` — positivity, date window, status enum, priority
+    format, FK resolution — each reported as a (rule, violations, %) row
+    EVEN WHEN CLEAN, so downstream consumers can distinguish 'checked and
+    passed' from 'not checked'. The batch-table twin of the DLT
+    expectations runtime (`pipeline/expectations.py`), shaped for
+    contract registries rather than pipeline flow control.
+
+    Plan: the four row-local rules share ONE scan (conditional
+    aggregates); the FK rule is a broadcast anti-join against the dim.
+    Output is rule-cardinality rows; nothing scales with the fact.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    viol = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    rowlocal = orders.agg(
+        F.count(F.lit(1)).alias("total"),
+        viol(F.col("o_totalprice") <= 0).alias("totalprice_positive"),
+        viol(
+            (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+            | (F.col("o_orderdate") > F.lit("2001-12-31").cast("date"))
+        ).alias("orderdate_in_window"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("status_enum"),
+        viol(~F.col("o_orderpriority").rlike("^[1-5]-")).alias(
+            "priority_format"
+        ),
+    )
+    fk = orders.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("custkey_fk_resolves"))
+    wide = rowlocal.crossJoin(fk)
+    rules = [
+        "custkey_fk_resolves",
+        "orderdate_in_window",
+        "priority_format",
+        "status_enum",
+        "totalprice_positive",
+    ]
+    stacked = wide.select(
+        "total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("rule"), F.col(r).alias("n_violations"))
+                    for r in rules
+                ]
+            )
+        ).alias("kv"),
+    )
+    return stacked.select(
+        F.col("kv.rule").alias("rule"),
+        F.col("kv.n_violations").alias("n_violations"),
+        F.round(100.0 * F.col("kv.n_violations") / F.col("total"), 4).alias(
+            "pct_violating"
+        ),
+    ).orderBy("rule")

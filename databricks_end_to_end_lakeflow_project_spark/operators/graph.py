@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.session import persist_once
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
 N_ITER = 6
@@ -527,14 +528,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("src", "dst")
     )
-    edges = (
-        knn.unionByName(knn.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
+    edges = persist_once(
+        knn.unionByName(
+            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
-    ).persist()
+    labels = persist_once(
+        edges.select(F.col("src").alias("node")).distinct().withColumn(
+            "lbl", F.col("node")
+        )
+    )
     labels.count()
     for _ in range(_LPA_ITER):
         nbr_min = (
@@ -550,8 +553,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .persist()
         )
+        new_labels = persist_once(new_labels)
         new_labels.count()
         labels.unpersist()
         labels = new_labels

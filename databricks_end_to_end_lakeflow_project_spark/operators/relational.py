@@ -724,3 +724,118 @@ def setop_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
     )
     return ea.unionAll(ia).orderBy("op", "nationkey")
+
+
+_JBLOOM_M = 8192  # filter bits; ~27 bits/key for the BUILDING-segment dim slice
+_JBLOOM_K = 4
+
+
+@query(
+    "join_bloom_semi_reduction",
+    f"""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    ks AS (SELECT unnest(range({_JBLOOM_K})) AS j),
+    dim_pos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(c_custkey || ':' || j), 1, 8))::UBIGINT
+               % {_JBLOOM_M} AS pos
+      FROM dim, ks
+    ),
+    probe AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             ('0x' || substr(md5(o.o_custkey || ':' || j), 1, 8))::UBIGINT
+               % {_JBLOOM_M} AS pos
+      FROM orders o, ks
+    ),
+    passed AS (
+      SELECT o_orderkey, o_custkey,
+             BOOL_AND(pos IN (SELECT pos FROM dim_pos)) AS maybe
+      FROM probe GROUP BY o_orderkey, o_custkey
+    ),
+    truth AS (SELECT DISTINCT c_custkey FROM dim)
+    SELECT COUNT(*) AS n_fact,
+           COUNT(*) FILTER (WHERE maybe) AS n_pass_bloom,
+           COUNT(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM truth))
+             AS n_true_match,
+           COUNT(*) FILTER (WHERE maybe
+             AND o_custkey NOT IN (SELECT c_custkey FROM truth))
+             AS n_false_pos,
+           ROUND(100.0 * COUNT(*) FILTER (WHERE NOT maybe) / COUNT(*), 4)
+             AS pct_fact_skipped
+    FROM passed
+    """,
+)
+def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — the 100 TB trick for a
+    selective dim⋈fact join: summarize the filtered dim's join keys into
+    an M-bit filter, probe every fact row BEFORE the shuffle, and let
+    only possible matches through (no false negatives; false positives
+    are re-checked by the real join). Reports the reduction achieved and
+    the filter's false-positive count against exact truth.
+
+    Spark 3.3+ can inject this itself (runtime row-level filtering);
+    this operator materializes the technique explicitly — the same
+    md5-position arithmetic as `dedup_bloom_delta_probe`, so the oracle
+    replays the filter bit-for-bit, false positives included.
+
+    Plan: dim-side positions are a DISTINCT over |dim|·K rows broadcast
+    to the probe side; the probe is a per-fact-row K-position lookup
+    (broadcast semi join, no fact shuffle); the final audit is one
+    scalar aggregate. At 100 TB only the summary row leaves the
+    executors, and a production run would skip the audit columns and
+    simply continue into the join with the `maybe` survivors.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def pos(key, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key.cast("string"), F.lit(f":{j}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _JBLOOM_M
+        )
+
+    dim_pos = (
+        dim.select(
+            F.explode(
+                F.array(*[pos(F.col("c_custkey"), j) for j in range(_JBLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(
+            F.array(*[pos(F.col("o_custkey"), j) for j in range(_JBLOOM_K)])
+        ).alias("pos"),
+    )
+    passed = (
+        probe.join(F.broadcast(dim_pos.withColumn("hit", F.lit(True))), "pos", "left")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(False))).alias("maybe"))
+    )
+    truth = dim.withColumn("is_true", F.lit(True)).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    audited = passed.join(F.broadcast(truth), "o_custkey", "left").select(
+        "maybe", F.coalesce(F.col("is_true"), F.lit(False)).alias("is_true")
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return audited.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        cnt(F.col("maybe")).alias("n_pass_bloom"),
+        cnt(F.col("is_true")).alias("n_true_match"),
+        cnt(F.col("maybe") & ~F.col("is_true")).alias("n_false_pos"),
+        F.round(100.0 * cnt(~F.col("maybe")) / F.count(F.lit(1)), 4).alias(
+            "pct_fact_skipped"
+        ),
+    )

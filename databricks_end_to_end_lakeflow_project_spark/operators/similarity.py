@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.session import persist_once
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
 DIM = 64
@@ -1906,3 +1907,131 @@ def sim_embedding_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("dim")
     )
+
+
+def _kmeans_oracle() -> str:
+    """Generated DuckDB replay of two exact fixed-point Lloyd rounds.
+
+    Everything that feeds a comparison is INTEGER: values quantize to
+    1e-6 longs before any arithmetic, distances are integer sums of
+    squares, and the round-1 centroid update is ROUND(sum/count) back to
+    the integer grid (sum ≤ 1e9 ≪ 2^53, so the double division is exact
+    IEEE on both engines). Tie-breaks are (distance, cluster) ascending.
+    """
+    dist = """
+    SELECT v.vec_id, c.cluster,
+           SUM((v.x_q - c.c_q) * (v.x_q - c.c_q)) AS d2
+    FROM vals v JOIN {cents} c ON v.dim = c.dim
+    GROUP BY v.vec_id, c.cluster
+    """
+    assign = """
+    SELECT vec_id, cluster, d2 FROM (
+      SELECT vec_id, cluster, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      FROM {dists}
+    ) WHERE rn = 1
+    """
+    return f"""
+    WITH vals AS (
+      SELECT vec_id, u.i AS dim,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS x_q
+      FROM embeddings, LATERAL unnest(range(1, 65)) u(i)
+    ),
+    c0 AS (SELECT vec_id AS cluster, dim, x_q AS c_q FROM vals WHERE vec_id < 4),
+    d0 AS ({dist.format(cents="c0")}),
+    a0 AS ({assign.format(dists="d0")}),
+    c1 AS (
+      SELECT a0.cluster, v.dim,
+             CAST(ROUND(SUM(v.x_q) * 1.0 / COUNT(*)) AS BIGINT) AS c_q
+      FROM a0 JOIN vals v ON v.vec_id = a0.vec_id
+      GROUP BY a0.cluster, v.dim
+    ),
+    d1 AS ({dist.format(cents="c1")}),
+    a1 AS ({assign.format(dists="d1")})
+    SELECT cluster, COUNT(*) AS n_members,
+           CAST(SUM(CAST(d2 AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sse_q,
+           ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38, 0))) AS DOUBLE) / 1e12, 6)
+             AS sse
+    FROM a1 GROUP BY cluster ORDER BY cluster
+    """
+
+
+@query("sim_kmeans_lloyd", _kmeans_oracle())
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact Lloyd iterations of k-means (k=4, squared-L2) over the
+    embedding corpus: seed centroids are the first four table rows,
+    assign → mean-update → re-assign, reporting per-cluster size and
+    within-cluster SSE — the clustering primitive behind IVF index
+    training, data-driven sharding, and diversity-aware sampling.
+
+    Exactness contract (the same fixed-point protocol as
+    ``sim_embedding_standardize_audit``): values quantize to 1e-6 longs
+    BEFORE any arithmetic, so distances are reduction-order-independent
+    integer sums; the centroid update rounds the exact mean back to the
+    integer grid (per-dim sums stay ≪ 2^53 — the division is exact IEEE
+    on both engines). Both engines therefore produce the identical
+    assignment and the identical integer SSE.
+
+    Scale design (100 TB): centroids are always a broadcast (k·dim
+    rows); the assignment distance is a per-dim partial aggregate
+    (map-side combine on (vec_id, cluster)); the update is a partial
+    aggregate on (cluster, dim). One shuffle per Lloyd half-step, state
+    ∝ k·dim — textbook distributed k-means (kmeans|| would replace the
+    first-4-rows seeding at real scale). SSE sums route through
+    DECIMAL(38,0) so corpus-scale totals cannot overflow BIGINT.
+    """
+    em = read_table(spark, sf_dir, "embeddings")
+    vals = em.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("x_q"),
+    )
+    vals = persist_once(vals)
+
+    def dists(cents: DataFrame) -> DataFrame:
+        diff = F.col("x_q") - F.col("c_q")
+        return (
+            vals.join(F.broadcast(cents), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(diff * diff).alias("d2"))
+        )
+
+    def assign(d: DataFrame) -> DataFrame:
+        best = d.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "cluster")).alias("b")
+        )
+        return best.select("vec_id", F.col("b.cluster").alias("cluster"),
+                           F.col("b.d2").alias("d2"))
+
+    c0 = vals.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster"), "dim", F.col("x_q").alias("c_q")
+    )
+    a0 = assign(dists(c0))
+    c1 = (
+        a0.select("vec_id", "cluster")
+        .join(vals, "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(
+            F.round(F.sum("x_q") * 1.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("c_q")
+        )
+    )
+    a1 = assign(dists(c1))
+    out = (
+        a1.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("d2").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sse_q"),
+            F.round(
+                F.sum(F.col("d2").cast("decimal(38,0)")).cast("double") / 1e12, 6
+            ).alias("sse"),
+        )
+        .orderBy("cluster")
+    )
+    return out

@@ -1610,3 +1610,119 @@ def text_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "text_span_corruption_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(text), ' ')) AS tok,
+               unnest(generate_series(1, LENGTH(string_split(trim(text), ' '))))
+                 AS pos
+        FROM documents
+      ) t(doc_id, tok, pos) WHERE doc_id % 10 = 0
+    ),
+    flags AS (
+      SELECT doc_id, tok, pos,
+             ((doc_id * 31 + pos) % 7) = 0 AS m,
+             COALESCE(((doc_id * 31 + pos - 1) % 7) = 0 AND pos > 1, FALSE)
+               AS prev_m
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, tok, pos, m,
+             (m AND NOT prev_m) AS is_start,
+             SUM(CASE WHEN m AND NOT prev_m THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM flags
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(
+             CASE WHEN NOT m THEN tok
+                  WHEN is_start THEN '<extra_id_' || span_id || '>' END,
+             ' ' ORDER BY pos)
+             FILTER (WHERE NOT m OR is_start), '') AS input_text,
+           COALESCE(string_agg(
+             CASE WHEN is_start THEN '<extra_id_' || span_id || '> ' || tok
+                  ELSE tok END, ' ' ORDER BY pos)
+             FILTER (WHERE m), '') AS target_text,
+           COALESCE(SUM(CASE WHEN is_start THEN 1 ELSE 0 END), 0) AS n_spans,
+           COALESCE(SUM(CASE WHEN m THEN 1 ELSE 0 END), 0) AS n_masked
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption training pairs: ~1/7 of each document's
+    token positions are masked by a deterministic key-derived rule,
+    adjacent masked tokens merge into spans (gaps-and-islands), each span
+    is replaced by a sentinel in the INPUT and emitted after its sentinel
+    in the TARGET — the denoising-objective construction, on a 1-in-10
+    doc sample. (Production swaps the position rule for a seeded RNG;
+    the plan is rule-independent.)
+
+    Plan: explode to (doc, pos, token), one window partitioned BY DOC
+    (span ids are per-doc running sums of span starts — state never
+    crosses documents), then one groupBy(doc) with order-pinned
+    string_agg. At 100 TB: a single shuffle on doc_id; every stage after
+    it is partition-local.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    m = (F.col("doc_id") * 31 + F.col("pos")) % 7 == 0
+    prev_m = F.when(
+        F.col("pos") > 1, ((F.col("doc_id") * 31 + F.col("pos") - 1) % 7) == 0
+    ).otherwise(F.lit(False))
+    flagged = toks.select("doc_id", "tok", "pos", m.alias("m"), prev_m.alias("prev_m"))
+    is_start = F.col("m") & ~F.col("prev_m")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = flagged.select(
+        "doc_id",
+        "tok",
+        "pos",
+        "m",
+        is_start.alias("is_start"),
+        F.sum(F.when(is_start, 1).otherwise(0)).over(w).alias("span_id"),
+    )
+    in_piece = F.when(~F.col("m"), F.col("tok")).when(
+        F.col("is_start"),
+        F.concat(
+            F.lit("<extra_id_"), F.col("span_id").cast("string"), F.lit(">")
+        ),
+    )
+    tgt_piece = F.when(
+        F.col("is_start"),
+        F.concat(
+            F.lit("<extra_id_"),
+            F.col("span_id").cast("string"),
+            F.lit("> "),
+            F.col("tok"),
+        ),
+    ).when(F.col("m"), F.col("tok"))
+    ordered = F.array_sort(
+        F.collect_list(F.struct("pos", in_piece.alias("p")))
+    )
+    ordered_t = F.array_sort(
+        F.collect_list(F.struct("pos", tgt_piece.alias("p")))
+    )
+    join_pieces = lambda arr: F.array_join(  # noqa: E731
+        F.filter(F.transform(arr, lambda s: s["p"]), lambda x: x.isNotNull()), " "
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            join_pieces(ordered).alias("input_text"),
+            join_pieces(ordered_t).alias("target_text"),
+            F.sum(F.when(F.col("is_start"), 1).otherwise(0)).alias("n_spans"),
+            F.sum(F.when(F.col("m"), 1).otherwise(0)).alias("n_masked"),
+        )
+        .orderBy("doc_id")
+    )

@@ -193,3 +193,88 @@ def test_er_golden_record_invariants(spark):
         assert 1 <= r["match_dist"] <= 2
         assert r["n_sources"] == 2
         assert r["golden_name"].startswith("Customer#")
+
+
+# ------------------------------------------------- round-5 batch 2
+
+
+def test_kmeans_partition_and_nonneg_sse(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        sim_kmeans_lloyd,
+    )
+
+    rows = sim_kmeans_lloyd(spark, SF).collect()
+    n_vecs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_members"] for r in rows) == n_vecs  # exact partition
+    assert all(0 <= r["cluster"] <= 3 for r in rows)
+    assert all(r["sse_q"] >= 0 for r in rows)
+    assert rows == sim_kmeans_lloyd(spark, SF).collect()  # deterministic
+
+
+def test_span_corruption_roundtrip(spark):
+    """Splicing each target span back over its sentinel must reconstruct
+    the original document exactly — the invariant that makes the pair
+    usable as a denoising objective."""
+    import re
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_span_corruption_pairs,
+    )
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, trim(text) FROM '{SF}/documents.parquet' "
+            f"WHERE doc_id % 10 = 0"
+        ).fetchall()
+    )
+    rows = text_span_corruption_pairs(spark, SF).collect()
+    assert len(rows) == len(docs)
+    for r in rows[:20]:
+        spans: dict[str, list[str]] = {}
+        cur = None
+        for tok in r["target_text"].split(" ") if r["target_text"] else []:
+            if re.fullmatch(r"<extra_id_\d+>", tok):
+                cur = tok
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        out = []
+        for tok in r["input_text"].split(" "):
+            if re.fullmatch(r"<extra_id_\d+>", tok):
+                out.extend(spans[tok])
+            else:
+                out.append(tok)
+        assert " ".join(out) == docs[r["doc_id"]]
+        assert r["n_spans"] == len(spans)
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
+
+
+def test_contract_check_clean_on_tpch(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.curation import (
+        monitor_data_contract_check,
+    )
+
+    rows = {r["rule"]: r for r in monitor_data_contract_check(spark, SF).collect()}
+    assert set(rows) == {
+        "custkey_fk_resolves",
+        "orderdate_in_window",
+        "priority_format",
+        "status_enum",
+        "totalprice_positive",
+    }
+    # synthetic TPC-H is contract-clean; the point is the zero IS reported
+    assert all(r["n_violations"] == 0 for r in rows.values())
+    assert all(r["pct_violating"] == 0.0 for r in rows.values())
+
+
+def test_bloom_join_no_false_negatives(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.relational import (
+        join_bloom_semi_reduction,
+    )
+
+    r = join_bloom_semi_reduction(spark, SF).collect()[0]
+    assert r["n_pass_bloom"] >= r["n_true_match"]  # Bloom never drops a match
+    assert r["n_false_pos"] == r["n_pass_bloom"] - r["n_true_match"]
+    assert 0.0 <= r["pct_fact_skipped"] <= 100.0
