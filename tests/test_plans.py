@@ -52,6 +52,10 @@ NON_EQUI_WHITELIST = {
     "sample_negative_table_skipgram",  # 1-row total broadcast over vocab rows
     "dedup_minhash_estimate_audit",  # brute all-pairs baseline (whitelisted like jaccard)
     "pipeline_pretraining_run",  # 1-row broadcast corpus total over #domains rows (mixture plan)
+    "privacy_k_anonymity",  # 4-row threshold frame broadcast over QI-group rows
+    "stats_ab_cuped",  # 1-row pooled-θ frame broadcast through the adjustment pass
+    "er_match_quality",  # 1-row dirty-count frame broadcast into the eval row
+    "monitor_data_contract_check",  # 1-row × 1-row rule-summary join
 }
 
 
