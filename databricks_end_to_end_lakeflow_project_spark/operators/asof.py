@@ -493,3 +493,64 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["click_value"],
         forward=True,
     )
+
+
+@query(
+    "join_asof_tolerance",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN click_ts >= ts - INTERVAL 1 HOUR THEN click_ts END
+             AS click_ts,
+           CASE WHEN click_ts >= ts - INTERVAL 1 HOUR THEN click_value END
+             AS click_value,
+           COALESCE(click_ts >= ts - INTERVAL 1 HOUR, FALSE) AS within_tolerance
+    FROM matched
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a MATCH TOLERANCE (pandas `merge_asof(tolerance=)`
+    semantics): each purchase takes the user's most recent at-or-before
+    click only if it is within 1 hour — staler matches are nulled, not
+    substituted by older ones. The attribution-window variant of
+    `join_asof_backward`; the tolerance is applied AFTER the as-of
+    resolution, so the plan is the same union + one per-key ordered
+    window plus a row-local predicate (zero extra shuffles).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    matched = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_value"],
+    )
+    ok = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return matched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(ok, F.col("click_ts")).alias("click_ts"),
+        F.when(ok, F.col("click_value")).alias("click_value"),
+        F.coalesce(ok, F.lit(False)).alias("within_tolerance"),
+    )

@@ -1169,3 +1169,140 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(folded["b"], 4).alias("trend"),
         F.round(folded["l"] + 3 * folded["b"], 4).alias("forecast_h3"),
     ).orderBy("event_type")
+
+
+_KM_OBS_END = "2024-01-31"  # dataset observation end (TESTDATA.md window)
+
+
+@query(
+    "events_survival_km",
+    f"""
+    WITH su AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS s_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    cv AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS DATE)) AS c_day
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= su.s_day
+      GROUP BY e.user_id
+    ),
+    per_user AS (
+      SELECT su.user_id,
+             CASE WHEN cv.c_day IS NOT NULL THEN cv.c_day - su.s_day
+                  ELSE DATE '{_KM_OBS_END}' - su.s_day END AS dur,
+             CASE WHEN cv.c_day IS NOT NULL THEN 1 ELSE 0 END AS evt
+      FROM su LEFT JOIN cv ON su.user_id = cv.user_id
+    ),
+    g AS (
+      SELECT dur, SUM(evt) AS d, SUM(1 - evt) AS c
+      FROM per_user GROUP BY dur
+    ),
+    km1 AS (
+      SELECT dur, d,
+             SUM(d + c) OVER () -
+               COALESCE(SUM(d + c) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM g
+    ),
+    km AS (
+      SELECT dur, d, at_risk,
+             SUM(CASE WHEN d = at_risk THEN CAST('-infinity' AS DOUBLE)
+                      ELSE LN(1 - 1.0 * d / at_risk) END)
+               OVER (ORDER BY dur) AS lsum
+      FROM km1
+    )
+    SELECT CAST(dur AS BIGINT) AS t_days,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           ROUND(EXP(lsum), 6) AS survival
+    FROM km WHERE d > 0 ORDER BY t_days
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve for signup→purchase
+    conversion: per-user duration in days (right-censored at the
+    observation end for users who never convert), risk sets and the
+    survival estimate S(t) = Π (1 − dᵢ/nᵢ) at each event time — the
+    estimator behind time-to-convert and churn readouts that naive
+    conversion rates get wrong under censoring.
+
+    Exactness: the product is computed as exp(Σ ln(1 − d/n)) with the
+    terms added in duration order in BOTH engines (Spark folds a sorted
+    array; the oracle uses an ordered running window — a sequential sum
+    either way), so IEEE doubles match. d=0 durations contribute ln(1)=0
+    and drop from the output.
+
+    Scale: one shuffle to user grain, one to duration grain; the KM
+    recursion runs over the DISTINCT-DURATION array (bounded by the
+    observation window in days, not by users) inside a single row — no
+    unpartitioned window, no driver loop. A multi-cohort version
+    partitions the same fold by cohort key.
+    """
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("s_day"))
+    )
+    cv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(day >= F.col("s_day"))
+        .groupBy("user_id")
+        .agg(F.min(day).alias("c_day"))
+    )
+    per_user = su.join(cv, "user_id", "left").select(
+        F.when(
+            F.col("c_day").isNotNull(), F.datediff("c_day", "s_day")
+        )
+        .otherwise(F.datediff(F.lit(_KM_OBS_END).cast("date"), F.col("s_day")))
+        .alias("dur"),
+        F.when(F.col("c_day").isNotNull(), 1).otherwise(0).alias("evt"),
+    )
+    g = per_user.groupBy("dur").agg(
+        F.sum("evt").alias("d"), F.sum(1 - F.col("evt")).alias("c")
+    )
+    arr = F.array_sort(F.collect_list(F.struct("dur", "d", "c")))
+    row_t = (
+        "named_struct('t_days', CAST(x.dur AS BIGINT), "
+        "'n_at_risk', acc.rem, 'n_events', CAST(x.d AS BIGINT), "
+        "'lsum', acc.lsum + IF(x.d = acc.rem, CAST('-Infinity' AS DOUBLE), "
+        "LN(1 - CAST(x.d AS DOUBLE) / CAST(acc.rem AS DOUBLE))))"
+    )
+    folded = F.expr(
+        f"""
+        aggregate(
+          arr,
+          named_struct('rem', total, 'lsum', CAST(0 AS DOUBLE),
+                       'out', CAST(array() AS
+                         array<struct<t_days:bigint, n_at_risk:bigint,
+                                      n_events:bigint, lsum:double>>)),
+          (acc, x) -> named_struct(
+            'rem', acc.rem - x.d - x.c,
+            'lsum', acc.lsum + IF(x.d = acc.rem,
+                                    CAST('-Infinity' AS DOUBLE),
+                                    LN(1 - CAST(x.d AS DOUBLE)
+                                       / CAST(acc.rem AS DOUBLE))),
+            'out', CASE WHEN x.d > 0
+                        THEN concat(acc.out, array({row_t}))
+                        ELSE acc.out END),
+          acc -> acc.out)
+        """
+    )
+    base = g.agg(arr.alias("arr"))
+    base = base.withColumn(
+        "total",
+        F.aggregate(
+            F.col("arr"), F.lit(0).cast("long"), lambda a, x: a + x["d"] + x["c"]
+        ),
+    )
+    rows = base.select(F.explode(folded).alias("r"))
+    return rows.select(
+        F.col("r.t_days").alias("t_days"),
+        F.col("r.n_at_risk").alias("n_at_risk"),
+        F.col("r.n_events").alias("n_events"),
+        F.round(F.exp("r.lsum"), 6).alias("survival"),
+    ).orderBy("t_days")

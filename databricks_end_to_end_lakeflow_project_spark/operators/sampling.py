@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import with_ntile
 from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.session import persist_once
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
 
@@ -815,3 +816,108 @@ def sample_negative_table_skipgram(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("w_q").desc(), "tok")
         .limit(20)
     )
+
+
+_KC_ROUNDS = 7  # selections after the seed -> 8 centers total
+
+
+def _kcenter_oracle(rounds: int = _KC_ROUNDS) -> str:
+    """Unrolled greedy k-center: one (centers, mind, pick) CTE chain per
+    round, all in the integer fixed-point distance space (ties → lowest
+    vec_id), so the selection is engine-exact."""
+    parts = [
+        """
+    vals AS (
+      SELECT vec_id, u.i AS dim,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS x_q
+      FROM embeddings, LATERAL unnest(range(1, 65)) u(i)
+    ),
+    c0 AS (SELECT 0 AS sel_round, CAST(0 AS BIGINT) AS vec_id,
+                  CAST(0 AS BIGINT) AS mind_q)
+    """
+    ]
+    for r in range(1, rounds + 1):
+        centers_in = " UNION ALL ".join(f"SELECT vec_id FROM c{i}" for i in range(r))
+        parts.append(
+            f"""
+    d{r} AS (
+      SELECT dd.vec_id, MIN(dd.d2) AS mind_q
+      FROM (
+        SELECT v.vec_id, c.vec_id AS cid,
+               SUM((v.x_q - c.x_q) * (v.x_q - c.x_q)) AS d2
+        FROM vals v
+        JOIN vals c ON v.dim = c.dim
+        WHERE c.vec_id IN ({centers_in})
+        GROUP BY v.vec_id, c.vec_id
+      ) dd
+      GROUP BY dd.vec_id
+    ),
+    c{r} AS (
+      SELECT {r} AS sel_round, vec_id, mind_q
+      FROM d{r} ORDER BY mind_q DESC, vec_id LIMIT 1
+    )"""
+        )
+    sel = " UNION ALL ".join(f"SELECT * FROM c{i}" for i in range(rounds + 1))
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\n    SELECT sel_round, vec_id, mind_q FROM ({sel}) ORDER BY sel_round"
+    )
+
+
+@query("sample_kcenter_coreset", _kcenter_oracle())
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal) over
+    the embedding corpus: seed with vec 0, then 7 rounds of 'pick the
+    point farthest from the selected set' — the classic 2-approximation
+    diversity sampler used for coreset construction and active-learning
+    batch selection. Reports each selection with its distance at pick
+    time (the monotonically nonincreasing coverage-radius curve).
+
+    Exactness: the same fixed-point protocol as `sim_kmeans_lloyd` —
+    distances are integer sums of squares over 1e-6-quantized values,
+    argmax ties break to the lowest vec_id; both engines select the
+    identical sequence.
+
+    Scale design: each round is ONE distributed pass — per-dim partial
+    aggregate of d² against the (round·dim)-row broadcast center set,
+    then min per vector and a global top-1 (TakeOrdered, no full sort).
+    The driver holds only the k selected ids (a scalar cursor per round,
+    the sanctioned exception to no-collect); k rounds = k passes, the
+    textbook trade of farthest-point traversal. At 100 TB one would
+    subsample candidates per round (streaming k-center) with the same
+    per-round plan.
+    """
+    em = read_table(spark, sf_dir, "embeddings")
+    vals = em.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("x_q"),
+    )
+    vals = persist_once(vals)
+    selected: list[tuple[int, int, int]] = [(0, 0, 0)]  # (round, vec_id, mind)
+    for r in range(1, _KC_ROUNDS + 1):
+        ids = [v for _, v, _ in selected]
+        centers = vals.filter(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("cid"), "dim", F.col("x_q").alias("c_q")
+        )
+        diff = F.col("x_q") - F.col("c_q")
+        mind = (
+            vals.join(F.broadcast(centers), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(diff * diff).alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("mind_q"))
+        )
+        pick = (
+            mind.orderBy(F.desc("mind_q"), "vec_id").limit(1).collect()[0]
+        )
+        selected.append((r, pick["vec_id"], pick["mind_q"]))
+    spark_sel = spark.createDataFrame(
+        [(r, int(v), int(m)) for r, v, m in selected],
+        "sel_round INT, vec_id BIGINT, mind_q BIGINT",
+    )
+    return spark_sel.orderBy("sel_round")

@@ -278,3 +278,60 @@ def test_bloom_join_no_false_negatives(spark):
     assert r["n_pass_bloom"] >= r["n_true_match"]  # Bloom never drops a match
     assert r["n_false_pos"] == r["n_pass_bloom"] - r["n_true_match"]
     assert 0.0 <= r["pct_fact_skipped"] <= 100.0
+
+
+# ------------------------------------------------- round-5 batch 3
+
+
+def test_asof_tolerance_subset_of_backward(spark):
+    """Tolerance nulls matches but never invents them: every tolerated
+    match must equal the unrestricted backward match, and every nulled
+    row must be >1h stale there."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.asof import (
+        join_asof_backward,
+        join_asof_tolerance,
+    )
+
+    base = {r["event_id"]: r for r in join_asof_backward(spark, SF).collect()}
+    tol = join_asof_tolerance(spark, SF).collect()
+    assert len(tol) == len(base)
+    for r in tol:
+        b = base[r["event_id"]]
+        if r["within_tolerance"]:
+            assert r["click_ts"] == b["click_ts"]
+            assert r["click_value"] == b["click_value"]
+            assert (r["ts"] - r["click_ts"]).total_seconds() <= 3600
+        else:
+            assert r["click_ts"] is None and r["click_value"] is None
+            if b["click_ts"] is not None:
+                assert (r["ts"] - b["click_ts"]).total_seconds() > 3600
+
+
+def test_km_survival_monotone_and_risk_consistent(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        events_survival_km,
+    )
+
+    rows = events_survival_km(spark, SF).collect()
+    assert rows, "expected event times"
+    last_s = 1.0
+    for r in rows:
+        assert r["n_events"] >= 1
+        assert r["n_at_risk"] >= r["n_events"]
+        assert r["survival"] <= last_s + 1e-9  # product-limit is nonincreasing
+        last_s = r["survival"]
+    risks = [r["n_at_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_kcenter_radius_curve_nonincreasing(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        sample_kcenter_coreset,
+    )
+
+    rows = sample_kcenter_coreset(spark, SF).collect()
+    assert [r["sel_round"] for r in rows] == list(range(8))
+    assert len({r["vec_id"] for r in rows}) == 8  # all distinct
+    dists = [r["mind_q"] for r in rows[1:]]
+    assert dists == sorted(dists, reverse=True)  # farthest-point property
+    assert all(d > 0 for d in dists)
