@@ -1540,3 +1540,94 @@ def stats_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@query(
+    "stats_mann_whitney_u",
+    """
+    WITH s AS (
+      SELECT event_id, user_id % 2 AS g, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    rn AS (
+      SELECT g, value,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS r
+      FROM s
+    ),
+    mids AS (SELECT value, AVG(r) AS mid, COUNT(*) AS t FROM rn GROUP BY value),
+    joined AS (SELECT rn.g, m.mid, m.t FROM rn JOIN mids m ON rn.value = m.value),
+    agg AS (
+      SELECT COUNT(*) FILTER (WHERE g = 0) AS n1,
+             COUNT(*) FILTER (WHERE g = 1) AS n2,
+             SUM(mid) FILTER (WHERE g = 0) AS r1
+      FROM joined
+    ),
+    ties AS (
+      SELECT SUM(t * t * t - t) AS tcorr FROM mids
+    )
+    SELECT n1, n2,
+           r1 AS rank_sum_1,
+           r1 - n1 * (n1 + 1) / 2.0 AS u1,
+           ROUND(
+             (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / SQRT(n1 * n2 / 12.0
+                    * ((n1 + n2 + 1)
+                       - tcorr / (1.0 * (n1 + n2) * (n1 + n2 - 1)))),
+             4) AS z_score
+    FROM agg CROSS JOIN ties
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test of purchase
+    values between the two deterministic user cohorts — the
+    nonparametric counterpart of the CUPED/t-test readout, robust to the
+    heavy-tailed value distributions real revenue metrics have. Midranks
+    for ties, tie-corrected normal approximation.
+
+    Exactness: global ranks come from the scalerank kernel (no
+    single-partition window), midranks are averages of consecutive
+    integers (exact multiples of 0.5, so their sums are
+    reduction-order-exact in IEEE doubles); the z statistic is scalar
+    arithmetic on those exact sums, rounded 4dp.
+
+    Scale: one rank materialization + two bounded aggregates; the only
+    full-data shuffles are the ones every exact global rank pays
+    (scalerank: boundary histogram + partitioned within-bin windows).
+    """
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        RankSpec,
+        with_global_ranks,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", (F.col("user_id") % 2).alias("g"), "value"
+    )
+    ranked, _n = with_global_ranks(
+        s, [RankSpec(out="r", value="value", tiebreaks=["event_id"])]
+    )
+    mids = ranked.groupBy("value").agg(
+        F.avg("r").alias("mid"), F.count(F.lit(1)).alias("t")
+    )
+    joined = ranked.join(mids, "value")
+    agg = joined.agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("g") == 0, F.col("mid"))).alias("r1"),
+    )
+    ties = mids.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tcorr")
+    )
+    j = agg.crossJoin(F.broadcast(ties))
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    n, n1, n2 = F.col("n1") + F.col("n2"), F.col("n1"), F.col("n2")
+    var = (
+        n1 * n2 / 12.0 * ((n + 1) - F.col("tcorr") / (1.0 * n * (n - 1)))
+    )
+    return j.select(
+        "n1",
+        "n2",
+        F.col("r1").alias("rank_sum_1"),
+        u1.alias("u1"),
+        F.round((u1 - n1 * n2 / 2.0) / F.sqrt(var), 4).alias("z_score"),
+    )

@@ -56,6 +56,7 @@ NON_EQUI_WHITELIST = {
     "stats_ab_cuped",  # 1-row pooled-θ frame broadcast through the adjustment pass
     "er_match_quality",  # 1-row dirty-count frame broadcast into the eval row
     "monitor_data_contract_check",  # 1-row × 1-row rule-summary join
+    "stats_mann_whitney_u",  # 1-row × 1-row scalar combine (agg × tie term)
 }
 
 

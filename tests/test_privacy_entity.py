@@ -335,3 +335,51 @@ def test_kcenter_radius_curve_nonincreasing(spark):
     dists = [r["mind_q"] for r in rows[1:]]
     assert dists == sorted(dists, reverse=True)  # farthest-point property
     assert all(d > 0 for d in dists)
+
+
+def test_bpe_round2_consumes_winner(spark):
+    """Greedy left-to-right merging consumes every adjacency of the
+    winning pair, so its 2-char string cannot reappear as a round-2
+    symbol pair; round-2 candidates include multi-char merges."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        text_bpe_apply_merge_round2,
+        text_bpe_top_merges,
+    )
+
+    winner = text_bpe_top_merges(spark, SF).collect()[0]["pair"]
+    r2 = text_bpe_apply_merge_round2(spark, SF).collect()
+    assert winner not in {r["pair"] for r in r2}
+    assert all(len(r["pair"]) >= 2 for r in r2)
+    counts = [r["pair_count"] for r in r2]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_mann_whitney_matches_python_reference(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        stats_mann_whitney_u,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT event_id, user_id % 2, value FROM '{SF}/events.parquet' "
+        f"WHERE event_type = 'purchase'"
+    ).fetchall()
+    ordered = sorted(rows, key=lambda r: (r[2], r[0]))
+    # midranks
+    from collections import defaultdict
+
+    pos = defaultdict(list)
+    for i, r in enumerate(ordered, start=1):
+        pos[r[2]].append(i)
+    mid = {v: sum(ps) / len(ps) for v, ps in pos.items()}
+    n1 = sum(1 for r in rows if r[1] == 0)
+    n2 = len(rows) - n1
+    r1 = sum(mid[r[2]] for r in rows if r[1] == 0)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    n = n1 + n2
+    tcorr = sum(len(ps) ** 3 - len(ps) for ps in pos.values())
+    var = n1 * n2 / 12.0 * ((n + 1) - tcorr / (1.0 * n * (n - 1)))
+    z = round((u1 - n1 * n2 / 2.0) / var**0.5, 4)
+    got = stats_mann_whitney_u(spark, SF).collect()[0]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert abs(got["u1"] - u1) < 1e-6
+    assert got["z_score"] == z
