@@ -2035,3 +2035,136 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cluster")
     )
     return out
+
+
+_PCA_ITER = 2
+
+
+def _pca_oracle(n_iter: int = _PCA_ITER) -> str:
+    """Generated DuckDB replay of the fixed-point power iteration.
+
+    Per round: integer dot products against the quantized direction,
+    DECIMAL-exact per-dim accumulations (HUGEINT on the DuckDB side),
+    then ONE order-pinned 64-term double fold for the norm and a
+    round-to-grid renormalization — every value that feeds a comparison
+    or a rounding is identical in both engines.
+    """
+    prev = "v0"
+    steps = []
+    for r in range(1, n_iter + 1):
+        steps.append(f"""
+    dots{r} AS (
+      SELECT v.vec_id, SUM(v.x_q * w.v_q) AS dot_q
+      FROM vals v JOIN {prev} w ON v.dim = w.dim
+      GROUP BY v.vec_id
+    ),
+    nsum{r} AS (
+      SELECT v.dim,
+             CAST(SUM(CAST(v.x_q AS HUGEINT) * d.dot_q) AS DOUBLE) AS nd
+      FROM vals v JOIN dots{r} d ON v.vec_id = d.vec_id
+      GROUP BY v.dim
+    ),
+    norm{r} AS (
+      SELECT SQRT(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list(nd ORDER BY dim), x -> x * x)),
+               (a, b) -> a + b)) AS nrm
+      FROM nsum{r}
+    ),
+    v{r} AS (
+      SELECT dim,
+             CAST(ROUND(nd / nrm * 1000000) AS BIGINT) AS v_q
+      FROM nsum{r} CROSS JOIN norm{r}
+    )""")
+        prev = f"v{r}"
+    return f"""
+    WITH vals AS (
+      SELECT vec_id, u.i AS dim,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS x_q
+      FROM embeddings, LATERAL unnest(range(1, 65)) u(i)
+    ),
+    v0 AS (
+      SELECT i AS dim, CASE WHEN i = 1 THEN 1000000 ELSE 0 END AS v_q
+      FROM unnest(range(1, 65)) t(i)
+    ),{",".join(steps)}
+    SELECT dim, v_q, ROUND(v_q / 1000000.0, 6) AS loading
+    FROM v{n_iter} ORDER BY dim
+    """
+
+
+@query("sim_pca_power_iteration", _pca_oracle())
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the (uncentered) embedding Gram
+    matrix by two power-iteration rounds — the iterative-linear-algebra
+    primitive behind PCA whitening, spectral top-component drift checks,
+    and Matryoshka-style dimension ranking. Returns the 64 quantized
+    direction components.
+
+    Exactness contract: the direction lives on a 1e-6 integer grid; each
+    round computes integer dot products against it, DECIMAL(38,0)-exact
+    per-dimension accumulations of x·(x·v) (values ≲1e24 — far inside
+    both engines' 38-digit range), ONE order-pinned 64-term fold for the
+    norm (the only floating-point reduction, sequential in dim order in
+    both engines), and rounds the renormalized direction back to the
+    grid. Sign and ties are pinned by the deterministic e₁ init.
+
+    Scale design: per round the heavy work is two partial-aggregatable
+    shuffles — dot products grouped on vec_id against a BROADCAST 64-row
+    direction, then per-dim accumulation grouped on dim (64 groups). The
+    64-row norm fold happens in one row. At 100 TB this is exactly
+    distributed matrix-free power iteration: O(nnz) per round, direction
+    state = dim, no driver linear algebra.
+    """
+    em = read_table(spark, sf_dir, "embeddings")
+    vals = em.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("x_q"),
+    )
+    vals = persist_once(vals)
+    v = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("dim"),
+        F.when(F.col("id") == 1, F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("v_q"),
+    )
+    for _ in range(_PCA_ITER):
+        dots = (
+            vals.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x_q") * F.col("v_q")).alias("dot_q"))
+        )
+        nsum = (
+            vals.join(dots, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(F.col("x_q").cast("decimal(38,0)") * F.col("dot_q"))
+                .cast("double")
+                .alias("nd")
+            )
+        )
+        norm = nsum.agg(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "nd"))),
+                        lambda s: s["nd"] * s["nd"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            ).alias("nrm")
+        )
+        v = nsum.crossJoin(F.broadcast(norm)).select(
+            "dim",
+            F.round(F.col("nd") / F.col("nrm") * 1000000)
+            .cast("long")
+            .alias("v_q"),
+        )
+    return v.select(
+        "dim", "v_q", F.round(F.col("v_q") / 1000000.0, 6).alias("loading")
+    ).orderBy("dim")

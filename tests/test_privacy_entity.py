@@ -383,3 +383,35 @@ def test_mann_whitney_matches_python_reference(spark):
     assert (got["n1"], got["n2"]) == (n1, n2)
     assert abs(got["u1"] - u1) < 1e-6
     assert got["z_score"] == z
+
+
+def test_pca_power_iteration_matches_python_replica(spark):
+    """Exact replica of the fixed-point power iteration (Python ints are
+    arbitrary precision, so the DECIMAL accumulations are exact; the norm
+    fold runs in the same dim order) must reproduce every quantized
+    component."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        sim_pca_power_iteration,
+    )
+
+    vecs = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    xq = [[int(round(float(x) * 1000000)) for x in emb] for _, emb in vecs]
+    dim = len(xq[0])
+    v = [1000000] + [0] * (dim - 1)
+    for _ in range(2):
+        dots = [sum(row[d] * v[d] for d in range(dim)) for row in xq]
+        nsum = [
+            float(sum(row[d] * dot for row, dot in zip(xq, dots)))
+            for d in range(dim)
+        ]
+        acc = 0.0
+        for nd in nsum:  # dim-ordered sequential fold, like both engines
+            acc = acc + nd * nd
+        nrm = acc**0.5
+        v = [int(round(nd / nrm * 1000000)) for nd in nsum]
+    got = sim_pca_power_iteration(spark, SF).collect()
+    assert [r["v_q"] for r in got] == v
+    norm2 = sum((c / 1e6) ** 2 for c in v)
+    assert abs(norm2 - 1.0) < 1e-3  # unit direction up to grid quantization
