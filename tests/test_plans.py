@@ -57,6 +57,8 @@ NON_EQUI_WHITELIST = {
     "er_match_quality",  # 1-row dirty-count frame broadcast into the eval row
     "monitor_data_contract_check",  # 1-row × 1-row rule-summary join
     "stats_mann_whitney_u",  # 1-row × 1-row scalar combine (agg × tie term)
+    "sim_pca_power_iteration",  # 1-row norm frame broadcast into the renormalize
+    "text_bpe_apply_merge_round2",  # 1-row winning-pair frame broadcast into the fold
 }
 
 

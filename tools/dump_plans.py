@@ -25,6 +25,28 @@ from databricks_end_to_end_lakeflow_project_spark.session import get_spark  # no
 # (query, what the plan must show)
 SHOWCASE = [
     (
+        "sim_kmeans_lloyd",
+        "Exact fixed-point k-means: centroids arrive as BroadcastHashJoins "
+        "(k*dim rows), assignment distances are partial-aggregatable "
+        "integer sums grouped on (vec_id, cluster), the update groups on "
+        "(cluster, dim) - one shuffle per Lloyd half-step, no sort-merge "
+        "join, no driver linear algebra.",
+    ),
+    (
+        "sim_pca_power_iteration",
+        "Matrix-free power iteration: each round is two hash aggregates "
+        "(dots on vec_id, accumulations on dim) against a broadcast 64-row "
+        "direction; the norm fold is a single-row array aggregate - the "
+        "plan never materializes a matrix or a single-partition stage.",
+    ),
+    (
+        "join_bloom_semi_reduction",
+        "Bloom semi-join reduction: the dim-side position set comes back "
+        "as a BroadcastHashJoin probed per fact row BEFORE any fact "
+        "shuffle; the only exchange after the scan is the final scalar "
+        "aggregate.",
+    ),
+    (
         "text_bigram_nll",
         "Interpolated bigram LM scoring: the token stream is shuffled once "
         "for the window lag; all three LM lookups (bigram counts, context "
