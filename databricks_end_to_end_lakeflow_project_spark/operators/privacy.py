@@ -263,3 +263,54 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation", F.round(F.col("true_n") + lap, 6).alias("noisy_count")
         ).orderBy("nation")
     )
+
+
+@query(
+    "privacy_randomized_response",
+    f"""
+    WITH resp AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS truth,
+             ((((CAST(c_custkey AS BIGINT) * {_LCG_A}) + {_LCG_C})
+               % {_LCG_M}) / {_LCG_M}.0) < 0.75 AS keep
+      FROM customer
+    ),
+    reported AS (
+      SELECT CASE WHEN keep THEN truth ELSE 1 - truth END AS bit
+      FROM resp
+    )
+    SELECT COUNT(*) AS n_respondents,
+           SUM(bit) AS n_reported_yes,
+           ROUND(AVG(1.0 * bit), 6) AS raw_share,
+           ROUND((AVG(1.0 * bit) - 0.25) / 0.5, 6) AS debiased_share
+    FROM reported
+    """,
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response (Warner's local-DP mechanism, keep-probability
+    p=0.75 → ε=ln 3): each respondent reports their sensitive bit
+    ('is my balance negative') truthfully with probability p and flipped
+    otherwise; the aggregate debiases via (observed − (1−p))/(2p−1). No
+    row-level truth ever leaves the respondent — the collector sees only
+    the flipped bits. The key-derived uniform keeps the harness
+    deterministic (production: client-side CSPRNG, same estimator).
+
+    Plan: row-local flip + one scalar aggregate — the entire mechanism
+    is a projection, so it composes with any downstream aggregate at
+    100 TB for free.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    truth = F.when(F.col("c_acctbal") < 0, 1).otherwise(0)
+    u = (
+        (F.col("c_custkey").cast("long") * _LCG_A + _LCG_C) % _LCG_M
+    ) / F.lit(float(_LCG_M))
+    keep = u < 0.75
+    bit = F.when(keep, truth).otherwise(1 - truth)
+    return cust.select(bit.alias("bit")).agg(
+        F.count(F.lit(1)).alias("n_respondents"),
+        F.sum("bit").alias("n_reported_yes"),
+        F.round(F.avg(1.0 * F.col("bit")), 6).alias("raw_share"),
+        F.round((F.avg(1.0 * F.col("bit")) - 0.25) / 0.5, 6).alias(
+            "debiased_share"
+        ),
+    )

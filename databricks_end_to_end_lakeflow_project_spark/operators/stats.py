@@ -1631,3 +1631,97 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         u1.alias("u1"),
         F.round((u1 - n1 * n2 / 2.0) / F.sqrt(var), 4).alias("z_score"),
     )
+
+
+@query(
+    "stats_did_estimator",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             user_id % 2 AS treated,
+             CAST(COALESCE(SUM(CAST(value AS DECIMAL(18, 6)))
+               FILTER (WHERE ts <  TIMESTAMP '2024-01-16'), 0) AS DOUBLE)
+               AS y_pre,
+             CAST(COALESCE(SUM(CAST(value AS DECIMAL(18, 6)))
+               FILTER (WHERE ts >= TIMESTAMP '2024-01-16'), 0) AS DOUBLE)
+               AS y_post
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT treated,
+             COUNT(*) AS n_users,
+             ROUND(AVG(y_pre), 4) AS mean_pre,
+             ROUND(AVG(y_post), 4) AS mean_post,
+             AVG(y_post - y_pre) AS delta,
+             VAR_SAMP(y_post - y_pre) / COUNT(*) AS var_delta
+      FROM per_user GROUP BY treated
+    )
+    SELECT t.n_users AS n_treated, c.n_users AS n_control,
+           t.mean_pre AS treated_pre, t.mean_post AS treated_post,
+           c.mean_pre AS control_pre, c.mean_post AS control_post,
+           ROUND(t.delta - c.delta, 4) AS did_estimate,
+           ROUND((t.delta - c.delta)
+                 / SQRT(t.var_delta + c.var_delta), 4) AS did_z
+    FROM (SELECT * FROM cells WHERE treated = 1) t
+    CROSS JOIN (SELECT * FROM cells WHERE treated = 0) c
+    """,
+)
+def stats_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over the same pre/post user
+    panel as `stats_ab_cuped`: the treated-vs-control difference of
+    per-user (post − pre) changes, with the large-sample z from the
+    independent two-sample variance of the deltas — the causal-readout
+    shape for staggered feature launches where simple post means are
+    confounded by level differences.
+
+    Plan: one shuffle to user grain (exact-DECIMAL conditional sums),
+    one 2-group aggregate, and a 1-row × 1-row combine. Nothing after
+    the user-grain shuffle scales with events.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < cut, dec)), F.lit(0))
+        .cast("double")
+        .alias("y_pre"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cut, dec)), F.lit(0))
+        .cast("double")
+        .alias("y_post"),
+    ).withColumn("treated", F.col("user_id") % 2)
+    d = F.col("y_post") - F.col("y_pre")
+    cells = per_user.groupBy("treated").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("y_pre"), 4).alias("mean_pre"),
+        F.round(F.avg("y_post"), 4).alias("mean_post"),
+        F.avg(d).alias("delta"),
+        (F.var_samp(d) / F.count(F.lit(1))).alias("var_delta"),
+    )
+    t = cells.filter(F.col("treated") == 1).select(
+        F.col("n_users").alias("n_treated"),
+        F.col("mean_pre").alias("treated_pre"),
+        F.col("mean_post").alias("treated_post"),
+        F.col("delta").alias("t_delta"),
+        F.col("var_delta").alias("t_var"),
+    )
+    c = cells.filter(F.col("treated") == 0).select(
+        F.col("n_users").alias("n_control"),
+        F.col("mean_pre").alias("control_pre"),
+        F.col("mean_post").alias("control_post"),
+        F.col("delta").alias("c_delta"),
+        F.col("var_delta").alias("c_var"),
+    )
+    return t.crossJoin(F.broadcast(c)).select(
+        "n_treated",
+        "n_control",
+        "treated_pre",
+        "treated_post",
+        "control_pre",
+        "control_post",
+        F.round(F.col("t_delta") - F.col("c_delta"), 4).alias("did_estimate"),
+        F.round(
+            (F.col("t_delta") - F.col("c_delta"))
+            / F.sqrt(F.col("t_var") + F.col("c_var")),
+            4,
+        ).alias("did_z"),
+    )

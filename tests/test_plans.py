@@ -59,6 +59,7 @@ NON_EQUI_WHITELIST = {
     "stats_mann_whitney_u",  # 1-row × 1-row scalar combine (agg × tie term)
     "sim_pca_power_iteration",  # 1-row norm frame broadcast into the renormalize
     "text_bpe_apply_merge_round2",  # 1-row winning-pair frame broadcast into the fold
+    "stats_did_estimator",  # 1-row × 1-row treated/control cell combine
 }
 
 

@@ -415,3 +415,40 @@ def test_pca_power_iteration_matches_python_replica(spark):
     assert [r["v_q"] for r in got] == v
     norm2 = sum((c / 1e6) ** 2 for c in v)
     assert abs(norm2 - 1.0) < 1e-3  # unit direction up to grid quantization
+
+
+def test_did_identity_and_z_consistency(spark):
+    """The DiD estimate must equal (treated post−pre) − (control
+    post−pre) computed from the reported cell means (within the 4dp
+    rounding the cells carry)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        stats_did_estimator,
+    )
+
+    r = stats_did_estimator(spark, SF).collect()[0]
+    approx = (r["treated_post"] - r["treated_pre"]) - (
+        r["control_post"] - r["control_pre"]
+    )
+    assert abs(r["did_estimate"] - approx) < 2e-4  # cell means are 4dp-rounded
+    assert r["n_treated"] + r["n_control"] > 0
+    assert r["did_z"] is not None
+
+
+def test_randomized_response_debias(spark):
+    """The debiased share must invert the p=0.75 mechanism exactly:
+    raw = truth*p + (1-truth)*(1-p) per respondent, so
+    (raw-0.25)/0.5 recovers the truth share up to the realized flips."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.privacy import (
+        privacy_randomized_response,
+    )
+
+    r = privacy_randomized_response(spark, SF).collect()[0]
+    assert r["n_respondents"] > 0
+    assert 0 <= r["n_reported_yes"] <= r["n_respondents"]
+    assert abs((r["raw_share"] - 0.25) / 0.5 - r["debiased_share"]) < 1e-5
+    # the mechanism must actually flip someone: reported yes count differs
+    # from the exact truth count
+    truth_yes = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/customer.parquet' WHERE c_acctbal < 0"
+    ).fetchone()[0]
+    assert r["n_reported_yes"] != truth_yes
