@@ -1306,3 +1306,112 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.n_events").alias("n_events"),
         F.round(F.exp("r.lsum"), 6).alias("survival"),
     ).orderBy("t_days")
+
+
+@query(
+    "ts_changepoint_single_split",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    idx AS (
+      SELECT event_type, d, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(y) OVER (PARTITION BY event_type ORDER BY d) AS cs,
+             SUM(y * y) OVER (PARTITION BY event_type ORDER BY d) AS cs2,
+             SUM(y) OVER (PARTITION BY event_type) AS tot,
+             SUM(y * y) OVER (PARTITION BY event_type) AS tot2
+      FROM daily
+    ),
+    costs AS (
+      SELECT event_type, d AS split_day, i, n,
+             (cs2 - cs * cs / i)
+             + ((tot2 - cs2) - (tot - cs) * (tot - cs) / (n - i)) AS sse_split,
+             tot2 - tot * tot / n AS sse_all
+      FROM idx WHERE i < n
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT event_type, split_day, sse_split, sse_all,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY sse_split, split_day) AS rn
+        FROM costs
+      ) WHERE rn = 1
+    )
+    SELECT event_type, split_day,
+           ROUND(sse_all, 4) AS sse_unsplit,
+           ROUND(sse_split, 4) AS sse_best_split,
+           ROUND(1 - sse_split / sse_all, 6) AS variance_explained
+    FROM best ORDER BY event_type
+    """,
+)
+def ts_changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per event type (binary-segmentation
+    step 1, the building block PELT/BinSeg iterate): the split day
+    minimizing left-SSE + right-SSE of the daily value series, with the
+    variance explained by the split — the offline counterpart of the
+    CUSUM drift monitor.
+
+    Exactness: daily sums and squared sums accumulate in DECIMAL (exact,
+    order-free) and convert to doubles once; prefix sums run in a window
+    PARTITIONED BY the series key ordered by day (both engines sequential
+    in the same order), so every cost is IEEE-identical; argmin ties
+    break to the earliest day.
+
+    Scale: one shuffle to (type, day) grain, one partitioned window pass,
+    one per-type top-1 — candidate splits live at day granularity
+    (bounded by the calendar), never at event granularity. Full BinSeg
+    recurses this plan on the winning halves.
+    """
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(dec).cast("double").alias("y")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wa = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "d",
+        "y",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+        F.sum("y").over(wo).alias("cs"),
+        F.sum(F.col("y") * F.col("y")).over(wo).alias("cs2"),
+        F.sum("y").over(wa).alias("tot"),
+        F.sum(F.col("y") * F.col("y")).over(wa).alias("tot2"),
+    )
+    costs = idx.filter(F.col("i") < F.col("n")).select(
+        "event_type",
+        F.col("d").alias("split_day"),
+        (
+            (F.col("cs2") - F.col("cs") * F.col("cs") / F.col("i"))
+            + (
+                (F.col("tot2") - F.col("cs2"))
+                - (F.col("tot") - F.col("cs"))
+                * (F.col("tot") - F.col("cs"))
+                / (F.col("n") - F.col("i"))
+            )
+        ).alias("sse_split"),
+        (F.col("tot2") - F.col("tot") * F.col("tot") / F.col("n")).alias(
+            "sse_all"
+        ),
+    )
+    wr = Window.partitionBy("event_type").orderBy("sse_split", "split_day")
+    return (
+        costs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "split_day",
+            F.round("sse_all", 4).alias("sse_unsplit"),
+            F.round("sse_split", 4).alias("sse_best_split"),
+            F.round(1 - F.col("sse_split") / F.col("sse_all"), 6).alias(
+                "variance_explained"
+            ),
+        )
+        .orderBy("event_type")
+    )

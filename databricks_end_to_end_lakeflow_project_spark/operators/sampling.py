@@ -921,3 +921,50 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sel_round INT, vec_id BIGINT, mind_q BIGINT",
     )
     return spark_sel.orderBy("sel_round")
+
+
+@query(
+    "sample_stratified_kfold",
+    """
+    WITH assigned AS (
+      SELECT c_mktsegment AS segment,
+             CAST(c_custkey % 5 AS BIGINT) AS fold
+      FROM customer
+    )
+    SELECT segment, fold, COUNT(*) AS n_rows,
+           ROUND(COUNT(*) * 5.0 / SUM(COUNT(*)) OVER (PARTITION BY segment), 4)
+             AS balance_ratio
+    FROM assigned GROUP BY segment, fold
+    ORDER BY segment, fold
+    """,
+)
+def sample_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with a per-stratum
+    balance audit: every customer hashes to a fold (stable across runs and
+    engines — DuckDB's hash() differs from Spark's, so BOTH sides use the
+    engine-neutral arithmetic below), and the output reports each
+    (segment, fold) cell's size and its ratio to the ideal n/5 — the
+    balance check an eval harness runs before trusting CV variance.
+
+    Plan: row-local fold assignment + one grouped aggregate + a window
+    over the |segments|·5-row result. Nothing scales past the group-by.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    assigned = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_custkey") % 5).cast("long").alias("fold"),
+    )
+    w = Window.partitionBy("segment")
+    return (
+        assigned.groupBy("segment", "fold")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "segment",
+            "fold",
+            "n_rows",
+            F.round(
+                F.col("n_rows") * 5.0 / F.sum("n_rows").over(w), 4
+            ).alias("balance_ratio"),
+        )
+        .orderBy("segment", "fold")
+    )

@@ -452,3 +452,31 @@ def test_randomized_response_debias(spark):
         f"SELECT COUNT(*) FROM '{SF}/customer.parquet' WHERE c_acctbal < 0"
     ).fetchone()[0]
     assert r["n_reported_yes"] != truth_yes
+
+
+def test_changepoint_split_reduces_sse(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.eventseries import (
+        ts_changepoint_single_split,
+    )
+
+    rows = ts_changepoint_single_split(spark, SF).collect()
+    assert len(rows) == 5  # one per event type
+    for r in rows:
+        assert r["sse_best_split"] <= r["sse_unsplit"] + 1e-6
+        assert 0.0 <= r["variance_explained"] <= 1.0
+
+
+def test_kfold_partition_complete_and_balanced(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        sample_stratified_kfold,
+    )
+
+    rows = sample_stratified_kfold(spark, SF).collect()
+    total = sum(r["n_rows"] for r in rows)
+    n_cust = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/customer.parquet'"
+    ).fetchone()[0]
+    assert total == n_cust  # every row assigned exactly once
+    assert {r["fold"] for r in rows} <= {0, 1, 2, 3, 4}
+    for r in rows:
+        assert 0.0 < r["balance_ratio"] < 5.0
