@@ -566,3 +566,94 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+    ), cn AS (
+      SELECT e1.src AS part_a, e2.src AS part_b, COUNT(*) AS common_n
+      FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst AND e1.src <> e2.src
+      WHERE e1.src <= {_LINKPRED_ANCHORS}
+      GROUP BY e1.src, e2.src
+    ), scored AS (
+      SELECT c.part_a, c.part_b,
+             CAST(ROUND(1000000000.0 * c.common_n
+                        / (da.d + db.d - c.common_n)) AS BIGINT) AS jaccard_q
+      FROM cn c
+      JOIN deg da ON da.node = c.part_a
+      JOIN deg db ON db.node = c.part_b
+    ), unlinked AS (
+      SELECT s.part_a, s.part_b, s.jaccard_q
+      FROM scored s LEFT JOIN edges l ON l.src = s.part_a AND l.dst = s.part_b
+      WHERE l.src IS NULL
+    )
+    SELECT part_a, part_b, jaccard_q FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY part_a ORDER BY jaccard_q DESC, part_b) AS rn
+      FROM unlinked
+    ) WHERE rn <= {_LINKPRED_PER_ANCHOR}
+    ORDER BY part_a, jaccard_q DESC, part_b
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by Jaccard neighborhood similarity — the
+    degree-normalized member of the trio (common-neighbors counts raw
+    overlap, Adamic-Adar up-weights rare partners, Jaccard penalizes
+    promiscuous hubs): J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| on a 1e-9
+    fixed-point grid, same bounded anchor-serving shape and
+    already-linked anti-join as `graph_common_neighbors_topk`.
+
+    Exactness: CN and degrees are integers; 1e9·CN ≤ 2e11 ≪ 2^53, so
+    the score division and ROUND are identical IEEE in both engines.
+    Scale: identical to the CN plan — wedges expand only from the anchor
+    batch's adjacency, degrees arrive via two broadcast-size joins.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e1 = edges.filter(F.col("src") <= _LINKPRED_ANCHORS).select(
+        F.col("src").alias("part_a"), F.col("dst").alias("nbr")
+    )
+    e2 = edges.select(F.col("src").alias("part_b"), F.col("dst").alias("nbr"))
+    cn = (
+        e1.join(e2, "nbr")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("common_n"))
+    )
+    scored = (
+        cn.join(deg.select(F.col("node").alias("part_a"), F.col("d").alias("da")), "part_a")
+        .join(deg.select(F.col("node").alias("part_b"), F.col("d").alias("db")), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.round(
+                1000000000.0
+                * F.col("common_n")
+                / (F.col("da") + F.col("db") - F.col("common_n"))
+            )
+            .cast("long")
+            .alias("jaccard_q"),
+        )
+    )
+    unlinked = scored.join(
+        edges,
+        (scored["part_a"] == edges["src"]) & (scored["part_b"] == edges["dst"]),
+        "left_anti",
+    )
+    w = Window.partitionBy("part_a").orderBy(F.col("jaccard_q").desc(), "part_b")
+    return (
+        unlinked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _LINKPRED_PER_ANCHOR)
+        .drop("rn")
+        .orderBy("part_a", F.col("jaccard_q").desc(), "part_b")
+    )

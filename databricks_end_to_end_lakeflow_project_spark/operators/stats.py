@@ -1725,3 +1725,98 @@ def stats_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did_z"),
     )
+
+
+# two-sided alpha=0.05 and power=0.80 normal quantiles, fixed literals so
+# both engines compute the identical constant
+_Z_ALPHA, _Z_BETA = 1.959964, 0.841621
+
+
+@query(
+    "stats_power_analysis",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(ROUND(CAST(COALESCE(SUM(CAST(value AS DECIMAL(18, 6)))
+               FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE)
+               * 1000000) AS BIGINT) AS v_q
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(v_q) AS s1,
+             SUM(CAST(v_q AS HUGEINT) * v_q) AS s2
+      FROM per_user
+    ),
+    base AS (
+      SELECT n,
+             (CAST(s1 AS DOUBLE) / n) / 1000000.0 AS mu,
+             ((CAST(s2 AS DOUBLE) / n)
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+               / 1000000000000.0 AS var_pop
+      FROM mom
+    ),
+    lifts AS (SELECT UNNEST([1, 2, 5, 10]) AS lift_pct)
+    SELECT lift_pct,
+           ROUND(mu * lift_pct / 100.0, 4) AS mde_abs,
+           CAST(CEIL(2 * var_pop * {(_Z_ALPHA + _Z_BETA) ** 2!r}
+                     / ((mu * lift_pct / 100.0)
+                        * (mu * lift_pct / 100.0))) AS BIGINT)
+             AS n_per_arm
+    FROM base CROSS JOIN lifts ORDER BY lift_pct
+    """,
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing from pilot data: required users PER ARM to
+    detect a 1/2/5/10% relative lift of mean per-user purchase value at
+    α=0.05 (two-sided) and 80% power — ``n = 2σ²(z_{{α/2}}+z_β)²/Δ²``,
+    the planning readout that belongs next to the CUPED/DiD estimators.
+
+    Exactness: pilot moments use the fixed-point protocol (per-user
+    DECIMAL totals quantized to 1e-6 longs, exact integer power sums via
+    DECIMAL/HUGEINT), so μ and σ² are identical doubles in both engines
+    and the CEIL cannot flip on reduction-order noise.
+
+    Scale: one shuffle to user grain, one scalar moment row, a 4-row
+    literal cross join.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", dec)), F.lit(0)
+            ).cast("double")
+            * 1000000
+        )
+        .cast("long")
+        .alias("v_q")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_q").alias("s1"),
+        F.sum(F.col("v_q").cast("decimal(38,0)") * F.col("v_q")).alias("s2"),
+    )
+    mu = (F.col("s1").cast("double") / F.col("n")) / 1000000.0
+    var_pop = (
+        F.col("s2").cast("double") / F.col("n")
+        - (F.col("s1").cast("double") / F.col("n"))
+        * (F.col("s1").cast("double") / F.col("n"))
+    ) / 1.0e12
+    lifts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (1, 2, 5, 10)])).alias("lift_pct")
+    )
+    mde = mu * F.col("lift_pct") / 100.0
+    return (
+        mom.crossJoin(F.broadcast(lifts))
+        .select(
+            "lift_pct",
+            F.round(mde, 4).alias("mde_abs"),
+            F.ceil(
+                2 * var_pop * float((_Z_ALPHA + _Z_BETA) ** 2) / (mde * mde)
+            )
+            .cast("long")
+            .alias("n_per_arm"),
+        )
+        .orderBy("lift_pct")
+    )

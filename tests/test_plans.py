@@ -60,6 +60,7 @@ NON_EQUI_WHITELIST = {
     "sim_pca_power_iteration",  # 1-row norm frame broadcast into the renormalize
     "text_bpe_apply_merge_round2",  # 1-row winning-pair frame broadcast into the fold
     "stats_did_estimator",  # 1-row × 1-row treated/control cell combine
+    "stats_power_analysis",  # 1-row moment frame × 4-row lift-literal frame
 }
 
 

@@ -480,3 +480,34 @@ def test_kfold_partition_complete_and_balanced(spark):
     assert {r["fold"] for r in rows} <= {0, 1, 2, 3, 4}
     for r in rows:
         assert 0.0 < r["balance_ratio"] < 5.0
+
+
+def test_jaccard_linkpred_bounds_and_shape(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.graph import (
+        graph_jaccard_link_prediction,
+    )
+
+    rows = graph_jaccard_link_prediction(spark, SF).collect()
+    assert rows
+    per_anchor: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r["jaccard_q"] <= 1_000_000_000  # J in [0,1] on the grid
+        per_anchor[r["part_a"]] = per_anchor.get(r["part_a"], 0) + 1
+    assert all(v <= 2 for v in per_anchor.values())  # top-k per anchor
+
+
+def test_power_analysis_monotone_in_lift(spark):
+    """Bigger detectable lifts need fewer users; n scales ~1/lift²."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        stats_power_analysis,
+    )
+
+    rows = sorted(
+        stats_power_analysis(spark, SF).collect(), key=lambda r: r["lift_pct"]
+    )
+    assert [r["lift_pct"] for r in rows] == [1, 2, 5, 10]
+    ns = [r["n_per_arm"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(n >= 1 for n in ns)
+    # quadratic scaling within ceil rounding: n(1%) ≈ 4 n(2%)
+    assert abs(ns[0] / ns[1] - 4.0) < 0.1
