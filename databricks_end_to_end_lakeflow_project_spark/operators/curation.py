@@ -1318,6 +1318,14 @@ def monitor_data_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectations runtime (`pipeline/expectations.py`), shaped for
     contract registries rather than pipeline flow control.
 
+    CORPUS COUPLING: the orderdate window 1995-01-01..2001-12-31 matches
+    THIS repo's synthetic testdata generator (see TESTDATA.md), not
+    canonical TPC-H (1992–1998) — on canonical data the rule would flag
+    most rows. A regenerated corpus with a different date range must
+    update the window here and in the oracle SQL together, or the
+    'clean corpus reports zeros' test breaks by design (the gate is
+    doing its job on out-of-contract data).
+
     Plan: the four row-local rules share ONE scan (conditional
     aggregates); the FK rule is a broadcast anti-join against the dim.
     Output is rule-cardinality rows; nothing scales with the fact.

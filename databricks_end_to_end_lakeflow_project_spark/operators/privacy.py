@@ -102,7 +102,8 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH grp AS (
       SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
              COUNT(*) AS group_size,
-             COUNT(DISTINCT LEAST(CAST(FLOOR(c_acctbal / 2500) AS BIGINT), 3))
+             COUNT(DISTINCT LEAST(GREATEST(
+               CAST(FLOOR(c_acctbal / 2500) AS BIGINT), 0), 3))
                AS l_distinct
       FROM customer GROUP BY ALL
     )
@@ -113,8 +114,9 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit: QI groups (nation, segment) whose sensitive
-    attribute (account-balance quartile band, clamped to 4 buckets) takes
-    fewer than 3 distinct values — a homogeneity attack surface even when
+    attribute (account-balance band, clamped on BOTH ends to the 4
+    buckets {0,1,2,3} — negative balances land in bucket 0) takes fewer
+    than 3 distinct values — a homogeneity attack surface even when
     k-anonymity passes.
 
     Plan: exact distinct per group = two-level hash aggregate, one
@@ -123,7 +125,10 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = read_table(spark, sf_dir, "customer")
     sensitive = F.least(
-        F.floor(F.col("c_acctbal") / F.lit(2500)).cast("long"), F.lit(3)
+        F.greatest(
+            F.floor(F.col("c_acctbal") / F.lit(2500)).cast("long"), F.lit(0)
+        ),
+        F.lit(3),
     )
     return (
         cust.select(
@@ -215,8 +220,10 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-# 31-bit LCG over the release key — deterministic uniform in (0, 1)
-# exclusive of the endpoints (denominator is one above the modulus).
+# 31-bit LCG over the release key — deterministic uniform. The raw
+# residue is clamped into [1, M-1] (1 + hash % (M-1)) so u lies strictly
+# inside (0, 1): an unclamped residue of 0 (keys ≡ -C·A⁻¹ mod M) would
+# feed LN(0) = -inf into the Laplace inverse-CDF.
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2147483647
 
 
@@ -229,7 +236,8 @@ _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2147483647
     ),
     noise AS (
       SELECT nation, true_n,
-             (((CAST(nation AS BIGINT) * {_LCG_A}) + {_LCG_C}) % {_LCG_M})
+             (1 + ((CAST(nation AS BIGINT) * {_LCG_A}) + {_LCG_C})
+                  % ({_LCG_M} - 1))
                / {_LCG_M}.0 AS u
       FROM counts
     )
@@ -241,11 +249,17 @@ _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2147483647
     """,
 )
 def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-differentially-private noisy count release per nation: Laplace
-    mechanism with sensitivity 1 and ε=1 (scale b=1), noise drawn by
-    inverse-CDF from a key-derived uniform so the test harness is
-    deterministic (production swaps the LCG for a CSPRNG — the release
-    arithmetic is unchanged). True counts are NOT in the output.
+    """Laplace-mechanism noisy count release per nation (sensitivity 1,
+    ε=1 → scale b=1), noise drawn by inverse-CDF from a key-derived
+    uniform (clamped into (0,1), see `_LCG_M` note) so the test harness
+    is deterministic.
+
+    WARNING — the deterministic variant provides NO differential-privacy
+    guarantee: the noise is a public function of the group key, so any
+    consumer can recompute and subtract it, recovering the exact counts.
+    It exists to pin the RELEASE ARITHMETIC (inverse-CDF, clamping,
+    rounding) against the oracle; a production release must draw the
+    uniform from a CSPRNG, which changes only the `u` expression.
 
     Plan: one hash-aggregate then per-group scalar arithmetic — the noise
     step is JVM-side expression work on group-cardinality rows.
@@ -255,7 +269,7 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("true_n")
     )
     u = (
-        (F.col("nation").cast("long") * _LCG_A + _LCG_C) % _LCG_M
+        1 + (F.col("nation").cast("long") * _LCG_A + _LCG_C) % (_LCG_M - 1)
     ) / F.lit(float(_LCG_M))
     lap = -F.lit(1.0) * F.signum(u - 0.5) * F.log(1 - 2 * F.abs(u - 0.5))
     return (

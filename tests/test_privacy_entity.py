@@ -195,6 +195,78 @@ def test_er_golden_record_invariants(spark):
         assert r["golden_name"].startswith("Customer#")
 
 
+def test_er_capped_split_parity(spark):
+    """The size-aware hot-block split is pure replication: forcing the
+    cap to 1 (every multi-row block splits) must leave the candidate
+    pair set bit-identical to the effectively-uncapped run."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.entity import (
+        _capped_candidates,
+        _dirty_feed,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_table,
+    )
+
+    cust = read_table(spark, SF, "customer")
+    dirty = _dirty_feed(cust)
+
+    def pairs(cap):
+        return {
+            (r["true_key"], r["c_custkey"], r["dist"])
+            for r in _capped_candidates(dirty, cust, max_block=cap)
+            .select("true_key", "c_custkey", "dist")
+            .collect()
+        }
+
+    uncapped = pairs(10**9)
+    assert uncapped, "expected candidate pairs"
+    assert pairs(1) == uncapped
+
+
+def test_er_variant_blocks_bounded(spark):
+    """Wildcard-variant blocks are bounded by the digit alphabet: no
+    clean variant block can exceed 10 rows REGARDLESS of table size —
+    the property that makes ER candidates O(N) at any scale. Checked on
+    the largest local table (sf0.01, 1500 customers)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.entity import (
+        _variants,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_table,
+    )
+
+    cust = read_table(spark, "/root/testdata/sf0.01", "customer")
+    sizes = (
+        cust.select(
+            F.col("c_nationkey").alias("bk_nation"),
+            F.explode(_variants("c_name")).alias("v"),
+        )
+        .groupBy("bk_nation", "v.wpos", "v.vkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert sizes <= 10
+
+
+def test_er_candidates_linear_in_dirty_rows(spark):
+    """Candidate volume per dirty row is bounded by the block bound
+    (≤ 10 per matching variant band), so total candidates are O(N)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.entity import (
+        _capped_candidates,
+        _dirty_feed,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_table,
+    )
+
+    cust = read_table(spark, "/root/testdata/sf0.01", "customer")
+    dirty = _dirty_feed(cust)
+    n_dirty = dirty.count()
+    n_cand = _capped_candidates(dirty, cust).count()
+    assert n_cand <= 10 * n_dirty
+
+
 # ------------------------------------------------- round-5 batch 2
 
 

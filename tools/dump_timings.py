@@ -1,17 +1,27 @@
 """Registry-complete per-query timing artifact (TIMINGS_sf001_r{N}.json).
 
-One cold run per registered query at the correctness-gate scale; the
-completeness assert guarantees the artifact can never silently drift from
+One measured run per registered query at the correctness-gate scale; the
+completeness check guarantees the artifact can never silently drift from
 the registry again (round-4 defect: 249/265 coverage because late
 additions landed after the artifact was cut — run this LAST each round).
 
-Usage: python tools/dump_timings.py --out TIMINGS_sf001_r5.json
+Warmup (round-5 judge finding): the first few queries of a fresh session
+used to absorb JVM/codegen/file-listing warmup — e.g.
+`agg_approx_count_distinct` read 7.3 s cold vs 1.95 s warm — inviting
+false regression alarms. The loop now runs a throwaway warmup pass
+(flagship + one Arrow-UDF query, exercising both the JVM and the Python
+worker pool) before any measurement, and records the warmup split so
+the session cost is attributed to the session, not to whichever query
+runs first.
+
+Usage: python tools/dump_timings.py --out TIMINGS_sf001_r6.json
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 import time
 from pathlib import Path
@@ -19,6 +29,10 @@ from pathlib import Path
 _REPO = str(Path(__file__).resolve().parent.parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+
+# warm the JVM, codegen, parquet footer cache, and the Python/Arrow
+# worker pool before the measured loop (see module docstring)
+_WARMUP = ["flagship_star_revenue", "udf_map_in_pandas"]
 
 
 def main() -> int:
@@ -33,6 +47,12 @@ def main() -> int:
     spark = get_spark("timings")
     qs = e.queries()
 
+    t0 = time.monotonic()
+    for name in _WARMUP:
+        if name in qs:
+            qs[name](spark, args.sf_dir).collect()
+    warmup_sec = round(time.monotonic() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
         t0 = time.monotonic()
@@ -43,16 +63,25 @@ def main() -> int:
             timings[name] = -1.0
             print(f"FAIL {name}: {ex}", file=sys.stderr)
 
-    # the round-4 lesson, mechanized: artifact keys == registry keys
-    assert set(timings) == set(qs), (
-        f"timings drifted from registry: missing={set(qs) - set(timings)} "
-        f"extra={set(timings) - set(qs)}"
-    )
+    # the round-4 lesson, mechanized: artifact keys == registry keys.
+    # RuntimeError, not assert — asserts vanish under `python -O`.
+    if set(timings) != set(qs):
+        raise RuntimeError(
+            f"timings drifted from registry: missing={set(qs) - set(timings)} "
+            f"extra={set(timings) - set(qs)}"
+        )
+
+    # derive the scale label from the actual directory, never a literal
+    m = re.search(r"sf([0-9.]+)", Path(args.sf_dir).name)
+    sf = float(m.group(1)) if m else -1.0
 
     out = {
-        "mode": "one cold run per query, local[32]",
+        "mode": "warmup pass, then one measured run per query, local[32]",
+        "warmup_queries": _WARMUP,
+        "warmup_sec": warmup_sec,
         "n_queries": len(timings),
-        "sf": 0.01,
+        "sf": sf,
+        "sf_dir": args.sf_dir,
         "timings": timings,
     }
     Path(args.out).write_text(json.dumps(out, indent=0) + "\n")
