@@ -130,11 +130,15 @@ def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
         # (near-dup structure repeats per copy → edges grow ~linearly with
         # k) while cross-replica cosine concentrates near 0 even for
         # mass-concentrated vectors, so the curve measures corpus growth,
-        # not synthetic duplicate mass
+        # not synthetic duplicate mass. The permutation/sign tables ride
+        # a broadcast cross join as ARRAY COLUMNS — one codegen branch
+        # for any k (a k-way union is k branches: the r4 LSH-cliff
+        # lesson) — and the result is hash-repartitioned so a ×100
+        # replica of a one-file base table doesn't land on one core.
         import hashlib
         import random as _rnd
 
-        parts = []
+        reps = []
         for i in range(k):
             perm = list(range(64))
             if i:
@@ -145,23 +149,26 @@ def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
                 else -1.0
                 for d in range(64)
             ]
-            e = F.col("embedding")
-            rotated = F.array(
-                *[
-                    F.element_at(e, perm[d] + 1) * F.lit(signs[d])
-                    for d in range(64)
-                ]
+            reps.append((i, [p + 1 for p in perm], signs))
+        rdf = spark.createDataFrame(
+            reps, "rep int, perm array<int>, signs array<double>"
+        )
+        e = F.col("embedding")
+        rotated = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: F.element_at(e, F.element_at("perm", d + F.lit(1)))
+            * F.element_at("signs", d + F.lit(1)),
+        )
+        return (
+            em.crossJoin(F.broadcast(rdf))
+            .select(
+                (F.col("vec_id") + F.col("rep").cast("long") * 10_000_000).alias(
+                    "vec_id"
+                ),
+                rotated.alias("embedding"),
             )
-            parts.append(
-                em.select(
-                    (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
-                    rotated.alias("embedding"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            .repartition(64, "vec_id")
+        )
 
     docs01 = read_table(spark, sf01_dir, "documents")
     docs1 = read_table(spark, sf1_dir, "documents")
@@ -191,6 +198,10 @@ def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
         ("sf0.01", em01, em01.count()),
         ("sf0.1", em1, em1.count()),
         ("sf0.1 x10", replicate_embeddings(em1, 10), em1.count() * 10),
+        # the ×100 decade (200k vectors, k≈223 ∝ √n): assignment runs as
+        # an Arrow gemm (the expression path leaves codegen at this k),
+        # gemm_work must track the chunked decomposition, not cells²
+        ("sf0.1 x100", replicate_embeddings(em1, 100), em1.count() * 100),
     ]:
         # the k ∝ √n operating point the O(n^1.5) claim rests on (the
         # registry query pins k=8 for its fixed oracle corpus; the curve
@@ -441,6 +452,98 @@ def shuffle_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
             }
         )
     spark.catalog.clearCache()
+    return curve
+
+
+def skew_join_curve(spark) -> list:
+    """Hot-key stress for `salted_join` (operators/partitioning.py) —
+    the shuffle_curve measures balance on a benign key; this point
+    proves the salt bounds the max task on a Zipf(α≈1) key where the
+    unsalted exchange straggles. Synthetic fact: key = K^u (the
+    analytic Zipf-1 inverse CDF over K=1000 keys), so the hottest key
+    carries ≈ 1/ln K ≈ 14% of ALL rows — one shuffle partition does
+    ~4.6× the mean task's work unsalted. Reported per point:
+
+    - ``max_part_unsalted`` / ``max_part_salted``: exact row count of
+      the largest shuffle partition under hash(key) vs hash(key, salt)
+      at the session's partition count — the deterministic signal (wall
+      time on this host is ±2× noisy);
+    - ``task_bound_ratio``: unsalted/salted max-partition ratio — the
+      straggler bound salting buys;
+    - wall secs for both join plans with auto-broadcast disabled (the
+      regime salting exists for: a dim too big to broadcast). AQE's own
+      skew-join splitting stays ON — the measurement shows what the
+      salt adds on top of Spark's runtime mitigation.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from databricks_end_to_end_lakeflow_project_spark.operators.partitioning import (
+        salted_join,
+    )
+
+    K = 1000
+    n_salts = 128
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    curve = []
+    for label, n in [("x10", 1_000_000), ("x100", 10_000_000)]:
+        u = (1 + F.pmod(F.xxhash64("id"), F.lit(999_999))) / 1_000_000.0
+        fact = spark.range(n).select(
+            F.pow(F.lit(float(K)), u).cast("long").alias("k"),
+            (F.col("id") % 97).cast("long").alias("v"),
+        )
+        dim = spark.range(K + 1).select(
+            F.col("id").alias("k"), (F.col("id") * 7 % 13).alias("w")
+        )
+
+        def max_part(salted):
+            cols = [F.col("k")]
+            if salted:
+                # same salt expression as salted_join: content hash of
+                # the big side's row, modulo the salt count
+                cols.append(
+                    F.pmod(F.xxhash64(F.col("k"), F.col("v")), F.lit(n_salts))
+                )
+            sizes = fact.groupBy(
+                F.pmod(F.xxhash64(*cols), F.lit(parts)).alias("p")
+            ).agg(F.count(F.lit(1)).alias("c"))
+            r = sizes.agg(
+                F.max("c").alias("mx"), F.avg("c").alias("mean")
+            ).collect()[0]
+            return int(r["mx"]), float(r["mean"])
+
+        mx_plain, mean_plain = max_part(False)
+        mx_salt, _ = max_part(True)
+
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            t0 = _t.perf_counter()
+            fact.join(dim, "k").agg(F.sum(F.col("v") * F.col("w"))).collect()
+            sec_plain = round(_t.perf_counter() - t0, 2)
+            t0 = _t.perf_counter()
+            salted_join(fact, dim, ["k"], num_salts=n_salts).agg(
+                F.sum(F.col("v") * F.col("w"))
+            ).collect()
+            sec_salted = round(_t.perf_counter() - t0, 2)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+        curve.append(
+            {
+                "point": label,
+                "n_rows": n,
+                "hot_key_share": 1.0 / 6.9,  # 1/ln(K), analytic
+                "max_part_unsalted": mx_plain,
+                "max_part_salted": mx_salt,
+                "mean_part": round(mean_plain, 1),
+                "balance_unsalted": round(mx_plain / mean_plain, 2),
+                "balance_salted": round(mx_salt / mean_plain, 2),
+                "task_bound_ratio": round(mx_plain / mx_salt, 2),
+                "sec_unsalted": sec_plain,
+                "sec_salted": sec_salted,
+            }
+        )
     return curve
 
 
@@ -848,6 +951,7 @@ def main() -> None:
             out["dedup_curve"] = dedup_scale_curve(spark, sf01, sf1)
             out["rank_curve"] = rank_scale_curve(spark, sf01, sf1)
             out["shuffle_curve"] = shuffle_scale_curve(spark, sf01, sf1)
+            out["skew_join_curve"] = skew_join_curve(spark)
             out["er_curve"] = er_scale_curve(spark)
             out["graph_curve"] = graph_scale_curve(spark)
             out["stream_curve"] = stream_scale_curve(spark, sf01, sf1)

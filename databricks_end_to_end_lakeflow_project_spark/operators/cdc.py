@@ -219,7 +219,21 @@ class ManagedParquetTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Current state, or a retained snapshot by version number
-        (Delta time-travel analogue; see :meth:`history`)."""
+        (Delta time-travel analogue; see :meth:`history`).
+
+        If a DEAD writer's intent journal is present (crash mid-commit),
+        the read first completes that commit under the lock — so a
+        reader observes old-or-new at every kill point, never the torn
+        mid-swap window. A LIVE writer's journal is left alone (the
+        documented lock-less-reader caveat applies while it runs)."""
+        it = self._read_intent()
+        if it is not None:
+            from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+                _alive,
+            )
+
+            if not _alive(int(it.get("pid", 0) or 0)):
+                self.recover()
         if version is None:
             return self._read_dir(self.path)
         vpath = os.path.join(self._versions_dir(), str(version))
@@ -267,6 +281,21 @@ class ManagedParquetTable:
         """Directory-lock mutex around the O(1) commit section; verifies
         the expected version INSIDE the lock, bumps it on success.
 
+        WRITE-AHEAD INTENT (crash atomicity): every destructive commit
+        body first journals its remaining steps to ``{path}.__intent``
+        (atomic ``os.replace``) and only then starts renaming. The
+        intent write is the COMMIT POINT — Delta's log-entry analogue:
+        a writer that dies before it leaves only stage litter (swept by
+        pid liveness); a writer that dies after it leaves a journal the
+        NEXT lock holder (writer, or a reader that observes a dead
+        writer's intent) rolls FORWARD idempotently via the same
+        ``_redo_*`` step functions the live path runs, then bumps the
+        version exactly once and clears the journal. Readers therefore
+        see old-or-new state at every kill point — including the
+        previously torn mid-swap window where the table dir was absent
+        between the two renames. See `tests/test_crash_recovery.py` for
+        the kill-point matrix.
+
         STALE-LOCK RECOVERY: the owner writes its pid into
         ``{lock}/pid`` right after acquiring; a writer SIGKILLed between
         mkdir and rmdir would otherwise brick the table (every later
@@ -285,6 +314,25 @@ class ManagedParquetTable:
         entering the critical section; a pid-carrying live owner found
         inside the grave (stale decision made against a prior incarnation
         of the path) gets its lock renamed back untouched."""
+        from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+            _alive,
+        )
+
+        with self._locked(timeout):
+            self._recover_locked()
+            if expect_version is not None and self.version() != expect_version:
+                raise ConcurrentWriteError(
+                    f"{self.path}: version moved {expect_version} -> "
+                    f"{self.version()}; re-read and retry"
+                )
+            yield
+            self._bump_version()
+            self._clear_intent()
+
+    @contextlib.contextmanager
+    def _locked(self, timeout: float = 30.0):
+        """Bare directory-lock mutex (acquire → pid stamp → release);
+        the stale-lock breaking documented on `_commit` lives here."""
         from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
             _alive,
         )
@@ -329,18 +377,106 @@ class ManagedParquetTable:
         try:
             with open(pid_file, "w") as fh:
                 fh.write(str(os.getpid()))
-            if expect_version is not None and self.version() != expect_version:
-                raise ConcurrentWriteError(
-                    f"{self.path}: version moved {expect_version} -> "
-                    f"{self.version()}; re-read and retry"
-                )
             yield
-            self._bump_version()
         finally:
             with contextlib.suppress(OSError):
                 os.remove(pid_file)
             with contextlib.suppress(OSError):
                 os.rmdir(lock)
+
+    # -- write-ahead intent journal (crash atomicity) ------------------------
+
+    def _intent_path(self) -> str:
+        return f"{self.path}.__intent"
+
+    def _write_intent(self, intent: dict) -> None:
+        """Journal the remaining commit steps — MUST be called inside the
+        lock, before the first destructive rename. Atomic publish via
+        ``os.replace``, so a crashed half-write is impossible."""
+        import json
+
+        intent = {**intent, "pid": os.getpid(), "bump_from": self.version()}
+        tmp = f"{self._intent_path()}.tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(intent))
+        os.replace(tmp, self._intent_path())
+
+    def _read_intent(self) -> dict | None:
+        import json
+
+        try:
+            with open(self._intent_path()) as fh:
+                return json.loads(fh.read())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _clear_intent(self) -> None:
+        with contextlib.suppress(OSError):
+            os.remove(self._intent_path())
+
+    def recover(self, timeout: float = 30.0) -> None:
+        """Complete a crashed writer's journaled commit (roll forward)
+        and sweep dead writers' stage litter. Runs under the commit
+        lock; a no-op on a healthy table."""
+        with self._locked(timeout):
+            self._recover_locked()
+
+    def _recover_locked(self) -> None:
+        """Recovery, lock already held. An intent present while WE hold
+        the lock can only come from a crashed writer (the live path
+        clears it before releasing), so it is rolled forward
+        unconditionally: the `_redo_*` functions are idempotent against
+        every intermediate on-disk state, recovery that itself crashes
+        simply re-enters. The version is bumped exactly once
+        (``bump_from`` guards double-bump when the writer died between
+        its bump and its journal clear)."""
+        it = self._read_intent()
+        if it is not None:
+            op = it.get("op")
+            if op == "swap":
+                self._redo_swap(it["tmp"], it.get("nxt"), it.get("old"))
+            elif op == "append":
+                self._redo_append(it["tmp"], it["tag"])
+            elif op == "pruned":
+                self._redo_pruned(
+                    it["tmp"], it["old_rels"], it["new_rels"], it["graves"]
+                )
+            if self.version() == it.get("bump_from"):
+                self._bump_version()
+            self._clear_intent()
+        self._sweep_stage_litter()
+
+    def _sweep_stage_litter(self) -> None:
+        """Remove stage/grave dirs abandoned by DEAD writers (crash
+        before the intent write = abort, like a Delta write that never
+        reached the log). Dir names embed the owner pid
+        (``__tmp_<pid>_…``); a live writer staging concurrently is
+        never touched."""
+        import glob as _glob
+        import re as _re
+
+        from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+            _alive,
+        )
+
+        for pattern in (f"{self.path}.__tmp_*", f"{self.path}.__old_*"):
+            for d in _glob.glob(pattern):
+                m = _re.match(r"\.__(?:tmp|old)_(\d+)_", d[len(self.path):])
+                if m and not _alive(int(m.group(1))):
+                    shutil.rmtree(d, ignore_errors=True)
+        vdir = self._versions_dir()
+        if os.path.isdir(vdir):
+            for d in os.listdir(vdir):
+                # partial snapshot staging from a crashed pruned MERGE
+                if d.startswith(".staging_"):
+                    parts = d.split("_")
+                    if len(parts) >= 2 and parts[1].isdigit() and not _alive(
+                        int(parts[1])
+                    ):
+                        shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
+
+    def _stage_name(self) -> str:
+        return f"{self.path}.__tmp_{os.getpid()}_{uuid.uuid4().hex[:8]}"
 
     @staticmethod
     def _break_lock(lock: str) -> None:
@@ -415,26 +551,10 @@ class ManagedParquetTable:
             raise ValueError(
                 f"version {version} not retained; available: {self.history()}"
             )
-        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        tmp = self._stage_name()
         shutil.copytree(vpath, tmp)
-        try:
-            self._restore_commit(tmp)
-        except (ConcurrentWriteError, TimeoutError):
-            shutil.rmtree(tmp, ignore_errors=True)  # abandoned stage
-            raise
-
-    def _restore_commit(self, tmp: str) -> None:
-        with self._commit(None):
-            if self.retain_versions > 0 and os.path.exists(self.path):
-                vdir = self._versions_dir()
-                os.makedirs(vdir, exist_ok=True)
-                nxt = (self.history() or [-1])[-1] + 1
-                os.rename(self.path, os.path.join(vdir, str(nxt)))
-            elif os.path.exists(self.path):
-                shutil.rmtree(self.path, ignore_errors=True)
-            os.rename(tmp, self.path)
-            if self.retain_versions > 0:
-                self.vacuum(retain_last=self.retain_versions)
+        # same journaled swap as overwrite: restore survives kill points
+        self._swap_commit(tmp, None)
 
     def optimize(
         self,
@@ -475,32 +595,55 @@ class ManagedParquetTable:
         return len(doomed)
 
     def overwrite(self, df: DataFrame, expect_version: int | None = None) -> None:
-        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        tmp = self._stage_name()
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(tmp)  # expensive stage: OUTSIDE the commit lock
+        self._swap_commit(tmp, expect_version)
+
+    def _swap_commit(self, tmp: str, expect_version: int | None) -> None:
+        """Publish a fully-staged table dir atomically-with-recovery:
+        journal the swap plan (intent = commit point), then run the
+        idempotent redo steps the recovery path would run."""
         try:
             with self._commit(expect_version):
-                old = None
+                nxt = old = None
                 if os.path.exists(self.path):
                     if self.retain_versions > 0:
-                        vdir = self._versions_dir()
-                        os.makedirs(vdir, exist_ok=True)
                         nxt = (self.history() or [-1])[-1] + 1
-                        os.rename(self.path, os.path.join(vdir, str(nxt)))
                     else:
-                        old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
-                        os.rename(self.path, old)
-                os.rename(tmp, self.path)
-                # only discard the previous state once the new one is in place
-                if old:
-                    shutil.rmtree(old, ignore_errors=True)
-                if self.retain_versions > 0:
-                    self.vacuum(retain_last=self.retain_versions)
+                        old = (
+                            f"{self.path}.__old_{os.getpid()}_"
+                            f"{uuid.uuid4().hex[:8]}"
+                        )
+                self._write_intent(
+                    {"op": "swap", "tmp": tmp, "nxt": nxt, "old": old}
+                )
+                self._redo_swap(tmp, nxt, old)
         except (ConcurrentWriteError, TimeoutError):
             shutil.rmtree(tmp, ignore_errors=True)  # abandoned stage
             raise
+
+    def _redo_swap(self, tmp: str, nxt: int | None, old: str | None) -> None:
+        """Idempotent swap steps — safe to re-enter from recovery at any
+        intermediate state. State decode: (tmp ∧ path) ⇒ nothing moved;
+        (tmp ∧ ¬path) ⇒ old state archived, new not yet in place;
+        (¬tmp) ⇒ swap done, cleanup pending."""
+        if os.path.isdir(tmp):
+            if os.path.exists(self.path):
+                if nxt is not None:
+                    vdir = self._versions_dir()
+                    os.makedirs(vdir, exist_ok=True)
+                    os.rename(self.path, os.path.join(vdir, str(nxt)))
+                elif old:
+                    os.rename(self.path, old)
+            os.rename(tmp, self.path)
+        # only discard the previous state once the new one is in place
+        if old and os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+        if self.retain_versions > 0:
+            self.vacuum(retain_last=self.retain_versions)
 
     def append(self, df: DataFrame, expect_version: int | None = None) -> None:
         """Append commit: the batch stages to a sibling dir OUTSIDE the
@@ -521,7 +664,7 @@ class ManagedParquetTable:
         skips the version bump), can observe a partial batch: the same
         reader caveat as the overwrite swap, and the part only a real
         commit LOG fixes."""
-        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        tmp = self._stage_name()
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -529,26 +672,37 @@ class ManagedParquetTable:
         try:
             with self._commit(expect_version):
                 tag = uuid.uuid4().hex[:8]
-                if not self.partition_by:
-                    os.makedirs(self.path, exist_ok=True)
-                    os.rename(tmp, os.path.join(self.path, f"batch_{tag}"))
-                else:
-                    for root, _dirs, files in os.walk(tmp):
-                        rel = os.path.relpath(root, tmp)
-                        dest_dir = (
-                            self.path if rel == "." else os.path.join(self.path, rel)
-                        )
-                        os.makedirs(dest_dir, exist_ok=True)
-                        for f in files:
-                            if f.startswith(("_", ".")):
-                                continue  # markers/CRCs: not data
-                            os.rename(
-                                os.path.join(root, f),
-                                os.path.join(dest_dir, f"app_{tag}_{f}"),
-                            )
+                self._write_intent({"op": "append", "tmp": tmp, "tag": tag})
+                self._redo_append(tmp, tag)
         except (ConcurrentWriteError, TimeoutError):
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+
+    def _redo_append(self, tmp: str, tag: str) -> None:
+        """Idempotent append-publish steps. Unpartitioned: one atomic
+        batch-dir rename (already done ⇒ tmp is gone ⇒ no-op).
+        Partitioned: the per-file rename loop resumes where a crash
+        stopped it — destination names are deterministic per (tag, file),
+        so already-moved files are skipped, and the batch completes
+        exactly once."""
+        if not os.path.isdir(tmp):
+            return  # publish finished before the crash; cleanup-only
+        if not self.partition_by:
+            os.makedirs(self.path, exist_ok=True)
+            os.rename(tmp, os.path.join(self.path, f"batch_{tag}"))
+            return
+        for root, _dirs, files in os.walk(tmp):
+            rel = os.path.relpath(root, tmp)
+            dest_dir = (
+                self.path if rel == "." else os.path.join(self.path, rel)
+            )
+            os.makedirs(dest_dir, exist_ok=True)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue  # markers/CRCs: not data
+                dst = os.path.join(dest_dir, f"app_{tag}_{f}")
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(root, f), dst)
         shutil.rmtree(tmp, ignore_errors=True)
 
     def upsert(self, updates: DataFrame, keys: Sequence[str] | None = None,
@@ -713,7 +867,7 @@ class ManagedParquetTable:
         merged = merge_upsert_plan(
             target_slice, updates, keys, sequence_by, delete_col=delete_col
         )
-        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        tmp = self._stage_name()
         merged.write.mode("overwrite").partitionBy(*self.partition_by).parquet(
             tmp
         )  # expensive stage: OUTSIDE the commit lock
@@ -729,26 +883,84 @@ class ManagedParquetTable:
         try:
             with self._commit(expect_version):
                 if self.retain_versions > 0 and os.path.exists(self.path):
+                    # snapshot BEFORE the intent (it must capture the
+                    # pre-state, never a torn mid-swap state) and publish
+                    # it atomically: link into a dot-staging dir, one
+                    # rename to the version number. A crash mid-link
+                    # leaves only dead-pid staging litter (swept), never
+                    # a half snapshot masquerading as a version.
                     vdir = self._versions_dir()
                     os.makedirs(vdir, exist_ok=True)
                     nxt = (self.history() or [-1])[-1] + 1
-                    self._link_tree(self.path, os.path.join(vdir, str(nxt)))
-                for d in old_dirs:
-                    shutil.rmtree(d)  # loudly: a failure aborts pre-bump
-                for rel in new_rels:
-                    dest = os.path.join(self.path, rel)
-                    os.makedirs(os.path.dirname(dest), exist_ok=True)
-                    if os.path.isdir(dest):
-                        # touched partition dir that held no readable data
-                        # (not in old_dirs): clear it before the swap
-                        shutil.rmtree(dest)
-                    os.rename(os.path.join(tmp, rel), dest)
-                if self.retain_versions > 0:
-                    self.vacuum(retain_last=self.retain_versions)
+                    staging = os.path.join(
+                        vdir, f".staging_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+                    )
+                    self._link_tree(self.path, staging)
+                    os.rename(staging, os.path.join(vdir, str(nxt)))
+                old_rels = [os.path.relpath(d, self.path) for d in old_dirs]
+                graves = (
+                    f"{self.path}.__old_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+                )
+                self._write_intent(
+                    {
+                        "op": "pruned",
+                        "tmp": tmp,
+                        "old_rels": old_rels,
+                        "new_rels": new_rels,
+                        "graves": graves,
+                    }
+                )
+                self._redo_pruned(tmp, old_rels, new_rels, graves)
         except (ConcurrentWriteError, TimeoutError):
             shutil.rmtree(tmp, ignore_errors=True)
             raise
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _redo_pruned(
+        self,
+        tmp: str,
+        old_rels: list[str],
+        new_rels: list[str],
+        graves: str,
+    ) -> None:
+        """Idempotent pruned-MERGE publish in four re-enterable phases.
+        Old touched partition dirs are ARCHIVED by rename into a grave
+        root (never rmtree'd in place: after a crash, the same path may
+        already hold the republished NEW partition — an in-place delete
+        on re-entry would destroy committed data, which is exactly what
+        the kill-point matrix caught). Graves are pruned only once the
+        stage dir is gone, which doubles as the phase marker:
+
+        A (tmp exists): path/rel → graves/rel for each old rel whose
+          grave is absent (grave present ⇒ archived; path/rel then holds
+          NEW data and must not be touched).
+        B (tmp exists): tmp/rel → path/rel for each staged rel still in
+          tmp (gone ⇒ already published).
+        C: rmtree(tmp) — marks all publishes durable.
+        D: rmtree(graves), vacuum — pure cleanup, safe last.
+        """
+        if os.path.isdir(tmp):
+            for rel in old_rels:
+                cur = os.path.join(self.path, rel)
+                grave = os.path.join(graves, rel)
+                if os.path.isdir(cur) and not os.path.isdir(grave):
+                    os.makedirs(os.path.dirname(grave), exist_ok=True)
+                    os.rename(cur, grave)
+            for rel in new_rels:
+                src = os.path.join(tmp, rel)
+                if not os.path.isdir(src):
+                    continue  # this partition already published
+                dest = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                if os.path.isdir(dest):
+                    # touched partition dir that held no readable data
+                    # (it is not among old_rels): clear it pre-swap
+                    shutil.rmtree(dest)
+                os.rename(src, dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.isdir(graves):
+            shutil.rmtree(graves, ignore_errors=True)
+        if self.retain_versions > 0:
+            self.vacuum(retain_last=self.retain_versions)
 
 
 def scd2_from_history(

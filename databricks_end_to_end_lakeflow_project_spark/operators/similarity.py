@@ -1272,6 +1272,93 @@ def _chunked_cell_assignment(assigned: DataFrame, max_cell: int) -> DataFrame:
     )
 
 
+_GEMM_ASSIGN_MIN_SEEDS = 32
+
+
+def _assigned_cells(
+    em: DataFrame, seeds: list[tuple[int, list[float]]], n_probe: int
+) -> DataFrame:
+    """Top-``n_probe`` max-cosine cell assignment over the seed
+    centroids, returning (vec_id, embedding, cell) with one row per
+    (vector, probed cell).
+
+    Two physically different plans for the same operator:
+
+    - SMALL seed sets (< ``_GEMM_ASSIGN_MIN_SEEDS``, e.g. the registry's
+      oracle-pinned k=8 corpus): a pure JVM expression — per-seed cosine
+      structs, ``array_sort`` on (−score, cell), slice. Zero Python, and
+      bit-compatible with the DuckDB oracle's fold order.
+    - LARGE seed sets (the k ∝ √n operating rule at scale): ONE numpy
+      GEMM per Arrow batch inside ``mapInPandas`` against the broadcast
+      seed matrix. The expression path's cost is k·dim scalar expression
+      nodes per row — at k in the hundreds it falls out of whole-stage
+      codegen and runs interpreted (measured: 200k rows × 223 seeds
+      took minutes interpreted vs seconds as a gemm). Assignment ties
+      are broken identically ((−score, cell), seeds pre-sorted by cell
+      + stable argsort); scores may differ by summation-order ulps,
+      which only matters on exact ties between DIFFERENT scores — not a
+      correctness surface (the oracle corpus stays on the expression
+      path).
+    """
+    if len(seeds) < _GEMM_ASSIGN_MIN_SEEDS:
+        ranked = F.array_sort(
+            F.array(*[
+                F.struct(
+                    (-cosine(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in cvec]),
+                    )).alias("ns"),
+                    F.lit(cell_id).alias("cell"),
+                )
+                for cell_id, cvec in seeds
+            ])
+        )
+        return em.select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
+            ).alias("cell"),
+        )
+
+    seeds = sorted(seeds)  # stable argsort tie → smallest cell id first
+    cell_ids = np.array([c for c, _ in seeds], dtype=np.int64)
+    smat = np.stack([np.asarray(v, dtype=np.float64) for _, v in seeds])
+    snorm = np.linalg.norm(smat, axis=1)
+    snorm[snorm == 0] = 1.0
+    sunit = smat / snorm[:, None]
+    emb_field = em.schema["embedding"]
+    out_schema = (
+        f"vec_id long, embedding {emb_field.dataType.simpleString()}, "
+        "cell int"
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emat = np.stack(pdf["embedding"].map(np.asarray).values).astype(
+                np.float64
+            )
+            nrm = np.linalg.norm(emat, axis=1)
+            nrm[nrm == 0] = 1.0
+            sims = (emat / nrm[:, None]) @ sunit.T  # (batch, k) GEMM
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            idx = np.repeat(np.arange(n), n_probe)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[idx],
+                    "embedding": pdf["embedding"].iloc[idx].to_numpy(),
+                    "cell": cell_ids[top.reshape(-1)].astype(np.int32),
+                }
+            )
+
+    return em.select("vec_id", "embedding").mapInPandas(
+        assign, schema=out_schema
+    )
+
+
 def semdedup_edges(
     em: DataFrame,
     seeds: list[tuple[int, list[float]]],
@@ -1289,21 +1376,9 @@ def semdedup_edges(
     cell is block-decomposed into chunk-pair gemms of ≤ ~2·max_cell rows
     each (see :func:`_chunked_cell_assignment`) instead of one giant
     pandas group — within-cell coverage stays exact."""
-    # top-2 cells per vector: sort (−score, cell) structs, slice, explode
-    ranked = F.array_sort(
-        F.array(*[
-            F.struct(
-                (-cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in cvec]))).alias("ns"),
-                F.lit(cell_id).alias("cell"),
-            )
-            for cell_id, cvec in seeds
-        ])
-    )
-    assigned = em.select(
-        "vec_id",
-        "embedding",
-        F.explode(F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])).alias("cell"),
-    ).persist()  # feeds the skew histogram AND the gemm stage — one
+    # top-2 cells per vector (expression or gemm path — _assigned_cells)
+    assigned = _assigned_cells(em, seeds, n_probe).persist()  # feeds the
+    # skew histogram AND the gemm stage — one
     # evaluation of the |seeds|-term cosine ranking map, not two;
     # released below once the edge frame has materialized
     # Per-block pairwise scoring as ONE BLAS matmul per (cell, c1, c2)
@@ -1376,22 +1451,7 @@ def semdedup_cell_stats(
     the O(n^1.5·r²/k) claim: cell-size distribution before and after the
     block decomposition, gemm work (Σ|group|²), and the verified edge
     count. Used by bench.py's dedup cost curve."""
-    ranked = F.array_sort(
-        F.array(*[
-            F.struct(
-                (-cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in cvec]))).alias("ns"),
-                F.lit(cell_id).alias("cell"),
-            )
-            for cell_id, cvec in seeds
-        ])
-    )
-    assigned = em.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
-        ).alias("cell"),
-    )
+    assigned = _assigned_cells(em, seeds, n_probe)
     cells = assigned.groupBy("cell").count()
     crow = cells.agg(
         F.count(F.lit(1)).alias("n_cells"),

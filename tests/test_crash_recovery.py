@@ -1,0 +1,378 @@
+"""Crash-injection matrix for the ManagedParquetTable commit protocol.
+
+Each case SIGKILL-style interrupts a commit at a specific destructive
+step: the injected `_Kill` derives from BaseException, so none of the
+protocol's `except (ConcurrentWriteError, TimeoutError)` cleanup
+handlers run and the post-yield bump/journal-clear in `_commit` is
+skipped — exactly the on-disk data state an `os.kill(pid, SIGKILL)`
+would leave. (The directory lock is additionally released by the
+context manager; a crash-held lock is the stale-lock machinery's job,
+covered by its own tests — here the intent journal is under test.)
+
+Invariants asserted at EVERY kill point:
+- a reader sees only old-or-new table state (the journal's roll-forward
+  closes the previously torn mid-swap window where the table dir was
+  absent between the two renames);
+- the next writer completes the crashed commit, leaves zero stage
+  litter / no intent file, and the version advances exactly once per
+  logical commit (no double bump, no lost bump).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import pytest
+
+from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+    ManagedParquetTable,
+)
+
+
+class _Kill(BaseException):
+    """Simulated SIGKILL: bypasses every `except Exception` handler."""
+
+
+def _dead_pid() -> int:
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
+def _mark_writer_dead(table: ManagedParquetTable) -> None:
+    """The injected crash leaves the intent stamped with OUR (live) pid;
+    a real SIGKILLed writer's pid would be dead. Rewrite it so the
+    reader-side liveness probe sees a crashed writer."""
+    ip = table._intent_path()
+    if os.path.exists(ip):
+        with open(ip) as fh:
+            it = json.load(fh)
+        it["pid"] = _dead_pid()
+        with open(ip, "w") as fh:
+            fh.write(json.dumps(it))
+
+
+def _rows(table: ManagedParquetTable) -> set[tuple]:
+    return {tuple(r) for r in table.read().select("key", "val").collect()}
+
+
+def _kill_rename_at(monkeypatch, table_path: str, n: int) -> None:
+    """Raise _Kill INSTEAD of performing the n-th os.rename touching the
+    table's path family (Spark's own staging writes are JVM-side and
+    never pass through Python os.rename)."""
+    real = os.rename
+    calls = {"n": 0}
+
+    def killing(src, dst):
+        if str(src).startswith(table_path) or str(dst).startswith(table_path):
+            calls["n"] += 1
+            if calls["n"] == n:
+                raise _Kill(f"rename #{n}: {src} -> {dst}")
+        return real(src, dst)
+
+    monkeypatch.setattr(os, "rename", killing)
+
+
+def _kill_rmtree_at(monkeypatch, table_path: str, n: int) -> None:
+    import shutil
+
+    real = shutil.rmtree
+    calls = {"n": 0}
+
+    def killing(path, *a, **kw):
+        if str(path).startswith(table_path):
+            calls["n"] += 1
+            if calls["n"] == n:
+                raise _Kill(f"rmtree #{n}: {path}")
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", killing)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "key int, val string")
+
+
+OLD = [(1, "a"), (2, "b")]
+NEW = [(1, "a2"), (3, "c")]
+
+
+def _make(spark, tmp_path, retain=0, partition=False):
+    t = ManagedParquetTable(
+        spark,
+        str(tmp_path / "t"),
+        keys=["key"],
+        partition_by=["key"] if partition else None,
+        retain_versions=retain,
+    )
+    t.overwrite(_df(spark, OLD))
+    return t
+
+
+# --------------------------------------------------- overwrite kill points
+
+
+@pytest.mark.parametrize("retain", [0, 2])
+@pytest.mark.parametrize("kill_rename", [1, 2])
+def test_overwrite_killed_mid_swap(
+    spark, tmp_path, monkeypatch, retain, kill_rename
+):
+    """kill_rename=1: post-stage/pre-archive (intent written, nothing
+    moved). kill_rename=2: the torn window — old state archived, new
+    not yet in place, table dir ABSENT."""
+    t = _make(spark, tmp_path, retain=retain)
+    v0 = t.version()
+    with pytest.raises(_Kill):
+        _kill_rename_at(monkeypatch, t.path, kill_rename)
+        t.overwrite(_df(spark, NEW), expect_version=v0)
+    monkeypatch.undo()
+    _mark_writer_dead(t)
+
+    # reader: old-or-new, never torn (intent present => rolls forward)
+    assert _rows(t) == set(NEW)
+    assert t.version() == v0 + 1
+    assert not os.path.exists(t._intent_path())
+
+    # next writer proceeds normally on the recovered table
+    t2 = ManagedParquetTable(
+        spark, t.path, keys=["key"], retain_versions=retain
+    )
+    t2.overwrite(_df(spark, OLD), expect_version=t2.version())
+    assert _rows(t2) == set(OLD)
+    assert t2.version() == v0 + 2
+    import glob
+
+    assert not glob.glob(f"{t.path}.__tmp_*") and not glob.glob(
+        f"{t.path}.__old_*"
+    )
+
+
+def test_overwrite_killed_mid_prune(spark, tmp_path, monkeypatch):
+    """Crash during the post-swap cleanup (rmtree of the old grave):
+    data is already new; recovery finishes cleanup and bumps once."""
+    t = _make(spark, tmp_path, retain=0)
+    v0 = t.version()
+    with pytest.raises(_Kill):
+        _kill_rmtree_at(monkeypatch, t.path, 1)
+        t.overwrite(_df(spark, NEW), expect_version=v0)
+    monkeypatch.undo()
+    _mark_writer_dead(t)
+    assert _rows(t) == set(NEW)
+    assert t.version() == v0 + 1
+    import glob
+
+    assert not glob.glob(f"{t.path}.__old_*")
+
+
+def test_overwrite_killed_before_intent_aborts(spark, tmp_path, monkeypatch):
+    """Crash BEFORE the intent write is an abort: the reader sees the
+    OLD state, and the next lock holder sweeps the dead stage dir."""
+    t = _make(spark, tmp_path)
+    v0 = t.version()
+
+    def boom(intent):
+        raise _Kill("pre-intent")
+
+    monkeypatch.setattr(t, "_write_intent", boom)
+    with pytest.raises(_Kill):
+        t.overwrite(_df(spark, NEW), expect_version=v0)
+    monkeypatch.undo()
+
+    assert _rows(t) == set(OLD)
+    assert t.version() == v0
+
+    # the abandoned stage dir carries our LIVE pid — rename it to a dead
+    # writer's name to exercise the sweep
+    import glob
+
+    litter = glob.glob(f"{t.path}.__tmp_*")
+    assert litter, "expected an abandoned stage dir"
+    dead = _dead_pid()
+    for d in litter:
+        os.rename(d, f"{t.path}.__tmp_{dead}_deadbeef")
+    t.recover()
+    assert not glob.glob(f"{t.path}.__tmp_*")
+    # table still healthy
+    t.overwrite(_df(spark, NEW), expect_version=v0)
+    assert _rows(t) == set(NEW)
+
+
+# ------------------------------------------------------ append kill points
+
+
+def test_append_unpartitioned_killed_pre_publish(spark, tmp_path, monkeypatch):
+    t = _make(spark, tmp_path)
+    v0 = t.version()
+    with pytest.raises(_Kill):
+        _kill_rename_at(monkeypatch, t.path, 1)
+        t.append(_df(spark, [(9, "z")]))
+    monkeypatch.undo()
+    _mark_writer_dead(t)
+    # intent written => batch rolls FORWARD (log-entry semantics)
+    assert _rows(t) == set(OLD) | {(9, "z")}
+    assert t.version() == v0 + 1
+    assert not os.path.exists(t._intent_path())
+
+
+@pytest.mark.parametrize("kill_rename", [1, 2])
+def test_append_partitioned_killed_mid_file_loop(
+    spark, tmp_path, monkeypatch, kill_rename
+):
+    """Partitioned appends move one file per partition; a crash mid-loop
+    used to leave a PARTIAL batch visible forever. The journal resumes
+    the loop: all files land exactly once."""
+    t = _make(spark, tmp_path, partition=True)
+    v0 = t.version()
+    batch = [(8, "y"), (9, "z")]
+    with pytest.raises(_Kill):
+        _kill_rename_at(monkeypatch, t.path, kill_rename)
+        t.append(_df(spark, batch))
+    monkeypatch.undo()
+    _mark_writer_dead(t)
+    assert _rows(t) == set(OLD) | set(batch)
+    assert t.version() == v0 + 1
+    import glob
+
+    assert not glob.glob(f"{t.path}.__tmp_*")
+
+
+# ------------------------------------------------- pruned MERGE kill points
+
+
+@pytest.mark.parametrize(
+    "phase", ["archive1", "archive2", "publish1", "publish2", "cleanup"]
+)
+def test_pruned_merge_killed(spark, tmp_path, monkeypatch, phase):
+    """Kill the partition-pruned MERGE at every destructive step:
+    archiving each old partition dir (post-snapshot), publishing each
+    new partition, and the stage cleanup. The reader must never see a
+    half-merged mix of old and new for a touched partition, and
+    untouched partitions must be intact throughout."""
+    t = ManagedParquetTable(
+        spark,
+        str(tmp_path / "t"),
+        keys=["key"],
+        sequence_by="seq",
+        partition_by=["key"],
+        retain_versions=2,
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "key int, val string, seq int"
+        )
+    )
+    v0 = t.version()
+    updates = spark.createDataFrame(
+        [(1, "a2", 2), (3, "c2", 2)], "key int, val string, seq int"
+    )
+    if phase == "cleanup":
+        _kill_rmtree_at(monkeypatch, t.path, 1)  # rmtree(tmp) post-publish
+    else:
+        # rename #1 is the snapshot staging publish; #2/#3 archive the
+        # two old partition dirs into the grave root; #4/#5 publish the
+        # two new partition dirs
+        _kill_rename_at(
+            monkeypatch,
+            t.path,
+            {"archive1": 2, "archive2": 3, "publish1": 4, "publish2": 5}[
+                phase
+            ],
+        )
+    with pytest.raises(_Kill):
+        t.upsert(updates, expect_version=v0)
+    monkeypatch.undo()
+    _mark_writer_dead(t)
+
+    got = {
+        (r["key"], r["val"])
+        for r in t.read().select("key", "val").collect()
+    }
+    assert got == {(1, "a2"), (2, "b"), (3, "c2")}
+    assert t.version() == v0 + 1
+    # pre-merge state must be retained as a snapshot (taken pre-intent)
+    hist = t.history()
+    assert hist, "snapshot missing"
+    snap = {
+        (r["key"], r["val"])
+        for r in t.read(version=hist[-1]).select("key", "val").collect()
+    }
+    assert snap == {(1, "a"), (2, "b"), (3, "c")}
+    import glob
+
+    assert not glob.glob(f"{t.path}.__tmp_*")
+    assert not os.path.exists(t._intent_path())
+
+
+# ------------------------------------------------------- restore kill point
+
+
+def test_restore_killed_mid_swap(spark, tmp_path, monkeypatch):
+    t = _make(spark, tmp_path, retain=3)
+    t.overwrite(_df(spark, NEW), expect_version=t.version())
+    v_old = t.history()[-1]
+    v0 = t.version()
+    with pytest.raises(_Kill):
+        _kill_rename_at(monkeypatch, t.path, 2)  # the torn window
+        t.restore(v_old)
+    monkeypatch.undo()
+    _mark_writer_dead(t)
+    assert _rows(t) == set(OLD)
+    assert t.version() == v0 + 1
+
+
+# -------------------------------------------------- journal-level invariants
+
+
+def test_recovery_is_idempotent(spark, tmp_path, monkeypatch):
+    t = _make(spark, tmp_path)
+    v0 = t.version()
+    with pytest.raises(_Kill):
+        _kill_rename_at(monkeypatch, t.path, 2)
+        t.overwrite(_df(spark, NEW), expect_version=v0)
+    monkeypatch.undo()
+    t.recover()
+    t.recover()  # second pass must be a clean no-op
+    assert _rows(t) == set(NEW)
+    assert t.version() == v0 + 1
+
+
+def test_no_double_bump_when_killed_after_bump(spark, tmp_path, monkeypatch):
+    """Crash between the version bump and the journal clear: recovery
+    re-runs the (idempotent) redo steps but must NOT bump again."""
+    t = _make(spark, tmp_path)
+    v0 = t.version()
+
+    def boom():
+        raise _Kill("post-bump")
+
+    monkeypatch.setattr(t, "_clear_intent", boom)
+    with pytest.raises(_Kill):
+        t.overwrite(_df(spark, NEW), expect_version=v0)
+    monkeypatch.undo()
+    assert t.version() == v0 + 1
+    t.recover()
+    assert t.version() == v0 + 1
+    assert _rows(t) == set(NEW)
+    assert not os.path.exists(t._intent_path())
+
+
+def test_live_writer_intent_left_alone(spark, tmp_path, monkeypatch):
+    """A reader that observes a LIVE writer's journal must not break
+    into its commit: read() skips recovery when the intent pid is
+    alive (ours is)."""
+    t = _make(spark, tmp_path)
+    v0 = t.version()
+    with pytest.raises(_Kill):
+        _kill_rename_at(monkeypatch, t.path, 1)  # nothing moved yet
+        t.overwrite(_df(spark, NEW), expect_version=v0)
+    monkeypatch.undo()
+    # intent pid == our live pid: reader leaves it, sees OLD state
+    assert os.path.exists(t._intent_path())
+    assert _rows(t) == set(OLD)
+    assert os.path.exists(t._intent_path())
+    # explicit recovery (the next lock holder) still completes it
+    t.recover()
+    assert _rows(t) == set(NEW)
+    assert t.version() == v0 + 1
