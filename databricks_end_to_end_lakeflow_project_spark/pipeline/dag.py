@@ -415,10 +415,24 @@ class Pipeline:
         self.metrics.clear()
         self._pending_quarantine.clear()
         self._run_id += 1
+        # resolve every flow's source SEQUENTIALLY (view resolution
+        # mutates the cache/lineage/metrics structures and collects
+        # expectation metrics eagerly — single-threaded by design), then
+        # run the table upserts CONCURRENTLY: each flow targets its own
+        # managed table with its own commit lock, so Spark's scheduler
+        # interleaves the independent write jobs exactly like DLT runs
+        # independent DAG nodes in parallel. Results are identical to
+        # the sequential order by target independence.
+        from concurrent.futures import ThreadPoolExecutor
+
+        resolved = []
         for flow in self._flows:
             src = self.read(flow.source)
             if flow.except_columns:
                 src = src.drop(*flow.except_columns)
+            resolved.append((flow, src))
+
+        def _run_flow(flow, src):
             if flow.stored_as_scd_type == 2:
                 scd2_apply(self._tables[flow.target], src, flow.keys, flow.sequence_by)
             else:
@@ -427,6 +441,13 @@ class Pipeline:
                     delete_col=flow.apply_as_deletes,
                     truncate_col=flow.apply_as_truncates,
                 )
+
+        if len(resolved) > 1:
+            with ThreadPoolExecutor(max_workers=len(resolved)) as ex:
+                for f in [ex.submit(_run_flow, fl, s) for fl, s in resolved]:
+                    f.result()  # re-raise the first failure, if any
+        elif resolved:
+            _run_flow(*resolved[0])
         self._run_append_flows()
         self._run_snapshot_flows()
         for name in self._mviews:

@@ -69,10 +69,18 @@ def apply_expectations(
             for name, e in rules.items()
         ]
         aggs.append(F.count(F.lit(1)).alias("__total"))
+        # any-rule-failed rides the same aggregate — a separate
+        # filter().count() action doubled the per-view fixed cost at
+        # micro-batch sizes (medallion replay profile)
+        aggs.append(
+            F.sum(
+                F.when(~F.coalesce(all_ok, F.lit(False)), 1).otherwise(0)
+            ).alias("__failed")
+        )
         row = df.agg(*aggs).collect()[0]
         total = row["__total"]
         per_rule = {name: int(row[name] or 0) for name in rules}
-        failed = df.filter(~F.coalesce(all_ok, F.lit(False))).count() if len(rules) > 1 else max(per_rule.values())
+        failed = int(row["__failed"] or 0)
         metrics = ExpectationResult(
             dataset=dataset,
             policy=policy,

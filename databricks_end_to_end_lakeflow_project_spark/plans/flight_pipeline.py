@@ -42,7 +42,8 @@ from databricks_end_to_end_lakeflow_project_spark.streaming.ingest import (
     INGEST_FILE_COL,
     INGEST_TIME_COL,
     RESCUE_COL,
-    ingest_csv_stream,
+    drain_ingest_stream,
+    start_ingest_csv_stream,
 )
 
 ENTITIES = ["bookings", "flights", "customers", "airports"]
@@ -74,20 +75,34 @@ class FlightLakehouse:
         Rows are stamped with the drain's ingest time (or ``clock``), which
         silver uses as the CDC sequence.
         """
-        batches = {}
-        for entity in ENTITIES:
-            src = os.path.join(self.raw_root, entity)
-            if not os.path.isdir(src):
-                continue
-            batches[entity] = ingest_csv_stream(
-                self.spark,
-                src_dir=src,
-                target_dir=os.path.join(self.bronze_root, entity),
-                checkpoint_dir=os.path.join(self.storage_root, "_checkpoints", entity),
-                schema_dir=os.path.join(self.storage_root, "_schemas", entity),
-                clock=clock,
-            )
-        return batches
+        # start every entity's availableNow query FIRST, then await them
+        # together: the four drains execute concurrently in the shared
+        # session, so the per-query startup/commit latency (the dominant
+        # cost at micro-batch sizes) overlaps — replay wall for this
+        # phase is max(entity), not Σ(entity). Output is byte-identical
+        # to the sequential form: each entity has its own checkpoint,
+        # target dir and schema, nothing is shared across queries.
+        from concurrent.futures import ThreadPoolExecutor
+
+        live = [
+            e for e in ENTITIES if os.path.isdir(os.path.join(self.raw_root, e))
+        ]
+        if not live:
+            return {}
+        with ThreadPoolExecutor(max_workers=len(live)) as ex:
+            started = {
+                entity: ex.submit(
+                    start_ingest_csv_stream,
+                    self.spark,
+                    os.path.join(self.raw_root, entity),
+                    os.path.join(self.bronze_root, entity),
+                    os.path.join(self.storage_root, "_checkpoints", entity),
+                    os.path.join(self.storage_root, "_schemas", entity),
+                    clock,
+                )
+                for entity in live
+            }
+            return {e: drain_ingest_stream(f.result()) for e, f in started.items()}
 
     def _bronze(self, entity: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.bronze_root, entity))
@@ -182,14 +197,31 @@ class FlightLakehouse:
     }
 
     def build_gold(self, clock: dt.datetime | None = None) -> None:
-        """Build the three dimensions then the fact (reference E3 order)."""
-        for name, cfg in self.DIMS.items():
-            build_dim(
-                self.silver.read(self.DIM_SOURCES[name]),
-                self._gold_table(name),
-                cfg,
-                clock=clock,
-            )
+        """Build the three dimensions then the fact (reference E3 order).
+
+        The dimensions are INDEPENDENT (separate silver sources, separate
+        target tables, separate commit locks), so they build concurrently
+        on the shared session — Spark's scheduler interleaves their jobs
+        and the per-build fixed costs (cursor collects, rank kernel,
+        staged parquet write, commit) overlap instead of summing. Results
+        are identical to the sequential order by independence; the fact
+        build stays AFTER the barrier because it joins every dim's
+        surrogate mapping."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(self.DIMS)) as ex:
+            futures = [
+                ex.submit(
+                    build_dim,
+                    self.silver.read(self.DIM_SOURCES[name]),
+                    self._gold_table(name),
+                    cfg,
+                    clock,
+                )
+                for name, cfg in self.DIMS.items()
+            ]
+            for f in futures:
+                f.result()  # re-raise the first failure, if any
         fact_cfg = FactConfig(
             name="Fact_Bookings",
             grain_keys=["booking_id"],

@@ -103,11 +103,19 @@ def build_dim(
     """
     spark = target.spark
 
-    # 1. cursor (conventional semantics; see module docstring)
-    if target.exists():
-        last_load = target.read().agg(F.max(cfg.cdc_col)).collect()[0][0]
+    # 1. cursor (conventional semantics; see module docstring) + key
+    # high-water mark: BOTH scalars come from one aggregate scan of the
+    # target — two separate collects here were ~15% of the medallion
+    # replay's per-dim fixed cost at micro-batch sizes
+    tbl_exists = target.exists()
+    if tbl_exists:
+        cur = target.read().agg(
+            F.max(cfg.cdc_col).alias("__cdc"),
+            F.max(cfg.surrogate_key).alias("__key"),
+        ).collect()[0]
+        last_load, max_key = cur["__cdc"], cur["__key"] or 0
     else:
-        last_load = None
+        last_load, max_key = None, 0
     src = source.filter(F.col(cfg.cdc_col) >= F.lit(last_load).cast("timestamp")) if last_load else source
 
     # 2. one change per business key (W1 dedup)
@@ -115,16 +123,12 @@ def build_dim(
 
     # 3. old-vs-new split via left join on business keys (reference J2)
     now = _clock_col(clock)
-    if target.exists():
+    if tbl_exists:
         existing = target.read().select(
             *cfg.business_keys, cfg.surrogate_key, "create_date"
         )
-        max_key = (
-            target.read().agg(F.max(cfg.surrogate_key)).collect()[0][0] or 0
-        )
     else:
         existing = None
-        max_key = 0
 
     if existing is not None:
         # no broadcast hint: `existing` is the FULL dimension key snapshot,

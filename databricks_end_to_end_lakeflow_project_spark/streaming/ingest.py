@@ -77,6 +77,23 @@ def ingest_csv_stream(
 
     Returns the number of micro-batches executed (0 = no new files).
     """
+    return drain_ingest_stream(
+        start_ingest_csv_stream(
+            spark, src_dir, target_dir, checkpoint_dir, schema_dir, clock
+        )
+    )
+
+
+def start_ingest_csv_stream(
+    spark: SparkSession,
+    src_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    schema_dir: str,
+    clock=None,
+):
+    """Start (without awaiting) one availableNow bronze ingest query —
+    see `ingest_csv_stream` for the row contract."""
     import pyspark.sql.functions as F
 
     schema = infer_or_load_schema(spark, src_dir, schema_dir)
@@ -100,11 +117,18 @@ def ingest_csv_stream(
         .option("path", target_dir)
         .start()
     )
-    n_batches = 0
+    return query
+
+
+def drain_ingest_stream(query) -> int:
+    """Block until an availableNow ingest query drains; return its
+    non-empty micro-batch count. Split out so a multi-entity caller can
+    START all entity streams first and then await them together —
+    per-query startup/commit latency overlaps instead of summing (the
+    medallion replay's four entities drain in max() wall, not Σ)."""
     query.awaitTermination()
     progress = query.recentProgress
-    n_batches = sum(1 for p in progress if p["numInputRows"] > 0)
-    return n_batches
+    return sum(1 for p in progress if p["numInputRows"] > 0)
 
 
 def read_bronze(spark: SparkSession, target_dir: str) -> DataFrame:
