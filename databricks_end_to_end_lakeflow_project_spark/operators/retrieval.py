@@ -22,7 +22,7 @@ corpus with one embedding row per document would be.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -478,4 +478,186 @@ def retrieval_hashed_features_topk(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy(F.col("cos_sim").desc(), "doc_id")
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition: graded ranking-quality eval (NDCG / MRR / MAP)
+# ---------------------------------------------------------------------------
+
+_EVAL_QUERIES = 5  # vec_id 0..4 act as queries
+_EVAL_K = 10
+
+_RANK_EVAL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {_EVAL_QUERIES}
+),
+cand AS (
+  SELECT vec_id AS did, embedding, label FROM embeddings
+  WHERE vec_id >= {_EVAL_QUERIES}
+),
+scored AS (
+  SELECT q.qid, c.did,
+         CASE WHEN c.label = q.qlabel THEN 2
+              WHEN ABS(c.label - q.qlabel) = 1 THEN 1 ELSE 0 END AS rel,
+         ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(list_zip(c.embedding, q.qv),
+                   b -> CAST(b[1] AS DOUBLE) * CAST(b[2] AS DOUBLE))),
+                 (a, b) -> a + b)
+           / (SQRT(list_reduce(list_transform(c.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+            * SQRT(list_reduce(list_transform(q.qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))),
+         6) AS score
+  FROM cand c CROSS JOIN q
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY score DESC, did) AS rk
+  FROM scored
+),
+ideal AS (
+  SELECT qid,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           LIST(CASE WHEN irk <= {_EVAL_K}
+                     THEN (POW(2, rel) - 1) / LOG2(irk + 1)
+                     ELSE 0.0 END ORDER BY irk)), (a, b) -> a + b) AS idcg,
+         SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS n_rel_total
+  FROM (
+    SELECT qid, rel, ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY rel DESC, did) AS irk
+    FROM scored
+  ) GROUP BY qid
+),
+topk AS (SELECT * FROM ranked WHERE rk <= {_EVAL_K}),
+prec AS (
+  SELECT qid, rk, rel,
+         SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY qid ORDER BY rk) AS cum_rel
+  FROM topk
+),
+per_q AS (
+  SELECT p.qid,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           LIST((POW(2, p.rel) - 1) / LOG2(p.rk + 1) ORDER BY p.rk)),
+           (a, b) -> a + b) AS dcg,
+         COALESCE(MAX(CASE WHEN p.rel = 2 THEN 1.0 / p.rk END), 0) AS mrr,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           LIST(CASE WHEN p.rel = 2 THEN p.cum_rel * 1.0 / p.rk ELSE 0 END
+                ORDER BY p.rk)), (a, b) -> a + b) AS ap_num
+  FROM prec p GROUP BY p.qid
+)
+SELECT per_q.qid AS query_id, ideal.n_rel_total,
+       ROUND(per_q.dcg / ideal.idcg, 6) AS ndcg_at_{_EVAL_K},
+       ROUND(per_q.mrr, 6) AS mrr_at_{_EVAL_K},
+       ROUND(per_q.ap_num / LEAST(ideal.n_rel_total, {_EVAL_K}), 6)
+         AS ap_at_{_EVAL_K}
+FROM per_q JOIN ideal ON per_q.qid = ideal.qid
+ORDER BY query_id
+"""
+
+
+@query("retrieval_ndcg_mrr_eval", _RANK_EVAL_ORACLE)
+def retrieval_ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking-quality eval — NDCG@10, MRR@10 and MAP@10 per
+    query — over the dense leg: queries are vec_ids 0..4, candidates
+    the rest of the corpus, graded relevance from the embedding labels
+    (2 = same class, 1 = adjacent class, 0 = other). This is the metric
+    sheet a retrieval stack publishes per experiment; recall@k
+    (`sim_recall_at_k_eval`) measures candidate generation, these
+    measure ORDERING quality with graded gains.
+
+    Exactness: scores are rounded to 6dp with did tiebreaks before
+    ranking (cross-engine total order); every ≤10-term float reduction
+    (DCG, ideal DCG, AP numerator) folds in pinned rank order on both
+    engines.
+
+    Plan: queries broadcast across one candidate scan (|Q|·n rows of
+    narrow arithmetic), per-query top-k windows over |Q| partitions,
+    then all metric algebra on ≤ |Q|·k rows — model moves, not data. At
+    production |Q|, swap the scan for the gemm batch scorer
+    (`sim_gemm_batch_topk`) — the metric algebra is unchanged.
+    """
+    em = read_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < _EVAL_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    cand = em.filter(F.col("vec_id") >= _EVAL_QUERIES).select(
+        F.col("vec_id").alias("did"), "embedding", "label"
+    )
+    rel = (
+        F.when(F.col("label") == F.col("qlabel"), 2)
+        .when(F.abs(F.col("label") - F.col("qlabel")) == 1, 1)
+        .otherwise(0)
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "did",
+        rel.alias("rel"),
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+    )
+    wq = Window.partitionBy("qid")
+    ranked = scored.withColumn(
+        "rk", F.row_number().over(wq.orderBy(F.col("score").desc(), "did"))
+    )
+
+    def pinned_sum(order_col, term):
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), term.alias("t")))
+        )
+        return F.aggregate(arr, F.lit(0.0), lambda acc, s: acc + s["t"])
+
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rk") + 1)
+    ideal = (
+        scored.withColumn(
+            "irk", F.row_number().over(wq.orderBy(F.col("rel").desc(), "did"))
+        )
+        .groupBy("qid")
+        .agg(
+            pinned_sum(
+                "irk",
+                F.when(
+                    F.col("irk") <= _EVAL_K,
+                    (F.pow(F.lit(2.0), F.col("rel")) - 1)
+                    / F.log2(F.col("irk") + 1),
+                ).otherwise(F.lit(0.0)),
+            ).alias("idcg"),
+            F.sum(F.when(F.col("rel") == 2, 1).otherwise(0)).alias(
+                "n_rel_total"
+            ),
+        )
+    )
+    topk = ranked.filter(F.col("rk") <= _EVAL_K)
+    cum_rel = F.sum(F.when(F.col("rel") == 2, 1).otherwise(0)).over(
+        wq.orderBy("rk")
+    )
+    prec = topk.withColumn("cum_rel", cum_rel)
+    per_q = prec.groupBy("qid").agg(
+        pinned_sum("rk", gain).alias("dcg"),
+        F.coalesce(
+            F.max(F.when(F.col("rel") == 2, 1.0 / F.col("rk"))), F.lit(0.0)
+        ).alias("mrr"),
+        pinned_sum(
+            "rk",
+            F.when(
+                F.col("rel") == 2, F.col("cum_rel") * 1.0 / F.col("rk")
+            ).otherwise(F.lit(0.0)),
+        ).alias("ap_num"),
+    )
+    return (
+        per_q.join(ideal, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_rel_total",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias(f"ndcg_at_{_EVAL_K}"),
+            F.round("mrr", 6).alias(f"mrr_at_{_EVAL_K}"),
+            F.round(
+                F.col("ap_num") / F.least(F.col("n_rel_total"), F.lit(_EVAL_K)),
+                6,
+            ).alias(f"ap_at_{_EVAL_K}"),
+        )
+        .orderBy("query_id")
     )

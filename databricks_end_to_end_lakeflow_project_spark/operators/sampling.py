@@ -968,3 +968,80 @@ def sample_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "fold")
     )
+
+
+@query(
+    "sample_target_encode_kfold",
+    """
+    WITH base AS (
+      SELECT c_mktsegment AS segment,
+             CAST(c_custkey % 5 AS BIGINT) AS fold,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+      FROM customer
+    ),
+    prior AS (SELECT SUM(y) * 1.0 / COUNT(*) AS p FROM base),
+    cells AS (
+      SELECT segment, fold, COUNT(*) AS n_cell, SUM(y) AS y_cell
+      FROM base GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT segment, SUM(n_cell) AS n_seg, SUM(y_cell) AS y_seg FROM cells
+      GROUP BY 1
+    )
+    SELECT c.segment, c.fold, c.n_cell,
+           s.n_seg - c.n_cell AS n_oof,
+           ROUND(((s.y_seg - c.y_cell) + 10 * prior.p)
+                 / ((s.n_seg - c.n_cell) + 10), 6) AS target_enc,
+           ROUND(prior.p, 6) AS global_prior
+    FROM cells c JOIN seg s ON c.segment = s.segment CROSS JOIN prior
+    ORDER BY c.segment, c.fold
+    """,
+)
+def sample_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe k-fold target encoding — the feature-store companion
+    to `sample_stratified_kfold`: each (category, fold) cell's encoding
+    is the smoothed OUT-OF-FOLD positive rate of its category
+    ((Σy_other_folds + m·prior) / (n_other_folds + m), m=10), so a row's
+    own fold never contributes to the feature it trains on — the
+    standard defence against target leakage in encoded categoricals.
+
+    Exactness: encodings are ratios of integer sums plus one global
+    prior, evaluated with the identical operand order on both engines —
+    bit-equal before the 6dp round.
+
+    Plan: one hash aggregate to (category, fold) grain, one roll-up to
+    category grain, then pure arithmetic on |categories|·k rows; the
+    encoded table broadcasts back onto the training scan at any scale —
+    model moves, not data.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_custkey") % 5).cast("long").alias("fold"),
+        F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("y"),
+    )
+    prior = base.agg(
+        (F.sum("y") * 1.0 / F.count(F.lit(1))).alias("p")
+    )
+    cells = base.groupBy("segment", "fold").agg(
+        F.count(F.lit(1)).alias("n_cell"), F.sum("y").alias("y_cell")
+    )
+    seg = cells.groupBy("segment").agg(
+        F.sum("n_cell").alias("n_seg"), F.sum("y_cell").alias("y_seg")
+    )
+    enc = ((F.col("y_seg") - F.col("y_cell")) + 10 * F.col("p")) / (
+        (F.col("n_seg") - F.col("n_cell")) + 10
+    )
+    return (
+        cells.join(seg, "segment")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "segment",
+            "fold",
+            "n_cell",
+            (F.col("n_seg") - F.col("n_cell")).alias("n_oof"),
+            F.round(enc, 6).alias("target_enc"),
+            F.round("p", 6).alias("global_prior"),
+        )
+        .orderBy("segment", "fold")
+    )

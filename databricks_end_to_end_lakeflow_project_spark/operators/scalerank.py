@@ -94,6 +94,10 @@ def monotone_bin_value(col: Column, dtype: T.DataType) -> Column:
         ).cast("long")
     if isinstance(dtype, T.TimestampType):
         return F.unix_micros(col)
+    if isinstance(dtype, T.TimestampNTZType):
+        # session TZ is pinned by the registry wrapper, so the cast is a
+        # fixed monotone shift — bin boundaries only need monotonicity
+        return F.unix_micros(col.cast("timestamp"))
     if isinstance(dtype, T.DateType):
         return F.datediff(col, F.lit("1970-01-01").cast("date"))
     if isinstance(dtype, T.BooleanType):

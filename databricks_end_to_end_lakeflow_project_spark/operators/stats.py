@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
     RankSpec,
+    monotone_bin_value,
     with_global_ranks,
     with_ntile,
 )
@@ -1819,4 +1820,578 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_per_arm"),
         )
         .orderBy("lift_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: experimentation-platform + eval-quality statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_calibration_ece",
+    """
+    WITH span AS (
+      SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+    ),
+    scored AS (
+      SELECT date_diff('day', span.lo, o_orderdate) * 1.0
+               / date_diff('day', span.lo, span.hi) AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END AS y
+      FROM orders CROSS JOIN span
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+             COUNT(*) AS n,
+             SUM(score) AS s_conf, SUM(y) AS s_pos
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM binned)
+    SELECT bin, n,
+           ROUND(s_conf / n, 6) AS mean_confidence,
+           ROUND(s_pos * 1.0 / n, 6) AS frac_positive,
+           ROUND(ABS(s_conf / n - s_pos * 1.0 / n), 6) AS abs_gap,
+           ROUND(SUM(n * ABS(s_conf / n - s_pos * 1.0 / n)) OVER ()
+                   / tot.total, 6) AS ece
+    FROM binned CROSS JOIN tot
+    ORDER BY bin
+    """,
+)
+def stats_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of a deterministic 'model': score =
+    order-date recency scaled to [0,1], outcome = order still open
+    (recent orders ARE more often open, so the score is genuinely
+    informative and imperfectly calibrated — a realistic reliability
+    diagram, not noise). 10 equal-width bins; per-bin mean confidence
+    vs empirical positive rate; ECE = Σ (n_b/N)·|acc_b − conf_b| rides
+    every row as a window total.
+
+    Plan: one scan → one hash aggregate on the bin id (10 groups) — the
+    canonical 100 TB model-monitoring shape (the [lo,hi] span is a 1-row
+    broadcast). Every statistic is a ratio of partial-aggregatable sums.
+    """
+    od = read_table(spark, sf_dir, "orders")
+    span = od.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    scored = od.crossJoin(F.broadcast(span)).select(
+        (
+            F.datediff("o_orderdate", "lo") * 1.0 / F.datediff("hi", "lo")
+        ).alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 0).otherwise(1).alias("y"),
+    )
+    binned = (
+        scored.groupBy(
+            F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9)).alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score").alias("s_conf"),
+            F.sum("y").alias("s_pos"),
+        )
+    )
+    conf = F.col("s_conf") / F.col("n")
+    acc = F.col("s_pos") * 1.0 / F.col("n")
+    # the ECE total is a 1-row aggregate of the 10-row bin frame,
+    # broadcast back — the repo's zero-unpartitioned-window convention
+    # (an OVER () window here would plan a single-partition WindowExec)
+    binned = binned.persist()
+    tot = binned.agg(F.sum("n").alias("__total"))
+    gaps = binned.select(
+        "bin",
+        "n",
+        F.round(conf, 6).alias("mean_confidence"),
+        F.round(acc, 6).alias("frac_positive"),
+        F.round(F.abs(conf - acc), 6).alias("abs_gap"),
+        (F.col("n") * F.abs(conf - acc)).alias("__w_gap"),
+    )
+    ece = gaps.agg(F.sum("__w_gap").alias("__sum_gap"))
+    return (
+        gaps.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            "n",
+            "mean_confidence",
+            "frac_positive",
+            "abs_gap",
+            F.round(F.col("__sum_gap") / F.col("__total"), 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+# pinned-order fold for the mutual-information sum: the joint table is
+# ~35 cells, so a free-order double sum is ulp-safe in practice, but the
+# repo's exactness protocol pins EVERY float reduction order anyway.
+@query(
+    "stats_mutual_information",
+    """
+    WITH joint AS (
+      SELECT c_nationkey AS x, c_mktsegment AS y, COUNT(*) AS nxy
+      FROM customer GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(nxy) AS n FROM joint),
+    marg AS (
+      SELECT x, y, nxy,
+             SUM(nxy) OVER (PARTITION BY x) AS nx,
+             SUM(nxy) OVER (PARTITION BY y) AS ny,
+             tot.n AS n
+      FROM joint CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT (nxy * 1.0 / n) * LN((nxy * 1.0 * n) / (nx * 1.0 * ny)) AS mi_t,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY x ORDER BY y) = 1
+                  THEN -(nx * 1.0 / n) * LN(nx * 1.0 / n) ELSE 0 END AS hx_t,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY y ORDER BY x) = 1
+                  THEN -(ny * 1.0 / n) * LN(ny * 1.0 / n) ELSE 0 END AS hy_t,
+             x, y, n
+      FROM marg
+    ),
+    folded AS (
+      SELECT ANY_VALUE(n) AS n,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, LIST(mi_t ORDER BY x, y)),
+               (a, b) -> a + b) AS mi,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, LIST(hx_t ORDER BY x, y)),
+               (a, b) -> a + b) AS hx,
+             list_reduce(
+               list_prepend(0.0::DOUBLE, LIST(hy_t ORDER BY x, y)),
+               (a, b) -> a + b) AS hy
+      FROM terms
+    )
+    SELECT n, ROUND(mi, 6) AS mi_nats,
+           ROUND(mi / SQRT(hx * hy), 6) AS nmi,
+           ROUND(hx, 6) AS h_x, ROUND(hy, 6) AS h_y
+    FROM folded
+    """,
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) and normalized MI between two
+    categorical columns (nation × market segment) — the feature-
+    redundancy / leakage screen a feature store runs before training.
+    NMI = MI / √(H(x)·H(y)).
+
+    Plan: ONE hash aggregate builds the joint table (|x|·|y| ≈ 125
+    cells); marginals are window sums over it — "model moves, not
+    data": nothing after the first aggregate scales with the table. The
+    final float reduction folds in pinned (x, y) order on both engines
+    (repo exactness protocol), so the 6dp hash can never straddle a
+    summation-order ulp.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    joint = cust.groupBy(
+        F.col("c_nationkey").alias("x"), F.col("c_mktsegment").alias("y")
+    ).agg(F.count(F.lit(1)).alias("nxy")).persist()
+    wx, wy = Window.partitionBy("x"), Window.partitionBy("y")
+    # total n is a 1-row broadcast, not an OVER () window (the repo's
+    # zero-unpartitioned-window convention)
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    marg = joint.select(
+        "x",
+        "y",
+        "nxy",
+        F.sum("nxy").over(wx).alias("nx"),
+        F.sum("nxy").over(wy).alias("ny"),
+    ).crossJoin(F.broadcast(tot))
+    mi_t = (F.col("nxy") * 1.0 / F.col("n")) * F.log(
+        (F.col("nxy") * 1.0 * F.col("n")) / (F.col("nx") * 1.0 * F.col("ny"))
+    )
+    first_x = F.row_number().over(wx.orderBy("y")) == 1
+    first_y = F.row_number().over(wy.orderBy("x")) == 1
+    px, py = F.col("nx") * 1.0 / F.col("n"), F.col("ny") * 1.0 / F.col("n")
+    terms = marg.select(
+        "x",
+        "y",
+        "n",
+        mi_t.alias("mi_t"),
+        F.when(first_x, -px * F.log(px)).otherwise(F.lit(0.0)).alias("hx_t"),
+        F.when(first_y, -py * F.log(py)).otherwise(F.lit(0.0)).alias("hy_t"),
+    )
+
+    def fold(col):
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col("x"), F.col("y"), F.col(col).alias("t")))
+        )
+        return F.aggregate(
+            arr, F.lit(0.0), lambda acc, s: acc + s["t"]
+        )
+
+    folded = terms.groupBy().agg(
+        F.first("n").alias("n"),
+        fold("mi_t").alias("mi"),
+        fold("hx_t").alias("hx"),
+        fold("hy_t").alias("hy"),
+    )
+    return folded.select(
+        "n",
+        F.round("mi", 6).alias("mi_nats"),
+        F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
+        F.round("hx", 6).alias("h_x"),
+        F.round("hy", 6).alias("h_y"),
+    )
+
+
+@query(
+    "stats_mad_outliers",
+    """
+    WITH med AS (
+      SELECT l_returnflag AS grp, QUANTILE_CONT(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY 1
+    ),
+    mad AS (
+      SELECT l.l_returnflag AS grp, ANY_VALUE(m.med) AS med,
+             QUANTILE_CONT(ABS(l.l_extendedprice - m.med), 0.5) AS mad
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.grp
+      GROUP BY 1
+    )
+    SELECT l.l_returnflag AS grp,
+           ROUND(ANY_VALUE(m.med), 2) AS med,
+           ROUND(ANY_VALUE(m.mad), 2) AS mad,
+           COUNT(*) AS n,
+           SUM(CASE WHEN ABS(l.l_extendedprice - m.med)
+                         > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS n_outliers
+    FROM lineitem l JOIN mad m ON l.l_returnflag = m.grp
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per group: median / MAD (scaled by the
+    1.4826 normal-consistency constant) and the count of points beyond
+    3 robust sigmas — the quality-monitoring alternative to mean/stddev
+    z-scores, immune to the outliers it is hunting.
+
+    Plan: two exact-percentile aggregates (bounded group cardinality —
+    the documented `percentile` contract) + one broadcast join back for
+    the flag count. At raw-column 100 TB scale, swap both percentiles
+    for `approx_percentile` — identical shape, sketch-mergeable.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    med = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.percentile(p, 0.5).alias("med")
+    )
+    j1 = li.join(
+        F.broadcast(med), li["l_returnflag"] == med["grp"]
+    )
+    mad = j1.groupBy("grp").agg(
+        F.first("med").alias("med"),
+        F.percentile(F.abs(p - F.col("med")), 0.5).alias("mad"),
+    )
+    j2 = li.join(F.broadcast(mad), li["l_returnflag"] == mad["grp"])
+    out = F.when(
+        F.abs(p - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+    ).otherwise(0)
+    return (
+        j2.groupBy("grp")
+        .agg(
+            F.round(F.first("med"), 2).alias("med"),
+            F.round(F.first("mad"), 2).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out).alias("n_outliers"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "stats_fdr_bh",
+    """
+    WITH gpop AS (
+      SELECT AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0 END) AS p0
+      FROM lineitem
+    ),
+    per AS (
+      SELECT s_nationkey AS nation, COUNT(*) AS n,
+             AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0 END) AS phat
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1
+    ),
+    tests AS (
+      SELECT nation, n,
+             (phat - gpop.p0) / SQRT(gpop.p0 * (1 - gpop.p0) / n) AS z,
+             -- two-sided subgaussian tail bound: p ≤ 2·exp(−z²/2); the
+             -- operator under test is the BH step-up, which accepts any
+             -- valid p-values (exact Φ needs erf, absent in both engines)
+             LEAST(2 * EXP(-((phat - gpop.p0) / SQRT(gpop.p0 * (1 - gpop.p0) / n))
+                           * ((phat - gpop.p0) / SQRT(gpop.p0 * (1 - gpop.p0) / n)) / 2),
+                   1.0) AS p
+      FROM per CROSS JOIN gpop
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY p, nation) AS rk,
+             COUNT(*) OVER () AS m
+      FROM tests
+    ),
+    adj AS (
+      SELECT *, MIN(p * m / rk) OVER (
+               ORDER BY rk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS p_adj_raw
+      FROM ranked
+    )
+    SELECT nation, n, ROUND(z, 4) AS z, ROUND(p, 6) AS p,
+           rk, ROUND(LEAST(p_adj_raw, 1.0), 6) AS p_adj,
+           CASE WHEN LEAST(p_adj_raw, 1.0) <= 0.05 THEN 1 ELSE 0 END
+             AS rejected_fdr05
+    FROM adj ORDER BY rk
+    """,
+)
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a family of per-nation
+    two-proportion tests (supplier-nation return rates vs global) — the
+    multiple-comparisons gate an experimentation platform applies before
+    shipping 'significant' segment effects. Emits rank, BH-adjusted
+    p-value (reverse cumulative min of p·m/rank) and the 5%-FDR
+    decision. The per-test p-value is the two-sided subgaussian bound
+    2·exp(−z²/2) — a valid (conservative) p-value that both engines can
+    compute in closed form; the operator under test is the step-up
+    procedure, which is tail-function-agnostic.
+
+    Plan: one join + hash aggregate to nation grain (25 rows), then the
+    BH machinery is two windows over test-family-cardinality data —
+    model moves, not data.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier")
+    ret = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    glob = li.agg(F.avg(ret).alias("p0"))
+    per = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == sup["s_suppkey"],
+        )
+        .groupBy(F.col("s_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg(ret).alias("phat"))
+    )
+    z = (F.col("phat") - F.col("p0")) / F.sqrt(
+        F.col("p0") * (1 - F.col("p0")) / F.col("n")
+    )
+    tests = per.crossJoin(F.broadcast(glob)).select(
+        "nation",
+        "n",
+        z.alias("z"),
+        F.least(2 * F.exp(-z * z / 2), F.lit(1.0)).alias("p"),
+    )
+    # the BH step-up runs as ARRAY algebra over one collected row: the
+    # test family is model-sized by definition (one row per hypothesis,
+    # never per observation), so ranking + the reverse cumulative min
+    # need no global-order window — the repo plans zero unpartitioned
+    # windows, no exceptions. O(m²) array scans at m = |hypotheses|.
+    packed = tests.agg(
+        F.array_sort(
+            F.collect_list(F.struct("p", "nation", "n", "z"))
+        ).alias("a")
+    )
+    m = F.size(F.col("a"))
+    per_rank = F.transform(
+        F.col("a"),
+        lambda s, i: F.struct(
+            s["nation"].alias("nation"),
+            s["n"].alias("n"),
+            s["z"].alias("z"),
+            s["p"].alias("p"),
+            (i + 1).alias("rk"),
+            F.array_min(
+                F.transform(
+                    F.slice(F.col("a"), i + 1, m),
+                    lambda s2, j: s2["p"] * m / (i + 1 + j),
+                )
+            ).alias("p_adj_raw"),
+        ),
+    )
+    rows = packed.select(F.explode(per_rank).alias("r")).select("r.*")
+    p_adj = F.least(F.col("p_adj_raw"), F.lit(1.0))
+    return rows.select(
+        "nation",
+        "n",
+        F.round("z", 4).alias("z"),
+        F.round("p", 6).alias("p"),
+        "rk",
+        F.round(p_adj, 6).alias("p_adj"),
+        F.when(p_adj <= 0.05, 1).otherwise(0).alias("rejected_fdr05"),
+    ).orderBy("rk")
+
+
+@query(
+    "stats_sprt_boundary",
+    """
+    WITH seq AS (
+      SELECT o_orderkey, o_orderdate,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS x,
+             ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS t
+      FROM orders
+    ),
+    cum AS (
+      SELECT t, x,
+             SUM(x) OVER (ORDER BY t) AS ones,
+             t - SUM(x) OVER (ORDER BY t) AS zeros
+      FROM seq
+    ),
+    llr AS (
+      -- H0: p=0.5 vs H1: p=0.6; llr_t = ones·ln(1.2) + zeros·ln(0.8):
+      -- two exact integer-scaled multiplications per row, no float fold
+      SELECT t, ones, zeros,
+             ones * LN(0.6 / 0.5) + zeros * LN(0.4 / 0.5) AS llr
+      FROM cum
+    ),
+    bounds AS (SELECT LN((1 - 0.2) / 0.05) AS up, LN(0.2 / (1 - 0.05)) AS lo),
+    crossed AS (
+      SELECT MIN(CASE WHEN llr >= bounds.up THEN t END) AS t_accept_h1,
+             MIN(CASE WHEN llr <= bounds.lo THEN t END) AS t_accept_h0,
+             MAX(t) AS n, ROUND(MAX(llr), 6) AS max_llr,
+             ROUND(MIN(llr), 6) AS min_llr
+      FROM llr CROSS JOIN bounds
+    )
+    SELECT n, t_accept_h1, t_accept_h0,
+           CASE
+             WHEN t_accept_h1 IS NOT NULL
+                  AND (t_accept_h0 IS NULL OR t_accept_h1 < t_accept_h0)
+               THEN 'accept_h1'
+             WHEN t_accept_h0 IS NOT NULL THEN 'accept_h0'
+             ELSE 'continue'
+           END AS decision,
+           max_llr, min_llr
+    FROM crossed
+    """,
+)
+def stats_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test over the order stream
+    (H0: p=0.5 vs H1: p=0.6 on the fulfilled flag, α=0.05, β=0.2):
+    first boundary crossing and the decision — the always-valid
+    sequential monitoring an experimentation platform runs instead of
+    fixed-horizon peeking.
+
+    Exactness: the running LLR is reconstructed per row as
+    ones·ln(1.2) + zeros·ln(0.8) from INTEGER cumulative counts — two
+    multiplications on identical operands in both engines — never a
+    float cumulative sum, so there is no fold-order surface at all.
+
+    Plan (100 TB): the cumulative counts are DISTRIBUTED RANKS from the
+    scalerank kernel (range-bin + partitioned window + offsets, the
+    same kernel `rank_curve` measures at 10M rows) — a row's inclusive
+    ones-count is its rank within the x=1 subsequence (x=1 rows) or
+    t − rank-within-x=0 (x=0 rows) — plus two equi-joins on the unit
+    key. No single-partition WindowExec anywhere, at any scale; the
+    boundary scan is one scalar aggregate.
+    """
+    od = read_table(spark, sf_dir, "orders")
+    x = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    seq = od.select(x.alias("x"), "o_orderdate", "o_orderkey")
+    dt_type = seq.schema["o_orderdate"].dataType
+
+    def rank_of(df, out):
+        spec = RankSpec(
+            out=out,
+            value="o_orderdate",
+            tiebreaks=["o_orderkey"],
+            bin_value=monotone_bin_value(F.col("o_orderdate"), dt_type),
+        )
+        ranked, _total = with_global_ranks(df, [spec])
+        return ranked
+
+    # cumulative counts as DISTRIBUTED RANKS (no global-order window —
+    # the repo plans zero unpartitioned windows): a row's inclusive
+    # ones-count is its rank within the x=1 subsequence if x=1, else
+    # t − (rank within the x=0 subsequence); t is the global rank.
+    ranked = rank_of(seq, "t")
+    r1 = rank_of(seq.filter(F.col("x") == 1), "r1").select("o_orderkey", "r1")
+    r0 = rank_of(seq.filter(F.col("x") == 0), "r0").select("o_orderkey", "r0")
+    j = ranked.join(r1, "o_orderkey", "left").join(r0, "o_orderkey", "left")
+    ones = F.when(F.col("x") == 1, F.col("r1")).otherwise(
+        F.col("t") - F.col("r0")
+    )
+    import math
+
+    c1, c0 = math.log(0.6 / 0.5), math.log(0.4 / 0.5)
+    up, lo = math.log((1 - 0.2) / 0.05), math.log(0.2 / (1 - 0.05))
+    llr = j.select(
+        "t", (ones * c1 + (F.col("t") - ones) * c0).alias("llr")
+    )
+    crossed = llr.agg(
+        F.max("t").alias("n"),
+        F.min(F.when(F.col("llr") >= up, F.col("t"))).alias("t_accept_h1"),
+        F.min(F.when(F.col("llr") <= lo, F.col("t"))).alias("t_accept_h0"),
+        F.round(F.max("llr"), 6).alias("max_llr"),
+        F.round(F.min("llr"), 6).alias("min_llr"),
+    )
+    decision = (
+        F.when(
+            F.col("t_accept_h1").isNotNull()
+            & (
+                F.col("t_accept_h0").isNull()
+                | (F.col("t_accept_h1") < F.col("t_accept_h0"))
+            ),
+            "accept_h1",
+        )
+        .when(F.col("t_accept_h0").isNotNull(), "accept_h0")
+        .otherwise("continue")
+    )
+    return crossed.select(
+        "n", "t_accept_h1", "t_accept_h0", decision.alias("decision"),
+        "max_llr", "min_llr",
+    )
+
+
+@query(
+    "stats_srm_check",
+    """
+    WITH assigned AS (
+      SELECT CASE WHEN ((o_orderkey * 2654435761) % 1000) < 500
+                  THEN 'treatment' ELSE 'control' END AS arm
+      FROM orders
+    ),
+    counts AS (
+      SELECT SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS nt,
+             SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS nc,
+             COUNT(*) AS n
+      FROM assigned
+    )
+    SELECT nt, nc, n,
+           ROUND((nt - n / 2.0) * (nt - n / 2.0) / (n / 2.0)
+               + (nc - n / 2.0) * (nc - n / 2.0) / (n / 2.0), 6) AS chi2,
+           ROUND(LEAST(EXP(-(((nt - n / 2.0) * (nt - n / 2.0) / (n / 2.0)
+               + (nc - n / 2.0) * (nc - n / 2.0) / (n / 2.0)) / 2)), 1.0), 6)
+             AS p_bound,
+           CASE WHEN ((nt - n / 2.0) * (nt - n / 2.0) / (n / 2.0)
+               + (nc - n / 2.0) * (nc - n / 2.0) / (n / 2.0)) > 10.83
+                THEN 1 ELSE 0 END AS srm_alarm
+    FROM counts
+    """,
+)
+def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for a hash-based 50/50 experiment
+    assignment (multiplicative hash of the order key): 1-df chi-square
+    against the expected split, the Chernoff tail bound e^{−χ²/2} as a
+    conservative p-value, and the standard p<0.001-equivalent alarm
+    (χ² > 10.83). SRM is the first gate every A/B readout must pass —
+    a biased assignment invalidates every downstream metric.
+
+    Plan: one scan → one scalar conditional aggregate. The assignment
+    hash is the unit-consistent bucketing a production platform uses,
+    so the same expression serves assignment and audit.
+    """
+    od = read_table(spark, sf_dir, "orders")
+    arm = F.when(
+        (F.col("o_orderkey").cast("long") * 2654435761) % 1000 < 500,
+        "treatment",
+    ).otherwise("control")
+    counts = od.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).alias("nc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    half = F.col("n") / 2.0
+    chi2 = (F.col("nt") - half) * (F.col("nt") - half) / half + (
+        F.col("nc") - half
+    ) * (F.col("nc") - half) / half
+    return counts.select(
+        "nt",
+        "nc",
+        "n",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.least(F.exp(-chi2 / 2), F.lit(1.0)), 6).alias("p_bound"),
+        F.when(chi2 > 10.83, 1).otherwise(0).alias("srm_alarm"),
     )

@@ -61,6 +61,11 @@ NON_EQUI_WHITELIST = {
     "text_bpe_apply_merge_round2",  # 1-row winning-pair frame broadcast into the fold
     "stats_did_estimator",  # 1-row × 1-row treated/control cell combine
     "stats_power_analysis",  # 1-row moment frame × 4-row lift-literal frame
+    "stats_calibration_ece",  # 1-row total + 1-row ECE sum broadcast onto 10 bins
+    "stats_mutual_information",  # 1-row corpus-total broadcast onto the joint cells
+    "stats_fdr_bh",  # 1-row global-rate frame broadcast into the per-nation tests
+    "retrieval_ndcg_mrr_eval",  # 5-row query frame broadcast across the candidate scan (batch-scoring contract, same shape as sim_gemm_batch_topk)
+    "sample_target_encode_kfold",  # 1-row global-prior frame broadcast onto the cells
 }
 
 
