@@ -2228,3 +2228,125 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "dim", "v_q", F.round(F.col("v_q") / 1000000.0, 6).alias("loading")
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition: margin-based bitext mining (parallel-corpus creation)
+# ---------------------------------------------------------------------------
+
+_BITEXT_NN_K = 4
+_BITEXT_TOPK = 20
+
+
+_BITEXT_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id AS src, embedding AS va FROM embeddings WHERE vec_id % 2 = 0
+),
+b AS (
+  SELECT vec_id AS dst, embedding AS vb FROM embeddings WHERE vec_id % 2 = 1
+),
+pairs AS (
+  SELECT a.src, b.dst,
+         ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(list_zip(a.va, b.vb),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+                 (x, y) -> x + y)
+           / (SQRT(list_reduce(list_transform(a.va,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+            * SQRT(list_reduce(list_transform(b.vb,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))),
+         6) AS cos_sim
+  FROM a CROSS JOIN b
+),
+nn_src AS (
+  SELECT src,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           (LIST(cos_sim ORDER BY cos_sim DESC, dst))[1:{_BITEXT_NN_K}]),
+           (x, y) -> x + y) / {_BITEXT_NN_K} AS nn_src
+  FROM pairs GROUP BY src
+),
+nn_dst AS (
+  SELECT dst,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           (LIST(cos_sim ORDER BY cos_sim DESC, src))[1:{_BITEXT_NN_K}]),
+           (x, y) -> x + y) / {_BITEXT_NN_K} AS nn_dst
+  FROM pairs GROUP BY dst
+)
+SELECT p.src, p.dst, p.cos_sim,
+       ROUND(p.cos_sim / ((n1.nn_src + n2.nn_dst) / 2), 6) AS margin
+FROM pairs p JOIN nn_src n1 ON p.src = n1.src JOIN nn_dst n2 ON p.dst = n2.dst
+ORDER BY margin DESC, p.src, p.dst LIMIT {_BITEXT_TOPK}
+"""
+
+
+@query("sim_bitext_margin_pairs", _BITEXT_ORACLE)
+def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, the CCMatrix /
+    LASER parallel-corpus recipe): candidate translation pairs are
+    scored by the RATIO margin — cos(x,y) divided by the mean of each
+    side's top-k neighborhood cosines — which cancels hubness (a vector
+    that is close to EVERYTHING scores high raw cosine but low margin).
+    Sides here are the even/odd vec_id halves of the embedding table
+    standing in for two languages embedded in one multilingual space;
+    emits the top-20 mined pairs by margin.
+
+    Exactness: cosines are sequential-fold + 6dp-rounded before any
+    ranking; each side's k-neighborhood mean folds in pinned
+    (score desc, id) order; the margin is one division on identical
+    operands — cross-engine bit-stable into the 6dp round.
+
+    Plan: the all-pairs scoring is the BASELINE contract (|A|·|B| at
+    this SF); at 100 TB each side's neighborhoods come from the ANN
+    legs (`sim_ivf_topk` / hyperplane LSH) and the margin algebra — two
+    grouped top-k folds + one join — is unchanged. Neighborhood state
+    is one row per vector: model moves, not data.
+    """
+    em = read_table(spark, sf_dir, "embeddings")
+    a = em.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("va")
+    )
+    b = em.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("vb")
+    )
+    pairs = a.crossJoin(b).select(
+        "src",
+        "dst",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+    )
+    pairs = persist_once(pairs)
+
+    def nn_mean(side, other):
+        arr = F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cos_sim")).alias("ns"),
+                    F.col(other).alias("o"),
+                    F.col("cos_sim").alias("c"),
+                )
+            )
+        )
+        folded = F.aggregate(
+            F.slice(arr, 1, _BITEXT_NN_K),
+            F.lit(0.0),
+            lambda acc, s: acc + s["c"],
+        )
+        return pairs.groupBy(side).agg(
+            (folded / _BITEXT_NN_K).alias(f"nn_{side}")
+        )
+
+    nns = nn_mean("src", "dst")
+    nnd = nn_mean("dst", "src")
+    return (
+        pairs.join(nns, "src")
+        .join(nnd, "dst")
+        .select(
+            "src",
+            "dst",
+            "cos_sim",
+            F.round(
+                F.col("cos_sim") / ((F.col("nn_src") + F.col("nn_dst")) / 2), 6
+            ).alias("margin"),
+        )
+        .orderBy(F.col("margin").desc(), "src", "dst")
+        .limit(_BITEXT_TOPK)
+    )
