@@ -891,6 +891,28 @@ def graph_scale_curve(spark) -> list:
             "n_components": n_comp,
         }
 
+        # star-contraction CC on a PATH graph of the same node count —
+        # the O(diameter) adversarial case: min-label would need
+        # n_nodes rounds (infeasible past ×1), star contraction must
+        # stay at O(log² n) rounds with ~linear per-round cost
+        from databricks_end_to_end_lakeflow_project_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        path = spark.range(n_nodes - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        pnodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+        stats: dict = {}
+        t0 = time.perf_counter()
+        pcomp = connected_components_star(pnodes, path, stats_out=stats)
+        n_pcomp = pcomp.select("component").distinct().count()
+        point["cc_star_path"] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "rounds": stats.get("rounds"),
+            "n_components": n_pcomp,
+        }
+
         edges.unpersist()
         spark.catalog.clearCache()
         curve.append(point)

@@ -703,6 +703,19 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+
+    def _fingerprint(df):
+        # one aggregate job per round: (count, order-free hash sum). A
+        # fingerprint MATCH is only a candidate fixpoint — it is
+        # confirmed with an exact exceptAll before stopping, so a hash
+        # collision can cost one wasted confirm, never a wrong result.
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),  # no ANSI overflow
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    prev_fp = _fingerprint(cur)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -732,12 +745,14 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        # fixpoint: the (already-distinct, already-oriented) edge sets
-        # are equal iff same size and no element of one escapes the other
-        n_cur, n_new = cur.count(), small.count()
-        if n_cur == n_new and small.exceptAll(cur).limit(1).count() == 0:
+        # fixpoint: cheap fingerprint each round; exact confirm only on
+        # a fingerprint match (the already-distinct, already-oriented
+        # edge sets are equal iff same size and nothing escapes)
+        fp = _fingerprint(small)
+        if fp == prev_fp and small.exceptAll(cur).limit(1).count() == 0:
             cur = small
             break
+        prev_fp = fp
         cur = small
     if stats_out is not None:
         stats_out["rounds"] = rounds
