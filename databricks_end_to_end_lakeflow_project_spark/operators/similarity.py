@@ -2350,3 +2350,121 @@ def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("margin").desc(), "src", "dst")
         .limit(_BITEXT_TOPK)
     )
+
+
+_EMB_DRIFT_ORACLE = """
+WITH halves AS (
+  SELECT CASE WHEN vec_id < (SELECT MAX(vec_id) // 2 FROM embeddings)
+              THEN 'base' ELSE 'candidate' END AS cohort,
+         embedding
+  FROM embeddings
+),
+dims AS (
+  -- exactness protocol: quantize to 1e-6 longs BEFORE aggregation so
+  -- the per-dim sums are order-free integers in both engines
+  SELECT cohort, t.i AS dim,
+         CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS val_q
+  FROM halves, LATERAL UNNEST(range(1, len(embedding) + 1)) AS t(i)
+),
+means AS (
+  SELECT cohort, dim,
+         (CAST(SUM(val_q) AS DOUBLE) / 1000000.0) / COUNT(*) AS mu
+  FROM dims GROUP BY cohort, dim
+),
+wide AS (
+  SELECT b.dim, b.mu AS mu_b, c.mu AS mu_c
+  FROM (SELECT * FROM means WHERE cohort = 'base') b
+  JOIN (SELECT * FROM means WHERE cohort = 'candidate') c USING (dim)
+),
+folded AS (
+  SELECT
+    list_reduce(list_prepend(0.0::DOUBLE,
+      LIST(mu_b * mu_c ORDER BY dim)), (a, b) -> a + b) AS dot_bc,
+    list_reduce(list_prepend(0.0::DOUBLE,
+      LIST(mu_b * mu_b ORDER BY dim)), (a, b) -> a + b) AS nb,
+    list_reduce(list_prepend(0.0::DOUBLE,
+      LIST(mu_c * mu_c ORDER BY dim)), (a, b) -> a + b) AS nc,
+    MAX(ABS(mu_b - mu_c)) AS max_dim_shift,
+    ARG_MAX(dim, ABS(mu_b - mu_c)) AS worst_dim
+  FROM wide
+)
+SELECT ROUND(dot_bc / (SQRT(nb) * SQRT(nc)), 6) AS centroid_cosine,
+       ROUND(SQRT(nb), 6) AS base_centroid_norm,
+       ROUND(SQRT(nc), 6) AS cand_centroid_norm,
+       ROUND(max_dim_shift, 6) AS max_dim_shift,
+       worst_dim
+FROM folded
+"""
+
+
+@query("sim_embedding_drift_monitor", _EMB_DRIFT_ORACLE)
+def sim_embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor between a base and a candidate
+    cohort (here: the lower/upper vec_id halves standing in for
+    yesterday's vs today's embedding snapshot): cosine between the two
+    cohort CENTROIDS, both centroid norms, and the worst-shifted
+    dimension — the cheap first-line alarm before re-costing an ANN
+    index or re-calibrating thresholds after a model/encoder change.
+    Completes the drift family (PSI/KS/chi²/KL cover scalar and token
+    distributions; this covers the embedding modality).
+
+    Plan: posexplode → per-(cohort, dim) mean — one hash aggregate with
+    map-side partials on a perfectly uniform 2·dims-group key — then all
+    algebra on the 64-row dim frame with pinned-order folds. At 100 TB
+    the only data-sized pass is the first aggregate; everything after
+    is model-sized.
+    """
+    em = read_table(spark, sf_dir, "embeddings")
+    # floor division on both engines (a DOUBLE/2 → BIGINT cast rounds in
+    # DuckDB but truncates in Spark — one vector would switch cohorts)
+    half = em.agg(F.floor(F.max("vec_id") / 2).cast("long").alias("h"))
+    halves = em.crossJoin(F.broadcast(half)).select(
+        F.when(F.col("vec_id") < F.col("h"), "base")
+        .otherwise("candidate")
+        .alias("cohort"),
+        F.posexplode("embedding").alias("dim0", "val"),
+    )
+    # exactness protocol: 1e-6-quantized integer sums (order-free), one
+    # identically-ordered division chain on both engines
+    val_q = F.round(F.col("val").cast("double") * 1000000).cast("long")
+    means = halves.groupBy("cohort", (F.col("dim0") + 1).alias("dim")).agg(
+        (
+            (F.sum(val_q).cast("double") / 1000000.0) / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    wide = (
+        means.filter(F.col("cohort") == "base")
+        .select("dim", F.col("mu").alias("mu_b"))
+        .join(
+            means.filter(F.col("cohort") == "candidate").select(
+                "dim", F.col("mu").alias("mu_c")
+            ),
+            "dim",
+        )
+    )
+
+    def fold(term):
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col("dim").alias("d"), term.alias("t")))
+        )
+        return F.aggregate(arr, F.lit(0.0), lambda acc, s: acc + s["t"])
+
+    folded = wide.groupBy().agg(
+        fold(F.col("mu_b") * F.col("mu_c")).alias("dot_bc"),
+        fold(F.col("mu_b") * F.col("mu_b")).alias("nb"),
+        fold(F.col("mu_c") * F.col("mu_c")).alias("nc"),
+        F.max(F.abs(F.col("mu_b") - F.col("mu_c"))).alias("max_dim_shift"),
+        F.max_by("dim", F.abs(F.col("mu_b") - F.col("mu_c"))).alias(
+            "worst_dim"
+        ),
+    )
+    return folded.select(
+        F.round(
+            F.col("dot_bc") / (F.sqrt("nb") * F.sqrt("nc")), 6
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt("nb"), 6).alias("base_centroid_norm"),
+        F.round(F.sqrt("nc"), 6).alias("cand_centroid_norm"),
+        F.round("max_dim_shift", 6).alias("max_dim_shift"),
+        "worst_dim",
+    )

@@ -2395,3 +2395,132 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.exp(-chi2 / 2), F.lit(1.0)), 6).alias("p_bound"),
         F.when(chi2 > 10.83, 1).otherwise(0).alias("srm_alarm"),
     )
+
+
+@query(
+    "stats_uplift_qini_deciles",
+    """
+    WITH span AS (
+      SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+    ),
+    pop AS (
+      SELECT o_orderkey,
+             date_diff('day', span.lo, o_orderdate) * 1.0
+               / date_diff('day', span.lo, span.hi) AS score,
+             CASE WHEN ((o_orderkey * 2654435761) % 1000) < 500
+                  THEN 1 ELSE 0 END AS treated,
+             CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END AS y
+      FROM orders CROSS JOIN span
+    ),
+    tiled AS (
+      SELECT *, NTILE(10) OVER (ORDER BY score DESC, o_orderkey) AS decile
+      FROM pop
+    ),
+    cells AS (
+      SELECT decile,
+             SUM(treated) AS n_t, SUM(1 - treated) AS n_c,
+             SUM(y * treated) AS y_t, SUM(y * (1 - treated)) AS y_c
+      FROM tiled GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile, n_t, n_c, y_t, y_c,
+             SUM(y_t) OVER w AS cy_t, SUM(y_c) OVER w AS cy_c,
+             SUM(n_t) OVER w AS cn_t, SUM(n_c) OVER w AS cn_c
+      FROM cells
+      WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT decile, n_t, n_c,
+           ROUND(y_t * 1.0 / n_t - y_c * 1.0 / n_c, 6) AS decile_uplift,
+           ROUND(cy_t - cy_c * (cn_t * 1.0 / cn_c), 4) AS qini
+    FROM cum ORDER BY decile
+    """,
+)
+def stats_uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-model evaluation by Qini deciles: the population ranks by
+    a deterministic uplift score (order-date recency — genuinely
+    correlated with the 'still open' outcome), splits into exact
+    deciles, and each decile reports its treated-minus-control outcome
+    lift plus the cumulative Qini statistic
+    cum(y_t) − cum(y_c)·cum(n_t)/cum(n_c) — the curve an uplift/
+    targeting model is judged by (area under it vs the random-targeting
+    diagonal).
+
+    Plan: deciles come from the scalerank NTILE kernel (range-bin +
+    partitioned window — no single-partition global sort at any scale);
+    the decile cells are 10 rows, so the cumulative sweep runs as
+    pinned-order ARRAY algebra over one collected row, never an
+    unpartitioned window. Treatment is the SRM check's assignment hash
+    — the same unit bucketing a real platform uses end to end.
+    """
+    od = read_table(spark, sf_dir, "orders")
+    span = od.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    pop = od.crossJoin(F.broadcast(span)).select(
+        "o_orderkey",
+        (
+            F.datediff("o_orderdate", "lo") * 1.0 / F.datediff("hi", "lo")
+        ).alias("score"),
+        F.when(
+            (F.col("o_orderkey").cast("long") * 2654435761) % 1000 < 500, 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        F.when(F.col("o_orderstatus") == "F", 0).otherwise(1).alias("y"),
+    )
+    tiled = with_ntile(
+        pop, 10, "score", ["o_orderkey"], "decile", descending=True
+    )
+    cells = tiled.groupBy("decile").agg(
+        F.sum("treated").alias("n_t"),
+        F.sum(1 - F.col("treated")).alias("n_c"),
+        F.sum(F.col("y") * F.col("treated")).alias("y_t"),
+        F.sum(F.col("y") * (1 - F.col("treated"))).alias("y_c"),
+    )
+    packed = cells.agg(
+        F.array_sort(
+            F.collect_list(F.struct("decile", "n_t", "n_c", "y_t", "y_c"))
+        ).alias("a")
+    )
+    per_decile = F.transform(
+        F.col("a"),
+        lambda s, i: F.struct(
+            s["decile"].alias("decile"),
+            s["n_t"].alias("n_t"),
+            s["n_c"].alias("n_c"),
+            F.round(
+                s["y_t"] * 1.0 / s["n_t"] - s["y_c"] * 1.0 / s["n_c"], 6
+            ).alias("decile_uplift"),
+            F.round(
+                F.aggregate(
+                    F.slice(F.col("a"), 1, i + 1),
+                    F.lit(0.0),
+                    lambda acc, s2: acc + s2["y_t"],
+                )
+                - F.aggregate(
+                    F.slice(F.col("a"), 1, i + 1),
+                    F.lit(0.0),
+                    lambda acc, s2: acc + s2["y_c"],
+                )
+                * (
+                    F.aggregate(
+                        F.slice(F.col("a"), 1, i + 1),
+                        F.lit(0.0),
+                        lambda acc, s2: acc + s2["n_t"],
+                    )
+                    / F.aggregate(
+                        F.slice(F.col("a"), 1, i + 1),
+                        F.lit(0.0),
+                        lambda acc, s2: acc + s2["n_c"],
+                    )
+                ),
+                4,
+            ).alias("qini"),
+        ),
+    )
+    return (
+        packed.select(F.explode(per_decile).alias("r"))
+        .select("r.*")
+        .orderBy("decile")
+    )

@@ -67,6 +67,8 @@ NON_EQUI_WHITELIST = {
     "stats_fdr_bh",  # 1-row global-rate frame broadcast into the per-nation tests
     "retrieval_ndcg_mrr_eval",  # 5-row query frame broadcast across the candidate scan (batch-scoring contract, same shape as sim_gemm_batch_topk)
     "sample_target_encode_kfold",  # 1-row global-prior frame broadcast onto the cells
+    "stats_uplift_qini_deciles",  # 1-row date-span frame broadcast onto the scoring scan
+    "sim_embedding_drift_monitor",  # 1-row cohort-split scalar broadcast onto the scan
 }
 
 

