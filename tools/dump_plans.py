@@ -25,6 +25,35 @@ from databricks_end_to_end_lakeflow_project_spark.session import get_spark  # no
 # (query, what the plan must show)
 SHOWCASE = [
     (
+        "er_blocked_match_pairs",
+        "Wildcard-variant ER blocking: both sides explode 8 variant keys, "
+        "candidates come from ONE equi-join on (nation, wpos, vkey, sub) "
+        "with the size-aware split riding the same key - no cartesian, no "
+        "fan-out beyond the <=10-row variant blocks, JVM levenshtein, one "
+        "aggregate.",
+    ),
+    (
+        "graph_cc_star_contraction",
+        "Star-contraction CC: every round is groupBy-min + equi-join "
+        "(large-star) then the same on oriented edges (small-star); "
+        "localCheckpoint truncates lineage per round, the fixpoint probe "
+        "is one aggregate - no diameter-length lineage, no cartesian.",
+    ),
+    (
+        "retrieval_ndcg_mrr_eval",
+        "Ranking eval: the 5-row query frame broadcasts across one "
+        "candidate scan (BroadcastNestedLoopJoin on a bounded frame - the "
+        "batch-scoring contract), per-query top-k windows are partitioned "
+        "by qid, and all metric algebra runs on |Q|*k rows.",
+    ),
+    (
+        "stats_sprt_boundary",
+        "SPRT: cumulative counts come from the scalerank kernel (range-bin "
+        "exchange + partitioned windows + literal-map offsets) joined on "
+        "the unit key - zero single-partition WindowExec despite the "
+        "global-order semantics.",
+    ),
+    (
         "sim_kmeans_lloyd",
         "Exact fixed-point k-means: centroids arrive as BroadcastHashJoins "
         "(k*dim rows), assignment distances are partial-aggregatable "
