@@ -2524,3 +2524,143 @@ def stats_uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("decile")
     )
+
+
+@query(
+    "stats_isotonic_calibration",
+    """
+    WITH span AS (
+      SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+    ),
+    scored AS (
+      SELECT date_diff('day', span.lo, o_orderdate) * 1.0
+               / date_diff('day', span.lo, span.hi) AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END AS y
+      FROM orders CROSS JOIN span
+    ),
+    cells AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+             COUNT(*) AS n, SUM(y) AS yy
+      FROM scored GROUP BY 1
+    ),
+    packed AS (
+      SELECT LIST(n ORDER BY bin) AS ns, LIST(yy ORDER BY bin) AS ys,
+             LIST(bin ORDER BY bin) AS bins, COUNT(*) AS m
+      FROM cells
+    ),
+    pref AS (
+      SELECT bins, ns, ys, m,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT), ns[1:i]),
+                          (a, b) -> a + b) for i in range(0, m + 1)] AS cn,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT), ys[1:i]),
+                          (a, b) -> a + b) for i in range(0, m + 1)] AS cy
+      FROM packed
+    ),
+    iso AS (
+      SELECT bins, ns, ys, m, cn, cy,
+             -- minimax characterization of isotonic regression:
+             -- iso_i = max_{j<=i} min_{k>=i} wmean(j..k); weighted means
+             -- are ratios of INTEGER prefix-sum differences, exact in
+             -- both engines
+             [list_aggregate(
+                [list_aggregate(
+                   [(cy[k + 2] - cy[j + 1]) * 1.0
+                      / (cn[k + 2] - cn[j + 1])
+                    for k in range(i, m)], 'min')
+                 for j in range(0, i + 1)], 'max')
+              for i in range(0, m)] AS fit
+      FROM pref
+    )
+    SELECT u.b AS bin, u.n, 
+           ROUND(u.yv * 1.0 / u.n, 6) AS raw_acc,
+           ROUND(u.f, 6) AS iso_acc
+    FROM iso, LATERAL (
+      SELECT UNNEST(bins) AS b, UNNEST(ns) AS n, UNNEST(ys) AS yv,
+             UNNEST(fit) AS f
+    ) u
+    ORDER BY bin
+    """,
+)
+def stats_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the reliability bins behind
+    `stats_calibration_ece`: the monotone step function that minimizes
+    weighted squared error to the per-bin empirical positive rates —
+    the standard post-hoc calibrator when Platt scaling's sigmoid shape
+    is wrong. Computed CLOSED-FORM via the minimax characterization
+    iso_i = max_{j≤i} min_{k≥i} wmean(acc[j..k]) instead of the
+    sequential pool-adjacent-violators loop: every weighted mean is a
+    ratio of INTEGER prefix-sum differences, so both engines agree
+    bit-for-bit, and the O(m³) scan is array algebra over the
+    model-sized bin frame (m=10) — no iteration, no window, no UDF.
+
+    Plan: one scan → one 10-group hash aggregate; everything after is
+    a single collected row of array expressions. At 100 TB only the
+    first aggregate touches data.
+    """
+    od = read_table(spark, sf_dir, "orders")
+    span = od.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    scored = od.crossJoin(F.broadcast(span)).select(
+        (
+            F.datediff("o_orderdate", "lo") * 1.0 / F.datediff("hi", "lo")
+        ).alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 0).otherwise(1).alias("y"),
+    )
+    cells = scored.groupBy(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9)).alias(
+            "bin"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("yy"))
+    packed = cells.agg(
+        F.array_sort(F.collect_list(F.struct("bin", "n", "yy"))).alias("a")
+    )
+    a = F.col("a")
+    m = F.size(a)
+
+    def prefix(field):
+        # cn[i] = sum of first i values (i = 0..m), exact integer folds
+        return F.transform(
+            F.sequence(F.lit(0), m),
+            lambda i: F.aggregate(
+                F.slice(a, 1, i),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + s[field],
+            ),
+        )
+
+    packed = packed.select(
+        a, prefix("n").alias("cn"), prefix("yy").alias("cy")
+    )
+    cn, cy = F.col("cn"), F.col("cy")
+
+    def wmean(j, k):  # mean of bins j..k inclusive, 0-based
+        return (
+            (F.element_at(cy, k + F.lit(2)) - F.element_at(cy, j + F.lit(1)))
+            * F.lit(1.0)
+            / (
+                F.element_at(cn, k + F.lit(2))
+                - F.element_at(cn, j + F.lit(1))
+            )
+        )
+
+    fit = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), i),
+                lambda j: F.array_min(
+                    F.transform(F.sequence(i, m - 1), lambda k: wmean(j, k))
+                ),
+            )
+        ),
+    )
+    rows = packed.select(
+        F.explode(F.arrays_zip(a, fit.alias("f"))).alias("z")
+    ).select(
+        F.col("z.a.bin").alias("bin"),
+        F.col("z.a.n").alias("n"),
+        F.round(F.col("z.a.yy") * 1.0 / F.col("z.a.n"), 6).alias("raw_acc"),
+        F.round(F.col("z.f"), 6).alias("iso_acc"),
+    )
+    return rows.orderBy("bin")

@@ -192,3 +192,40 @@ def test_embedding_drift_monitor_bounds(spark):
     assert r["base_centroid_norm"] > 0 and r["cand_centroid_norm"] > 0
     assert 0 <= r["max_dim_shift"]
     assert 1 <= r["worst_dim"] <= 64
+
+
+def test_isotonic_calibration_vs_pav_replica(spark):
+    """The minimax closed form must equal the classic sequential
+    pool-adjacent-violators algorithm, and the fit must be monotone."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        stats_isotonic_calibration,
+    )
+
+    rows = stats_isotonic_calibration(spark, SF).collect()
+    fits = [r["iso_acc"] for r in rows]
+    assert fits == sorted(fits)  # monotone non-decreasing
+
+    # sequential PAV replica over the same (n, raw_acc) cells
+    pools = [[r["n"], r["raw_acc"] * r["n"]] for r in rows]  # [w, wy]
+    merged: list[list[float]] = []
+    for w, wy in pools:
+        merged.append([w, wy])
+        while len(merged) > 1 and (
+            merged[-2][1] / merged[-2][0] > merged[-1][1] / merged[-1][0]
+        ):
+            w2, y2 = merged.pop()
+            merged[-1][0] += w2
+            merged[-1][1] += y2
+    # expand pool means back to bins
+    expect = []
+    i = 0
+    for w, wy in merged:
+        mean = wy / w
+        acc_w = 0
+        while acc_w < w - 1e-9:
+            acc_w += rows[i]["n"]
+            expect.append(mean)
+            i += 1
+    assert len(expect) == len(fits)
+    for got, exp in zip(fits, expect):
+        assert abs(got - exp) < 5e-6
