@@ -62,7 +62,11 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
     (node, pagerank). The edge/degree caches live until
     `spark.catalog.clearCache()` — clear between graphs in long-lived
     sessions (the bench harness does)."""
-    edges = edges.persist()
+    if not edges.is_cached:
+        # callers (e.g. the bench graph curve) may hand in an
+        # already-persisted edge frame — re-persisting the same plan
+        # logs a CacheManager warning and double-claims the cache entry
+        edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     for i in range(n_iter):
