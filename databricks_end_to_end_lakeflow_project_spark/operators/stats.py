@@ -2664,3 +2664,225 @@ def stats_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("z.f"), 6).alias("iso_acc"),
     )
     return rows.orderBy("bin")
+
+
+@query(
+    "stats_theil_sen_trend",
+    """
+    WITH monthly AS (
+      SELECT (EXTRACT(YEAR FROM o_orderdate) * 12
+              + EXTRACT(MONTH FROM o_orderdate)) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.rev - a.rev) / (b.m - a.m) AS slope
+      FROM monthly a JOIN monthly b ON a.m < b.m
+    )
+    SELECT (SELECT COUNT(*) FROM monthly) AS n_months,
+           COUNT(*) AS n_pairs,
+           ROUND(QUANTILE_CONT(slope, 0.5), 4) AS theil_sen_slope,
+           ROUND(QUANTILE_CONT(slope, 0.1), 4) AS slope_p10,
+           ROUND(QUANTILE_CONT(slope, 0.9), 4) AS slope_p90
+    FROM slopes
+    """,
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: the median of all
+    pairwise slopes — up to ~29% outlier-contaminated months cannot
+    move it, unlike OLS where one anomalous month owns the fit. The
+    p10/p90 slope band is the nonparametric confidence envelope.
+
+    Plan: the data-sized pass is ONE month-grain aggregate (exact
+    DECIMAL sums); the pairwise slope expansion runs on the ~84-row
+    month series — O(months²) pairs of MODEL-sized data, the bounded
+    self-join contract. Slopes are identical-operand divisions, so the
+    interpolated percentiles agree across engines.
+    """
+    od = read_table(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    a = monthly.select(F.col("m").alias("ma"), F.col("rev").alias("ra"))
+    b = monthly.select(F.col("m").alias("mb"), F.col("rev").alias("rb"))
+    slopes = a.join(b, F.col("ma") < F.col("mb")).select(
+        ((F.col("rb") - F.col("ra")) / (F.col("mb") - F.col("ma"))).alias(
+            "slope"
+        )
+    )
+    n_months = monthly.agg(F.count(F.lit(1)).alias("n_months"))
+    return (
+        slopes.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.percentile("slope", 0.5), 4).alias("theil_sen_slope"),
+            F.round(F.percentile("slope", 0.1), 4).alias("slope_p10"),
+            F.round(F.percentile("slope", 0.9), 4).alias("slope_p90"),
+        )
+        .crossJoin(F.broadcast(n_months))
+        .select(
+            "n_months", "n_pairs", "theil_sen_slope", "slope_p10", "slope_p90"
+        )
+    )
+
+
+@query(
+    "agg_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT grp, price, qty,
+             SUM(qty) OVER (PARTITION BY grp ORDER BY price, qty
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw,
+             SUM(qty) OVER (PARTITION BY grp) AS tw
+      FROM w
+    )
+    SELECT grp, MIN(price) AS weighted_median_price,
+           ANY_VALUE(tw) AS total_weight
+    FROM cum WHERE cw * 2 >= tw
+    GROUP BY grp ORDER BY grp
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative quantity weight reaches half the group's
+    total — the inventory-weighted 'typical price' that an unweighted
+    median misstates whenever cheap items ship in bulk.
+
+    Exactness: weights are INTEGER quantities, so the cumulative sums
+    and the ×2 threshold comparison are exact in both engines; the
+    (price, qty) window order is a total order within each group.
+
+    Plan: one partitioned ordered window per group + one aggregate —
+    the window partitions on the group key, so there is no
+    single-partition stage; at extreme per-group cardinality swap in
+    `approx_percentile`-style sketches with weighted counts.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    wc = Window.partitionBy("grp").orderBy("price", "qty").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("grp")
+    cum = w.select(
+        "grp",
+        "price",
+        F.sum("qty").over(wc).alias("cw"),
+        F.sum("qty").over(wt).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("grp")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.first("tw").alias("total_weight"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "stats_ols_two_feature",
+    """
+    WITH q AS (
+      -- exactness protocol: quantize regressors/response to integer
+      -- grids so every co-moment sum is an order-free exact integer
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+             SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22,
+             SUM(x1 * x2) AS s12, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+      FROM q
+    ),
+    c AS (
+      SELECT n,
+             (s11 - s1 * 1.0 * s1 / n) AS a11,
+             (s22 - s2 * 1.0 * s2 / n) AS a22,
+             (s12 - s1 * 1.0 * s2 / n) AS a12,
+             (s1y - s1 * 1.0 * sy / n) AS b1,
+             (s2y - s2 * 1.0 * sy / n) AS b2,
+             s1 * 1.0 / n AS m1, s2 * 1.0 / n AS m2, sy * 1.0 / n AS my
+      FROM mom
+    )
+    SELECT n,
+           ROUND(((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12)) / 100.0,
+                 6) AS beta_quantity,
+           ROUND(((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12)) / 100.0
+                 * 100.0, 6) AS beta_discount_pct,
+           ROUND((my - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * m1
+                     - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * m2)
+                 / 100.0, 4) AS intercept
+    FROM c
+    """,
+)
+def stats_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (price ~ quantity + discount) in CLOSED FORM from
+    co-moment sums — Cramer's rule on the 2×2 centered normal equations.
+    The multivariate companion to `agg_corr_regr`'s single-regressor
+    slope: every statistic is a ratio of partial-aggregatable sums, so
+    the whole fit is ONE map-side-combinable aggregate at any scale
+    (the mergeable-moments pattern; for p features it becomes a p×p
+    Gram matrix accumulated the same way).
+
+    Exactness: inputs are quantized to integer grids (quantity is
+    integral; discount/price to 1e-2), making all nine co-moment sums
+    exact integers; the closed-form algebra is the identical operand
+    chain on both engines. Coefficients are reported in natural units
+    (price per unit quantity; price per discount point).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    mom = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n")
+    a11 = F.col("s11") - F.col("s1") * 1.0 * F.col("s1") / n
+    a22 = F.col("s22") - F.col("s2") * 1.0 * F.col("s2") / n
+    a12 = F.col("s12") - F.col("s1") * 1.0 * F.col("s2") / n
+    b1 = F.col("s1y") - F.col("s1") * 1.0 * F.col("sy") / n
+    b2 = F.col("s2y") - F.col("s2") * 1.0 * F.col("sy") / n
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (b2 * a11 - b1 * a12) / det
+    m1, m2, my = (
+        F.col("s1") * 1.0 / n,
+        F.col("s2") * 1.0 / n,
+        F.col("sy") * 1.0 / n,
+    )
+    return mom.select(
+        "n",
+        F.round(beta1 / 100.0, 6).alias("beta_quantity"),
+        F.round(beta2 / 100.0 * 100.0, 6).alias("beta_discount_pct"),
+        F.round((my - beta1 * m1 - beta2 * m2) / 100.0, 4).alias("intercept"),
+    )

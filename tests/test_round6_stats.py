@@ -229,3 +229,59 @@ def test_isotonic_calibration_vs_pav_replica(spark):
     assert len(expect) == len(fits)
     for got, exp in zip(fits, expect):
         assert abs(got - exp) < 5e-6
+
+
+def test_theil_sen_robust_and_band(spark):
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        stats_theil_sen_trend,
+    )
+
+    r = stats_theil_sen_trend(spark, SF).collect()[0]
+    assert r["n_pairs"] == r["n_months"] * (r["n_months"] - 1) // 2
+    assert r["slope_p10"] <= r["theil_sen_slope"] <= r["slope_p90"]
+
+
+def test_weighted_median_vs_numpy(spark):
+    import duckdb
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        agg_weighted_median,
+    )
+
+    rows = {r["grp"]: r for r in agg_weighted_median(spark, SF).collect()}
+    df = duckdb.connect().execute(
+        f"""SELECT l_returnflag AS g, l_extendedprice AS p,
+                   CAST(l_quantity AS BIGINT) AS q
+            FROM '{SF}/lineitem.parquet'"""
+    ).df()
+    for g, sub in df.groupby("g"):
+        sub = sub.sort_values(["p", "q"])
+        cw = sub["q"].cumsum()
+        tw = int(sub["q"].sum())
+        med = float(sub["p"].to_numpy()[(cw.to_numpy() * 2 >= tw).argmax()])
+        assert rows[g]["weighted_median_price"] == med
+        assert rows[g]["total_weight"] == tw
+
+
+def test_ols_two_feature_vs_numpy(spark):
+    import duckdb
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
+        stats_ols_two_feature,
+    )
+
+    r = stats_ols_two_feature(spark, SF).collect()[0]
+    df = duckdb.connect().execute(
+        f"""SELECT CAST(l_quantity AS BIGINT) AS x1,
+                   ROUND(l_discount * 100) AS x2,
+                   ROUND(l_extendedprice * 100) AS y
+            FROM '{SF}/lineitem.parquet'"""
+    ).df()
+    X = np.column_stack(
+        [np.ones(len(df)), df["x1"].to_numpy(), df["x2"].to_numpy()]
+    )
+    y = df["y"].to_numpy(dtype=float)
+    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(r["beta_quantity"] - coef[1] / 100.0) < 1e-4
+    assert abs(r["beta_discount_pct"] - coef[2]) < 1e-2
+    assert abs(r["intercept"] - coef[0] / 100.0) < 1e-2
