@@ -1376,3 +1376,70 @@ def monitor_data_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_violating"
         ),
     ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): leave-one-out source influence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_loo_source_influence",
+    """
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(n_docs) AS n_all, SUM(sum_chars) AS sum_all FROM per_source
+    )
+    SELECT source, n_docs,
+           ROUND(sum_chars::DOUBLE / n_docs, 6) AS mean_chars,
+           ROUND((sum_all - sum_chars)::DOUBLE / (n_all - n_docs), 6)
+             AS loo_mean,
+           ROUND(sum_all::DOUBLE / n_all
+                 - (sum_all - sum_chars)::DOUBLE / (n_all - n_docs), 6)
+             AS influence
+    FROM per_source, tot
+    ORDER BY source
+    """,
+)
+def curation_loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out influence of each source on the corpus mean — the
+    cheapest member of the data-valuation family (Shapley values need
+    2^n retrainings; LOO on an additive statistic is CLOSED-FORM from
+    per-group sums): influence(s) = mean(all) − mean(all \\ s). A source
+    whose removal moves the corpus-level statistic the most is the first
+    candidate for reweighting or audit in a pretraining mixture.
+
+    Plan: one map-side-combinable groupBy(source) over the corpus, a
+    1-row total collected as a scalar cursor, then per-source arithmetic
+    — the corpus is scanned ONCE regardless of source count, vs the
+    naive n_sources re-aggregations. Exactness: integer sums; each
+    division is a single IEEE double op identical in both engines,
+    rounded to 6.
+    """
+    per_source = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").alias("n_all"), F.sum("sum_chars").alias("sum_all")
+    ).collect()[0]
+    n_all, sum_all = int(tot["n_all"]), int(tot["sum_all"])
+    loo = (F.lit(sum_all) - F.col("sum_chars")).cast("double") / (
+        F.lit(n_all) - F.col("n_docs")
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        F.round(F.col("sum_chars").cast("double") / F.col("n_docs"), 6).alias(
+            "mean_chars"
+        ),
+        F.round(loo, 6).alias("loo_mean"),
+        F.round(F.lit(float(sum_all) / float(n_all)) - loo, 6).alias("influence"),
+    ).orderBy("source")

@@ -1545,3 +1545,116 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): sorted-neighborhood candidate generation
+# ---------------------------------------------------------------------------
+
+_SNM_KEY_LEN = 24  # sort key: first 24 chars of the space-stripped text
+_SNM_BUCKET_LEN = 2  # sort-bucket granularity (window partition key)
+_SNM_WINDOW = 3  # compare each record to its next w sort neighbors
+
+_SNM_ORACLE = f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             SUBSTRING(REPLACE(trim(text), ' ', ''), 1, {_SNM_KEY_LEN}) AS k,
+             SUBSTRING(REPLACE(trim(text), ' ', ''), 1, {_SNM_BUCKET_LEN}) AS p2
+      FROM documents
+    ),
+    cand AS (
+      SELECT doc_id AS d1, nxt AS d2 FROM (
+        SELECT doc_id,
+               LEAD(doc_id, 1) OVER w AS l1,
+               LEAD(doc_id, 2) OVER w AS l2,
+               LEAD(doc_id, 3) OVER w AS l3
+        FROM keyed
+        WINDOW w AS (PARTITION BY p2 ORDER BY k, doc_id)
+      ), UNNEST([l1, l2, l3]) AS u(nxt)
+      WHERE nxt IS NOT NULL
+    ),
+    pairs AS (
+      SELECT LEAST(d1, d2) AS doc_a, GREATEST(d1, d2) AS doc_b FROM cand
+    ),
+    toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM toks WHERE len(w) >= 3
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+             AS jaccard_sim
+    FROM pairs p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_sorted_neighborhood_pairs", _SNM_ORACLE)
+def dedup_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (Hernández & Stolfo,
+    SIGMOD'95): sort the corpus by a content-derived key, compare each
+    record only to its next w={_SNM_WINDOW} sort neighbors, verify the
+    survivors with exact 3-gram-shingle Jaccard ≥ 0.8 — the THIRD
+    blocking discipline in the dedup family, complementing LSH (hash
+    buckets) and SimHash (bit bands). SNM's scale contract is different:
+    candidate volume is EXACTLY w·n (linear by construction, no bucket
+    skew possible), at the cost of sort-order recall (near-dups whose
+    difference falls inside the key prefix sort apart — production runs
+    multiple passes with rotated keys, same as LSH runs multiple bands).
+
+    Plan shape: the sort is a partitioned window (bucket = first
+    {_SNM_BUCKET_LEN} key chars, ~vocabulary² buckets chosen from key
+    stats; at 100 TB the bucket length grows with the corpus so each
+    range-partition sorts locally), LEAD is frame-free, and the
+    Jaccard verification joins only the w·n candidate pairs back to the
+    shingle sets on doc_id — equi-keyed, broadcast-eligible on the
+    candidate side.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.replace(F.trim(F.col("text")), F.lit(" "), F.lit(""))
+    keyed = docs.select(
+        "doc_id",
+        F.substring(norm, 1, _SNM_KEY_LEN).alias("k"),
+        F.substring(norm, 1, _SNM_BUCKET_LEN).alias("p2"),
+    )
+    w = Window.partitionBy("p2").orderBy("k", "doc_id")
+    leads = keyed.select(
+        F.col("doc_id").alias("d1"),
+        *[
+            F.lead("doc_id", i).over(w).alias(f"l{i}")
+            for i in range(1, _SNM_WINDOW + 1)
+        ],
+    )
+    cand = (
+        leads.select(
+            "d1",
+            F.explode(
+                F.array(*[F.col(f"l{i}") for i in range(1, _SNM_WINDOW + 1)])
+            ).alias("d2"),
+        )
+        .filter(F.col("d2").isNotNull())
+        .select(
+            F.least("d1", "d2").alias("doc_a"),
+            F.greatest("d1", "d2").alias("doc_b"),
+        )
+    )
+    sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= 3).select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    )
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .filter(j >= 0.8)
+        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard_sim"))
+        .orderBy("doc_a", "doc_b")
+    )

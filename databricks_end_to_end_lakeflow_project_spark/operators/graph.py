@@ -841,3 +841,159 @@ def graph_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "component")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions (session 2): frontier BFS and bounded k-core peeling
+# ---------------------------------------------------------------------------
+
+_BFS_SEED_MAX = 12  # seeds: parts with partkey <= 12 (13 seeds at sf0.01)
+_BFS_MAX_HOPS = 2  # the co-order graph's effective diameter from any seed set
+
+
+@query(
+    "graph_bfs_hops",
+    f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    bfs(node, dist) AS (
+      SELECT DISTINCT src AS node, 0 AS dist FROM edges
+      WHERE src <= {_BFS_SEED_MAX}
+      UNION
+      SELECT e.dst, b.dist + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < {_BFS_MAX_HOPS}
+    )
+    SELECT node, MIN(dist) AS hops FROM bfs GROUP BY node ORDER BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance from a seed part set over the
+    co-order affinity graph — the frontier-expansion member of the
+    iterative-graph family (PageRank/LPA relabel EVERY node each round;
+    BFS touches only the wave front, the shape you want for
+    reachability / contamination-radius questions at 100 TB).
+
+    Per hop: one equi-join (frontier ⋈ edges, the frontier side is the
+    small one and broadcasts in early hops), one distinct, one anti-join
+    against the visited set — all keyed on node ids, no payload shuffle.
+    The visited set is localCheckpoint'ed per hop so lineage stays flat.
+    The DuckDB oracle is the same search as a recursive CTE with a
+    depth bound, MIN(dist)-reduced (UNION-dedup explores (node, dist)
+    pairs; the minimum per node is the BFS distance).
+
+    Reference parity: the reference has no graph operators
+    (SURVEY.md §2.9); this extends the engine's iterative pattern.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = persist_once(cooccurrence_edges(li))
+    seeds = (
+        edges.filter(F.col("src") <= _BFS_SEED_MAX)
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    visited = seeds.select("node", F.lit(0).alias("hops")).localCheckpoint()
+    frontier = visited.select("node")
+    for h in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hops"))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = visited.filter(F.col("hops") == h).select("node")
+    edges.unpersist()
+    return visited.orderBy("node")
+
+
+_KCORE_K = 3  # peel threshold: nodes need >= 3 repeat-affinity neighbors
+_KCORE_ROUNDS = 6  # bounded supersteps (same contract as PageRank's 6)
+
+
+def _kcore_oracle() -> str:
+    """Unroll the fixed peel rounds as chained CTEs (standard SQL forbids
+    aggregation in a recursive term — same device as the PageRank/LPA
+    oracles)."""
+    ctes = []
+    prev = "edges"
+    for r in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"keep{r} AS (SELECT src AS node FROM {prev} "
+            f"GROUP BY src HAVING COUNT(*) >= {_KCORE_K})"
+        )
+        ctes.append(
+            f"e{r} AS (SELECT e.src, e.dst FROM {prev} e "
+            f"JOIN keep{r} a ON e.src = a.node "
+            f"JOIN keep{r} b ON e.dst = b.node)"
+        )
+        prev = f"e{r}"
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH cooc AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    edges AS (SELECT src, dst FROM cooc WHERE w >= 2),
+    {chain}
+    SELECT src AS node, COUNT(*) AS deg
+    FROM {prev} GROUP BY src ORDER BY node
+    """
+
+
+@query("graph_kcore_peel", _kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k={_KCORE_K}, 6 rounds) over the
+    repeat-affinity graph (pairs co-ordered in >= 2 distinct orders):
+    each round drops nodes with fewer than k surviving neighbors, then
+    the edges touching them — the standard dense-subgraph filter for
+    community mining and spam/bot-ring detection. Output: surviving
+    nodes with their round-6 degree (the trajectory at sf0.01 is
+    1295 -> 1154 -> 1104 -> 1078 -> 1065 -> 1058 nodes, genuinely
+    iterative, not yet converged — the bounded-round contract is
+    documented, same as PageRank's 6 supersteps).
+
+    Per round: one map-side-combinable degree aggregation + two
+    semi-join-shaped equi-joins (edges ⋈ keep on src, ⋈ keep on dst) —
+    the keep set only shrinks, so late rounds broadcast it. Edges are
+    localCheckpoint'ed per round: lineage would otherwise double per
+    round (the classic iterative-Spark failure). The co-occurrence
+    graph is symmetric and stays symmetric under peeling, so out-degree
+    on src counts all neighbors.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    cooc = (
+        li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+        .join(
+            li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")),
+            "k",
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = cooc.filter(F.col("w") >= 2).select("src", "dst").localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy("node")
+    )

@@ -839,3 +839,112 @@ def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_fact_skipped"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): binned interval-overlap self-join
+# ---------------------------------------------------------------------------
+
+_IVL_SUPP_MAX = 10  # supplier cap bounds the audited slice (output contract)
+_IVL_EPOCH = "1992-01-01"  # week-grid origin (TPC-H min ship date)
+
+
+def _ivl_week(c):
+    """Calendar-free week bucket: floor(days-since-epoch / 7)."""
+    return F.floor(F.datediff(c, F.lit(_IVL_EPOCH).cast("date")) / 7)
+
+
+@query(
+    "join_interval_overlap",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey * 10 + l_linenumber AS key,
+             l_suppkey, CAST(l_shipdate AS DATE) AS ship,
+             CAST(l_shipdate AS DATE)
+               + (CAST(l_quantity AS INT) % 21 + 7) AS rcpt
+      FROM lineitem WHERE l_suppkey <= {_IVL_SUPP_MAX}
+    )
+    SELECT a.l_suppkey AS suppkey,
+           COUNT(*) AS n_overlap_pairs,
+           SUM(DATE_DIFF('day',
+                         GREATEST(a.ship, b.ship),
+                         LEAST(a.rcpt, b.rcpt)) + 1)
+             AS sum_overlap_days
+    FROM li a JOIN li b
+      ON a.l_suppkey = b.l_suppkey AND a.key < b.key
+     AND a.ship <= b.rcpt AND b.ship <= a.rcpt
+    GROUP BY a.l_suppkey ORDER BY suppkey
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap SELF-join (pairs of in-transit shipments of the
+    same supplier whose [shipdate, receiptdate] windows overlap),
+    computed with the BINNED band-join pattern — the scale answer when
+    BOTH interval sets are large so neither side broadcasts:
+
+    - each interval explodes to the week buckets it spans (TPC-H transit
+      windows are <= ~1 month, so the fan-out is a bounded 1-6 rows);
+    - the join is EQUI on (supplier, week) — the shuffle key Catalyst
+      can hash-partition, instead of the O(n²)-per-supplier residual
+      range join the naive form plans;
+    - a pair that overlaps across several shared weeks would match in
+      each of them, so each pair is COUNTED ONLY IN ITS OWNER BUCKET —
+      the week containing GREATEST(ship_a, ship_b), which every
+      overlapping pair shares exactly once. No distinct needed: the
+      dedup is a filter, not a shuffle.
+
+    The DuckDB oracle is the naive residual-predicate join — same
+    result, quadratic plan — proving the binned rewrite exact.
+    Output is per-supplier (pair count, total overlap days).
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= _IVL_SUPP_MAX)
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("key"),
+            F.col("l_suppkey").alias("sk"),
+            F.col("l_shipdate").cast("date").alias("ship"),
+            # the trimmed synthetic lineitem carries no receiptdate —
+            # derive a deterministic 7–27 day transit window from the
+            # (whole-number) quantity, same formula as the oracle
+            F.expr(
+                "date_add(CAST(l_shipdate AS DATE), CAST(l_quantity AS INT) % 21 + 7)"
+            ).alias("rcpt"),
+        )
+    )
+
+    def side(tag: str) -> DataFrame:
+        return li.select(
+            F.col("key").alias(f"key_{tag}"),
+            "sk",
+            F.col("ship").alias(f"ship_{tag}"),
+            F.col("rcpt").alias(f"rcpt_{tag}"),
+            F.explode(
+                F.sequence(_ivl_week(F.col("ship")), _ivl_week(F.col("rcpt")))
+            ).alias("wk"),
+        )
+
+    owner_start = F.greatest(F.col("ship_a"), F.col("ship_b"))
+    pairs = (
+        side("a")
+        .join(side("b"), ["sk", "wk"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("ship_a") <= F.col("rcpt_b"))
+            & (F.col("ship_b") <= F.col("rcpt_a"))
+            & (F.col("wk") == _ivl_week(owner_start))
+        )
+    )
+    return (
+        pairs.groupBy(F.col("sk").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap_pairs"),
+            F.sum(
+                F.datediff(
+                    F.least(F.col("rcpt_a"), F.col("rcpt_b")), owner_start
+                )
+                + 1
+            ).alias("sum_overlap_days"),
+        )
+        .orderBy("suppkey")
+    )

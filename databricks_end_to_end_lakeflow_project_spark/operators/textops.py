@@ -1838,3 +1838,113 @@ def text_bpe_apply_merge_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): PMI collocation mining
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 25  # bigrams below this are too noisy for a stable PMI
+_PMI_TOP = 30
+
+
+@query(
+    "text_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    uni AS (
+      SELECT u.tok, COUNT(*) AS c_w
+      FROM toks, UNNEST(w) AS u(tok) GROUP BY u.tok
+    ),
+    nu AS (SELECT SUM(c_w) AS n_u FROM uni),
+    bi AS (
+      SELECT b.bg, COUNT(*) AS c_ab
+      FROM (
+        SELECT [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS bgs
+        FROM toks WHERE len(w) >= 2
+      ), UNNEST(bgs) AS b(bg)
+      GROUP BY b.bg
+    ),
+    nb AS (SELECT SUM(c_ab) AS n_b FROM bi),
+    scored AS (
+      SELECT bg AS bigram, c_ab,
+             ROUND(LN((c_ab::DOUBLE / nb.n_b)
+                      / ((ua.c_w::DOUBLE / nu.n_u)
+                         * (ub.c_w::DOUBLE / nu.n_u))), 4) AS pmi
+      FROM bi, nu, nb
+      JOIN uni ua ON ua.tok = string_split(bg, ' ')[1]
+      JOIN uni ub ON ub.tok = string_split(bg, ' ')[2]
+      WHERE c_ab >= {_PMI_MIN_COUNT}
+    )
+    SELECT bigram, c_ab, pmi FROM scored
+    ORDER BY pmi DESC, bigram LIMIT {_PMI_TOP}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the corpus-
+    statistics primitive under phrase vocabularies and tokenizer merge
+    seeding: PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) over adjacent word
+    pairs, min-count {_PMI_MIN_COUNT}, top {_PMI_TOP}.
+
+    Plan shape: one token explode → unigram counts (map-side
+    combinable), one in-array bigram construction via `transform` (no
+    Python, no second scan of exploded tokens) → bigram counts; the two
+    totals are scalar cursors (driver collect of a 1-row agg — the
+    engine's documented pattern); unigram counts re-join the surviving
+    (≥ min-count) bigrams twice, both sides broadcast-size after
+    pruning. At 100 TB the unigram table is the post-prune vocabulary,
+    MBs not TBs — the joins never shuffle the corpus.
+
+    Exactness: counts are integers; the PMI double division + LN is the
+    same IEEE sequence in both engines (the `text_*_nll` protocol),
+    rounded to 4 decimals and used as the sort key in rounded form.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.trim(F.col("text")), " ").alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bi = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(w[i - 1], ' ', w[i]))"
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n_u = uni.agg(F.sum("c_w")).collect()[0][0]
+    n_b = bi.agg(F.sum("c_ab")).collect()[0][0]
+    pruned = bi.filter(F.col("c_ab") >= _PMI_MIN_COUNT).select(
+        F.col("bg").alias("bigram"),
+        "c_ab",
+        F.split(F.col("bg"), " ")[0].alias("ta"),
+        F.split(F.col("bg"), " ")[1].alias("tb"),
+    )
+    ua = uni.select(F.col("tok").alias("ta"), F.col("c_w").alias("ca"))
+    ub = uni.select(F.col("tok").alias("tb"), F.col("c_w").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.lit(float(n_b)))
+            / (
+                (F.col("ca").cast("double") / F.lit(float(n_u)))
+                * (F.col("cb").cast("double") / F.lit(float(n_u)))
+            )
+        ),
+        4,
+    )
+    return (
+        pruned.join(F.broadcast(ua), "ta")
+        .join(F.broadcast(ub), "tb")
+        .select("bigram", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(_PMI_TOP)
+    )
