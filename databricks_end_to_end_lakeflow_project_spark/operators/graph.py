@@ -997,3 +997,102 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
         .orderBy("node")
     )
+
+
+_PPR_SEED_MAX = 12  # restart set: parts with partkey <= 12 (BFS's seed set)
+
+
+def _ppr_oracle(n_iter: int = N_ITER) -> str:
+    """Unrolled personalized-PageRank supersteps (same device as
+    `_unrolled_oracle`, with the restart mass pinned to the seed set
+    and a zero-rank frontier filter that is arithmetically a no-op:
+    adding 0.0 contributions cannot change an IEEE sum)."""
+    step = f"""
+    it{{i}} AS (
+      SELECT d.node,
+             (CASE WHEN d.node <= {_PPR_SEED_MAX} THEN 0.15 ELSE 0.0 END)
+               + 0.85 * COALESCE(m.mass, 0) AS rank
+      FROM deg d LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.rank / dd.deg) AS mass
+        FROM it{{p}} p
+        JOIN edges e ON e.src = p.node
+        JOIN deg dd ON dd.node = p.node
+        WHERE p.rank > 0
+        GROUP BY e.dst
+      ) m ON m.node = d.node
+    )"""
+    chain = ",".join(step.format(i=i, p=i - 1) for i in range(1, n_iter + 1))
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    it0 AS (
+      SELECT node,
+             CASE WHEN node <= {_PPR_SEED_MAX} THEN 1.0 ELSE 0.0 END AS rank
+      FROM deg
+    ),
+    {chain}
+    SELECT node AS part_id, ROUND(rank, 6) AS ppr
+    FROM it{n_iter} WHERE rank > 0
+    ORDER BY ppr DESC, part_id LIMIT 50
+    """
+
+
+@query("graph_ppr_seeded", _ppr_oracle())
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed part set — proximity to the
+    seeds rather than global centrality (the 'related products' /
+    'expand this curated set' primitive; for corpus curation it is the
+    seed-expansion step behind graph-based quality propagation). Init
+    1.0 on seeds, restart mass 0.15 returned to seeds each superstep,
+    6 supersteps (same bounded-round contract as `graph_pagerank_parts`).
+
+    Scale: identical per-superstep shape to PageRank (rank ⋈ edges on
+    the rank key, one aggregation) with one extra property: the rank
+    frontier is SPARSE — nodes never reached keep exactly 0.0 and are
+    filtered before the join (a no-op on the IEEE sums, a big cut in
+    joined rows on large graphs where the seed neighborhood is a small
+    fraction). Top-50 by PPR.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = persist_once(cooccurrence_edges(li))
+    deg = persist_once(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    restart = F.when(F.col("node") <= _PPR_SEED_MAX, F.lit(0.15)).otherwise(F.lit(0.0))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("node") <= _PPR_SEED_MAX, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    )
+    for i in range(N_ITER):
+        contribs = (
+            ranks.filter(F.col("rank") > 0)
+            .withColumnRenamed("node", "src")
+            .join(deg, "src")
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
+        )
+        ranks = (
+            nodes.select("node")
+            .join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (restart + F.lit(0.85) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        if (i + 1) % 3 == 0 and i + 1 < N_ITER:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = (
+        ranks.filter(F.col("rank") > 0)
+        .select(F.col("node").alias("part_id"), F.round("rank", 6).alias("ppr"))
+        .orderBy(F.desc("ppr"), "part_id")
+        .limit(50)
+    )
+    return out

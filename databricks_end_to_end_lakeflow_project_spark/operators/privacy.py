@@ -328,3 +328,102 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
             "debiased_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): t-closeness audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "privacy_t_closeness",
+    """
+    WITH bucketed AS (
+      SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+             LEAST(GREATEST(
+               CAST(FLOOR(c_acctbal / 2500) AS BIGINT), 0), 3) AS b
+      FROM customer
+    ),
+    grp AS (
+      SELECT qi_nation, qi_segment,
+             COUNT(*) AS n_g,
+             SUM(CASE WHEN b <= 0 THEN 1 ELSE 0 END) AS cum0,
+             SUM(CASE WHEN b <= 1 THEN 1 ELSE 0 END) AS cum1,
+             SUM(CASE WHEN b <= 2 THEN 1 ELSE 0 END) AS cum2
+      FROM bucketed GROUP BY qi_nation, qi_segment
+    ),
+    tot AS (
+      SELECT SUM(n_g) AS n_all,
+             SUM(cum0) AS call0, SUM(cum1) AS call1, SUM(cum2) AS call2
+      FROM grp
+    )
+    SELECT qi_nation, qi_segment, n_g AS group_size,
+           ROUND((ABS(cum0 * n_all - call0 * n_g)
+                  + ABS(cum1 * n_all - call1 * n_g)
+                  + ABS(cum2 * n_all - call2 * n_g))::DOUBLE
+                 / (n_g * n_all * 3), 6) AS t_emd
+    FROM grp, tot
+    ORDER BY t_emd DESC, qi_nation, qi_segment LIMIT 20
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    third rung of the anonymity-audit ladder after [[privacy_k_anonymity]]
+    and [[privacy_l_diversity]]: a QI group can be k-anonymous AND
+    l-diverse yet still leak if its sensitive-value DISTRIBUTION differs
+    sharply from the corpus's. Reports the 20 worst (nation, segment)
+    groups by Earth Mover's Distance between the group's and the global
+    distribution over the 4 ordered balance buckets (the l-diversity
+    bucketing, clamped both ends): EMD over an ordered domain is the
+    mean absolute difference of the two CDFs.
+
+    Exactness: the CDF differences are cross-multiplied into integers —
+    |cum_g(j)·N − cum_all(j)·n_g| — summed exactly, with ONE double
+    division by n_g·N·(B−1) at the end, rounded to 6.
+
+    Scale: the 4-bucket cumulative counts are conditional sums inside
+    ONE map-side-combinable groupBy (no per-group window, no pivot
+    shuffle); the global row is a 1-row rollup of the group frame. The
+    corpus is scanned once.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    b = F.least(
+        F.greatest(F.floor(F.col("c_acctbal") / F.lit(2500)).cast("long"), F.lit(0)),
+        F.lit(3),
+    )
+    grp = (
+        cust.select(
+            F.col("c_nationkey").alias("qi_nation"),
+            F.col("c_mktsegment").alias("qi_segment"),
+            b.alias("b"),
+        )
+        .groupBy("qi_nation", "qi_segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            *[
+                F.sum(F.when(F.col("b") <= j, 1).otherwise(0)).alias(f"cum{j}")
+                for j in range(3)
+            ],
+        )
+    )
+    tot = grp.agg(
+        F.sum("n_g").alias("n_all"),
+        *[F.sum(f"cum{j}").alias(f"call{j}") for j in range(3)],
+    ).collect()[0]
+    n_all = int(tot["n_all"])
+    s = sum(
+        F.abs(F.col(f"cum{j}") * F.lit(n_all) - F.lit(int(tot[f"call{j}"])) * F.col("n_g"))
+        for j in range(3)
+    )
+    return (
+        grp.select(
+            "qi_nation",
+            "qi_segment",
+            F.col("n_g").alias("group_size"),
+            F.round(
+                s.cast("double") / (F.col("n_g") * F.lit(n_all) * F.lit(3)), 6
+            ).alias("t_emd"),
+        )
+        .orderBy(F.desc("t_emd"), "qi_nation", "qi_segment")
+        .limit(20)
+    )

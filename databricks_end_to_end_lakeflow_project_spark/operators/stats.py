@@ -2886,3 +2886,103 @@ def stats_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta2 / 100.0 * 100.0, 6).alias("beta_discount_pct"),
         F.round((my - beta1 * m1 - beta2 * m2) / 100.0, 4).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_spearman_corr",
+    """
+    WITH pts AS (
+      SELECT c_custkey, c_acctbal AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_acctbal
+    ),
+    r AS (
+      SELECT
+        2 * (RANK() OVER (ORDER BY x)) + COUNT(*) OVER (PARTITION BY x) - 1
+          AS r2x,
+        2 * (RANK() OVER (ORDER BY y)) + COUNT(*) OVER (PARTITION BY y) - 1
+          AS r2y
+      FROM pts
+    ),
+    s AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(r2x)::BIGINT AS sx, SUM(r2y)::BIGINT AS sy,
+             SUM(r2x * r2y)::BIGINT AS sxy,
+             SUM(r2x * r2x)::BIGINT AS sxx,
+             SUM(r2y * r2y)::BIGINT AS syy
+      FROM r
+    )
+    SELECT n,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+             AS spearman_rho
+    FROM s
+    """,
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's account balance
+    and their total order spend — the tie-aware, outlier-robust
+    complement to `agg_corr_regr`'s Pearson.
+
+    Exactness protocol: average ranks are carried DOUBLED so they stay
+    integers — for value v, 2·avgrank = 2·|{u < v}| + |{u = v}| + 1 —
+    and Spearman is invariant under the ×2. All five moment sums are
+    then integer (LONG both engines; DuckDB's HUGEINT cast down), the
+    numerator n·Sxy − Sx·Sy is exact 64-bit arithmetic, and the only
+    floats are two correctly-rounded SQRTs and one division — identical
+    IEEE in both engines, rounded to 6.
+
+    Scale shape: NO global sort — the doubled average ranks come from
+    the distinct-value histogram (groupBy x → counts) run through
+    `with_global_cumsums` (range-bin + partitioned within-bin window),
+    then joined back on the value. The histogram is |distinct values|,
+    not |rows|; the final moments are one map-side-combinable aggregate.
+    """
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        with_global_cumsums,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.functions.compat import money
+
+    cu = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    od = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    pts = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"])
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.sum(money("o_totalprice")).alias("y"))
+        .select(F.col("c_acctbal").alias("x"), "y")
+    )
+
+    def doubled_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
+        hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum, _tot = with_global_cumsums(hist, col, [], {"cum": F.col("cnt")})
+        # 2*avgrank = 2*(cum_inclusive - cnt) + cnt + 1
+        return cum.select(
+            col, (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias(out)
+        )
+
+    ranked = (
+        pts.join(doubled_ranks(pts, "x", "r2x"), "x")
+        .join(doubled_ranks(pts.select(F.col("y").alias("yv")), "yv", "r2y")
+              .withColumnRenamed("yv", "y"), "y")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+        F.sum(F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        "n",
+        F.round(num.cast("double") / (denx * deny), 6).alias("spearman_rho"),
+    )
