@@ -1096,3 +1096,127 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): deterministic random-walk corpus (DeepWalk)
+# ---------------------------------------------------------------------------
+
+_WALK_SEED_MAX = 30  # start walks from parts with partkey <= 30
+_WALK_PER_SEED = 2  # walks per seed node
+_WALK_LEN = 4  # moves per walk (5 nodes per emitted walk incl. the seed)
+# 31-bit LCG constants (same public-domain pair as operators/privacy.py) —
+# the walk's "randomness" is a pure integer function of (node, step, walk)
+# so Spark and DuckDB replay the identical trajectory.
+_WALK_A, _WALK_C, _WALK_M = 1103515245, 12345, 2147483647
+
+
+def _walk_oracle() -> str:
+    steps = []
+    for t in range(1, _WALK_LEN + 1):
+        steps.append(
+            f"""
+    w{t} AS (
+      SELECT p.seed, p.walk_id, {t} AS step, a.dst AS node
+      FROM w{t - 1} p JOIN adj a
+        ON a.src = p.node
+       AND a.idx = ((p.node * {_WALK_A}
+                     + ({t} * 31 + p.walk_id) * {_WALK_C}
+                     + {_WALK_C}) % {_WALK_M}) % a.deg
+    )"""
+        )
+    chain = ",".join(steps)
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM w{t}" for t in range(_WALK_LEN + 1)
+    )
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    adj AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+             COUNT(*) OVER (PARTITION BY src) AS deg
+      FROM edges
+    ),
+    seeds AS (SELECT DISTINCT src AS node FROM edges
+              WHERE src <= {_WALK_SEED_MAX}),
+    w0 AS (
+      SELECT s.node AS seed, g.walk_id, 0 AS step, s.node
+      FROM seeds s CROSS JOIN (
+        SELECT UNNEST(range({_WALK_PER_SEED})) AS walk_id
+      ) g
+    ),
+    {chain}
+    SELECT seed, walk_id, step, node
+    FROM ({union})
+    ORDER BY seed, walk_id, step
+    """
+
+
+@query("graph_random_walks", _walk_oracle())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk-corpus generation (Perozzi et al., KDD'14):
+    fixed-length random walks from a seed set over the co-order graph —
+    the TRAINING-DATA step for skip-gram graph embeddings (the walk
+    corpus feeds `sample_negative_table_skipgram`). The walk is
+    derandomized: at step t the walker at node u picks neighbor index
+    LCG(u, t, walk_id) mod deg(u), so the trajectory is a pure integer
+    function both engines replay exactly (the privacy-module LCG
+    discipline; production swaps in a keyed hash without changing the
+    plan shape).
+
+    Plan shape: adjacency gets a per-source neighbor index + degree from
+    ONE partitioned window pass, then each step is ONE equi-join on
+    (src, idx) — the walk frontier is |seeds|·|walks| rows forever, so
+    at 100 TB the frontier side broadcasts and each step touches only
+    the adjacency partitions it lands in. Steps chain without barriers;
+    lineage is 4 joins deep (bounded), no checkpoint needed.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = persist_once(cooccurrence_edges(li))
+    wdeg = Window.partitionBy("src")
+    adj = persist_once(
+        edges.select(
+            "src",
+            "dst",
+            (F.row_number().over(wdeg.orderBy("dst")) - 1).alias("idx"),
+            F.count(F.lit(1)).over(wdeg).alias("deg"),
+        )
+    )
+    seeds = (
+        edges.filter(F.col("src") <= _WALK_SEED_MAX)
+        .select(F.col("src").alias("seed"))
+        .distinct()
+    )
+    cur = seeds.select(
+        "seed",
+        F.explode(F.array(*[F.lit(i) for i in range(_WALK_PER_SEED)])).alias(
+            "walk_id"
+        ),
+        F.lit(0).alias("step"),
+        F.col("seed").alias("node"),
+    )
+    out = cur
+    for t in range(1, _WALK_LEN + 1):
+        choice = (
+            (
+                F.col("node") * _WALK_A
+                + (F.lit(t) * 31 + F.col("walk_id")) * _WALK_C
+                + _WALK_C
+            )
+            % _WALK_M
+        ) % F.col("deg")
+        cur = (
+            cur.join(adj, (adj["src"] == cur["node"]) & (adj["idx"] == choice))
+            .select(
+                "seed",
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.col("dst").alias("node"),
+            )
+        )
+        out = out.unionByName(cur)
+    return out.orderBy("seed", "walk_id", "step")

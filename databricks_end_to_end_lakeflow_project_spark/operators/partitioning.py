@@ -428,3 +428,135 @@ def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "key")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): Z-ORDER layout audit (OPTIMIZE ZORDER parity)
+# ---------------------------------------------------------------------------
+
+_Z_FILES = 16  # target file count for the simulated OPTIMIZE rewrite
+_Z_EPOCH = "1995-01-01"  # corpus min orderdate (TESTDATA contract window)
+
+
+def _z_bits_sql(bd: str, bc: str) -> str:
+    """Morton/Z-value of two 8-bit buckets as pure integer arithmetic —
+    the same string parses in Spark SQL and DuckDB (div vs // avoided:
+    both support %, *, + and CAST; the bit test (x // 2^i) % 2 is
+    written with FLOOR-free integer ops via CAST)."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(({bd} % {1 << (i + 1)}) - ({bd} % {1 << i})) * {1 << (i + 1)}")
+        terms.append(f"(({bc} % {1 << (i + 1)}) - ({bc} % {1 << i})) * {1 << i}")
+    return " + ".join(terms)
+
+
+@query(
+    "sink_zorder_layout_audit",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             DATE_DIFF('day', DATE '{_Z_EPOCH}',
+                       CAST(o_orderdate AS DATE)) AS d,
+             o_custkey
+      FROM orders
+    ),
+    mx AS (SELECT MAX(o_custkey) AS maxc FROM base),
+    bkt AS (
+      SELECT o_orderkey, d,
+             LEAST(255, d // 10) AS bd,
+             (o_custkey * 256) // (maxc + 1) AS bc
+      FROM base, mx
+    ),
+    zed AS (
+      SELECT o_orderkey, d, bd, bc,
+             {_z_bits_sql('bd', 'bc')} AS z
+      FROM bkt
+    ),
+    filed AS (
+      SELECT bd, bc,
+             NTILE({_Z_FILES}) OVER (ORDER BY d, o_orderkey) AS f_lin,
+             NTILE({_Z_FILES}) OVER (ORDER BY z, o_orderkey) AS f_z
+      FROM zed
+    ),
+    lin AS (
+      SELECT 'linear' AS layout, f_lin AS f,
+             MAX(bd) - MIN(bd) + 1 AS bd_span,
+             MAX(bc) - MIN(bc) + 1 AS bc_span
+      FROM filed GROUP BY f_lin
+    ),
+    zor AS (
+      SELECT 'zorder' AS layout, f_z AS f,
+             MAX(bd) - MIN(bd) + 1 AS bd_span,
+             MAX(bc) - MIN(bc) + 1 AS bc_span
+      FROM filed GROUP BY f_z
+    ),
+    layouts AS (SELECT * FROM lin UNION ALL SELECT * FROM zor)
+    SELECT layout, COUNT(*) AS n_files,
+           SUM(bd_span) AS sum_date_span, MAX(bd_span) AS max_date_span,
+           SUM(bc_span) AS sum_cust_span, MAX(bc_span) AS max_cust_span
+    FROM layouts GROUP BY layout ORDER BY layout
+    """,
+)
+def sink_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout audit for multi-dimensional file skipping — the
+    compute core of Delta's OPTIMIZE ZORDER BY (orderdate, custkey)
+    (reference runs on Databricks where this is the table-maintenance
+    story; `cdc_table_optimize` covers compaction, this covers
+    CLUSTERING): simulate rewriting orders into {_Z_FILES} files under
+    (a) a linear sort on orderdate and (b) a Morton/Z-curve interleave
+    of the 8-bit orderdate × custkey buckets, then report each file's
+    min/max span per dimension — the exact statistics a reader's
+    min/max pruning sees. Linear layout gives perfect date spans and
+    USELESS custkey spans (every file covers the full key range);
+    Z-order bounds BOTH dims near √(buckets·files/…), which is why a
+    two-dimensional filter workload skips more files under it.
+
+    Plan shape: the Z-value is pure integer arithmetic (bit test via
+    (x mod 2^{{i+1}} − x mod 2^i) — no UDF, whole-stage codegen); file
+    assignment is EXACT NTILE via the scalerank three-stage kernel (no
+    global window, no global sort); the two layouts reuse one persisted
+    bucketed frame. At 100 TB this is the same plan OPTIMIZE runs:
+    range-partition by the clustering key, write each range as a file.
+    """
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        with_ntile,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.session import persist_once
+
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_custkey"
+    )
+    maxc = od.agg(F.max("o_custkey")).collect()[0][0]
+    d = F.datediff(F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date"))
+    base = od.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.least(F.lit(255), F.expr(
+            f"DATEDIFF(CAST(o_orderdate AS DATE), DATE'{_Z_EPOCH}') div 10"
+        )).alias("bd"),
+        F.expr(f"(o_custkey * 256) div ({int(maxc)} + 1)").alias("bc"),
+    )
+    zed = persist_once(
+        base.withColumn("z", F.expr(_z_bits_sql("bd", "bc")))
+    )
+    lin = with_ntile(zed, _Z_FILES, "d", ["o_orderkey"], "f")
+    zor = with_ntile(zed, _Z_FILES, "z", ["o_orderkey"], "f")
+
+    def spans(df: DataFrame, layout: str) -> DataFrame:
+        return df.groupBy("f").agg(
+            (F.max("bd") - F.min("bd") + 1).alias("bd_span"),
+            (F.max("bc") - F.min("bc") + 1).alias("bc_span"),
+        ).select(F.lit(layout).alias("layout"), "bd_span", "bc_span")
+
+    both = spans(lin, "linear").unionByName(spans(zor, "zorder"))
+    return (
+        both.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bd_span").alias("sum_date_span"),
+            F.max("bd_span").alias("max_date_span"),
+            F.sum("bc_span").alias("sum_cust_span"),
+            F.max("bc_span").alias("max_cust_span"),
+        )
+        .orderBy("layout")
+    )
