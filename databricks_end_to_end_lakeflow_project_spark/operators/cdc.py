@@ -1697,3 +1697,108 @@ def cdc_merge_upsert_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_month", "o_orderpriority")
         .orderBy("o_orderkey", "o_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): deletion-vector emulation (DELETE w/o rewrite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_deletion_vectors",
+    """
+    WITH visible AS (
+      SELECT * FROM customer
+      WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'BUILDING')
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_visible,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_checksum,
+           CAST((SELECT COUNT(*) FROM customer) - COUNT(*) AS BIGINT)
+             AS n_dv_entries,
+           TRUE AS files_untouched
+    FROM visible
+    """,
+)
+def cdc_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE — Delta Lake's modern delete path
+    (`delta.enableDeletionVectors`): instead of rewriting every file
+    that contains a matching row (the copy-on-write `delete_where`
+    above), record the (file, row-position) of deleted rows in a
+    sidecar and have the READ path subtract them — merge-on-read. Two
+    successive DELETEs (negative balances, then the BUILDING segment)
+    accumulate into one DV sidecar; the data files are never touched.
+
+    Spark mechanics: row positions come from the hidden
+    ``_metadata.file_path`` / ``_metadata.row_index`` columns of the
+    parquet scan (public Spark 3.5+ API — the same row-tracking
+    primitive Delta's DV implementation reads); the serve path is a
+    LEFT ANTI join of the scan against the broadcast DV sidecar on
+    (file, position). At 100 TB the DV is MBs against TBs of data —
+    broadcast, never shuffled — and a periodic OPTIMIZE (the
+    `cdc_table_optimize` path) folds mature DVs back into rewritten
+    files.
+
+    Contract oracle: visible row count + key checksum must equal
+    DuckDB's direct predicate evaluation; ``n_dv_entries`` must equal
+    exactly the deleted-row count; ``files_untouched`` asserts the data
+    files' (name, size) inventory is byte-identical across both
+    DELETEs.
+    """
+    import os as _os
+
+    from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+        ephemeral_dir,
+    )
+
+    cu = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    path = _os.path.join(ephemeral_dir("dv_tbl_"), "t")
+    cu.repartition(4).write.mode("overwrite").parquet(path)
+
+    def inventory() -> list[tuple[str, int]]:
+        out = []
+        for root, _dirs, files in _os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    fp = _os.path.join(root, f)
+                    out.append((fp, _os.path.getsize(fp)))
+        return sorted(out)
+
+    inv0 = inventory()
+    scan = spark.read.parquet(path).select(
+        "*",
+        F.col("_metadata.file_path").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+
+    dv: DataFrame | None = None  # the sidecar: (file, position) pairs
+
+    def visible() -> DataFrame:
+        if dv is None:
+            return scan
+        return scan.join(
+            F.broadcast(dv),
+            (scan["__file"] == dv["file"]) & (scan["__pos"] == dv["pos"]),
+            "left_anti",
+        )
+
+    def delete_where(cond) -> DataFrame:
+        hit = visible().filter(cond).select(
+            F.col("__file").alias("file"), F.col("__pos").alias("pos")
+        )
+        return hit if dv is None else dv.unionByName(hit)
+
+    # DELETE #1: negative balances; DELETE #2: BUILDING segment (of the
+    # rows still visible — a DV DELETE must not double-count).
+    dv = delete_where(F.col("c_acctbal") < 0).localCheckpoint(eager=True)
+    dv = delete_where(F.col("c_mktsegment") == "BUILDING").localCheckpoint(eager=True)
+
+    files_untouched = inventory() == inv0
+    n_dv = dv.count()
+    return visible().agg(
+        F.count(F.lit(1)).alias("n_visible"),
+        F.sum("c_custkey").alias("key_checksum"),
+        F.lit(n_dv).cast("long").alias("n_dv_entries"),
+        F.lit(bool(files_untouched)).alias("files_untouched"),
+    )

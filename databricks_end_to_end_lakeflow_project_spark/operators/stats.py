@@ -2986,3 +2986,65 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num.cast("double") / (denx * deny), 6).alias("spearman_rho"),
     )
+
+
+@query(
+    "monitor_benford_first_digit",
+    """
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT c // POWER(10, LENGTH(CAST(c AS VARCHAR)) - 1)::BIGINT AS d
+      FROM cents
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS total FROM obs)
+    SELECT CAST(d AS BIGINT) AS digit, n AS n_orders,
+           ROUND(n::DOUBLE / total, 6) AS observed_share,
+           ROUND(LOG10(1 + 1.0 / d), 6) AS benford_share,
+           ROUND(n::DOUBLE / total - LOG10(1 + 1.0 / d), 6) AS delta
+    FROM obs, tot
+    ORDER BY digit
+    """,
+)
+def monitor_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the classic forensic
+    data-quality check: organically-generated monetary amounts follow
+    P(first digit = d) = log10(1 + 1/d); fabricated or truncated feeds
+    don't. Reports observed vs expected share per leading digit.
+
+    Exactness: amounts snap to the cent grid first (exact BIGINT), and
+    the leading digit is integer arithmetic off the DIGIT COUNT of that
+    integer — no float log10-of-value, whose ULP behavior at powers of
+    ten differs between engines. The only floats are the 9 constant
+    Benford shares and one share division, rounded at 6.
+
+    Scale: one grouped scan into a 9-row frame; everything after is
+    driver-trivial."""
+    od = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = od.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    d = (
+        F.col("c")
+        / F.pow(F.lit(10.0), (F.length(F.col("c").cast("string")) - 1).cast("double"))
+    ).cast("long")
+    obs = cents.select(d.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    total = obs.agg(F.sum("n_orders")).collect()[0][0]
+    benford = F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
+    share = F.round(F.col("n_orders").cast("double") / F.lit(float(total)), 6)
+    return obs.select(
+        "digit",
+        "n_orders",
+        share.alias("observed_share"),
+        benford.alias("benford_share"),
+        F.round(
+            F.col("n_orders").cast("double") / F.lit(float(total))
+            - F.log10(1 + 1.0 / F.col("digit")),
+            6,
+        ).alias("delta"),
+    ).orderBy("digit")

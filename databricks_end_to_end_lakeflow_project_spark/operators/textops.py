@@ -1948,3 +1948,131 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "bigram")
         .limit(_PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPWORDS = ("a", "the")  # the corpus's function words
+_RAKE_TOP = 20
+
+
+@query(
+    "text_rake_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, w[pos] AS word, pos,
+             CASE WHEN w[pos] IN {_RAKE_STOPWORDS} THEN 1 ELSE 0 END AS stop
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+           UNNEST(range(1, len(w) + 1)) AS u(pos)
+    ),
+    marked AS (
+      SELECT doc_id, word, pos, stop,
+             SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+      FROM toks
+    ),
+    content AS (
+      SELECT doc_id, phrase_id, pos, word FROM marked WHERE stop = 0
+    ),
+    plen AS (
+      SELECT doc_id, phrase_id, COUNT(*) AS plen
+      FROM content GROUP BY doc_id, phrase_id
+    ),
+    wstat AS (
+      SELECT c.word, COUNT(*) AS freq, SUM(p.plen) AS deg
+      FROM content c JOIN plen p
+        ON p.doc_id = c.doc_id AND p.phrase_id = c.phrase_id
+      GROUP BY c.word
+    ),
+    wscore AS (
+      SELECT word,
+             CAST(ROUND(1000000.0 * deg / freq) AS BIGINT) AS sq
+      FROM wstat
+    ),
+    phrases AS (
+      SELECT c.doc_id, c.phrase_id,
+             STRING_AGG(c.word, ' ' ORDER BY c.pos) AS phrase,
+             SUM(s.sq) AS score_x1e6
+      FROM content c JOIN wscore s ON s.word = c.word
+      GROUP BY c.doc_id, c.phrase_id
+    )
+    SELECT phrase, COUNT(*) AS n_occurrences,
+           MAX(score_x1e6) AS score_x1e6
+    FROM phrases GROUP BY phrase
+    ORDER BY score_x1e6 DESC, phrase LIMIT {_RAKE_TOP}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — unsupervised
+    keyphrase mining for corpus labeling / topic seeding: split each
+    document into candidate phrases at stopword boundaries, score each
+    word by degree/frequency (degree = summed length of the phrases it
+    appears in — co-occurrence reach; frequency = raw count), score a
+    phrase as the sum of its word scores, report the top
+    {_RAKE_TOP} distinct phrases.
+
+    Exactness: word scores are quantized to 1e-6 fixed-point BEFORE the
+    per-phrase sum (deg/freq is one IEEE division, identical in both
+    engines; integer sums are order-free), so phrase scores are exact
+    longs. Identical phrase strings always carry identical scores, so
+    the distinct-phrase MAX is deterministic.
+
+    Scale shape: phrase segmentation is ONE partitioned running-sum
+    window per document (no self-join); word stats are two grouped
+    aggregates; the word-score table is post-aggregation vocabulary —
+    broadcast-size — and rejoins the phrase rows on the word key.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), " ")).alias("pos0", "word"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "word",
+        F.when(F.col("word").isin(*_RAKE_STOPWORDS), 1).otherwise(0).alias("stop"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    content = (
+        toks.withColumn("phrase_id", F.sum("stop").over(w))
+        .filter(F.col("stop") == 0)
+        .select("doc_id", "phrase_id", "pos", "word")
+    )
+    plen = content.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    wstat = (
+        content.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    wscore = wstat.select(
+        "word",
+        F.round(1000000.0 * F.col("deg") / F.col("freq")).cast("long").alias("sq"),
+    )
+    phrases = (
+        content.join(F.broadcast(wscore), "word")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(sort_array(collect_list(struct(pos, word))),"
+                       " x -> x.word)"),
+                " ",
+            ).alias("phrase"),
+            F.sum("sq").alias("score_x1e6"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score_x1e6").alias("score_x1e6"),
+        )
+        .orderBy(F.desc("score_x1e6"), "phrase")
+        .limit(_RAKE_TOP)
+    )
