@@ -1220,3 +1220,97 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(cur)
     return out.orderBy("seed", "walk_id", "step")
+
+
+@query(
+    "graph_clustering_coefficient",
+    """
+    WITH cooc AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    edges AS (SELECT src, dst FROM cooc WHERE w >= 3),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    wedge AS (
+      SELECT e1.src AS v, e1.dst AS a, e2.dst AS b
+      FROM edges e1 JOIN edges e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    tri AS (
+      SELECT w.v, COUNT(*) AS t
+      FROM wedge w JOIN edges e ON e.src = w.a AND e.dst = w.b
+      GROUP BY w.v
+    )
+    SELECT d.node, d.d AS degree,
+           COALESCE(t.t, 0) AS triangles,
+           CAST(ROUND(1000000000.0 * 2 * COALESCE(t.t, 0)
+                      / (d.d * (d.d - 1))) AS BIGINT) AS cc_q
+    FROM deg d LEFT JOIN tri t ON t.v = d.node
+    WHERE d.d >= 2
+    ORDER BY cc_q DESC, node LIMIT 50
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the strong-tie graph
+    (pairs co-ordered ≥ 3 times, the `graph_cc_star_contraction` graph):
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) where T(v) counts edges among
+    v's neighbors — the node-level 'how clique-like is this product's
+    context' signal (global triangle counts live in
+    `graph_triangle_count`). Top-50 by cc on a 1e-9 fixed-point grid
+    (integer ROUND — the `graph_jaccard_link_prediction` protocol).
+
+    Plan: wedges expand from the apex (one self-equi-join on src with
+    a < b dedup — per-node work is deg², which is why this runs on the
+    STRONG graph where degrees are bounded; at 100 TB degree-cap or
+    sample apexes above a threshold, same hot-key discipline as the LSH
+    bucket split), then one equi-join closes each wedge against the
+    edge set. All joins are equi; counts are map-side combinable.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    cooc = (
+        li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+        .join(
+            li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")),
+            "k",
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = persist_once(cooc.filter(F.col("w") >= 3).select("src", "dst"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("src").alias("v"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("v"), F.col("dst").alias("b"))
+    wedge = e1.join(e2, "v").filter(F.col("a") < F.col("b"))
+    tri = (
+        wedge.join(
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"],
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    cc_q = (
+        F.round(
+            1000000000.0
+            * 2
+            * F.coalesce(F.col("t"), F.lit(0))
+            / (F.col("d") * (F.col("d") - 1))
+        )
+        .cast("long")
+        .alias("cc_q")
+    )
+    return (
+        deg.join(tri.withColumnRenamed("v", "node"), "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("triangles"),
+            cc_q,
+        )
+        .orderBy(F.desc("cc_q"), "node")
+        .limit(50)
+    )

@@ -3048,3 +3048,95 @@ def monitor_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("delta"),
     ).orderBy("digit")
+
+
+_GINI_GRID = list(range(-5, 100, 5))  # split candidates: bucket upper edges
+
+
+@query(
+    "stats_gini_split_scan",
+    f"""
+    WITH pts AS (
+      SELECT CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS b,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+      FROM customer
+    ),
+    hist AS (
+      SELECT b, COUNT(*) AS n, SUM(y) AS pos FROM pts GROUP BY b
+    ),
+    tot AS (SELECT SUM(n) AS nn, SUM(pos) AS pp FROM hist),
+    grid AS (SELECT UNNEST({_GINI_GRID}) AS t),
+    lefts AS (
+      SELECT g.t, SUM(h.n) AS n_l, SUM(h.pos) AS pos_l
+      FROM grid g JOIN hist h ON h.b <= g.t
+      GROUP BY g.t
+    )
+    SELECT 100 * (t + 1) AS threshold_bal,
+           CAST(n_l AS BIGINT) AS n_left, CAST(pos_l AS BIGINT) AS pos_left,
+           ROUND(
+             (n_l * n_l - pos_l * pos_l
+              - (n_l - pos_l) * (n_l - pos_l))::DOUBLE / (nn * n_l)
+             + ((nn - n_l) * (nn - n_l) - (pp - pos_l) * (pp - pos_l)
+                - ((nn - n_l) - (pp - pos_l)) * ((nn - n_l) - (pp - pos_l)))::DOUBLE
+               / (nn * (nn - n_l)), 8) AS weighted_gini
+    FROM lefts, tot
+    ORDER BY threshold_bal
+    """,
+)
+def stats_gini_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based split-point scan — the inner loop of decision-tree
+    training the way the distributed GBDT systems do it (LightGBM/
+    XGBoost-hist; Spark MLlib's binned trees): bin the feature ONCE into
+    a bounded histogram of (count, positive-count), then score every
+    candidate threshold against the histogram instead of rescanning the
+    data. Feature: account balance (bucket width 100); target: the
+    BUILDING segment; score: weighted Gini impurity of the induced
+    (left, right) split, one row per candidate.
+
+    Exactness: per-side impurity (n/N)·(1 − p₊² − p₋²) is algebraically
+    (n² − pos² − neg²)/(N·n) — all integers until ONE double division
+    per side and one add, identical IEEE in both engines, rounded at 8.
+
+    Scale: the corpus is scanned once (map-side-combinable histogram);
+    the threshold scan touches only histogram × grid rows (~hundreds) —
+    an explode + filter, no join against the data, no second scan, no
+    driver loop. Deeper trees repeat the same pass per node on the
+    partitioned residual sets.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    hist = (
+        cust.select(
+            F.floor(F.col("c_acctbal") / 100).cast("long").alias("b"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    tot = hist.agg(F.sum("n").alias("nn"), F.sum("pos").alias("pp")).collect()[0]
+    nn, pp = int(tot["nn"]), int(tot["pp"])
+    lefts = (
+        hist.select(
+            "b", "n", "pos",
+            F.explode(F.array(*[F.lit(t) for t in _GINI_GRID])).alias("t"),
+        )
+        .filter(F.col("b") <= F.col("t"))
+        .groupBy("t")
+        .agg(F.sum("n").alias("n_l"), F.sum("pos").alias("pos_l"))
+    )
+    n_l, pos_l = F.col("n_l"), F.col("pos_l")
+    neg_l = n_l - pos_l
+    n_r = F.lit(nn) - n_l
+    pos_r = F.lit(pp) - pos_l
+    neg_r = n_r - pos_r
+    gini = F.round(
+        (n_l * n_l - pos_l * pos_l - neg_l * neg_l).cast("double") / (F.lit(nn) * n_l)
+        + (n_r * n_r - pos_r * pos_r - neg_r * neg_r).cast("double")
+        / (F.lit(nn) * n_r),
+        8,
+    )
+    return lefts.select(
+        (100 * (F.col("t") + 1)).cast("long").alias("threshold_bal"),
+        n_l.alias("n_left"),
+        pos_l.alias("pos_left"),
+        gini.alias("weighted_gini"),
+    ).orderBy("threshold_bal")
