@@ -1443,3 +1443,77 @@ def curation_loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(loo, 6).alias("loo_mean"),
         F.round(F.lit(float(sum_all) / float(n_all)) - loo, 6).alias("influence"),
     ).orderBy("source")
+
+
+@query(
+    "pipeline_release_diff",
+    """
+    WITH v1 AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id % 10 < 9
+    ),
+    v2 AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 13 = 0 THEN reverse(text) ELSE text END AS text
+      FROM documents WHERE doc_id % 10 > 0
+    ),
+    diff AS (
+      SELECT COALESCE(a.source, b.source) AS source,
+             CASE
+               WHEN a.doc_id IS NULL THEN 'added'
+               WHEN b.doc_id IS NULL THEN 'removed'
+               WHEN a.text <> b.text THEN 'changed'
+               ELSE 'unchanged'
+             END AS status
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT source,
+           SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged,
+           SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+           SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
+           SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed
+    FROM diff GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset release diff — the change report every corpus release
+    ships (v2.1 vs v2.0: what was added, what was removed, what content
+    changed in place), here between two deterministic synthetic releases
+    of the documents table (v1 = 90% head slice, v2 = 90% tail slice
+    with every 13th doc's text rewritten): one FULL OUTER equi-join on
+    the doc key, row-status classification, per-source rollup.
+
+    Scale: the join shuffles both releases on doc_id once; the text
+    comparison here is direct string equality — at 100 TB compare the
+    64-bit content fingerprints (`text_fingerprint`) instead so the
+    shuffle carries ids + hashes, never the text payload. The rollup is
+    map-side combinable.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    v1 = docs.filter(F.col("doc_id") % 10 < 9).select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"),
+        F.col("text").alias("text_a"),
+    )
+    v2 = docs.filter(F.col("doc_id") % 10 > 0).select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"),
+        F.when(F.col("doc_id") % 13 == 0, F.reverse(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text_b"),
+    )
+    diff = v1.join(v2, v1["id_a"] == v2["id_b"], "full_outer").select(
+        F.coalesce(F.col("src_a"), F.col("src_b")).alias("source"),
+        F.when(F.col("id_a").isNull(), "added")
+        .when(F.col("id_b").isNull(), "removed")
+        .when(F.col("text_a") != F.col("text_b"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        diff.groupBy("source")
+        .agg(
+            *[
+                F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(f"n_{s}")
+                for s in ("unchanged", "changed", "added", "removed")
+            ]
+        )
+        .orderBy("source")
+    )

@@ -1415,3 +1415,72 @@ def ts_changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): Hill tail-index estimator
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100  # tail order statistics used by the estimator
+
+
+@query(
+    "events_hill_tail_index",
+    f"""
+    WITH act AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rn
+      FROM act
+    ),
+    ref AS (SELECT cnt AS x_ref FROM ranked WHERE rn = {_HILL_K} + 1),
+    top AS (SELECT cnt FROM ranked WHERE rn <= {_HILL_K})
+    SELECT {_HILL_K} AS k,
+           CAST(x_ref AS BIGINT) AS x_ref,
+           ROUND({_HILL_K} / (SUM(LN(cnt)) - {_HILL_K} * LN(x_ref)), 4)
+             AS hill_alpha
+    FROM top, ref GROUP BY x_ref
+    """,
+)
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index of user activity —
+    'how heavy is the heavy-hitter tail' in one number: α̂ =
+    k / Σᵢ≤k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k={_HILL_K} largest per-user event
+    counts. The planning input for skew-aware salting (`join_salted_skew`)
+    and hot-key caps: α ≤ 2 means unbounded variance — expect stragglers.
+
+    Scale shape: per-user counts are one map-side-combinable groupBy;
+    the global order statistic uses the scalerank kernel (range-bin +
+    partitioned window — no single-partition sort); only k+1 rows reach
+    the log-sum. Exactness: counts are integers; the k log terms are
+    summed at double then rounded at 4 (the `text_*_nll` tolerance
+    protocol — sub-ULP reduction-order noise is far below the grid).
+    """
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        RankSpec,
+        with_global_ranks,
+    )
+
+    act = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked, _n = with_global_ranks(
+        act, [RankSpec(out="rn", value="cnt", tiebreaks=["user_id"], descending=True)]
+    )
+    x_ref = int(
+        ranked.filter(F.col("rn") == _HILL_K + 1).select("cnt").collect()[0][0]
+    )
+    top = ranked.filter(F.col("rn") <= _HILL_K)
+    return top.agg(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        F.lit(x_ref).cast("long").alias("x_ref"),
+        F.round(
+            F.lit(float(_HILL_K))
+            / (F.sum(F.log("cnt")) - F.lit(float(_HILL_K)) * F.log(F.lit(float(x_ref)))),
+            4,
+        ).alias("hill_alpha"),
+    )

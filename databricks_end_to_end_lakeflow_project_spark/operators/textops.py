@@ -2076,3 +2076,66 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_x1e6"), "phrase")
         .limit(_RAKE_TOP)
     )
+
+
+@query(
+    "text_vocab_coverage_chao1",
+    """
+    WITH tf AS (
+      SELECT lang, u.tok, COUNT(*) AS c
+      FROM (SELECT lang, string_split(trim(text), ' ') AS w FROM documents),
+           UNNEST(w) AS u(tok)
+      GROUP BY lang, u.tok
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS doubletons,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / SUM(c), 6)
+             AS gt_unseen_mass,
+           ROUND(COUNT(*)
+                 + SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+                   * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                   / (2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)), 4)
+             AS chao1_richness
+    FROM tf GROUP BY lang ORDER BY lang
+    """,
+)
+def text_vocab_coverage_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage estimators per language — 'how much of this
+    language's vocabulary has the corpus NOT seen yet', the question
+    behind crawl-more-or-stop decisions and tokenizer-vocab sizing:
+    Good-Turing unseen mass P(next token is novel) ≈ N₁/N, and the
+    bias-corrected Chao1 richness floor V + N₁(N₁−1)/(2(N₂+1)) from
+    singleton/doubleton counts.
+
+    Exactness: all inputs are integer type-frequency counts; each output
+    is one rational evaluated with a fixed operation tree, rounded 6/4.
+    Scale: one token explode → (lang, token) groupBy, then a per-lang
+    rollup over the TYPE table (vocabulary-sized, not corpus-sized).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    n2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            n1.alias("singletons"),
+            n2.alias("doubletons"),
+            F.round(n1.cast("double") / F.sum("c"), 6).alias("gt_unseen_mass"),
+            F.round(
+                F.count(F.lit(1))
+                + n1.cast("double") * (n1 - 1) / (2 * (n2 + 1)),
+                4,
+            ).alias("chao1_richness"),
+        )
+        .orderBy("lang")
+    )
