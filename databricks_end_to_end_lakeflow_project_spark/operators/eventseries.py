@@ -1435,13 +1435,16 @@ _HILL_K = 100  # tail order statistics used by the estimator
              ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rn
       FROM act
     ),
-    ref AS (SELECT cnt AS x_ref FROM ranked WHERE rn = {_HILL_K} + 1),
-    top AS (SELECT cnt FROM ranked WHERE rn <= {_HILL_K})
-    SELECT {_HILL_K} AS k,
+    keff AS (
+      SELECT LEAST({_HILL_K}, COUNT(*) - 1) AS k FROM act
+    ),
+    ref AS (SELECT cnt AS x_ref FROM ranked, keff WHERE rn = keff.k + 1),
+    top AS (SELECT cnt FROM ranked, keff WHERE rn <= keff.k)
+    SELECT CAST(keff.k AS BIGINT) AS k,
            CAST(x_ref AS BIGINT) AS x_ref,
-           ROUND({_HILL_K} / (SUM(LN(cnt)) - {_HILL_K} * LN(x_ref)), 4)
+           ROUND(keff.k / (SUM(LN(cnt)) - keff.k * LN(x_ref)), 4)
              AS hill_alpha
-    FROM top, ref GROUP BY x_ref
+    FROM top, ref, keff GROUP BY keff.k, x_ref
     """,
 )
 def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1468,19 +1471,19 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ranked, _n = with_global_ranks(
+    ranked, n_users = with_global_ranks(
         act, [RankSpec(out="rn", value="cnt", tiebreaks=["user_id"], descending=True)]
     )
-    x_ref = int(
-        ranked.filter(F.col("rn") == _HILL_K + 1).select("cnt").collect()[0][0]
-    )
-    top = ranked.filter(F.col("rn") <= _HILL_K)
+    # adaptive k: small fixtures (sf0.001) have fewer than k+1 users
+    k = min(_HILL_K, n_users - 1)
+    x_ref = int(ranked.filter(F.col("rn") == k + 1).select("cnt").collect()[0][0])
+    top = ranked.filter(F.col("rn") <= k)
     return top.agg(
-        F.lit(_HILL_K).cast("long").alias("k"),
+        F.lit(k).cast("long").alias("k"),
         F.lit(x_ref).cast("long").alias("x_ref"),
         F.round(
-            F.lit(float(_HILL_K))
-            / (F.sum(F.log("cnt")) - F.lit(float(_HILL_K)) * F.log(F.lit(float(x_ref)))),
+            F.lit(float(k))
+            / (F.sum(F.log("cnt")) - F.lit(float(k)) * F.log(F.lit(float(x_ref)))),
             4,
         ).alias("hill_alpha"),
     )
