@@ -305,9 +305,21 @@ def pipeline_medallion_scd_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     raw = os.path.join(root, "raw")
     flight_fixtures.write_base(raw)
     lake = FlightLakehouse(spark, raw, os.path.join(root, "lake"))
-    lake.run_all(clock=_T1)
-    flight_fixtures.write_scd(raw)
-    lake.run_all(clock=_T2)
+    # The replay executes EAGERLY here (availableNow drains + upserts),
+    # over fixture-sized micro-batches where 32-partition shuffles are
+    # pure scheduling overhead (~13% of wall at sf0.01). Pin a small
+    # shuffle width for the eager section and RESTORE before returning —
+    # the returned frame is a plain table read, so later queries in the
+    # session keep their own setting. At 100 TB the replay's batches are
+    # data-sized and this override would be removed with the fixture.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        lake.run_all(clock=_T1)
+        flight_fixtures.write_scd(raw)
+        lake.run_all(clock=_T2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return lake._gold_table("DimAirports").read().select(
         "airport_id", "airport_name", "city", "country", "DimAirportsKey",
         "create_date", "update_date", "modifiedDate",
