@@ -913,6 +913,34 @@ def graph_scale_curve(spark) -> list:
             "n_components": n_pcomp,
         }
 
+        # BFS: frontier expansion from a 100-seed set — per-hop cost must
+        # track the FRONTIER×degree work, not the whole graph (the other
+        # families relabel every node per round; BFS is the one whose
+        # per-round cost should SHRINK once the wave saturates)
+        seeds = (
+            edges.filter(F.col("src") < 100)
+            .select(F.col("src").alias("node"))
+            .distinct()
+        )
+        visited = seeds.select("node", F.lit(0).alias("hops")).localCheckpoint()
+        frontier = visited.select("node")
+        hop_secs, frontier_rows = [], []
+        for h in range(1, 4):
+            t0 = time.perf_counter()
+            nxt = (
+                frontier.join(edges, frontier["node"] == edges["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .select("node", F.lit(h).alias("hops"))
+            )
+            visited = visited.unionByName(nxt).localCheckpoint()
+            n_front = visited.filter(F.col("hops") == h).count()
+            hop_secs.append(round(time.perf_counter() - t0, 2))
+            frontier_rows.append(n_front)
+            frontier = visited.filter(F.col("hops") == h).select("node")
+        point["bfs"] = {"hop_secs": hop_secs, "frontier_rows": frontier_rows}
+
         edges.unpersist()
         spark.catalog.clearCache()
         curve.append(point)
