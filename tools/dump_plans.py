@@ -230,6 +230,39 @@ SHOWCASE = [
         "is the shape a 100 TB training-data write needs: per-shard files, "
         "no skewed range boundaries, no total-order straggler.",
     ),
+    (
+        "join_interval_overlap",
+        "Binned interval-overlap self-join: the join is EQUI on "
+        "(supplier, week) — SortMergeJoin with the overlap terms as a "
+        "residual condition, never a cartesian/nested-loop; the "
+        "owner-bucket equality dedups pairs as a FILTER, so the plan has "
+        "no Distinct exchange anywhere.",
+    ),
+    (
+        "graph_random_walks",
+        "Walk-corpus generation: the adjacency index is ONE partitioned "
+        "window pass (row_number + count over src); each of the 4 steps "
+        "is a single equi-join keyed on (src, idx-expression) against the "
+        "constant-size walk frontier — no cartesian, no per-step "
+        "re-aggregation of the graph.",
+    ),
+    (
+        "stats_spearman_corr",
+        "Spearman without a global sort: both doubled-average-rank frames "
+        "come from the scalerank cumsum kernel (range-bin exchange + "
+        "partitioned within-bin window + literal-map offsets) joined back "
+        "on the VALUE key; the final five moments are one "
+        "partial-aggregatable HashAggregate — zero single-partition "
+        "WindowExec.",
+    ),
+    (
+        "sink_zorder_layout_audit",
+        "OPTIMIZE ZORDER compute core: the Morton z-value is whole-stage-"
+        "codegen integer arithmetic (no UDF); both layouts' file "
+        "assignments are exact NTILE via the scalerank rank kernel "
+        "(partitioned windows over range bins, never NTILE OVER ()); the "
+        "two span rollups reuse ONE persisted bucketed frame.",
+    ),
 ]
 
 
