@@ -1487,3 +1487,93 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hill_alpha"),
     )
+
+
+@query(
+    "events_growth_accounting",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    marked AS (
+      SELECT user_id, d,
+             MIN(d) OVER (PARTITION BY user_id) AS first_d,
+             LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+             LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+      FROM act
+    ),
+    states AS (
+      SELECT d,
+             CASE
+               WHEN d = first_d THEN 'new'
+               WHEN prev_d = d - 1 THEN 'retained'
+               ELSE 'resurrected'
+             END AS state
+      FROM marked
+      UNION ALL
+      SELECT d + 1 AS d, 'churned' AS state
+      FROM marked
+      WHERE (next_d IS NULL OR next_d > d + 1)
+        AND d + 1 <= (SELECT MAX(d) FROM act)
+    )
+    SELECT d AS day,
+           SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS n_new,
+           SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+           SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+             AS n_resurrected,
+           SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS n_churned
+    FROM states GROUP BY d ORDER BY d
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the Social-Capital/A16Z MAU-accounting
+    identity, at day grain): every active user-day is NEW (first ever),
+    RETAINED (also active the day before) or RESURRECTED (returning
+    after a gap), and a user CHURNS the day after an activity day with
+    no follow-on — so active(d) = new + retained + resurrected and
+    active(d) − active(d−1) = new + resurrected − churned, the identity
+    the growth dashboard decomposes.
+
+    Plan: one distinct on (user, day) — the only corpus-sized shuffle —
+    then per-user windows (partitioned, ordered by day) for
+    first/prev/next, a union of the two classification branches, and a
+    day rollup. The churn branch's MAX(day) horizon guard is a 1-row
+    scalar. All counts are integers; no floats anywhere.
+    """
+    act = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    wo = w.orderBy("d")
+    marked = act.select(
+        "user_id",
+        "d",
+        F.min("d").over(w).alias("first_d"),
+        F.lag("d").over(wo).alias("prev_d"),
+        F.lead("d").over(wo).alias("next_d"),
+    )
+    max_d = act.agg(F.max("d")).collect()[0][0]
+    states = marked.select(
+        "d",
+        F.when(F.col("d") == F.col("first_d"), "new")
+        .when(F.col("prev_d") == F.date_sub(F.col("d"), 1), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    ).unionByName(
+        marked.filter(
+            (F.col("next_d").isNull() | (F.col("next_d") > F.date_add(F.col("d"), 1)))
+            & (F.date_add(F.col("d"), 1) <= F.lit(max_d))
+        ).select(F.date_add(F.col("d"), 1).alias("d"), F.lit("churned").alias("state"))
+    )
+    return (
+        states.groupBy(F.col("d").alias("day"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("state") == s, 1).otherwise(0)).alias(f"n_{s}")
+                for s in ("new", "retained", "resurrected", "churned")
+            ]
+        )
+        .orderBy("day")
+    )

@@ -948,3 +948,88 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+@query(
+    "agg_incremental_maintenance",
+    """
+    WITH base AS (
+      SELECT * FROM orders WHERE o_orderkey % 20 <> 0
+    ),
+    final AS (
+      SELECT o_orderpriority, o_totalprice FROM base
+      WHERE NOT (o_orderkey % 40 = 1)
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice + 10 FROM orders
+      WHERE o_orderkey % 20 = 0
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE
+             AS sum_price
+    FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a grouped aggregate under INSERTS AND
+    DELETES — the retraction algebra behind materialized-view engines
+    (DBSP/Differential Dataflow; `join_incremental_maintenance` is the
+    join counterpart): each delta row carries a weight (+1 insert, −1
+    retraction), the delta is aggregated ALONE, and the new state is
+    state ⊕ Δstate via one full-outer merge on the group key — the base
+    data is never rescanned. Groups whose maintained count reaches 0
+    drop out (the part plain ever-growing upserts get wrong).
+
+    Here: base = 95% of orders; the delta retracts every 40th key and
+    inserts the held-out 5% re-priced (+10). The DuckDB oracle computes
+    the FINAL state from scratch — equality proves the merge algebra.
+
+    Scale: Δstate is |delta-groups| rows; the merge shuffles only group
+    keys (or broadcasts when the delta touches few groups). Count and
+    SUM are self-inverse under weights; MIN/MAX would need the per-group
+    heap or a rescan-on-retract escape hatch (documented limitation of
+    IVM for non-invertible aggregates).
+    """
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = od.filter(F.col("o_orderkey") % 20 != 0)
+    state0 = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(money("o_totalprice")).alias("s0"),
+    )
+    deletes = base.filter(F.col("o_orderkey") % 40 == 1).select(
+        "o_orderpriority", money("o_totalprice").alias("cents"), F.lit(-1).alias("w")
+    )
+    inserts = od.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderpriority",
+        money(F.col("o_totalprice") + 10).alias("cents"),
+        F.lit(1).alias("w"),
+    )
+    dstate = (
+        deletes.unionByName(inserts)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("w").alias("dn"),
+            F.sum(F.col("w") * F.col("cents")).alias("ds"),
+        )
+    )
+    merged = state0.join(dstate, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias(
+            "n_rows"
+        ),
+        (
+            F.coalesce(F.col("s0"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("s"),
+    )
+    return (
+        merged.filter(F.col("n_rows") > 0)
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            F.round(F.col("s"), 2).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
