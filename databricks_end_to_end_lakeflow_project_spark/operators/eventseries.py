@@ -1577,3 +1577,180 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+_MK_CHANNELS = ("click", "error", "signup", "view")
+_MK_STEPS = 6  # truncated-horizon reach (unrolled in the oracle)
+
+
+def _markov_oracle() -> str:
+    variants = ",".join(
+        f"SELECT '{v}' AS variant" for v in ("full",) + _MK_CHANNELS
+    ).replace(",", " UNION ALL ", len(_MK_CHANNELS))
+    steps = []
+    for t in range(1, _MK_STEPS + 1):
+        steps.append(
+            f"""
+    st{t} AS (
+      SELECT v.variant, tr.dst AS state, SUM(v.p * tr.q) AS p
+      FROM st{t - 1} v JOIN vtrans tr
+        ON tr.variant = v.variant AND tr.src = v.state
+      WHERE v.state NOT IN ('conv', 'null')
+      GROUP BY v.variant, tr.dst
+    )"""
+        )
+    chain = ",".join(steps)
+    conv_union = "\n      UNION ALL ".join(
+        f"SELECT variant, p FROM st{t} WHERE state = 'conv'"
+        for t in range(1, _MK_STEPS + 1)
+    )
+    return f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 'conv'
+                  ELSE event_type END AS state,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id) AS conv_ts
+      FROM events
+    ),
+    journey AS (
+      SELECT user_id, ts, event_id, state,
+             ROW_NUMBER() OVER w AS rn,
+             LEAD(state) OVER w AS nxt
+      FROM seq
+      WHERE conv_ts IS NULL OR ts <= conv_ts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trans AS (
+      SELECT 'start' AS src, state AS dst FROM journey WHERE rn = 1
+      UNION ALL
+      SELECT state AS src, COALESCE(nxt, 'null') AS dst
+      FROM journey WHERE state <> 'conv'
+    ),
+    cnt AS (SELECT src, dst, COUNT(*) AS c FROM trans GROUP BY src, dst),
+    q AS (
+      SELECT src, dst,
+             c::DOUBLE / SUM(c) OVER (PARTITION BY src) AS q
+      FROM cnt
+    ),
+    variants AS ({variants}),
+    vtrans AS (
+      SELECT v.variant, q.src,
+             CASE WHEN q.dst = v.variant THEN 'null' ELSE q.dst END AS dst,
+             q.q
+      FROM variants v JOIN q ON q.src <> v.variant
+    ),
+    st0 AS (SELECT variant, 'start' AS state, 1.0 AS p FROM variants),
+    {chain},
+    reach AS (
+      SELECT variant, SUM(p) AS r FROM ({conv_union}) GROUP BY variant
+    ),
+    fullr AS (SELECT r AS rf FROM reach WHERE variant = 'full')
+    SELECT variant,
+           ROUND(COALESCE(r, 0), 6) AS reach,
+           ROUND(1 - COALESCE(r, 0) / rf, 6) AS removal_effect
+    FROM (SELECT v.variant, reach.r FROM variants v
+          LEFT JOIN reach ON reach.variant = v.variant), fullr
+    ORDER BY variant
+    """
+
+
+@query("events_markov_attribution", _markov_oracle())
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    alternative to first/last-touch (`events_attribution_first_last`):
+    build the user-journey transition chain (start → touchpoints → conv
+    on first purchase / null on journey end), measure each channel's
+    REMOVAL EFFECT = 1 − reach(chain with the channel knocked out to
+    null) / reach(full chain), over a {_MK_STEPS}-step truncated horizon
+    (the bounded-round contract; the unrolled oracle replays it).
+
+    Scale shape: the only corpus-sized work is the journey window (one
+    partitioned per-user window) and the transition count groupBy; the
+    chain itself is |states|² rows, the 5 knockout variants expand it to
+    a ≤ ~250-row broadcast frame, and each propagation step is one tiny
+    join + aggregate over (variant, state) — 'model moves, not data'.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+    )
+    wu = Window.partitionBy("user_id")
+    seq = ev.withColumn(
+        "conv_ts",
+        F.min(F.when(F.col("state") == "conv", F.col("ts"))).over(wu),
+    ).filter(F.col("conv_ts").isNull() | (F.col("ts") <= F.col("conv_ts")))
+    wo = wu.orderBy("ts", "event_id")
+    j = seq.select(
+        "state",
+        F.row_number().over(wo).alias("rn"),
+        F.lead("state").over(wo).alias("nxt"),
+    )
+    trans = (
+        j.filter(F.col("rn") == 1)
+        .select(F.lit("start").alias("src"), F.col("state").alias("dst"))
+        .unionByName(
+            j.filter(F.col("state") != "conv").select(
+                F.col("state").alias("src"),
+                F.coalesce(F.col("nxt"), F.lit("null")).alias("dst"),
+            )
+        )
+    )
+    cnt = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("tc"))
+    q = cnt.join(F.broadcast(tot), "src").select(
+        "src", "dst", (F.col("c").cast("double") / F.col("tc")).alias("q")
+    )
+    variants = ("full",) + _MK_CHANNELS
+    vdf = read_table(spark, sf_dir, "events").sparkSession.createDataFrame(
+        [(v,) for v in variants], "variant string"
+    )
+    vtrans = (
+        vdf.crossJoin(F.broadcast(q))
+        .filter(F.col("src") != F.col("variant"))
+        .select(
+            F.col("variant").alias("vv"),
+            "src",
+            F.when(F.col("dst") == F.col("variant"), "null")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "q",
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = vdf.select("variant", F.lit("start").alias("state"), F.lit(1.0).alias("p"))
+    reach_parts = []
+    for _t in range(_MK_STEPS):
+        state = (
+            state.filter(~F.col("state").isin("conv", "null"))
+            .join(
+                vtrans,
+                (F.col("variant") == F.col("vv")) & (F.col("src") == F.col("state")),
+            )
+            .groupBy("variant", F.col("dst").alias("state"))
+            .agg(F.sum(F.col("p") * F.col("q")).alias("p"))
+            .localCheckpoint(eager=True)
+        )
+        reach_parts.append(state.filter(F.col("state") == "conv").select("variant", "p"))
+    reach = reach_parts[0]
+    for part in reach_parts[1:]:
+        reach = reach.unionByName(part)
+    reach = reach.groupBy("variant").agg(F.sum("p").alias("r"))
+    rf = float(reach.filter(F.col("variant") == "full").collect()[0]["r"])
+    return (
+        vdf.join(reach, "variant", "left")
+        .select(
+            "variant",
+            F.round(F.coalesce(F.col("r"), F.lit(0.0)), 6).alias("reach"),
+            F.round(1 - F.coalesce(F.col("r"), F.lit(0.0)) / F.lit(rf), 6).alias(
+                "removal_effect"
+            ),
+        )
+        .orderBy("variant")
+    )
