@@ -427,3 +427,106 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("t_emd"), "qi_nation", "qi_segment")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): iterative proportional fitting (raking)
+# ---------------------------------------------------------------------------
+
+_IPF_ROUNDS = 2  # row+column half-step pairs (unrolled in the oracle)
+
+
+def _ipf_oracle() -> str:
+    steps = []
+    prev = "x0"
+    for r in range(_IPF_ROUNDS):
+        steps.append(
+            f"""
+    rs{r} AS (
+      SELECT qi_nation, SUM(x) AS s FROM {prev} GROUP BY qi_nation
+    ),
+    xr{r} AS (
+      SELECT p.qi_nation, p.qi_segment, p.x * (t.row_t / rs{r}.s) AS x
+      FROM {prev} p
+      JOIN rs{r} ON rs{r}.qi_nation = p.qi_nation
+      CROSS JOIN targets t
+    ),
+    cs{r} AS (
+      SELECT qi_segment, SUM(x) AS s FROM xr{r} GROUP BY qi_segment
+    ),
+    xc{r} AS (
+      SELECT p.qi_nation, p.qi_segment, p.x * (t.col_t / cs{r}.s) AS x
+      FROM xr{r} p
+      JOIN cs{r} ON cs{r}.qi_segment = p.qi_segment
+      CROSS JOIN targets t
+    )"""
+        )
+        prev = f"xc{r}"
+    chain = ",".join(steps)
+    return f"""
+    WITH cells AS (
+      SELECT c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+             COUNT(*)::DOUBLE AS x
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    tot AS (SELECT SUM(x) AS n FROM cells),
+    dims AS (
+      SELECT COUNT(DISTINCT qi_nation) AS nr,
+             COUNT(DISTINCT qi_segment) AS nc
+      FROM cells
+    ),
+    targets AS (
+      SELECT tot.n / dims.nr AS row_t, tot.n / dims.nc AS col_t
+      FROM tot, dims
+    ),
+    x0 AS (SELECT qi_nation, qi_segment, x FROM cells),
+    {chain}
+    SELECT qi_nation, qi_segment, ROUND(x, 6) AS raked
+    FROM {prev} ORDER BY qi_nation, qi_segment
+    """
+
+
+@query("privacy_ipf_raking", _ipf_oracle())
+def privacy_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking; Deming-Stephan 1940) of
+    the (nation × segment) contingency table to UNIFORM target marginals
+    — the workhorse behind survey reweighting and marginal-preserving
+    synthetic microdata (release cell weights whose marginals match
+    public totals while damping joint-cell disclosure). {_IPF_ROUNDS}
+    row+column half-step pairs, bounded-round contract (same as
+    PageRank's supersteps), unrolled in the oracle.
+
+    Scale shape: the corpus is touched ONCE (the contingency groupBy);
+    every IPF half-step is a marginal aggregate + broadcast-size join on
+    the CELL table (|nations|·|segments| rows — model-sized). At 100 TB
+    with high-cardinality margins the same plan holds: half-steps shuffle
+    cells by one margin key at a time, never the data.
+    """
+    cu = read_table(spark, sf_dir, "customer")
+    cells = (
+        cu.groupBy(
+            F.col("c_nationkey").alias("qi_nation"),
+            F.col("c_mktsegment").alias("qi_segment"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    n = cells.agg(F.sum("x")).collect()[0][0]
+    nr = cells.select("qi_nation").distinct().count()
+    nc = cells.select("qi_segment").distinct().count()
+    row_t, col_t = n / nr, n / nc
+    x = cells
+    for _r in range(_IPF_ROUNDS):
+        rs = x.groupBy("qi_nation").agg(F.sum("x").alias("s"))
+        x = x.join(F.broadcast(rs), "qi_nation").select(
+            "qi_nation", "qi_segment",
+            (F.col("x") * (F.lit(row_t) / F.col("s"))).alias("x"),
+        )
+        cs = x.groupBy("qi_segment").agg(F.sum("x").alias("s"))
+        x = x.join(F.broadcast(cs), "qi_segment").select(
+            "qi_nation", "qi_segment",
+            (F.col("x") * (F.lit(col_t) / F.col("s"))).alias("x"),
+        ).localCheckpoint(eager=True)
+    return x.select(
+        "qi_nation", "qi_segment", F.round("x", 6).alias("raked")
+    ).orderBy("qi_nation", "qi_segment")
