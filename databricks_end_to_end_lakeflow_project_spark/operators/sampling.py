@@ -1045,3 +1045,129 @@ def sample_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 addition (session 2): waterfilling source caps
+# ---------------------------------------------------------------------------
+
+_WF_BUDGET_SHARE = 0.6  # keep 60% of the corpus
+
+
+@query(
+    "sample_waterfill_source_caps",
+    f"""
+    WITH src AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(n) AS total, COUNT(*) AS s,
+             CAST(FLOOR({_WF_BUDGET_SHARE} * SUM(n)) AS BIGINT) AS b
+      FROM src
+    ),
+    ranked AS (
+      SELECT source, n,
+             ROW_NUMBER() OVER (ORDER BY n, source) AS i,
+             SUM(n) OVER (ORDER BY n, source
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pfx,
+             LEAD(n) OVER (ORDER BY n, source) AS n_next
+      FROM src
+    ),
+    cand AS (
+      SELECT r.i,
+             CAST(FLOOR((t.b - (r.pfx - r.n)) / (t.s - r.i + 1)) AS BIGINT)
+               AS lvl,
+             r.n, r.n_next
+      FROM ranked r, tot t
+    ),
+    lvl AS (
+      SELECT MIN(c.lvl) AS l
+      FROM cand c LEFT JOIN ranked p ON p.i = c.i - 1
+      WHERE c.lvl >= 0 AND c.lvl < c.n
+        AND c.lvl >= COALESCE(p.n, 0)
+    )
+    SELECT r.source, r.n AS n_docs,
+           LEAST(r.n, lvl.l) AS n_kept,
+           lvl.l AS water_level
+    FROM ranked r, lvl
+    ORDER BY r.source
+    """,
+)
+def sample_waterfill_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfilling per-source caps — the proportional-fair allocator
+    real pretraining mixtures use to stop the biggest crawl from eating
+    the token budget: find the water level L such that
+    Σ_s min(n_s, L) ≤ budget (= {_WF_BUDGET_SHARE:.0%} of the corpus)
+    with every source below L untouched; only sources above L are
+    downsampled, all to the SAME ceiling.
+
+    The level has a closed form per saturation segment — after the i−1
+    smallest sources are uncapped, L_i = ⌊(B − prefix_{{i-1}}) / (S−i+1)⌋
+    — and the valid segment is the one where L lands between its
+    neighbors' sizes. Both engines evaluate every candidate segment and
+    take the unique feasible one (MIN over feasible candidates).
+
+    Scale: one grouped scan → the source-stats frame (|sources| rows,
+    model-sized); ranks/prefixes are windows over that tiny frame
+    (Spark side routes them through the scalerank kernel so the plan
+    stays single-partition-free even at million-source cardinality).
+    """
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        RankSpec,
+        with_global_cumsums,
+        with_global_ranks,
+    )
+
+    src = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked, s_count = with_global_ranks(
+        src, [RankSpec(out="i", value="n", tiebreaks=["source"])]
+    )
+    with_pfx, totals = with_global_cumsums(
+        ranked, "n", ["source"], {"pfx": F.col("n")}
+    )
+    total = totals["pfx"]
+    budget = int(_WF_BUDGET_SHARE * total)
+    # candidate level per segment: L_i = floor((B - prefix_{i-1}) / (S-i+1));
+    # feasible iff all smaller sources fit under it (lvl >= n of the
+    # previous rank) and this segment's own source exceeds it (lvl < n_i).
+    cand = with_pfx.select(
+        "source",
+        "n",
+        "i",
+        F.floor(
+            (F.lit(budget) - (F.col("pfx") - F.col("n")))
+            / (F.lit(s_count) - F.col("i") + 1)
+        ).cast("long").alias("lvl"),
+        (F.col("pfx") - F.col("n")).alias("pfx_prev"),
+    )
+    prev_max = cand.select(
+        F.col("i").alias("i_next"), F.col("n").alias("n_prev")
+    )
+    feasible = (
+        cand.join(
+            F.broadcast(prev_max),
+            cand["i"] - 1 == prev_max["i_next"],
+            "left",
+        )
+        .filter(
+            (F.col("lvl") >= 0)
+            & (F.col("lvl") < F.col("n"))
+            & (F.col("lvl") >= F.coalesce(F.col("n_prev"), F.lit(0)))
+        )
+        .agg(F.min("lvl").alias("l"))
+        .collect()[0]
+    )
+    level = int(feasible["l"]) if feasible["l"] is not None else int(
+        src.agg(F.max("n")).collect()[0][0]
+    )
+    return ranked.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.least(F.col("n"), F.lit(level)).alias("n_kept"),
+        F.lit(level).cast("long").alias("water_level"),
+    ).orderBy("source")

@@ -212,3 +212,23 @@ def test_loo_influence_sign_tracks_source_mean(spark):
             assert r["influence"] > 0
         elif r["mean_chars"] < mean_all:
             assert r["influence"] < 0
+
+
+def test_waterfill_budget_and_maximality(spark):
+    """Kept total must fit the budget, and level+1 must overflow it —
+    the water level is the MAXIMAL feasible integer ceiling."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        _WF_BUDGET_SHARE,
+    )
+
+    rows = _q("sample_waterfill_source_caps")(spark, SF).collect()
+    total = sum(r["n_docs"] for r in rows)
+    budget = int(_WF_BUDGET_SHARE * total)
+    level = rows[0]["water_level"]
+    kept = sum(min(r["n_docs"], level) for r in rows)
+    kept_next = sum(min(r["n_docs"], level + 1) for r in rows)
+    assert kept == sum(r["n_kept"] for r in rows)
+    assert kept <= budget < kept_next
+    for r in rows:  # sources under the level are untouched
+        if r["n_docs"] <= level:
+            assert r["n_kept"] == r["n_docs"]
