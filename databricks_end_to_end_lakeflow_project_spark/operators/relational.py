@@ -1033,3 +1033,54 @@ def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH c AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS k,
+             COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    s AS (
+      SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END AS k,
+             COUNT(*) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT c.k AS nationkey, c.n_cust, s.n_supp
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    ORDER BY nationkey NULLS FIRST
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the
+    delinquent-balance rows on both sides collapse to a NULL key that
+    MUST match (a plain `=` silently drops them — the classic
+    sentinel-key reconciliation bug). Catalyst plans `<=>` as a hash
+    join key like any equality, so the null bucket shuffles and matches
+    normally — no fallback to nested loops.
+    """
+    cu = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.when(F.col("c_acctbal") < 0, None)
+            .otherwise(F.col("c_nationkey"))
+            .alias("k")
+        )
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    su = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy(
+            F.when(F.col("s_acctbal") < 0, None)
+            .otherwise(F.col("s_nationkey"))
+            .alias("kk")
+        )
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cu.join(su, cu["k"].eqNullSafe(su["kk"]))
+        .select(F.col("k").alias("nationkey"), "n_cust", "n_supp")
+        .orderBy(F.col("nationkey").asc_nulls_first())
+    )

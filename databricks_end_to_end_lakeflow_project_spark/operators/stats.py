@@ -3140,3 +3140,87 @@ def stats_gini_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos_l.alias("pos_left"),
         gini.alias("weighted_gini"),
     ).orderBy("threshold_bal")
+
+
+@query(
+    "stats_brier_decomposition",
+    """
+    WITH span AS (
+      SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+    ),
+    scored AS (
+      SELECT date_diff('day', span.lo, o_orderdate) * 1.0
+               / date_diff('day', span.lo, span.hi) AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END AS y
+      FROM orders CROSS JOIN span
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+             COUNT(*) AS n, SUM(score) AS s_conf, SUM(y) AS s_pos
+      FROM scored GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(n) AS nn, SUM(s_pos) AS pp,
+             (SELECT SUM((score - y) * (score - y)) FROM scored) AS sq
+      FROM binned
+    )
+    SELECT ROUND(sq / nn, 6) AS brier_raw,
+           ROUND(SUM(n * (s_conf / n - s_pos * 1.0 / n)
+                       * (s_conf / n - s_pos * 1.0 / n)) / nn, 6)
+             AS reliability,
+           ROUND(SUM(n * (s_pos * 1.0 / n - pp * 1.0 / nn)
+                       * (s_pos * 1.0 / n - pp * 1.0 / nn)) / nn, 6)
+             AS resolution,
+           ROUND((pp * 1.0 / nn) * (1 - pp * 1.0 / nn), 6) AS uncertainty
+    FROM binned CROSS JOIN tot
+    GROUP BY nn, pp, sq
+    """,
+)
+def stats_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score over the ECE reliability
+    bins (`stats_calibration_ece`'s score/outcome): BRIER(binned) =
+    RELIABILITY − RESOLUTION + UNCERTAINTY — reliability says how far
+    bin confidence sits from bin outcome (lower = better calibrated),
+    resolution says how much the bins separate outcomes (higher =
+    more informative), uncertainty is the outcome base-rate variance.
+    The raw (unbinned) Brier is reported alongside.
+
+    Plan: identical shape to the ECE query — one scan into a 10-group
+    hash aggregate; every component is a ratio of the same partial sums,
+    so the decomposition costs nothing beyond the reliability diagram.
+    """
+    od = read_table(spark, sf_dir, "orders")
+    span = od.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+    scored = od.crossJoin(F.broadcast(span)).select(
+        (F.datediff("o_orderdate", "lo") * 1.0 / F.datediff("hi", "lo")).alias(
+            "score"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 0).otherwise(1).alias("y"),
+    )
+    binned = scored.groupBy(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score").alias("s_conf"),
+        F.sum("y").alias("s_pos"),
+    )
+    sq = float(
+        scored.agg(
+            F.sum((F.col("score") - F.col("y")) * (F.col("score") - F.col("y")))
+        ).collect()[0][0]
+    )
+    tot = binned.agg(F.sum("n").alias("nn"), F.sum("s_pos").alias("pp")).collect()[0]
+    nn, pp = int(tot["nn"]), int(tot["pp"])
+    conf = F.col("s_conf") / F.col("n")
+    obar_b = F.col("s_pos") * 1.0 / F.col("n")
+    obar = pp * 1.0 / nn
+    return binned.agg(
+        F.round(F.lit(sq / nn), 6).alias("brier_raw"),
+        F.round(F.sum(F.col("n") * (conf - obar_b) * (conf - obar_b)) / nn, 6).alias(
+            "reliability"
+        ),
+        F.round(
+            F.sum(F.col("n") * (obar_b - F.lit(obar)) * (obar_b - F.lit(obar))) / nn, 6
+        ).alias("resolution"),
+        F.round(F.lit(obar * (1 - obar)), 6).alias("uncertainty"),
+    )

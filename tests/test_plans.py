@@ -64,6 +64,7 @@ NON_EQUI_WHITELIST = {
     "stats_did_estimator",  # 1-row × 1-row treated/control cell combine
     "stats_power_analysis",  # 1-row moment frame × 4-row lift-literal frame
     "stats_calibration_ece",  # 1-row total + 1-row ECE sum broadcast onto 10 bins
+    "stats_brier_decomposition",  # same 1-row [lo,hi] span broadcast as the ECE query
     "stats_isotonic_calibration",  # 1-row date-span frame broadcast onto the scoring scan
     "stats_mutual_information",  # 1-row corpus-total broadcast onto the joint cells
     "stats_fdr_bh",  # 1-row global-rate frame broadcast into the per-nation tests
