@@ -1314,3 +1314,65 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cc_q"), "node")
         .limit(50)
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    dd AS (
+      SELECT dx.d AS x, dy.d AS y
+      FROM edges e
+      JOIN deg dx ON dx.node = e.src
+      JOIN deg dy ON dy.node = e.dst
+    ),
+    s AS (
+      SELECT COUNT(*)::BIGINT AS m,
+             SUM(x + y)::BIGINT AS s1,
+             SUM(x * x + y * y)::BIGINT AS s2,
+             SUM(x * y)::BIGINT AS sxy
+      FROM dd
+    )
+    SELECT m AS n_directed_edges,
+           ROUND((4 * m * sxy - s1 * s1) * 1.0
+                 / (2 * m * s2 - s1 * s1), 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the co-order graph — do
+    high-degree products co-occur with other hubs (r > 0, social-style)
+    or with leaves (r < 0, hub-and-spoke)? The one-number topology
+    descriptor that tells you whether hot-key mitigation will face
+    hub-hub edges (the worst shuffle case) at scale.
+
+    Exactness: the Pearson-over-edges formula is cleared of divisions —
+    r = (4m·Σxy − S1²) / (2m·ΣS2 − S1²) with every moment an exact
+    64-bit integer (magnitudes ≤ ~1e18 at sf1), then ONE double
+    division, rounded 6. Plan: two broadcast-degree joins onto the edge
+    list + one mergeable moment aggregate — one scan of the edges.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = persist_once(cooccurrence_edges(li))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    dd = (
+        edges.join(deg.select(F.col("node").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("y")), "dst")
+    )
+    s = dd.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("x") + F.col("y")).alias("s1"),
+        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y")).alias("s2"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = 4 * F.col("m") * F.col("sxy") - F.col("s1") * F.col("s1")
+    den = 2 * F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(num * 1.0 / den, 6).alias("assortativity"),
+    )

@@ -3224,3 +3224,57 @@ def stats_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("resolution"),
         F.round(F.lit(obar * (1 - obar)), 6).alias("uncertainty"),
     )
+
+
+@query(
+    "stats_wilson_lower_bound",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment AS segment,
+             COUNT(*) AS n,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    )
+    SELECT segment, n, pos,
+           ROUND(pos * 1.0 / n, 6) AS p_hat,
+           ROUND((pos * 1.0 / n + 1.9208 / n
+                  - 1.96 * SQRT((pos * 1.0 / n) * (1 - pos * 1.0 / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lower
+    FROM seg ORDER BY wilson_lower DESC, segment
+    """,
+)
+def stats_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score lower bound at 95% on per-segment fulfilled-order
+    rates — the sort key that correctly ranks proportions with unequal
+    sample sizes (the 'how not to sort by average rating' fix): a
+    segment with 3/3 ranks below one with 950/1000 because its interval
+    is wide. Constants inlined: z=1.96, z²=3.8416, z²/2=1.9208,
+    z²/4=0.9604.
+
+    Exactness: integer (n, pos) per group; the bound is a fixed
+    expression tree of divisions, one SQRT, rounded 6 — identical IEEE
+    in both engines. Plan: one join + one grouped aggregate; the rank
+    is over the model-sized segment frame.
+    """
+    od = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    cu = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        od.join(cu, od["o_custkey"] == cu["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("pos"),
+        )
+    )
+    p = F.col("pos") * 1.0 / F.col("n")
+    n = F.col("n")
+    lower = (
+        p + 1.9208 / n - 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    ) / (1 + 3.8416 / n)
+    return seg.select(
+        "segment", "n", "pos",
+        F.round(p, 6).alias("p_hat"),
+        F.round(lower, 6).alias("wilson_lower"),
+    ).orderBy(F.desc("wilson_lower"), "segment")

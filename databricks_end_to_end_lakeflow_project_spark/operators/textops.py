@@ -2139,3 +2139,126 @@ def text_vocab_coverage_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_collocation_llr",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    bi AS (
+      SELECT b.bg, COUNT(*) AS c_ab
+      FROM (
+        SELECT [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS bgs
+        FROM toks WHERE len(w) >= 2
+      ), UNNEST(bgs) AS b(bg)
+      GROUP BY b.bg
+    ),
+    firsts AS (
+      SELECT string_split(bg, ' ')[1] AS ta, SUM(c_ab) AS ra FROM bi GROUP BY 1
+    ),
+    seconds AS (
+      SELECT string_split(bg, ' ')[2] AS tb, SUM(c_ab) AS cb FROM bi GROUP BY 1
+    ),
+    nn AS (SELECT SUM(c_ab)::DOUBLE AS n FROM bi),
+    cells AS (
+      SELECT bg, c_ab::DOUBLE AS k11,
+             (f.ra - c_ab)::DOUBLE AS k12,
+             (s.cb - c_ab)::DOUBLE AS k21,
+             (nn.n - f.ra - s.cb + c_ab) AS k22,
+             f.ra::DOUBLE AS ra, s.cb::DOUBLE AS cb, nn.n AS n
+      FROM bi
+      JOIN firsts f ON f.ta = string_split(bg, ' ')[1]
+      JOIN seconds s ON s.tb = string_split(bg, ' ')[2]
+      CROSS JOIN nn
+      WHERE c_ab >= {_PMI_MIN_COUNT}
+    )
+    SELECT bg AS bigram, CAST(k11 AS BIGINT) AS c_ab,
+           ROUND(2 * (
+             (CASE WHEN k11 > 0 THEN k11 * LN(k11 * n / (ra * cb)) ELSE 0 END)
+             + (CASE WHEN k12 > 0 THEN k12 * LN(k12 * n / (ra * (n - cb))) ELSE 0 END)
+             + (CASE WHEN k21 > 0 THEN k21 * LN(k21 * n / ((n - ra) * cb)) ELSE 0 END)
+             + (CASE WHEN k22 > 0 THEN k22 * LN(k22 * n / ((n - ra) * (n - cb))) ELSE 0 END)
+           ), 4) AS llr
+    FROM cells
+    ORDER BY llr DESC, bigram LIMIT {_PMI_TOP}
+    """,
+)
+def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    statistically calibrated companion to [[text_pmi_collocations]]: PMI
+    over-rewards rare pairs; the G² test scores the full 2×2 contingency
+    (bigram present/absent × first/second word), so high-count true
+    collocations dominate. Same min-count and top-{_PMI_TOP} contract as
+    the PMI query for side-by-side reading.
+
+    Exactness: all four cell counts and both margins are integers from
+    ONE bigram aggregate (the margins are rollups of the bigram table,
+    not new corpus scans); each G² term is a fixed k·LN(k·N/(row·col))
+    tree summed in written order, rounded 4.
+
+    Scale: corpus touched once (the bigram explode); margins and the
+    scored join all live on the post-prune vocabulary — broadcast-size.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.trim(F.col("text")), " ").alias("w"))
+    bi = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(w[i - 1], ' ', w[i]))"
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    bi = bi.select(
+        "bg", "c_ab",
+        F.split("bg", " ")[0].alias("ta"),
+        F.split("bg", " ")[1].alias("tb"),
+    )
+    from databricks_end_to_end_lakeflow_project_spark.session import persist_once
+
+    bi = persist_once(bi)  # margins + scored join all read the bigram table
+    firsts = bi.groupBy("ta").agg(F.sum("c_ab").alias("ra"))
+    seconds = bi.groupBy("tb").agg(F.sum("c_ab").alias("cb"))
+    n = float(bi.agg(F.sum("c_ab")).collect()[0][0])
+    cells = (
+        bi.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(firsts), "ta")
+        .join(F.broadcast(seconds), "tb")
+        .select(
+            "bg",
+            F.col("c_ab").cast("double").alias("k11"),
+            (F.col("ra") - F.col("c_ab")).cast("double").alias("k12"),
+            (F.col("cb") - F.col("c_ab")).cast("double").alias("k21"),
+            (F.lit(n) - F.col("ra") - F.col("cb") + F.col("c_ab")).alias("k22"),
+            F.col("ra").cast("double").alias("ra"),
+            F.col("cb").cast("double").alias("cb"),
+        )
+    )
+    N = F.lit(n)
+
+    def term(k, row, col):
+        return F.when(k > 0, k * F.log(k * N / (row * col))).otherwise(F.lit(0.0))
+
+    llr = F.round(
+        2
+        * (
+            term(F.col("k11"), F.col("ra"), F.col("cb"))
+            + term(F.col("k12"), F.col("ra"), N - F.col("cb"))
+            + term(F.col("k21"), N - F.col("ra"), F.col("cb"))
+            + term(F.col("k22"), N - F.col("ra"), N - F.col("cb"))
+        ),
+        4,
+    )
+    out = cells.select(
+        F.col("bg").alias("bigram"),
+        F.col("k11").cast("long").alias("c_ab"),
+        llr.alias("llr"),
+    ).orderBy(F.desc("llr"), "bigram").limit(_PMI_TOP)
+    return out
