@@ -2468,3 +2468,147 @@ def sim_embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_dim_shift", 6).alias("max_dim_shift"),
         "worst_dim",
     )
+
+
+def _ksil_oracle() -> str:
+    """The `_kmeans_oracle` two-round chain extended with a simplified
+    (centroid-based) silhouette tail — a and b are the exact INTEGER
+    squared distances to own vs nearest-other centroid, the per-point
+    score quantizes to a 1e-6 grid (the ratio's operands are < 2^53 so
+    the double division is identical IEEE), and the per-cluster mean is
+    one integer sum + one division."""
+    dist = """
+    SELECT v.vec_id, c.cluster,
+           SUM((v.x_q - c.c_q) * (v.x_q - c.c_q)) AS d2
+    FROM vals v JOIN {cents} c ON v.dim = c.dim
+    GROUP BY v.vec_id, c.cluster
+    """
+    assign = """
+    SELECT vec_id, cluster, d2 FROM (
+      SELECT vec_id, cluster, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      FROM {dists}
+    ) WHERE rn = 1
+    """
+    return f"""
+    WITH vals AS (
+      SELECT vec_id, u.i AS dim,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS x_q
+      FROM embeddings, LATERAL unnest(range(1, 65)) u(i)
+    ),
+    c0 AS (SELECT vec_id AS cluster, dim, x_q AS c_q FROM vals WHERE vec_id < 4),
+    d0 AS ({dist.format(cents="c0")}),
+    a0 AS ({assign.format(dists="d0")}),
+    c1 AS (
+      SELECT a0.cluster, v.dim,
+             CAST(ROUND(SUM(v.x_q) * 1.0 / COUNT(*)) AS BIGINT) AS c_q
+      FROM a0 JOIN vals v ON v.vec_id = a0.vec_id
+      GROUP BY a0.cluster, v.dim
+    ),
+    d1 AS ({dist.format(cents="c1")}),
+    a1 AS ({assign.format(dists="d1")}),
+    nearest_other AS (
+      SELECT d.vec_id, MIN(d.d2) AS b
+      FROM d1 d JOIN a1 ON a1.vec_id = d.vec_id
+      WHERE d.cluster <> a1.cluster
+      GROUP BY d.vec_id
+    ),
+    scored AS (
+      SELECT a1.cluster,
+             CASE WHEN GREATEST(a1.d2, no.b) = 0 THEN 0
+                  ELSE CAST(ROUND(1000000.0 * (no.b - a1.d2)
+                                  / GREATEST(a1.d2, no.b)) AS BIGINT)
+             END AS s_q
+      FROM a1 JOIN nearest_other no ON no.vec_id = a1.vec_id
+    )
+    SELECT cluster, COUNT(*) AS n_members,
+           ROUND(SUM(s_q) * 1.0 / (COUNT(*) * 1000000.0), 6)
+             AS mean_silhouette
+    FROM scored GROUP BY cluster ORDER BY cluster
+    """
+
+
+@query("sim_kmeans_silhouette", _ksil_oracle())
+def sim_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the `sim_kmeans_lloyd`
+    clustering — per-cluster mean of s = (b − a) / max(a, b), with a =
+    squared distance to the OWN round-1 centroid and b = to the nearest
+    OTHER centroid (the O(n·k) silhouette used at scale; the classic
+    O(n²) pairwise variant is infeasible past toy sizes). Negative
+    means say the cluster leaks into a neighbor — the accept/reject
+    readout for an IVF cell layout or a diversity-sharding scheme.
+
+    Exactness: a and b are the fixed-point INTEGER distances the kmeans
+    chain already produces; the per-point ratio quantizes to a 1e-6
+    grid (operands < 2^53 — exact IEEE division), the cluster mean is
+    one integer sum and one division, rounded 6.
+
+    Scale: identical shape to the kmeans assignment (broadcast
+    centroids, map-side-combinable distance aggregates) plus one
+    groupBy over the (vec, cluster) distance frame — no new
+    corpus-scale shuffle.
+    """
+    em = read_table(spark, sf_dir, "embeddings")
+    vals = em.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("x_q"),
+    )
+    vals = persist_once(vals)
+
+    def dists(cents: DataFrame) -> DataFrame:
+        diff = F.col("x_q") - F.col("c_q")
+        return (
+            vals.join(F.broadcast(cents), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(diff * diff).alias("d2"))
+        )
+
+    def assign(d: DataFrame) -> DataFrame:
+        best = d.groupBy("vec_id").agg(F.min(F.struct("d2", "cluster")).alias("b"))
+        return best.select(
+            "vec_id", F.col("b.cluster").alias("cluster"), F.col("b.d2").alias("d2")
+        )
+
+    c0 = vals.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster"), "dim", F.col("x_q").alias("c_q")
+    )
+    a0 = assign(dists(c0))
+    c1 = (
+        a0.select("vec_id", "cluster")
+        .join(vals, "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.sum("x_q") * 1.0 / F.count(F.lit(1))).cast("long").alias("c_q"))
+    )
+    d1 = persist_once(dists(c1))
+    a1 = assign(d1)
+    nearest_other = (
+        d1.join(a1.select("vec_id", F.col("cluster").alias("own")), "vec_id")
+        .filter(F.col("cluster") != F.col("own"))
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("b"))
+    )
+    scored = a1.join(nearest_other, "vec_id").select(
+        "cluster",
+        F.when(F.greatest(F.col("d2"), F.col("b")) == 0, F.lit(0))
+        .otherwise(
+            F.round(
+                1000000.0 * (F.col("b") - F.col("d2"))
+                / F.greatest(F.col("d2"), F.col("b"))
+            ).cast("long")
+        )
+        .alias("s_q"),
+    )
+    return (
+        scored.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum("s_q") * 1.0 / (F.count(F.lit(1)) * 1000000.0), 6
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cluster")
+    )
