@@ -353,3 +353,53 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "source_parquet_merge_schema",
+    """
+    WITH unioned AS (
+      SELECT n_nationkey, n_name, NULL AS n_name_upper
+      FROM nation WHERE n_nationkey % 2 = 0
+      UNION ALL
+      SELECT n_nationkey, n_name, UPPER(n_name) AS n_name_upper
+      FROM nation WHERE n_nationkey % 2 = 1
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(n_name_upper) AS n_with_new_col,
+           MIN(n_nationkey) AS min_key, MAX(n_nationkey) AS max_key
+    FROM unioned
+    """,
+)
+def source_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: an old writer batch (no ``n_name_upper``)
+    and a new writer batch (with it) land in the same parquet directory;
+    ``mergeSchema=true`` reconciles the footers so old files surface the
+    new column as NULL — the append-only schema-widening contract a
+    lakehouse table needs (Delta's `mergeSchema` write option reads the
+    same way). The oracle reproduces the union semantics directly.
+
+    Scale: schema merge is a FOOTER operation (per-file metadata, not
+    data); the scan itself stays pruned/pushed as usual. At 100 TB keep
+    the merged schema in the table catalog instead of re-deriving it
+    per read (spark.sql.parquet.mergeSchema re-reads every footer).
+    """
+    from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+        ephemeral_dir,
+    )
+
+    na = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    root = ephemeral_dir("mergeschema_")
+    na.filter(F.col("n_nationkey") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(root, "t"), compression="snappy"
+    )
+    na.filter(F.col("n_nationkey") % 2 == 1).withColumn(
+        "n_name_upper", F.upper("n_name")
+    ).write.mode("append").parquet(os.path.join(root, "t"))
+    merged = spark.read.option("mergeSchema", "true").parquet(os.path.join(root, "t"))
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_name_upper").alias("n_with_new_col"),
+        F.min("n_nationkey").alias("min_key"),
+        F.max("n_nationkey").alias("max_key"),
+    )
