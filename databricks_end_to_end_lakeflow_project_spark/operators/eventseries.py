@@ -1754,3 +1754,83 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+_DECAY_HALFLIFE_H = 24.0  # credit halves every 24 hours before conversion
+
+
+@query(
+    "events_decay_attribution",
+    f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id) AS conv_ts
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, event_type,
+             POWER(0.5, DATE_DIFF('second', ts, conv_ts)
+                          / ({_DECAY_HALFLIFE_H} * 3600.0)) AS w
+      FROM seq
+      WHERE conv_ts IS NOT NULL AND ts < conv_ts
+        AND event_type <> 'purchase'
+    ),
+    per_user AS (
+      SELECT user_id, event_type, w,
+             SUM(w) OVER (PARTITION BY user_id) AS tot
+      FROM touches
+    )
+    SELECT event_type AS channel,
+           COUNT(*) AS n_touches,
+           ROUND(SUM(w / tot), 4) AS attributed_conversions
+    FROM per_user GROUP BY event_type ORDER BY channel
+    """,
+)
+def events_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution — the third member of the attribution
+    trio ([[events_attribution_first_last]] positional,
+    [[events_markov_attribution]] counterfactual): every touch before a
+    user's first purchase earns credit 0.5^(Δt/halflife) with a
+    {_DECAY_HALFLIFE_H:.0f}h half-life, normalized per converting user so
+    each conversion distributes exactly one unit of credit.
+
+    Exactness: Δt is an integer second count; each weight is one POWER
+    call on a rational exponent and the normalization is one division —
+    fixed expression trees, rounded 4 (the float-fold tolerance
+    protocol). Plan: one per-user window pass (conversion timestamp +
+    per-user totals) and one channel rollup; no joins, corpus scanned
+    once.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = Window.partitionBy("user_id")
+    seq = ev.withColumn(
+        "conv_ts",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(wu),
+    )
+    touches = seq.filter(
+        F.col("conv_ts").isNotNull()
+        & (F.col("ts") < F.col("conv_ts"))
+        & (F.col("event_type") != "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        F.pow(
+            F.lit(0.5),
+            (F.col("conv_ts").cast("long") - F.col("ts").cast("long"))
+            / F.lit(_DECAY_HALFLIFE_H * 3600.0),
+        ).alias("w"),
+    )
+    per_user = touches.withColumn("tot", F.sum("w").over(wu))
+    return (
+        per_user.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum(F.col("w") / F.col("tot")), 4).alias(
+                "attributed_conversions"
+            ),
+        )
+        .orderBy("channel")
+    )

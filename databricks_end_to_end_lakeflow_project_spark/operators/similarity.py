@@ -2612,3 +2612,153 @@ def sim_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+_ANN_QUERIES = 20  # serving batch: vectors 0..19 act as queries
+_ANN_K = 10
+
+
+def _ann_recall_oracle() -> str:
+    """End-to-end replay of the IVF serving path for a query batch plus
+    its ground-truth brute-force ranking — both rankings use the same
+    sequential-fold cosine, so the hit count (and therefore recall) is
+    exact, not approximate."""
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS cell, embedding AS cvec
+      FROM embeddings WHERE vec_id < {_IVF_CELLS}
+    ),
+    qs AS (
+      SELECT vec_id AS qid, embedding AS qv
+      FROM embeddings WHERE vec_id < {_ANN_QUERIES}
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 's.cvec')} DESC, s.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, cell FROM (
+        SELECT q.qid, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_cos_sql('s.cvec', 'q.qv')} DESC, s.cell
+               ) AS rn
+        FROM qs q CROSS JOIN seeds s
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id, a.cell,
+             {_cos_sql('e.embedding', 'q.qv')} AS cos
+      FROM embeddings e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      CROSS JOIN qs q
+      WHERE e.vec_id <> q.qid
+    ),
+    brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+                 AS rn
+        FROM scored
+      ) WHERE rn <= {_ANN_K}
+    ),
+    served AS (
+      SELECT qid, vec_id FROM (
+        SELECT s.qid, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY s.qid
+                                  ORDER BY s.cos DESC, s.vec_id) AS rn
+        FROM scored s JOIN probes p ON p.qid = s.qid AND p.cell = s.cell
+      ) WHERE rn <= {_ANN_K}
+    )
+    SELECT {_ANN_QUERIES} AS n_queries, {_ANN_K} AS k,
+           COUNT(*) AS hits,
+           ROUND(COUNT(*) * 1.0 / ({_ANN_QUERIES} * {_ANN_K}), 4)
+             AS recall_at_k
+    FROM brute b JOIN served v ON v.qid = b.qid AND v.vec_id = b.vec_id
+    """
+
+
+@query("pipeline_ann_recall_report", _ann_recall_oracle())
+def pipeline_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index lifecycle in one plan — the serving-quality report an
+    index build ships with: IVF coarse quantizer (the `sim_ivf_topk`
+    cells) serves a {_ANN_QUERIES}-query batch at nprobe={_IVF_NPROBE},
+    and every served top-{_ANN_K} is scored against the exact
+    brute-force top-{_ANN_K} → corpus-level recall@{_ANN_K}. The number
+    that decides whether nprobe (or the cell count) changes before the
+    index ships.
+
+    Scale shape: cell assignment is a narrow map over the scan (argmax
+    of broadcast centroids, `ivf_assign`); the query batch is a bounded
+    broadcast (the batch-scoring contract of `sim_gemm_batch_topk`);
+    the brute ground-truth side is the expensive leg ON PURPOSE — at
+    real scale you compute it on a sampled query set exactly like this
+    fixed 20-query panel, while the served leg reads nprobe/cells of
+    the corpus.
+
+    Exactness: both rankings use the identical sequential-fold cosine,
+    tie-broken on vec_id, so the hit count is deterministic in both
+    engines.
+    """
+    em = read_table(spark, sf_dir, "embeddings")
+    seeds = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in em.filter(F.col("vec_id") < _IVF_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in em.filter(F.col("vec_id") < _ANN_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # per-query probe cells from the tiny centroid panel (driver-side,
+    # same fold as the column expression — the sanctioned model collect)
+    probe_map = {}
+    for qid, qv in queries:
+        ranked = sorted(seeds, key=lambda s: (-_seq_cosine(s[1], qv), s[0]))
+        probe_map[qid] = [cell for cell, _ in ranked[:_IVF_NPROBE]]
+    assigned = persist_once(ivf_assign(em, seeds).select("vec_id", "embedding", "cell"))
+    qframe = spark.createDataFrame(
+        [(qid, qv) for qid, qv in queries], "qid long, qv array<double>"
+    )
+    scored = (
+        assigned.crossJoin(F.broadcast(qframe))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "cell",
+            cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    brute = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _ANN_K)
+        .select("qid", "vec_id")
+    )
+    probe_entries = []
+    for qid, cells in probe_map.items():
+        probe_entries += [F.lit(qid), F.array(*[F.lit(c) for c in cells])]
+    probed_cells = F.element_at(F.create_map(*probe_entries), F.col("qid"))
+    served = (
+        scored.filter(F.array_contains(probed_cells, F.col("cell")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _ANN_K)
+        .select("qid", "vec_id")
+    )
+    hits = brute.join(served, ["qid", "vec_id"]).count()
+    return spark.range(1).select(
+        F.lit(_ANN_QUERIES).cast("int").alias("n_queries"),
+        F.lit(_ANN_K).cast("int").alias("k"),
+        F.lit(hits).cast("long").alias("hits"),
+        F.round(F.lit(hits * 1.0 / (_ANN_QUERIES * _ANN_K)), 4).alias("recall_at_k"),
+    )
