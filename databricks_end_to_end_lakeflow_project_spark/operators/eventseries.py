@@ -1834,3 +1834,69 @@ def events_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "events_interarrival_exp_fit",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             DATE_DIFF('second',
+                       LAG(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id),
+                       ts) AS g
+      FROM events
+    ),
+    mom AS (
+      SELECT event_type,
+             COUNT(g)::BIGINT AS n,
+             SUM(g)::BIGINT AS s1,
+             SUM(g * g)::BIGINT AS s2
+      FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type AS channel, n AS n_gaps,
+           ROUND(s1 * 1.0 / n, 4) AS mean_gap_s,
+           ROUND(3600.0 * n / s1, 6) AS lambda_per_hour,
+           ROUND(SQRT((n * s2 - s1 * s1) * 1.0) / s1, 4) AS cv
+    FROM mom ORDER BY channel
+    """,
+)
+def events_interarrival_exp_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time fit per event type: the exponential-process
+    MLE rate λ = 1/mean-gap plus the coefficient of variation — CV ≈ 1
+    says Poisson-like arrivals (memoryless), CV ≫ 1 says bursts, CV ≪ 1
+    says clockwork (bot heartbeat; `events_bot_regularity_topk` ranks
+    individual offenders, this is the per-channel fingerprint).
+
+    Exactness: gaps are integer second diffs from a per-(user, type)
+    window; CV comes from INTEGER moment sums — √(n·Σg² − (Σg)²)/Σg —
+    so nothing reduction-order-sensitive exists; two divisions + one
+    SQRT per group, rounded. Plan: one partitioned window pass + one
+    mergeable moment aggregate.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
+            "g"
+        ),
+    ).filter(F.col("g").isNotNull())
+    mom = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).alias("s2"),
+    )
+    return mom.select(
+        F.col("event_type").alias("channel"),
+        F.col("n").alias("n_gaps"),
+        F.round(F.col("s1") * 1.0 / F.col("n"), 4).alias("mean_gap_s"),
+        F.round(3600.0 * F.col("n") / F.col("s1"), 6).alias("lambda_per_hour"),
+        F.round(
+            F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) * 1.0)
+            / F.col("s1"),
+            4,
+        ).alias("cv"),
+    ).orderBy("channel")

@@ -1171,3 +1171,94 @@ def sample_waterfill_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("n"), F.lit(level)).alias("n_kept"),
         F.lit(level).cast("long").alias("water_level"),
     ).orderBy("source")
+
+
+_NEYMAN_BUDGET = 1000  # total sample size to allocate across strata
+
+
+@query(
+    "sample_neyman_allocation",
+    f"""
+    WITH strata AS (
+      SELECT c_mktsegment AS stratum,
+             COUNT(*)::BIGINT AS n_h,
+             COUNT(*)::BIGINT * CAST(STDDEV_POP(o_totalprice) AS DOUBLE)
+               AS weight
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    ),
+    tot AS (SELECT SUM(weight) AS w FROM strata),
+    frac AS (
+      SELECT stratum, n_h, weight,
+             {_NEYMAN_BUDGET} * weight / tot.w AS exact_alloc,
+             CAST(FLOOR({_NEYMAN_BUDGET} * weight / tot.w) AS BIGINT)
+               AS base_alloc,
+             {_NEYMAN_BUDGET} * weight / tot.w
+               - FLOOR({_NEYMAN_BUDGET} * weight / tot.w) AS rem
+      FROM strata, tot
+    ),
+    short AS (
+      SELECT {_NEYMAN_BUDGET} - SUM(base_alloc) AS extra FROM frac
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rr
+      FROM frac
+    )
+    SELECT stratum, n_h,
+           ROUND(exact_alloc, 4) AS exact_alloc,
+           base_alloc + CASE WHEN rr <= short.extra THEN 1 ELSE 0 END
+             AS n_alloc
+    FROM ranked, short
+    ORDER BY stratum
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (variance-optimal) stratified-sample allocation: with a
+    fixed budget of {_NEYMAN_BUDGET} rows across market-segment strata,
+    allocate n_h ∝ N_h·σ_h — big AND volatile strata get more samples,
+    which minimizes the estimator variance of the stratified mean
+    (proportional allocation ignores σ; see `sample_stratified_by_lang`
+    for that baseline). Integerized by largest-remainder (Hamilton)
+    rounding so the allocations sum EXACTLY to the budget.
+
+    Exactness: N_h is integer; σ_h = STDDEV_POP over the stratum — the
+    one reduction-order-sensitive float — feeds only a ratio rounded at
+    4 and a FLOOR whose operand sits far from the integer boundary at
+    this data (the remainder ranking is therefore stable; both engines
+    agree, and the largest-remainder tie-break is the stratum name).
+    Plan: one join + one grouped moment aggregate; everything after
+    runs on the |strata|-row model frame (5 rows — the Hamilton window
+    is bounded; at high-cardinality strata route it through scalerank).
+    """
+    od = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cu = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    strata = (
+        od.join(cu, od["o_custkey"] == cu["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            (F.count(F.lit(1)) * F.stddev_pop("o_totalprice")).alias("weight"),
+        )
+    )
+    rows = strata.collect()  # |strata| rows — the sanctioned model collect
+    w_tot = sum(r["weight"] for r in rows)
+    allocs = []
+    for r in rows:
+        exact = _NEYMAN_BUDGET * r["weight"] / w_tot
+        allocs.append(
+            {"stratum": r["stratum"], "n_h": r["n_h"], "exact": exact,
+             "base": int(exact // 1), "rem": exact - int(exact // 1)}
+        )
+    extra = _NEYMAN_BUDGET - sum(a["base"] for a in allocs)
+    for i, a in enumerate(
+        sorted(allocs, key=lambda a: (-a["rem"], a["stratum"]))
+    ):
+        a["bump"] = 1 if i < extra else 0
+    out = spark.createDataFrame(
+        [
+            (a["stratum"], a["n_h"], round(a["exact"], 4), a["base"] + a["bump"])
+            for a in allocs
+        ],
+        "stratum string, n_h long, exact_alloc double, n_alloc long",
+    )
+    return out.orderBy("stratum")
