@@ -1802,3 +1802,75 @@ def cdc_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_dv).cast("long").alias("n_dv_entries"),
         F.lit(bool(files_untouched)).alias("files_untouched"),
     )
+
+
+@query(
+    "cdc_merge_schema_evolution",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+    ),
+    evolved AS (
+      SELECT c_custkey, c_name,
+             ROUND(c_acctbal + 50.0, 2) AS c_acctbal,
+             c_mktsegment AS segment
+      FROM customer WHERE c_custkey % 4 = 0
+    ),
+    merged AS (
+      SELECT b.c_custkey,
+             COALESCE(e.c_name, b.c_name) AS c_name,
+             COALESCE(e.c_acctbal, b.c_acctbal) AS c_acctbal,
+             e.segment
+      FROM base b LEFT JOIN evolved e ON e.c_custkey = b.c_custkey
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(segment) AS n_with_new_col,
+           ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)::DOUBLE
+             AS sum_acctbal
+    FROM merged
+    """,
+)
+def cdc_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with automatic schema evolution — Delta's
+    ``spark.databricks.delta.schema.autoMerge`` behavior on the managed
+    table: the update batch carries a column the target lacks
+    (``segment``) plus re-priced balances for every 4th customer; after
+    ``upsert(merge_schema=True)`` the table has the widened schema with
+    NULLs on untouched rows and latest-wins values on touched ones.
+    The oracle recomputes the expected final state as a LEFT JOIN
+    against the evolved batch.
+
+    Scale notes: schema widening forces the full-table rewrite path
+    (a row's width changes, so partition pruning's never-moves
+    precondition is moot — same trade real Delta makes: autoMerge
+    commits rewrite the touched files with the union schema). Contract
+    aggregate: row count, new-column coverage, exact-decimal balance
+    checksum.
+    """
+    import os as _os
+
+    from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+        ephemeral_dir,
+    )
+
+    cu = read_table(spark, sf_dir, "customer")
+    base = cu.select("c_custkey", "c_name", "c_acctbal")
+    evolved = cu.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 50.0, 2).alias("c_acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    t = ManagedParquetTable(
+        spark, _os.path.join(ephemeral_dir("schema_evo_"), "t"), keys=["c_custkey"]
+    )
+    t.overwrite(base)
+    t.upsert(evolved, merge_schema=True)
+    out = t.read()
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("segment").alias("n_with_new_col"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_acctbal"),
+    )

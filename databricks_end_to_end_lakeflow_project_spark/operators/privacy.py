@@ -24,7 +24,7 @@ extreme sensitive-value cardinality would switch to an HLL sketch
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
@@ -530,3 +530,60 @@ def privacy_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.select(
         "qi_nation", "qi_segment", F.round("x", 6).alias("raked")
     ).orderBy("qi_nation", "qi_segment")
+
+
+_DP_CAP = 5  # max rows one user may contribute to the release
+
+
+@query(
+    "privacy_contribution_capping",
+    f"""
+    WITH ranked AS (
+      SELECT c_nationkey AS nation, o_custkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT nation,
+           COUNT(*) AS raw_count,
+           SUM(CASE WHEN rn <= {_DP_CAP} THEN 1 ELSE 0 END) AS capped_count,
+           COUNT(*) - SUM(CASE WHEN rn <= {_DP_CAP} THEN 1 ELSE 0 END)
+             AS rows_dropped
+    FROM ranked GROUP BY nation ORDER BY nation
+    """,
+)
+def privacy_contribution_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution capping — the preprocessing step that makes
+    user-level differential privacy POSSIBLE: an unbounded user can
+    shift a count arbitrarily (infinite sensitivity), so each user keeps
+    only their first {_DP_CAP} rows (deterministic order: date, key) and
+    the release's sensitivity becomes exactly {_DP_CAP}. Reports
+    raw-vs-capped per-nation counts and the clipped mass — the
+    utility-vs-sensitivity trade the privacy engineer tunes before
+    adding noise ([[privacy_dp_noisy_counts]] is the noise step).
+
+    Plan: ONE per-user partitioned window (rank within contributor) +
+    one grouped rollup — the cap never shuffles more than the raw scan.
+    All integers.
+    """
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    cu = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = (
+        od.join(cu, od["o_custkey"] == cu["c_custkey"])
+        .select(F.col("c_nationkey").alias("nation"), "o_custkey",
+                "o_orderdate", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    capped = F.sum(F.when(F.col("rn") <= _DP_CAP, 1).otherwise(0))
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("raw_count"),
+            capped.alias("capped_count"),
+            (F.count(F.lit(1)) - capped).alias("rows_dropped"),
+        )
+        .orderBy("nation")
+    )
