@@ -1900,3 +1900,61 @@ def events_interarrival_exp_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cv"),
     ).orderBy("channel")
+
+
+@query(
+    "events_collapse_repeats",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                       IS NOT DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_repeat
+      FROM events
+    )
+    SELECT event_type AS channel,
+           COUNT(*) AS raw_events,
+           SUM(1 - is_repeat) AS kept_events,
+           SUM(is_repeat) AS collapsed_repeats,
+           ROUND(SUM(is_repeat) * 1.0 / COUNT(*), 4) AS repeat_share
+    FROM seq GROUP BY event_type ORDER BY channel
+    """,
+)
+def events_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-collapse (RLE-style dedup of consecutive repeats) per user —
+    the stream-cleaning step before sequence modeling or funnel
+    analysis: a user re-firing the same event back-to-back (double
+    click, page refresh, retry storm) should count once per RUN, not
+    once per row. Reports per-channel raw vs kept counts and the
+    collapsed share (a high repeat share on one channel is a telemetry
+    bug or a retry storm — cf. `events_bot_regularity_topk`).
+
+    Plan: one per-user ordered window (LAG) + one grouped rollup; the
+    null-safe comparison keeps the first event of every user (LAG is
+    NULL ≠ any type). All integers except the final share.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("is_repeat"),
+    )
+    return (
+        seq.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("raw_events"),
+            F.sum(1 - F.col("is_repeat")).alias("kept_events"),
+            F.sum("is_repeat").alias("collapsed_repeats"),
+            F.round(F.sum("is_repeat") * 1.0 / F.count(F.lit(1)), 4).alias(
+                "repeat_share"
+            ),
+        )
+        .orderBy("channel")
+    )
