@@ -1442,7 +1442,7 @@ _HILL_K = 100  # tail order statistics used by the estimator
     top AS (SELECT cnt FROM ranked, keff WHERE rn <= keff.k)
     SELECT CAST(keff.k AS BIGINT) AS k,
            CAST(x_ref AS BIGINT) AS x_ref,
-           ROUND(keff.k / (SUM(LN(cnt)) - keff.k * LN(x_ref)), 4)
+           ROUND(keff.k / NULLIF(SUM(LN(cnt)) - keff.k * LN(x_ref), 0), 4)
              AS hill_alpha
     FROM top, ref, keff GROUP BY keff.k, x_ref
     """,
@@ -1478,12 +1478,16 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = min(_HILL_K, n_users - 1)
     x_ref = int(ranked.filter(F.col("rn") == k + 1).select("cnt").collect()[0][0])
     top = ranked.filter(F.col("rn") <= k)
+    # Degenerate all-ties tail (every top-k count == x_ref) zeroes the
+    # denominator; NULLIF-style short-circuit to NULL in BOTH engines so
+    # the oracle comparison stays aligned instead of inf-vs-NULL diverging.
+    denom = F.sum(F.log("cnt")) - F.lit(float(k)) * F.log(F.lit(float(x_ref)))
     return top.agg(
         F.lit(k).cast("long").alias("k"),
         F.lit(x_ref).cast("long").alias("x_ref"),
         F.round(
             F.lit(float(k))
-            / (F.sum(F.log("cnt")) - F.lit(float(k)) * F.log(F.lit(float(x_ref)))),
+            / F.when(denom != 0.0, denom).otherwise(F.lit(None).cast("double")),
             4,
         ).alias("hill_alpha"),
     )
@@ -1649,7 +1653,9 @@ def _markov_oracle() -> str:
     reach AS (
       SELECT variant, SUM(p) AS r FROM ({conv_union}) GROUP BY variant
     ),
-    fullr AS (SELECT r AS rf FROM reach WHERE variant = 'full')
+    fullr AS (
+      SELECT NULLIF((SELECT r FROM reach WHERE variant = 'full'), 0) AS rf
+    )
     SELECT variant,
            ROUND(COALESCE(r, 0), 6) AS reach,
            ROUND(1 - COALESCE(r, 0) / rf, 6) AS removal_effect
@@ -1742,13 +1748,19 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in reach_parts[1:]:
         reach = reach.unionByName(part)
     reach = reach.groupBy("variant").agg(F.sum("p").alias("r"))
-    rf = float(reach.filter(F.col("variant") == "full").collect()[0]["r"])
+    # Degenerate horizon (no journey reaches 'conv' within _MK_STEPS):
+    # the 'full' row is absent or zero — removal effect is undefined, so
+    # emit NULL to match the oracle's NULLIF(rf, 0) semantics instead of
+    # crashing on the empty collect / dividing by zero.
+    rows = reach.filter(F.col("variant") == "full").collect()
+    rf = float(rows[0]["r"]) if rows else 0.0
+    rf_col = F.lit(rf) if rf != 0.0 else F.lit(None).cast("double")
     return (
         vdf.join(reach, "variant", "left")
         .select(
             "variant",
             F.round(F.coalesce(F.col("r"), F.lit(0.0)), 6).alias("reach"),
-            F.round(1 - F.coalesce(F.col("r"), F.lit(0.0)) / F.lit(rf), 6).alias(
+            F.round(1 - F.coalesce(F.col("r"), F.lit(0.0)) / rf_col, 6).alias(
                 "removal_effect"
             ),
         )

@@ -1352,10 +1352,13 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub-hub edges (the worst shuffle case) at scale.
 
     Exactness: the Pearson-over-edges formula is cleared of divisions —
-    r = (4m·Σxy − S1²) / (2m·ΣS2 − S1²) with every moment an exact
-    64-bit integer (magnitudes ≤ ~1e18 at sf1), then ONE double
-    division, rounded 6. Plan: two broadcast-degree joins onto the edge
-    list + one mergeable moment aggregate — one scan of the edges.
+    r = (4m·Σxy − S1²) / (2m·ΣS2 − S1²). The per-edge moments are exact
+    64-bit sums, but the cross products (s1², 4·m·sxy) grow ~quadratic
+    in edge count and pass 2^63 near sf1 (s1 ~3e9 → s1² ~1e19), so they
+    are formed in decimal(38,0) — matching DuckDB's HUGEINT promotion —
+    then ONE double division, rounded 6. Plan: two broadcast-degree
+    joins onto the edge list + one mergeable moment aggregate — one
+    scan of the edges.
     """
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = persist_once(cooccurrence_edges(li))
@@ -1370,8 +1373,13 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y")).alias("s2"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    num = 4 * F.col("m") * F.col("sxy") - F.col("s1") * F.col("s1")
-    den = 2 * F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+    dec = "decimal(38,0)"
+    m_d = F.col("m").cast(dec)
+    s1_d = F.col("s1").cast(dec)
+    s2_d = F.col("s2").cast(dec)
+    sxy_d = F.col("sxy").cast(dec)
+    num = F.lit(4).cast(dec) * m_d * sxy_d - s1_d * s1_d
+    den = F.lit(2).cast(dec) * m_d * s2_d - s1_d * s1_d
     return s.select(
         F.col("m").alias("n_directed_edges"),
         F.round(num * 1.0 / den, 6).alias("assortativity"),
