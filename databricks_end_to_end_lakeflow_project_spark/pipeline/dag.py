@@ -27,6 +27,7 @@ which can be partitioned for pruned rewrites.
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
@@ -99,6 +100,7 @@ class Pipeline:
         self._mviews: list[str] = []
         self._run_id = 0
         self._lineage: set[tuple[str, str]] = set()
+        self._resolve_lock = threading.RLock()
 
     # -- registration -------------------------------------------------------
 
@@ -356,7 +358,19 @@ class Pipeline:
 
     def read(self, name: str) -> DataFrame:
         """Read a sibling dataset (view or managed table) — reference S5
-        (`dlt.readStream("bookings_silver")`)."""
+        (`dlt.readStream("bookings_silver")`).
+
+        Thread-safe: view resolution mutates the shared cache / lineage /
+        metrics / resolving-stack structures, so the whole call holds the
+        pipeline's re-entrant resolve lock (recursive ``pl.read`` calls
+        inside view bodies re-enter it on the same thread). Concurrent
+        callers — the per-entity ingest→silver chains and a deferred
+        ``finalize_run`` overlapping downstream work — serialize on
+        resolution only; the Spark jobs they launch still interleave."""
+        with self._resolve_lock:
+            return self._read_locked(name)
+
+    def _read_locked(self, name: str) -> DataFrame:
         if self._resolving:
             # dependency edge: the dataset being resolved reads `name`
             self._lineage.add((name, self._resolving[-1]))
@@ -411,43 +425,67 @@ class Pipeline:
         ``__batch_id``; expectation metrics for the run are appended to
         the ``__event_log`` table (the DLT event-log analogue —
         `p.event_log()` to query it)."""
+        # resolve every flow's source (view resolution serializes on the
+        # resolve lock — it mutates the cache/lineage/metrics structures
+        # and collects expectation metrics eagerly), then run the table
+        # upserts CONCURRENTLY: each flow targets its own managed table
+        # with its own commit lock, so Spark's scheduler interleaves the
+        # independent write jobs exactly like DLT runs independent DAG
+        # nodes in parallel. Results are identical to the sequential
+        # order by target independence. begin/resolve/execute/finalize
+        # are public pieces so an orchestrator can overlap them with its
+        # OWN work (per-entity ingest→silver chains, a deferred finalize
+        # racing a downstream read of the finished tables).
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.begin_run()
+        resolved = [self.resolve_flow(flow) for flow in self._flows]
+        if len(resolved) > 1:
+            with ThreadPoolExecutor(max_workers=len(resolved)) as ex:
+                for f in [ex.submit(self.execute_flow, fl, s) for fl, s in resolved]:
+                    f.result()  # re-raise the first failure, if any
+        elif resolved:
+            self.execute_flow(*resolved[0])
+        self.finalize_run(materialize)
+
+    def begin_run(self) -> None:
+        """Open a new incremental batch: drop cached view resolutions so
+        the run observes new source data, reset per-run metric and
+        quarantine accumulators, bump the run id."""
         self._cache.clear()
         self.metrics.clear()
         self._pending_quarantine.clear()
         self._run_id += 1
-        # resolve every flow's source SEQUENTIALLY (view resolution
-        # mutates the cache/lineage/metrics structures and collects
-        # expectation metrics eagerly — single-threaded by design), then
-        # run the table upserts CONCURRENTLY: each flow targets its own
-        # managed table with its own commit lock, so Spark's scheduler
-        # interleaves the independent write jobs exactly like DLT runs
-        # independent DAG nodes in parallel. Results are identical to
-        # the sequential order by target independence.
-        from concurrent.futures import ThreadPoolExecutor
 
-        resolved = []
-        for flow in self._flows:
-            src = self.read(flow.source)
-            if flow.except_columns:
-                src = src.drop(*flow.except_columns)
-            resolved.append((flow, src))
+    def resolve_flow(self, flow: _CdcFlow) -> tuple[_CdcFlow, DataFrame]:
+        """Resolve one CDC flow's source view (expectations applied,
+        metrics collected) — safe to call from concurrent entity chains;
+        resolution itself serializes on the resolve lock."""
+        src = self.read(flow.source)
+        if flow.except_columns:
+            src = src.drop(*flow.except_columns)
+        return flow, src
 
-        def _run_flow(flow, src):
-            if flow.stored_as_scd_type == 2:
-                scd2_apply(self._tables[flow.target], src, flow.keys, flow.sequence_by)
-            else:
-                self._tables[flow.target].upsert(
-                    src, flow.keys, flow.sequence_by,
-                    delete_col=flow.apply_as_deletes,
-                    truncate_col=flow.apply_as_truncates,
-                )
+    def execute_flow(self, flow: _CdcFlow, src: DataFrame) -> None:
+        """Apply one resolved CDC flow to its target table (SCD1 upsert /
+        SCD2 apply). Concurrency-safe across flows: each target is an
+        independent managed table with its own commit lock."""
+        if flow.stored_as_scd_type == 2:
+            scd2_apply(self._tables[flow.target], src, flow.keys, flow.sequence_by)
+        else:
+            self._tables[flow.target].upsert(
+                src, flow.keys, flow.sequence_by,
+                delete_col=flow.apply_as_deletes,
+                truncate_col=flow.apply_as_truncates,
+            )
 
-        if len(resolved) > 1:
-            with ThreadPoolExecutor(max_workers=len(resolved)) as ex:
-                for f in [ex.submit(_run_flow, fl, s) for fl, s in resolved]:
-                    f.result()  # re-raise the first failure, if any
-        elif resolved:
-            _run_flow(*resolved[0])
+    def finalize_run(self, materialize: Sequence[str] = ()) -> None:
+        """Close the batch: append flows, snapshot flows, materialized
+        views, quarantine appends, event log. None of these outputs is
+        read by the CDC target tables themselves, so a caller whose
+        downstream only reads those tables may run finalize CONCURRENTLY
+        with that downstream work (it still serializes internally on the
+        resolve lock for any view reads it performs)."""
         self._run_append_flows()
         self._run_snapshot_flows()
         for name in self._mviews:

@@ -30,9 +30,13 @@ _REPO = str(Path(__file__).resolve().parent.parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-# warm the JVM, codegen, parquet footer cache, and the Python/Arrow
-# worker pool before the measured loop (see module docstring)
-_WARMUP = ["flagship_star_revenue", "udf_map_in_pandas"]
+# warm the JVM, codegen, parquet footer cache, the Python/Arrow worker
+# pool, and the Structured-Streaming/state-store class path before the
+# measured loop (see module docstring). The streaming entry matters:
+# the first stateful stream of a session pays ~2-4 s of one-time class
+# loading that would otherwise be billed to whichever stream_* query
+# runs first.
+_WARMUP = ["flagship_star_revenue", "udf_map_in_pandas", "stream_watermark_dedup"]
 
 
 def main() -> int:
