@@ -20,7 +20,6 @@ NON_EQUI_WHITELIST = {
     "join_cross_dims",
     "dedup_ngram_jaccard_pairs",
     "dedup_containment_pairs",  # same all-pairs baseline contract as jaccard
-    "sim_bitext_margin_pairs",  # all-pairs BASELINE contract (docstring: ANN legs at scale, margin algebra unchanged)
     "stats_theil_sen_trend",  # pairwise slopes over the ~84-row MONTH series (model-sized after the month-grain aggregate)
     "sim_embedding_near_dup_pairs",
     "join_range_predicate",  # range predicate only — intentional
