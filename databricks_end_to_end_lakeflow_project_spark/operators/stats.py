@@ -3278,3 +3278,846 @@ def stats_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_hat"),
         F.round(lower, 6).alias("wilson_lower"),
     ).orderBy(F.desc("wilson_lower"), "segment")
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: two-sample inference, association, agreement,
+# concentration, and empirical-Bayes shrinkage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_welch_ttest",
+    """
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)
+                 * CAST(ROUND(value * 100) AS BIGINT)) AS s2
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'click' THEN s1 END) AS a1,
+        MAX(CASE WHEN event_type = 'view' THEN s1 END) AS b1,
+        MAX(CASE WHEN event_type = 'click' THEN s2 END) AS a2,
+        MAX(CASE WHEN event_type = 'view' THEN s2 END) AS b2
+      FROM g
+    ),
+    t AS (
+      SELECT n1, n2,
+             (a1 / 100.0) / n1 AS m1, (b1 / 100.0) / n2 AS m2,
+             ((a2 / 10000.0) - (a1 / 100.0) * (a1 / 100.0) / n1)
+               / (n1 - 1) / n1 AS se1sq,
+             ((b2 / 10000.0) - (b1 / 100.0) * (b1 / 100.0) / n2)
+               / (n2 - 1) / n2 AS se2sq
+      FROM w
+    )
+    SELECT n1, n2,
+           ROUND(m1 - m2, 4) AS mean_diff,
+           ROUND((m1 - m2) / SQRT(se1sq + se2sq), 4) AS t_stat,
+           ROUND(POWER(se1sq + se2sq, 2)
+                 / (POWER(se1sq, 2) / (n1 - 1) + POWER(se2sq, 2) / (n2 - 1)),
+                 2) AS welch_df
+    FROM t
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test (unequal variances) on event value:
+    'click' vs 'view' — the default A/B read when variance homogeneity
+    can't be assumed, with the Welch–Satterthwaite df. Complements
+    [[stats_mann_whitney_u]] (rank-based) and [[stats_ab_cuped]]
+    (variance-reduced).
+
+    Exactness: values quantized to integer cents, so every groupwise
+    moment (n, Σx, Σx²) is an exact 64-bit sum in both engines; the
+    t-stat/df are fixed expression trees on those six integers, rounded
+    4/2. Plan: ONE map-side-combinable groupBy over the filtered scan,
+    then a 2-row pivot — nothing else touches the corpus.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s1"))).alias("b1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s2"))).alias("a2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s2"))).alias("b2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = (F.col("a1") / 100.0) / n1
+    m2 = (F.col("b1") / 100.0) / n2
+    se1sq = ((F.col("a2") / 10000.0) - (F.col("a1") / 100.0) * (F.col("a1") / 100.0) / n1) / (n1 - 1) / n1
+    se2sq = ((F.col("b2") / 10000.0) - (F.col("b1") / 100.0) * (F.col("b1") / 100.0) / n2) / (n2 - 1) / n2
+    return w.select(
+        "n1",
+        "n2",
+        F.round(m1 - m2, 4).alias("mean_diff"),
+        F.round((m1 - m2) / F.sqrt(se1sq + se2sq), 4).alias("t_stat"),
+        F.round(
+            F.pow(se1sq + se2sq, 2)
+            / (F.pow(se1sq, 2) / (n1 - 1) + F.pow(se2sq, 2) / (n2 - 1)),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "stats_chisq_independence",
+    """
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT SUM(o) AS n FROM cells
+    ),
+    marg AS (
+      SELECT c.lang, c.source, c.o,
+             SUM(c.o) OVER (PARTITION BY c.lang) AS rl,
+             SUM(c.o) OVER (PARTITION BY c.source) AS cs
+      FROM cells c
+    ),
+    terms AS (
+      SELECT lang, source,
+             POWER(o - rl * cs / (1.0 * tot.n), 2)
+               / (rl * cs / (1.0 * tot.n)) AS term,
+             (SELECT COUNT(DISTINCT lang) FROM cells) AS n_langs,
+             (SELECT COUNT(DISTINCT source) FROM cells) AS n_sources
+      FROM marg, tot
+    )
+    SELECT
+      CAST(MAX(n_langs) AS BIGINT) AS n_langs,
+      CAST(MAX(n_sources) AS BIGINT) AS n_sources,
+      CAST((MAX(n_langs) - 1) * (MAX(n_sources) - 1) AS BIGINT) AS dof,
+      ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+              LIST(term ORDER BY lang, source)), (a, b) -> a + b),
+            4) AS chi2
+    FROM terms
+    """,
+)
+def stats_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the documents lang × source
+    contingency table — 'is the language mix the same across sources',
+    the categorical sibling of [[monitor_chisq_type_drift]] (which
+    compares two cohorts of one variable).
+
+    Exactness: observed counts and both marginals are exact integers
+    (window sums over the cell table); the per-cell (O−E)²/E terms are
+    doubles folded in pinned (lang, source) order on BOTH engines
+    (array_sort + sequential fold vs LIST(... ORDER BY) + list_reduce),
+    rounded 4. Plan: one groupBy over the corpus, then windows over the
+    ~|langs×sources| cell frame — model moves, not data.
+    """
+    cells = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    marg = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(wl).alias("rl"),
+        F.sum("o").over(ws).alias("cs"),
+    )
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    e = F.col("rl") * F.col("cs") / (1.0 * F.col("n"))
+    terms = marg.crossJoin(F.broadcast(tot)).select(
+        "n_langs",
+        "n_sources",
+        F.struct("lang", "source").alias("k"),
+        (F.pow(F.col("o") - e, 2) / e).alias("term"),
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("k"), F.col("term")))),
+            lambda s: s["term"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return terms.groupBy().agg(
+        F.max("n_langs").cast("long").alias("n_langs"),
+        F.max("n_sources").cast("long").alias("n_sources"),
+        ((F.max("n_langs") - 1) * (F.max("n_sources") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round(folded, 4).alias("chi2"),
+    )
+
+
+@query(
+    "stats_cohens_kappa",
+    """
+    WITH rated AS (
+      SELECT (lang = 'en') AS a, (n_chars > 300) AS b FROM documents
+    ),
+    c AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE a AND b) AS yy,
+             COUNT(*) FILTER (WHERE a AND NOT b) AS yn,
+             COUNT(*) FILTER (WHERE NOT a AND b) AS ny,
+             COUNT(*) FILTER (WHERE NOT a AND NOT b) AS nn
+      FROM rated
+    )
+    SELECT n, yy, yn, ny, nn,
+           ROUND((yy + nn) / (1.0 * n), 6) AS p_observed,
+           ROUND(((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn))
+                 / (1.0 * n * n), 6) AS p_expected,
+           ROUND(((yy + nn) / (1.0 * n)
+                  - ((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn))
+                    / (1.0 * n * n))
+                 / (1 - ((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn))
+                        / (1.0 * n * n)), 6) AS kappa
+    FROM c
+    """,
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two binary document annotators
+    (the language gate lang='en' vs the length gate n_chars>300) —
+    the standard chance-corrected agreement score for LLM-data labeling
+    pipelines (two heuristic raters, or a heuristic vs an LLM judge).
+
+    Exactness: the whole statistic is a fixed expression tree on FIVE
+    exact integers (the 2×2 confusion counts + n), rounded 6. Plan: one
+    map-side-combinable conditional aggregate over one scan.
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").alias("a"), (F.col("n_chars") > 300).alias("b")
+    )
+    c = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0)).alias("yy"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0)).alias("yn"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0)).alias("ny"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0)).alias("nn"),
+    )
+    n = F.col("n") * 1.0
+    po = (F.col("yy") + F.col("nn")) / n
+    pe = (
+        (F.col("yy") + F.col("yn")) * (F.col("yy") + F.col("ny"))
+        + (F.col("ny") + F.col("nn")) * (F.col("yn") + F.col("nn"))
+    ) / (n * n)
+    return c.select(
+        "n", "yy", "yn", "ny", "nn",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+@query(
+    "stats_hhi_concentration",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS nation_rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n ON c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    ),
+    shares AS (
+      SELECT region, nation, nation_rev,
+             CAST(nation_rev AS DOUBLE)
+               / CAST(SUM(nation_rev) OVER (PARTITION BY region) AS DOUBLE)
+               AS share
+      FROM rev
+    )
+    SELECT region,
+           COUNT(*) AS n_nations,
+           ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+                   LIST(share * share ORDER BY nation)), (a, b) -> a + b),
+                 6) AS hhi,
+           ROUND(MAX(share), 6) AS top_share
+    FROM shares GROUP BY region ORDER BY region
+    """,
+)
+def stats_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of order revenue across
+    nations within each region — 'is one market eating the region', the
+    one-number skew descriptor procurement/antitrust dashboards publish
+    (and the revenue-side sibling of [[diag_key_skew_profile]]'s row
+    skew).
+
+    Exactness: nation revenues are exact DECIMAL sums; shares divide
+    them inside one region partition; the Σ share² fold is pinned in
+    nation order on both engines, rounded 6. Plan: one star join +
+    groupBy (the flagship's shape), then windows over the ≤25-row
+    (region, nation) frame.
+    """
+    od = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cu = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    re = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        od.join(cu, od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("nation_rev"))
+    )
+    wr = Window.partitionBy("region")
+    shares = rev.select(
+        "region",
+        "nation",
+        (
+            F.col("nation_rev").cast("double")
+            / F.sum("nation_rev").over(wr).cast("double")
+        ).alias("share"),
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("nation"), (F.col("share") * F.col("share")).alias("s2")))
+            ),
+            lambda s: s["s2"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        shares.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.round(folded, 6).alias("hhi"),
+            F.round(F.max("share"), 6).alias("top_share"),
+        )
+        .orderBy("region")
+    )
+
+
+@query(
+    "stats_eb_shrinkage",
+    """
+    WITH g AS (
+      SELECT n.n_name AS nation,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS pos
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n ON c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    mom AS (
+      SELECT
+        (SELECT SUM(pos) / (1.0 * SUM(n)) FROM g) AS m,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          (SELECT LIST(POWER(pos / (1.0 * n)
+                 - (SELECT SUM(pos) / (1.0 * SUM(n)) FROM g), 2)
+            ORDER BY nation) FROM g)), (a, b) -> a + b)
+          / ((SELECT COUNT(*) FROM g) - 1) AS v
+    ),
+    k AS (
+      SELECT m, v,
+             GREATEST(m * (1 - m) / NULLIF(v, 0) - 1, 0.0) AS prior_n
+      FROM mom
+    )
+    SELECT nation, n, pos,
+           ROUND(pos / (1.0 * n), 6) AS raw_rate,
+           ROUND((pos + k.prior_n * k.m) / (n + k.prior_n), 6) AS shrunk_rate
+    FROM g, k
+    ORDER BY shrunk_rate DESC, nation
+    """,
+)
+def stats_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    per-nation order-fulfillment rates toward the grand mean — the
+    standard fix for 'small groups top every leaderboard': the prior
+    strength k = m(1−m)/v − 1 comes from the observed between-group
+    variance, so noisy small-n groups shrink hard and large-n groups
+    barely move.
+
+    Exactness: group counts are exact integers; the between-group
+    variance folds the ≤25 squared deviations in pinned nation order on
+    both engines; raw/shrunk rates are fixed expression trees rounded 6.
+    Plan: one join + groupBy over the corpus; everything after is the
+    25-row nation frame against a broadcast 1-row prior.
+    """
+    od = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    cu = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        od.join(cu, od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "pos"
+            ),
+        )
+    )
+    tot = g.agg(
+        (F.sum("pos") / (1.0 * F.sum("n"))).alias("m"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    dev = g.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        F.pow(F.col("pos") / (1.0 * F.col("n")) - F.col("m"), 2).alias("d2"),
+        "m",
+        "n_groups",
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("nation"), F.col("d2")))),
+            lambda s: s["d2"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    prior = dev.groupBy().agg(
+        F.max("m").alias("m"),
+        (folded / (F.max("n_groups") - 1)).alias("v"),
+    ).select(
+        "m",
+        "v",
+        F.greatest(
+            F.col("m") * (1 - F.col("m")) / F.nullif(F.col("v"), F.lit(0.0)) - 1,
+            F.lit(0.0),
+        ).alias("prior_n"),
+    )
+    return (
+        g.crossJoin(F.broadcast(prior))
+        .select(
+            "nation",
+            "n",
+            "pos",
+            F.round(F.col("pos") / (1.0 * F.col("n")), 6).alias("raw_rate"),
+            F.round(
+                (F.col("pos") + F.col("prior_n") * F.col("m"))
+                / (F.col("n") + F.col("prior_n")),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy(F.desc("shrunk_rate"), "nation")
+    )
+
+
+@query(
+    "stats_jackknife_loo_rate",
+    """
+    WITH g AS (
+      SELECT n.n_name AS nation,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS pos
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n ON c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    tot AS (SELECT SUM(n) AS nn, SUM(pos) AS pp, COUNT(*) AS gg FROM g),
+    loo AS (
+      SELECT nation, (pp - pos) / (1.0 * (nn - n)) AS est, gg, nn, pp FROM g, tot
+    ),
+    mean_loo AS (
+      SELECT list_reduce(list_prepend(0.0::DOUBLE, (SELECT LIST(est ORDER BY nation) FROM loo)),
+               (a, b) -> a + b) / MAX(gg) AS ml,
+             MAX(gg) AS gg, MAX(nn) AS nn, MAX(pp) AS pp
+      FROM loo
+    )
+    SELECT CAST(gg AS BIGINT) AS n_groups,
+           ROUND(pp / (1.0 * nn), 6) AS full_rate,
+           ROUND(ml, 6) AS jackknife_mean,
+           ROUND(SQRT((gg - 1.0) / gg
+                 * list_reduce(list_prepend(0.0::DOUBLE,
+                     (SELECT LIST(POWER(est - ml, 2) ORDER BY nation) FROM loo, mean_loo)),
+                     (a, b) -> a + b)), 6) AS jackknife_se
+    FROM mean_loo
+    """,
+)
+def stats_jackknife_loo_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error of the global order
+    fulfillment rate (groups = nations) — the resampling-free uncertainty
+    estimate for cluster-correlated data, complementing
+    [[stats_bootstrap_poisson]] (row-level resamples) and
+    [[curation_loo_source_influence]] (the same leave-one-out algebra as
+    an influence probe).
+
+    Exactness: each leave-one-out estimate is (P−pos_i)/(N−n_i) on exact
+    integers — the corpus is scanned ONCE; the 25 estimates fold in
+    pinned nation order on both engines, rounded 6. Plan: join + groupBy,
+    then pure algebra on the 25-row frame (never G re-aggregations).
+    """
+    od = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    cu = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        od.join(cu, od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("pos"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"), F.sum("pos").alias("pp"), F.count(F.lit(1)).alias("gg")
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        ((F.col("pp") - F.col("pos")) / (1.0 * (F.col("nn") - F.col("n")))).alias("est"),
+        "gg", "nn", "pp",
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("nation"), col.alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    m1 = loo.groupBy().agg(
+        (fold(F.col("est")) / F.max("gg")).alias("ml"),
+        F.max("gg").alias("gg"), F.max("nn").alias("nn"), F.max("pp").alias("pp"),
+    )
+    dev = loo.crossJoin(F.broadcast(m1.select("ml"))).select(
+        "nation", F.pow(F.col("est") - F.col("ml"), 2).alias("d2"), "gg"
+    )
+    ss = dev.groupBy().agg(fold(F.col("d2")).alias("ss"), F.max("gg").alias("gg2"))
+    return (
+        m1.crossJoin(F.broadcast(ss))
+        .select(
+            F.col("gg").cast("long").alias("n_groups"),
+            F.round(F.col("pp") / (1.0 * F.col("nn")), 6).alias("full_rate"),
+            F.round(F.col("ml"), 6).alias("jackknife_mean"),
+            F.round(
+                F.sqrt((F.col("gg") - 1.0) / F.col("gg") * F.col("ss")), 6
+            ).alias("jackknife_se"),
+        )
+    )
+
+
+_PH_DELTA = 5.0  # Page-Hinkley drift allowance (daily-count units)
+
+
+@query(
+    "stats_page_hinkley_alarm",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY d
+    ),
+    run AS (
+      SELECT d, x,
+             AVG(1.0 * x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS xbar
+      FROM daily
+    ),
+    ph AS (
+      SELECT d, x,
+             SUM(x - xbar - {_PH_DELTA}) OVER (ORDER BY d ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+      FROM run
+    ),
+    stat AS (
+      SELECT d, x, mt,
+             mt - MIN(mt) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ph_stat
+      FROM ph
+    )
+    SELECT d AS day, x AS daily_count, ROUND(mt, 4) AS mt,
+           ROUND(ph_stat, 4) AS ph_stat
+    FROM stat ORDER BY ph_stat DESC, day LIMIT 5
+    """,
+)
+def stats_page_hinkley_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley change detection on the daily event-count series —
+    the classic sequential upward-drift alarm (the statistic m_t − min m_s
+    crosses λ): a streaming-friendly complement to
+    [[ts_changepoint_single_split]] (retrospective) and
+    [[ts_cusum_drift]] (known-mean CUSUM; PH tracks the RUNNING mean, so
+    it needs no baseline calibration). Emits the 5 highest-alarm days.
+
+    Exactness: daily counts are integers; the running mean and both
+    cumulative sums are single-ordered window folds — deterministic
+    accumulation order in both engines, rounded 4. Plan: one groupBy to
+    days, then ordered windows over the ~90-row day frame.
+    """
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = daily.select("d", "x", F.avg(F.col("x") * 1.0).over(w).alias("xbar"))
+    ph = run.select(
+        "d", "x",
+        F.sum(F.col("x") - F.col("xbar") - _PH_DELTA).over(w).alias("mt"),
+    )
+    stat = ph.select(
+        "d", "x", "mt", (F.col("mt") - F.min("mt").over(w)).alias("ph_stat")
+    )
+    return (
+        stat.select(
+            F.col("d").alias("day"),
+            F.col("x").alias("daily_count"),
+            F.round("mt", 4).alias("mt"),
+            F.round("ph_stat", 4).alias("ph_stat"),
+        )
+        .orderBy(F.desc("ph_stat"), "day")
+        .limit(5)
+    )
+
+
+@query(
+    "stats_negbin_overdispersion",
+    """
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT COUNT(*) AS g, SUM(c) AS s1, SUM(c * c) AS s2 FROM per_user
+    )
+    SELECT g AS n_users,
+           ROUND(s1 / (1.0 * g), 4) AS mean_count,
+           ROUND((s2 - s1 / (1.0 * g) * s1) / (g - 1.0), 4) AS var_count,
+           ROUND(((s2 - s1 / (1.0 * g) * s1) / (g - 1.0))
+                 / (s1 / (1.0 * g)), 4) AS dispersion_index,
+           ROUND(POWER(s1 / (1.0 * g), 2)
+                 / NULLIF((s2 - s1 / (1.0 * g) * s1) / (g - 1.0)
+                          - s1 / (1.0 * g), 0), 4) AS nb_r,
+           ROUND((s1 / (1.0 * g))
+                 / NULLIF((s2 - s1 / (1.0 * g) * s1) / (g - 1.0), 0), 4) AS nb_p
+    FROM mom
+    """,
+)
+def stats_negbin_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial overdispersion fit for per-user event counts
+    (method of moments): dispersion index Var/Mean (1 = Poisson, the
+    [[events_interarrival_exp_fit]] null; ≫1 = bursty users), and the
+    NB(r, p) parameters — the capacity-planning prior for per-key state
+    sizing that [[events_hill_tail_index]] bounds at the extreme tail.
+
+    Exactness: the user-count moments (g, Σc, Σc²) are exact integers
+    from one map-side-combinable groupBy; every output is a fixed
+    expression tree on those three numbers, rounded 4 (NULLIF guards the
+    equidispersed degenerate case). Plan: one groupBy + one 1-row
+    aggregate.
+    """
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    g = F.col("g") * 1.0
+    mean = F.col("s1") / g
+    var = (F.col("s2") - mean * F.col("s1")) / (F.col("g") - 1.0)
+    return mom.select(
+        F.col("g").alias("n_users"),
+        F.round(mean, 4).alias("mean_count"),
+        F.round(var, 4).alias("var_count"),
+        F.round(var / mean, 4).alias("dispersion_index"),
+        F.round(
+            F.pow(mean, 2) / F.nullif(var - mean, F.lit(0.0)), 4
+        ).alias("nb_r"),
+        F.round(mean / F.nullif(var, F.lit(0.0)), 4).alias("nb_p"),
+    )
+
+
+_TOST_MARGIN = 0.5  # equivalence margin on mean event value (dollars)
+
+
+@query(
+    "stats_tost_equivalence",
+    f"""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)
+                 * CAST(ROUND(value * 100) AS BIGINT)) AS s2
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'click' THEN s1 END) AS a1,
+        MAX(CASE WHEN event_type = 'view' THEN s1 END) AS b1,
+        MAX(CASE WHEN event_type = 'click' THEN s2 END) AS a2,
+        MAX(CASE WHEN event_type = 'view' THEN s2 END) AS b2
+      FROM g
+    ),
+    t AS (
+      SELECT n1, n2,
+             (a1 / 100.0) / n1 - (b1 / 100.0) / n2 AS diff,
+             SQRT(((a2 / 10000.0) - (a1 / 100.0) * (a1 / 100.0) / n1)
+                    / (n1 - 1) / n1
+                + ((b2 / 10000.0) - (b1 / 100.0) * (b1 / 100.0) / n2)
+                    / (n2 - 1) / n2) AS se
+      FROM w
+    )
+    SELECT n1, n2,
+           ROUND(diff, 4) AS mean_diff,
+           ROUND((diff + {_TOST_MARGIN}) / se, 4) AS t_lower,
+           ROUND((diff - {_TOST_MARGIN}) / se, 4) AS t_upper,
+           (diff + {_TOST_MARGIN}) / se > 1.6449
+             AND (diff - {_TOST_MARGIN}) / se < -1.6449 AS equivalent_90
+    FROM t
+    """,
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests) on mean event value,
+    click vs view, margin ±{_TOST_MARGIN}: the procedure that can
+    actually CONCLUDE 'no meaningful difference' — a non-significant
+    [[stats_welch_ttest]] cannot. Both one-sided stats must clear the
+    z_0.95 = 1.6449 boundary (large-n normal approximation, the same
+    convention as [[stats_sprt_boundary]]).
+
+    Exactness: identical integer-cents moments as the Welch test (one
+    shared groupBy shape); both t-ratios and the boolean verdict are
+    fixed expression trees, rounded 4. Plan: one map-side-combinable
+    groupBy + a 2-row pivot.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s1"))).alias("b1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("s2"))).alias("a2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s2"))).alias("b2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    diff = (F.col("a1") / 100.0) / n1 - (F.col("b1") / 100.0) / n2
+    se = F.sqrt(
+        ((F.col("a2") / 10000.0) - (F.col("a1") / 100.0) * (F.col("a1") / 100.0) / n1)
+        / (n1 - 1) / n1
+        + ((F.col("b2") / 10000.0) - (F.col("b1") / 100.0) * (F.col("b1") / 100.0) / n2)
+        / (n2 - 1) / n2
+    )
+    tl = (diff + _TOST_MARGIN) / se
+    tu = (diff - _TOST_MARGIN) / se
+    return w.select(
+        "n1", "n2",
+        F.round(diff, 4).alias("mean_diff"),
+        F.round(tl, 4).alias("t_lower"),
+        F.round(tu, 4).alias("t_upper"),
+        ((tl > 1.6449) & (tu < -1.6449)).alias("equivalent_90"),
+    )
+
+
+@query(
+    "stats_kendall_tau_monthly",
+    """
+    WITH m AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS mon,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY mon
+    ),
+    pairs AS (
+      SELECT SIGN((b.n_orders - a.n_orders) * 1.0) AS sx,
+             SIGN(CAST(b.rev - a.rev AS DOUBLE)) AS sy
+      FROM m a JOIN m b ON a.mon < b.mon
+    ),
+    c AS (
+      SELECT COUNT(*) AS n_pairs,
+             COUNT(*) FILTER (WHERE sx * sy > 0) AS concordant,
+             COUNT(*) FILTER (WHERE sx * sy < 0) AS discordant,
+             COUNT(*) FILTER (WHERE sx = 0) AS ties_x,
+             COUNT(*) FILTER (WHERE sy = 0) AS ties_y
+      FROM pairs
+    )
+    SELECT n_pairs, concordant, discordant,
+           ROUND((concordant - discordant)
+                 / (SQRT(n_pairs - ties_x) * SQRT(n_pairs - ties_y)), 6)
+             AS kendall_tau_b
+    FROM c
+    """,
+)
+def stats_kendall_tau_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b rank correlation between monthly order volume and
+    monthly revenue — the concordance-based alternative to
+    [[stats_spearman_corr]] (more robust to a few wild months, the
+    standard trend-agreement score for small series).
+
+    Plan: the corpus collapses to the ~80-row MONTH frame first (one
+    groupBy); the pairwise comparison is a self-join on that model-sized
+    frame (~3k pairs — same bounded-cartesian contract as
+    [[stats_theil_sen_trend]], whitelisted with justification). Counts
+    are exact integers; τ-b is one expression on five integers, rounded
+    6.
+    """
+    m = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mon"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+    )
+    a = m.select(
+        F.col("mon").alias("mon_a"),
+        F.col("n_orders").alias("xa"),
+        F.col("rev").alias("ya"),
+    )
+    b = m.select(
+        F.col("mon").alias("mon_b"),
+        F.col("n_orders").alias("xb"),
+        F.col("rev").alias("yb"),
+    )
+    pairs = a.join(b, F.col("mon_a") < F.col("mon_b")).select(
+        F.signum((F.col("xb") - F.col("xa")) * 1.0).alias("sx"),
+        F.signum((F.col("yb") - F.col("ya")).cast("double")).alias("sy"),
+    )
+    c = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("sx") * F.col("sy") > 0, 1).otherwise(0)).alias(
+            "concordant"
+        ),
+        F.sum(F.when(F.col("sx") * F.col("sy") < 0, 1).otherwise(0)).alias(
+            "discordant"
+        ),
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0)).alias("ties_x"),
+        F.sum(F.when(F.col("sy") == 0, 1).otherwise(0)).alias("ties_y"),
+    )
+    return c.select(
+        "n_pairs", "concordant", "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / (
+                F.sqrt(F.col("n_pairs") - F.col("ties_x"))
+                * F.sqrt(F.col("n_pairs") - F.col("ties_y"))
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )

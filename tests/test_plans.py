@@ -21,6 +21,7 @@ NON_EQUI_WHITELIST = {
     "dedup_ngram_jaccard_pairs",
     "dedup_containment_pairs",  # same all-pairs baseline contract as jaccard
     "stats_theil_sen_trend",  # pairwise slopes over the ~84-row MONTH series (model-sized after the month-grain aggregate)
+    "stats_kendall_tau_monthly",  # concordance pairs over the same ~84-row MONTH frame (bounded after the month-grain aggregate)
     "sim_embedding_near_dup_pairs",
     "join_range_predicate",  # range predicate only — intentional
     "ts_gapfill_hourly",  # spine × distinct types: both sides tiny by construction
