@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.session import persist_once
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
 
@@ -1969,4 +1970,577 @@ def events_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: classical series decomposition / symbolization /
+# robust anomaly scoring / peak detection on the daily event series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_stl_decompose_weekly",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY d
+    ),
+    tr AS (
+      -- centered 7-day moving SUM kept as an exact integer; trend = s7/7
+      SELECT d, x,
+             SUM(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS s7,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS w7
+      FROM daily
+    ),
+    det AS (
+      -- detrended, SCALED BY 7 so it stays integer: 7x - s7
+      SELECT d, x, s7, 7 * x - s7 AS det7
+      FROM tr WHERE w7 = 7
+    ),
+    seas AS (
+      -- +1 aligns DuckDB's 0-based Sunday with Spark's 1-based dayofweek
+      SELECT DAYOFWEEK(d) + 1 AS dow,
+             COUNT(*) AS n_days,
+             SUM(det7) AS sdet7
+      FROM det GROUP BY DAYOFWEEK(d) + 1
+    )
+    SELECT dow, n_days,
+           ROUND(sdet7 / (7.0 * n_days), 4) AS seasonal_index
+    FROM seas ORDER BY dow
+    """,
+)
+def ts_stl_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (the moving-average STL
+    ancestor) of the daily event-count series: trend = centered 7-day
+    moving average, seasonal index = mean of the detrended series per
+    day-of-week — 'how much of Monday is just Monday', the input to any
+    deseasonalized alarm ([[ts_cusum_drift]], [[stats_page_hinkley_alarm]]
+    fire on raw counts and eat the weekly cycle as noise).
+
+    Exactness: the detrended series is kept as the INTEGER 7x − S7
+    (scaled by 7 to clear the division), so every aggregate is an exact
+    integer sum; the single division happens once per day-of-week row,
+    rounded 4. Plan: one groupBy to days, then the day frame collapses
+    to ONE sorted array and the centered window is a per-element slice
+    sum (no unpartitioned window — the house rule), exploded back into a
+    7-row day-of-week groupBy.
+    """
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    arr = daily.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
+    )
+    xs = F.transform(F.col("s"), lambda e: e["x"])
+    det = (
+        arr.withColumn("xs", xs)
+        # 1-based centers with a full 7-day window: j in 4 .. n-3
+        .withColumn("idx", F.sequence(F.lit(4), F.size("xs") - 3))
+        .select(
+            F.explode(
+                F.transform(
+                    F.col("idx"),
+                    lambda j: F.struct(
+                        F.element_at(F.col("s"), j)["d"].alias("d"),
+                        (
+                            7 * F.element_at(F.col("xs"), j)
+                            - F.aggregate(
+                                F.slice(F.col("xs"), j - 3, 7),
+                                F.lit(0).cast("long"),
+                                lambda acc, v: acc + v,
+                            )
+                        ).alias("det7"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select(F.col("r.d").alias("d"), F.col("r.det7").alias("det7"))
+    )
+    return (
+        det.groupBy(F.dayofweek("d").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.sum("det7") / (7.0 * F.count(F.lit(1))), 4).alias(
+                "seasonal_index"
+            ),
+        )
+        .orderBy("dow")
+    )
+
+
+_SAX_W = 7  # PAA window (days per symbol)
+
+
+@query(
+    "ts_sax_symbolize",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY d
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2 FROM daily
+    ),
+    seq AS (
+      SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) - 1 AS i FROM daily
+    ),
+    paa AS (
+      SELECT i // {_SAX_W} AS seg,
+             MIN(d) AS seg_start,
+             COUNT(*) AS n_days,
+             SUM(x) AS sx
+      FROM seq GROUP BY i // {_SAX_W}
+    ),
+    z AS (
+      SELECT seg, seg_start, n_days,
+             (sx / (1.0 * n_days) - s1 / (1.0 * n))
+               / SQRT((s2 - s1 / (1.0 * n) * s1) / (n - 1.0)) AS paa_z
+      FROM paa, mom WHERE n_days = {_SAX_W}
+    )
+    SELECT seg, seg_start,
+           ROUND(paa_z, 4) AS paa_z,
+           CASE WHEN paa_z < -0.6745 THEN 'a'
+                WHEN paa_z < 0 THEN 'b'
+                WHEN paa_z < 0.6745 THEN 'c'
+                ELSE 'd' END AS sax_symbol
+    FROM z ORDER BY seg
+    """,
+)
+def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin et al.) of the daily event-count series:
+    z-normalize, Piecewise Aggregate Approximation over {_SAX_W}-day
+    segments, then map each segment mean to a 4-letter alphabet at the
+    Gaussian quartile breakpoints ±0.6745 — the discretization that turns
+    motif/novelty search ([[ts_pattern_search]]) into string matching.
+
+    Exactness: global mean/std come from exact integer moments; each
+    segment's PAA mean is an exact integer sum with ONE division; the
+    z-score and breakpoint comparison are per-row expression trees
+    (no cross-row double folds), rounded 4. Plan: groupBy to days; the
+    day frame collapses to ONE sorted array whose posexplode position is
+    the sequence index (no unpartitioned row_number — the house rule);
+    one segment groupBy against a broadcast 1-row moment frame.
+    """
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    seq = (
+        daily.groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s"))
+        .select(F.posexplode("s").alias("i", "r"))
+        .select(F.col("r.d").alias("d"), F.col("r.x").alias("x"), "i")
+    )
+    paa = seq.groupBy((F.col("i") / _SAX_W).cast("long").alias("seg")).agg(
+        F.min("d").alias("seg_start"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+    )
+    n = F.col("n") * 1.0
+    mean = F.col("s1") / n
+    std = F.sqrt((F.col("s2") - mean * F.col("s1")) / (F.col("n") - 1.0))
+    z = (
+        paa.filter(F.col("n_days") == _SAX_W)
+        .crossJoin(F.broadcast(mom))
+        .select(
+            "seg",
+            "seg_start",
+            ((F.col("sx") / (1.0 * F.col("n_days")) - mean) / std).alias("paa_z"),
+        )
+    )
+    sym = (
+        F.when(F.col("paa_z") < -0.6745, "a")
+        .when(F.col("paa_z") < 0, "b")
+        .when(F.col("paa_z") < 0.6745, "c")
+        .otherwise("d")
+    )
+    return z.select(
+        "seg", "seg_start", F.round("paa_z", 4).alias("paa_z"), sym.alias("sax_symbol")
+    ).orderBy("seg")
+
+
+_RMAD_W = 15  # rolling window (days) for the robust anomaly score
+
+
+@query(
+    "ts_rolling_mad_anomaly",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY d
+    ),
+    win AS (
+      SELECT d, x,
+             LIST(x) OVER (ORDER BY d ROWS BETWEEN {_RMAD_W - 1} PRECEDING
+                           AND CURRENT ROW) AS w,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN {_RMAD_W - 1} PRECEDING
+                            AND CURRENT ROW) AS nw
+      FROM daily
+    ),
+    med AS (
+      SELECT d, x, w, nw,
+             -- exact window median of integers: sorted-array midpoint
+             (list_sort(w)[(nw + 1) // 2]
+              + list_sort(w)[nw // 2 + 1]) / 2.0 AS m
+      FROM win WHERE nw = {_RMAD_W}
+    ),
+    dev AS (
+      SELECT d, x, m, nw,
+             list_sort(list_transform(w, v -> ABS(v - m))) AS devs
+      FROM med
+    )
+    SELECT d AS day, x AS daily_count,
+           ROUND(m, 1) AS rolling_median,
+           ROUND((devs[(nw + 1) // 2] + devs[nw // 2 + 1]) / 2.0, 1)
+             AS rolling_mad,
+           ROUND(ABS(x - m) / NULLIF((devs[(nw + 1) // 2]
+                                      + devs[nw // 2 + 1]) / 2.0, 0), 4)
+             AS anomaly_score
+    FROM dev
+    ORDER BY anomaly_score DESC NULLS LAST, day LIMIT 5
+    """,
+)
+def ts_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median/MAD anomaly score over the daily event-count
+    series (|x − med|/MAD in a trailing {_RMAD_W}-day window) — the
+    robust alarm that a single previous spike cannot poison, unlike
+    z-scores off a rolling MEAN ([[ts_cusum_drift]]'s weakness on
+    heavy-tailed days). Emits the 5 most anomalous days.
+
+    Exactness: the window is materialized as a ≤{_RMAD_W}-element
+    integer array per row (bounded by the window, not the corpus);
+    median and MAD are exact sorted-array midpoints; one division,
+    rounded 4. Plan: one groupBy to days; the day frame collapses to
+    ONE sorted array and each trailing window is a per-element slice
+    (no unpartitioned window collect — the house rule); the array
+    algebra is per-row, no cross-row double folds.
+    """
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    arr = daily.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
+    )
+    win = (
+        arr.withColumn("xs", F.transform(F.col("s"), lambda e: e["x"]))
+        .withColumn("idx", F.sequence(F.lit(_RMAD_W), F.size("xs")))
+        .select(
+            F.explode(
+                F.transform(
+                    F.col("idx"),
+                    lambda j: F.struct(
+                        F.element_at(F.col("s"), j)["d"].alias("d"),
+                        F.element_at(F.col("xs"), j).alias("x"),
+                        F.slice(F.col("xs"), j - (_RMAD_W - 1), _RMAD_W).alias(
+                            "wlist"
+                        ),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.d", "r.x", "r.wlist", F.size("r.wlist").alias("nw"))
+    )
+    sw = F.array_sort(F.col("wlist"))
+    lo = F.element_at(sw, ((F.col("nw") + 1) / 2).cast("int"))
+    hi = F.element_at(sw, (F.col("nw") / 2).cast("int") + 1)
+    med = win.select("d", "x", "wlist", "nw", ((lo + hi) / 2.0).alias("m"))
+    devs = F.array_sort(
+        F.transform(F.col("wlist"), lambda v: F.abs(v - F.col("m")))
+    )
+    dlo = F.element_at(devs, ((F.col("nw") + 1) / 2).cast("int"))
+    dhi = F.element_at(devs, (F.col("nw") / 2).cast("int") + 1)
+    mad = (dlo + dhi) / 2.0
+    return (
+        med.select(
+            F.col("d").alias("day"),
+            F.col("x").alias("daily_count"),
+            F.round("m", 1).alias("rolling_median"),
+            F.round(mad, 1).alias("rolling_mad"),
+            F.round(
+                F.abs(F.col("x") - F.col("m")) / F.nullif(mad, F.lit(0.0)), 4
+            ).alias("anomaly_score"),
+        )
+        .orderBy(F.desc_nulls_last("anomaly_score"), "day")
+        .limit(5)
+    )
+
+
+@query(
+    "ts_peak_prominence",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY d
+    ),
+    nb AS (
+      SELECT d, x,
+             MAX(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                          AND 1 PRECEDING) AS left_max,
+             MAX(x) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING
+                          AND 3 FOLLOWING) AS right_max,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS nwin
+      FROM daily
+    )
+    SELECT d AS day, x AS daily_count,
+           left_max, right_max,
+           x - GREATEST(left_max, right_max) AS prominence
+    FROM nb
+    WHERE nwin = 7 AND x > left_max AND x > right_max
+    ORDER BY prominence DESC, day LIMIT 5
+    """,
+)
+def ts_peak_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection with a ±3-day shoulder: a day is a peak when
+    it strictly exceeds every neighbor in the window, scored by its
+    prominence over the taller shoulder — the load-spike picker feeding
+    capacity review (where [[ts_rolling_mad_anomaly]] scores deviation,
+    this demands strict local maximality). Top-5 peaks.
+
+    Exactness: pure integer comparisons and differences — no floating
+    point anywhere. Plan: one groupBy to days; the day frame collapses
+    to ONE sorted array and the two shoulders are per-element slice
+    maxima (no unpartitioned window — the house rule).
+    """
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    arr = daily.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
+    )
+    nb = (
+        arr.withColumn("xs", F.transform(F.col("s"), lambda e: e["x"]))
+        .withColumn("idx", F.sequence(F.lit(4), F.size("xs") - 3))
+        .select(
+            F.explode(
+                F.transform(
+                    F.col("idx"),
+                    lambda j: F.struct(
+                        F.element_at(F.col("s"), j)["d"].alias("d"),
+                        F.element_at(F.col("xs"), j).alias("x"),
+                        F.array_max(F.slice(F.col("xs"), j - 3, 3)).alias(
+                            "left_max"
+                        ),
+                        F.array_max(F.slice(F.col("xs"), j + 1, 3)).alias(
+                            "right_max"
+                        ),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.d", "r.x", "r.left_max", "r.right_max")
+    )
+    return (
+        nb.filter((F.col("x") > F.col("left_max")) & (F.col("x") > F.col("right_max")))
+        .select(
+            F.col("d").alias("day"),
+            F.col("x").alias("daily_count"),
+            "left_max",
+            "right_max",
+            (F.col("x") - F.greatest("left_max", "right_max")).alias("prominence"),
+        )
+        .orderBy(F.desc("prominence"), "day")
+        .limit(5)
+    )
+
+
+_CONC_GAP_MIN = 30  # session gap (minutes), same convention as sessionize
+
+
+@query(
+    "events_concurrency_peak",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) > INTERVAL {_CONC_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+             MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL {_CONC_GAP_MIN} MINUTE AS s_end
+      FROM (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id
+                 ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS sid
+        FROM marked
+      ) GROUP BY user_id, sid
+    ),
+    boundaries AS (
+      SELECT s_start AS t, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT s_end AS t, -1 AS delta FROM sessions
+    ),
+    sweep AS (
+      SELECT t, SUM(delta) OVER (ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      FROM boundaries
+    )
+    SELECT CAST(t AS DATE) AS day, MAX(live) AS peak_concurrency
+    FROM sweep GROUP BY CAST(t AS DATE) ORDER BY day
+    """,
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the classic sweep-line:
+    sessionize (same {_CONC_GAP_MIN}-minute gap rule as
+    [[events_sessionize]]), emit +1/−1 boundary events at session
+    start/end (+gap), and take the running sum's daily max — the
+    capacity number ('how many users at once') that per-day DAU
+    ([[events_dau_wau_mau]]) cannot give.
+
+    Determinism: the sweep orders by (t, delta) so an end (−1) at the
+    exact instant of a start (+1) is applied FIRST — peak counts never
+    depend on engine-internal tie order. All arithmetic is integer.
+
+    Plan (the distributed sweep): one per-user session window, then the
+    running sum is SPLIT BY DAY — a per-day partitioned window over that
+    day's boundary rows plus a carry of sessions still open at the day
+    boundary. The carry comes from the ≤|days|-row per-day net-delta
+    frame folded as one sorted array (prefix sums of integers — exact),
+    so there is NO global ordered window: the oracle's single sweep
+    would single-thread a 100-TB boundary stream; this form shuffles on
+    the day key and scales with days × within-day volume.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(wu).cast("long")
+    marked = ev.select(
+        "user_id", "ts",
+        F.when(
+            F.lag("ts").over(wu).isNull() | (gap > _CONC_GAP_MIN * 60), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = (
+        marked.withColumn("sid", F.sum("is_start").over(wcum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr(f"INTERVAL {_CONC_GAP_MIN} MINUTE")).alias("s_end"),
+        )
+    )
+    boundaries = persist_once(
+        sessions.select(F.col("s_start").alias("t"), F.lit(1).alias("delta"))
+        .unionByName(
+            sessions.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
+        )
+        .withColumn("day", F.col("t").cast("date"))
+    )
+    # carry(D) = Σ_{day<D} net(day): prefix sums over the sorted per-day
+    # net-delta array (bounded by |days|, exact integers)
+    carries = (
+        boundaries.groupBy("day")
+        .agg(F.sum("delta").alias("net"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("day", "net"))).alias("s"))
+        .withColumn("idx", F.sequence(F.lit(1), F.size("s")))
+        .select(
+            F.explode(
+                F.transform(
+                    F.col("idx"),
+                    lambda j: F.struct(
+                        F.element_at(F.col("s"), j)["day"].alias("day"),
+                        F.aggregate(
+                            F.slice(
+                                F.transform(F.col("s"), lambda e: e["net"]),
+                                1,
+                                j - 1,
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, v: acc + v,
+                        ).alias("carry"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.day", "r.carry")
+    )
+    wday = Window.partitionBy("day").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = boundaries.join(F.broadcast(carries), "day").select(
+        "day", (F.col("carry") + F.sum("delta").over(wday)).alias("live")
+    )
+    return (
+        sweep.groupBy("day")
+        .agg(F.max("live").alias("peak_concurrency"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "events_stickiness_ratio",
+    """
+    WITH au AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM au),
+    mau AS (
+      SELECT days.d,
+             COUNT(DISTINCT au.user_id) AS mau
+      FROM days JOIN au
+        ON au.d BETWEEN days.d - INTERVAL 29 DAY AND days.d
+      GROUP BY days.d
+    ),
+    dau AS (SELECT d, COUNT(*) AS dau FROM au GROUP BY d)
+    SELECT dau.d AS day, dau.dau, mau.mau,
+           ROUND(dau.dau / (1.0 * mau.mau), 4) AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+    ORDER BY day
+    """,
+)
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day (MAU = trailing-30-day distinct
+    users) — the engagement-quality ratio product review reads next to
+    raw actives ([[events_dau_wau_mau]] reports the three levels; this
+    reports their RATIO on a rolling window, the number that actually
+    moves when usage becomes habitual).
+
+    Plan: activity collapses to the (user, day) grid first (one
+    distinct), then MAU is a range join of the ~90-row DAY frame
+    against that grid — bounded by days × active-users, never the raw
+    corpus — and DAU one groupBy. All integers; one division rounded 4.
+    """
+    au = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    days = au.select("d").distinct()
+    mau = (
+        days.join(
+            au.select(F.col("user_id"), F.col("d").alias("ad")),
+            (F.col("ad") >= F.date_sub(F.col("d"), 29)) & (F.col("ad") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    dau = au.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(mau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau") / (1.0 * F.col("mau")), 4).alias("stickiness"),
+        )
+        .orderBy("day")
     )

@@ -3823,15 +3823,24 @@ _PH_DELTA = 5.0  # Page-Hinkley drift allowance (daily-count units)
     ),
     run AS (
       SELECT d, x,
-             AVG(1.0 * x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS xbar
+             SUM(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sj,
+             ROW_NUMBER() OVER (ORDER BY d) AS j
       FROM daily
+    ),
+    tq AS (
+      -- quantize each deviation term to exact 1e-6 longs BEFORE the
+      -- cumulative sums, so every fold below is order-free integer math
+      SELECT d, x,
+             CAST(ROUND((x - sj / (1.0 * j) - {_PH_DELTA}) * 1000000)
+                  AS BIGINT) AS t
+      FROM run
     ),
     ph AS (
       SELECT d, x,
-             SUM(x - xbar - {_PH_DELTA}) OVER (ORDER BY d ROWS BETWEEN
-               UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
-      FROM run
+             SUM(t) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS mt
+      FROM tq
     ),
     stat AS (
       SELECT d, x, mt,
@@ -3839,8 +3848,8 @@ _PH_DELTA = 5.0  # Page-Hinkley drift allowance (daily-count units)
                                 AND CURRENT ROW) AS ph_stat
       FROM ph
     )
-    SELECT d AS day, x AS daily_count, ROUND(mt, 4) AS mt,
-           ROUND(ph_stat, 4) AS ph_stat
+    SELECT d AS day, x AS daily_count, ROUND(mt / 1000000.0, 4) AS mt,
+           ROUND(ph_stat / 1000000.0, 4) AS ph_stat
     FROM stat ORDER BY ph_stat DESC, day LIMIT 5
     """,
 )
@@ -3852,31 +3861,64 @@ def stats_page_hinkley_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     [[ts_cusum_drift]] (known-mean CUSUM; PH tracks the RUNNING mean, so
     it needs no baseline calibration). Emits the 5 highest-alarm days.
 
-    Exactness: daily counts are integers; the running mean and both
-    cumulative sums are single-ordered window folds — deterministic
-    accumulation order in both engines, rounded 4. Plan: one groupBy to
-    days, then ordered windows over the ~90-row day frame.
+    Exactness: daily counts are integers, so each running mean is an
+    exact rational (Σx/j); the per-day deviation terms are quantized to
+    1e-6 longs BEFORE any cumulative sum, making the mt and running-min
+    folds order-free integer arithmetic in both engines. Plan: one
+    groupBy to days, then the ~90-row day frame collapses to ONE sorted
+    array and the prefix statistics are per-element array folds — no
+    unpartitioned window anywhere (the house rule: a global ordered
+    window is a single-partition sort even when the frame is small).
     """
     daily = (
         read_table(spark, sf_dir, "events")
         .groupBy(F.col("ts").cast("date").alias("d"))
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    run = daily.select("d", "x", F.avg(F.col("x") * 1.0).over(w).alias("xbar"))
-    ph = run.select(
-        "d", "x",
-        F.sum(F.col("x") - F.col("xbar") - _PH_DELTA).over(w).alias("mt"),
+    arr = daily.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
     )
-    stat = ph.select(
-        "d", "x", "mt", (F.col("mt") - F.min("mt").over(w)).alias("ph_stat")
+    xs = F.transform(F.col("s"), lambda e: e["x"])
+    add = lambda acc, v: acc + v  # noqa: E731
+    zero = F.lit(0).cast("long")
+    prefix_sum = lambda a, i: F.aggregate(F.slice(a, 1, i), zero, add)  # noqa: E731
+    stat = (
+        arr.withColumn("xs", xs)
+        .withColumn("idx", F.sequence(F.lit(1), F.size("xs")))
+        .withColumn(
+            "tq",
+            F.transform(
+                F.col("idx"),
+                lambda j: F.round(
+                    (
+                        F.element_at(F.col("xs"), j).cast("double")
+                        - prefix_sum(F.col("xs"), j).cast("double")
+                        / j.cast("double")
+                        - _PH_DELTA
+                    )
+                    * 1_000_000
+                ).cast("long"),
+            ),
+        )
+        .withColumn(
+            "mt", F.transform(F.col("idx"), lambda i: prefix_sum(F.col("tq"), i))
+        )
+        .withColumn(
+            "ph",
+            F.transform(
+                F.col("idx"),
+                lambda i: F.element_at(F.col("mt"), i)
+                - F.array_min(F.slice(F.col("mt"), 1, i)),
+            ),
+        )
+        .select(F.posexplode(F.arrays_zip("s", "mt", "ph")).alias("pos", "z"))
     )
     return (
         stat.select(
-            F.col("d").alias("day"),
-            F.col("x").alias("daily_count"),
-            F.round("mt", 4).alias("mt"),
-            F.round("ph_stat", 4).alias("ph_stat"),
+            F.col("z.s.d").alias("day"),
+            F.col("z.s.x").alias("daily_count"),
+            F.round(F.col("z.mt") / 1_000_000.0, 4).alias("mt"),
+            F.round(F.col("z.ph") / 1_000_000.0, 4).alias("ph_stat"),
         )
         .orderBy(F.desc("ph_stat"), "day")
         .limit(5)

@@ -25,6 +25,7 @@ NON_EQUI_WHITELIST = {
     "sim_embedding_near_dup_pairs",
     "join_range_predicate",  # range predicate only — intentional
     "ts_gapfill_hourly",  # spine × distinct types: both sides tiny by construction
+    "events_stickiness_ratio",  # trailing-30d range join of the ~90-row DAY frame against the (user, day) grid — bounded by days × active users
     # scalar-threshold patterns: the broadcast side is a 1-row aggregate,
     # so the nested-loop join is O(n) at any scale
     "q11_revenue_concentration",
@@ -33,6 +34,10 @@ NON_EQUI_WHITELIST = {
     "agg_theta_sketch_sets",  # 1-row × 1-row sketch pair — set algebra on bytes
     "sample_balanced_by_lang",  # 1-row broadcast minority-count floor
     "monitor_psi_value_drift",  # 1-row broadcast (n0, n1) totals over |bins| rows
+    "stats_chisq_independence",  # 1-row broadcast grand totals over the ~|langs×sources| cell frame
+    "stats_eb_shrinkage",  # 1-row broadcast prior (m, v, k) over the 25-row nation frame
+    "stats_jackknife_loo_rate",  # 1-row broadcast totals/means over the 25-row nation frame
+    "ts_sax_symbolize",  # 1-row broadcast global moments over the ~13-row segment frame
     "monitor_chisq_type_drift",  # 1-row broadcast totals over |categories| rows
     "q15_top_supplier",  # 1-row broadcast scalar MAX over the cached revenue frame
     "agg_histogram_price_bins",  # 1-row broadcast grand total over |bins| rows
