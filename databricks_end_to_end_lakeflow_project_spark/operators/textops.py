@@ -2262,3 +2262,322 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         llr.alias("llr"),
     ).orderBy(F.desc("llr"), "bigram").limit(_PMI_TOP)
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: term burstiness, lexical richness, held-out backoff
+# LM scoring, and the shingle-size design sweep
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_burstiness_topterms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+      FROM documents
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+    per_doc AS (
+      SELECT token, doc_id, COUNT(*) AS c FROM tok GROUP BY token, doc_id
+    ),
+    term AS (
+      SELECT token,
+             SUM(c) AS total,
+             COUNT(*) AS df,
+             SUM(c * c) AS s2,
+             COUNT(*) FILTER (WHERE c >= 2) AS df2
+      FROM per_doc GROUP BY token
+    )
+    SELECT token, total, df,
+           ROUND(((s2 - total / (1.0 * n_docs) * total) / (n_docs - 1.0))
+                 / (total / (1.0 * n_docs)), 4) AS vmr_burstiness,
+           ROUND(df2 / (1.0 * df), 4) AS adaptation
+    FROM term, nd
+    ORDER BY total DESC, token LIMIT 20
+    """,
+)
+def text_burstiness_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale): for the 20 highest-mass terms,
+    the variance-to-mean ratio of per-document counts INCLUDING zero
+    docs (VMR 1 = Poisson scatter; ≫1 = the term clumps into few docs)
+    plus the adaptation probability P(c≥2 | c≥1) — the two numbers that
+    separate topical words from function words, and the feature
+    [[text_tfidf_keywords]]' idf cannot see (idf ignores within-doc
+    clumping).
+
+    Exactness: per-(term, doc) counts, their squares, doc frequencies
+    and the doc total are exact integers from two groupBys; VMR folds in
+    the zero-docs analytically ((Σc² − N·μ²)/(N−1) with μ = total/N), so
+    no zero-row materialization; one division chain per term, rounded 4.
+    Plan: tokenize → (term, doc) groupBy → term groupBy — all map-side
+    combinable; the 1-row doc-count frame rides a broadcast join.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    nd = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    term = per_doc.groupBy("token").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("df2"),
+    )
+    n = F.col("n_docs") * 1.0
+    mu = F.col("total") / n
+    vmr = ((F.col("s2") - mu * F.col("total")) / (F.col("n_docs") - 1.0)) / mu
+    return (
+        term.crossJoin(F.broadcast(nd))
+        .select(
+            "token", "total", "df",
+            F.round(vmr, 4).alias("vmr_burstiness"),
+            F.round(F.col("df2") / (1.0 * F.col("df")), 4).alias("adaptation"),
+        )
+        .orderBy(F.desc("total"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "text_ttr_lexical_richness",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS token
+      FROM documents
+    ),
+    tt AS (
+      SELECT source, token, COUNT(*) AS c FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           SUM(c) AS n_tokens,
+           COUNT(*) AS n_types,
+           COUNT(*) FILTER (WHERE c = 1) AS n_hapax,
+           ROUND(COUNT(*) / (1.0 * SUM(c)), 6) AS ttr,
+           ROUND(LN(COUNT(*)) / LN(SUM(c)), 6) AS herdan_c,
+           ROUND(COUNT(*) FILTER (WHERE c = 1) / (1.0 * COUNT(*)), 6)
+             AS hapax_ratio
+    FROM tt GROUP BY source ORDER BY source
+    """,
+)
+def text_ttr_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per source: type-token ratio, Herdan's C
+    (log-log TTR, the size-robust variant), and the hapax-legomenon
+    ratio — the vocabulary-health dashboard for corpus curation
+    (template farms show low TTR and near-zero hapax; scraped spam shows
+    the opposite). [[text_vocab_coverage_chao1]] extrapolates the unseen
+    vocabulary; this profiles the observed one.
+
+    Exactness: all inputs are exact integers from one (source, token)
+    groupBy; each metric is one expression per source row, rounded 6.
+    Plan: tokenize → one map-side-combinable groupBy → |sources|-row
+    aggregate.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    tt = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tt.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.round(F.count(F.lit(1)) / (1.0 * F.sum("c")), 6).alias("ttr"),
+            F.round(F.log(F.count(F.lit(1))) / F.log(F.sum("c")), 6).alias(
+                "herdan_c"
+            ),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                / (1.0 * F.count(F.lit(1))),
+                6,
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_backoff_lm_heldout_nll",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(ws) AS token, generate_subscripts(ws, 1) AS pos
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+    ),
+    train AS (SELECT * FROM tok WHERE doc_id % 10 <> 0),
+    test AS (SELECT * FROM tok WHERE doc_id % 10 = 0),
+    tot AS (SELECT COUNT(*) AS n FROM train),
+    uni AS (
+      SELECT token, COUNT(*)::DOUBLE / (SELECT n FROM tot) AS pu
+      FROM train GROUP BY token
+    ),
+    tbig AS (
+      SELECT token AS w2,
+             lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM train
+    ),
+    bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM tbig WHERE w1 IS NOT NULL
+      GROUP BY w1, w2
+    ),
+    cc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY w1),
+    ebig AS (
+      SELECT doc_id, token AS w2,
+             lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM test
+    ),
+    scored AS (
+      SELECT e.doc_id,
+             CASE WHEN bc.c12 IS NOT NULL THEN bc.c12 / (1.0 * cc.c1)
+                  ELSE 0.4 * COALESCE(uni.pu, 0.000001) END AS s
+      FROM ebig e
+      LEFT JOIN bc ON bc.w1 = e.w1 AND bc.w2 = e.w2
+      LEFT JOIN cc ON cc.w1 = e.w1
+      LEFT JOIN uni ON uni.token = e.w2
+      WHERE e.w1 IS NOT NULL
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-AVG(ln(s)), 4) AS backoff_nll
+    FROM scored GROUP BY doc_id
+    ORDER BY backoff_nll DESC, doc_id LIMIT 20
+    """,
+)
+def text_backoff_lm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM (Brants et al. 2007) with a REAL
+    held-out split: train on doc_id % 10 ≠ 0, score the held-out tenth
+    with p = c₁₂/c₁ if the bigram was seen, else 0.4·p_uni(w₂) (OOV
+    floor 1e-6) — per-doc mean NLL, worst 20 docs. Where
+    [[text_bigram_nll]] interpolates and scores in-sample (a quality
+    heuristic), this is the eval-protocol form: held-out perplexity,
+    the number LM-data ablations actually compare.
+
+    Plan: bigrams from one windowed lag per side; the vocabulary-sized
+    unigram/context tables broadcast; the bigram table joins LEFT so
+    unseen bigrams fall through to backoff (no inner-join row loss —
+    the exact mistake a naive port makes). Per-doc agg partial-combines
+    on doc_id; the double NLL fold is per-doc over ≤doc-length terms,
+    rounded 4 (the float-fold tolerance protocol).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    )
+    train = tok.filter(F.col("doc_id") % 10 != 0)
+    test = tok.filter(F.col("doc_id") % 10 == 0)
+    total = train.count()
+    uni = train.groupBy("token").agg(
+        (F.count("*").cast("double") / F.lit(float(total))).alias("pu")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tbig = train.select(
+        F.col("token").alias("w2"), F.lag("token").over(w).alias("w1")
+    ).filter(F.col("w1").isNotNull())
+    bc = tbig.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    ebig = test.select(
+        "doc_id", F.col("token").alias("w2"), F.lag("token").over(w).alias("w1")
+    ).filter(F.col("w1").isNotNull())
+    scored = (
+        ebig.join(bc, ["w1", "w2"], "left")
+        .join(F.broadcast(cc), "w1", "left")
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w2"), "pu")), "w2", "left"
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c12").isNotNull(), F.col("c12") / (1.0 * F.col("c1"))
+            )
+            .otherwise(0.4 * F.coalesce(F.col("pu"), F.lit(0.000001)))
+            .alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(F.log("s")), 4).alias("backoff_nll"),
+        )
+        .orderBy(F.desc("backoff_nll"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "text_shingle_size_sweep",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT k.k, t.doc_id,
+             array_to_string(ws[i : i + k.k - 1], ' ') AS shingle
+      FROM tok t
+      CROSS JOIN (SELECT UNNEST([2, 3, 4]) AS k) k
+      CROSS JOIN LATERAL UNNEST(range(1, len(ws) - k.k + 2)) AS u(i)
+    ),
+    per AS (
+      SELECT k, shingle, COUNT(*) AS c FROM sh GROUP BY k, shingle
+    )
+    SELECT k AS shingle_len,
+           SUM(c) AS total_shingles,
+           COUNT(*) AS distinct_shingles,
+           ROUND((SUM(c) - COUNT(*)) / (1.0 * SUM(c)), 6) AS dup_mass,
+           ROUND(COUNT(*) FILTER (WHERE c = 1) / (1.0 * COUNT(*)), 6)
+             AS unique_ratio
+    FROM per GROUP BY k ORDER BY k
+    """,
+)
+def text_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-length design sweep for near-dup detection: at k = 2, 3,
+    4 word-shingles, the corpus-wide duplicate mass (1 − distinct/total)
+    and the fraction of shingles seen exactly once — the two curves that
+    pick MinHash's shingle size ([[dedup_minhash_lsh_pairs]] fixes k;
+    this is the experiment that justifies it: too-small k saturates
+    dup_mass on common phrases, too-large k sends unique_ratio → 1 and
+    kills recall).
+
+    Exactness: all counts are exact integers; two ratios rounded 6.
+    Plan: ONE pass — every (k, position) shingle comes from a transform
+    over the token array (3 slice-joins per row, no per-k rescans), then
+    one (k, shingle) groupBy; the sweep is a 3-row result.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+
+    def shingles_of(kk: int):
+        # closure factory, NOT a default-arg lambda: a 2-arg transform
+        # lambda would receive (element, index) and shadow the bound k.
+        # The when-guard matters: Spark's sequence(1, 0) is a DESCENDING
+        # [1, 0], not empty, so a doc shorter than k needs an explicit
+        # empty array (DuckDB's range(1, n-k+2) is empty there).
+        body = F.transform(
+            F.sequence(F.lit(1), F.size(ws) - kk + 1),
+            lambda i: F.struct(
+                F.lit(kk).alias("k"),
+                F.array_join(F.slice(ws, i, kk), " ").alias("shingle"),
+            ),
+        )
+        empty = F.array().cast("array<struct<k:int,shingle:string>>")
+        return F.when(F.size(ws) >= kk, body).otherwise(empty)
+
+    shingled = docs.select(
+        F.explode(
+            F.flatten(F.array(*[shingles_of(k) for k in (2, 3, 4)]))
+        ).alias("s")
+    ).select(F.col("s.k").alias("k"), F.col("s.shingle").alias("shingle"))
+    per = shingled.groupBy("k", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy(F.col("k").alias("shingle_len"))
+        .agg(
+            F.sum("c").alias("total_shingles"),
+            F.count(F.lit(1)).alias("distinct_shingles"),
+            F.round(
+                (F.sum("c") - F.count(F.lit(1))) / (1.0 * F.sum("c")), 6
+            ).alias("dup_mass"),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                / (1.0 * F.count(F.lit(1))),
+                6,
+            ).alias("unique_ratio"),
+        )
+        .orderBy("shingle_len")
+    )
