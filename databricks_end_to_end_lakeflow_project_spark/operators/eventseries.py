@@ -2544,3 +2544,83 @@ def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_rfm_migration",
+    """
+    WITH bounds AS (
+      -- midpoint at integer epoch-microseconds: exact and identical in
+      -- both engines (interval halving rounds differently)
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cutoff_us
+      FROM events
+    ),
+    act AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) < bounds.cutoff_us THEN 1 ELSE 2 END
+               AS period
+      FROM events, bounds
+    ),
+    freq AS (
+      SELECT period, user_id, COUNT(*) AS n FROM act GROUP BY period, user_id
+    ),
+    seg AS (
+      SELECT period, user_id,
+             NTILE(4) OVER (PARTITION BY period ORDER BY n, user_id) AS segment
+      FROM freq
+    )
+    SELECT COALESCE(p1.segment, 0) AS seg_before,
+           COALESCE(p2.segment, 0) AS seg_after,
+           COUNT(*) AS n_users
+    FROM (SELECT user_id, segment FROM seg WHERE period = 1) p1
+    FULL OUTER JOIN (SELECT user_id, segment FROM seg WHERE period = 2) p2
+      ON p1.user_id = p2.user_id
+    GROUP BY COALESCE(p1.segment, 0), COALESCE(p2.segment, 0)
+    ORDER BY seg_before, seg_after
+    """,
+)
+def events_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-segment migration matrix: split the event log at its
+    midpoint, quartile users by activity within each half (NTILE over a
+    deterministic (count, user_id) order), and count users per
+    (segment-before → segment-after) cell, with 0 = absent (new or
+    churned) — the segment-flow diagram behind retention dashboards
+    ([[rfm_customer_segments]] scores ONE period; this tracks movement
+    BETWEEN periods, which is what an intervention actually changes).
+
+    Exactness: the cutoff is the integer epoch-microsecond midpoint
+    (interval halving rounds engine-specifically — caught live); all
+    counts integer; NTILE's equal-split-remainder-first semantics are
+    identical in both engines under the pinned total order. Plan: one
+    1-row bounds broadcast over the scan, one (period, user) groupBy,
+    one per-period window over the user frame, one full outer join of
+    the two ≤|users|-row segment frames.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    bounds = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("cutoff_us")
+    )
+    act = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(F.col("us") < F.col("cutoff_us"), 1).otherwise(2).alias("period"),
+    )
+    freq = act.groupBy("period", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    wseg = Window.partitionBy("period").orderBy("n", "user_id")
+    seg = freq.select("period", "user_id", F.ntile(4).over(wseg).alias("segment"))
+    p1 = seg.filter(F.col("period") == 1).select(
+        "user_id", F.col("segment").alias("s1")
+    )
+    p2 = seg.filter(F.col("period") == 2).select(
+        "user_id", F.col("segment").alias("s2")
+    )
+    return (
+        p1.join(p2, "user_id", "full_outer")
+        .groupBy(
+            F.coalesce(F.col("s1"), F.lit(0)).alias("seg_before"),
+            F.coalesce(F.col("s2"), F.lit(0)).alias("seg_after"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("seg_before", "seg_after")
+    )

@@ -1384,3 +1384,174 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("n_directed_edges"),
         F.round(num * 1.0 / den, 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: partition quality and bipartite projection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_modularity_by_brand",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    lab AS (SELECT p_partkey, p_brand FROM part),
+    el AS (
+      SELECT ps.p_brand AS c_src, pd.p_brand AS c_dst
+      FROM e
+      JOIN lab ps ON e.src = ps.p_partkey
+      JOIN lab pd ON e.dst = pd.p_partkey
+    ),
+    m AS (SELECT COUNT(*) AS m2 FROM el),
+    within AS (
+      SELECT COUNT(*) AS w FROM el WHERE c_src = c_dst
+    ),
+    degs AS (
+      SELECT c_src AS community, COUNT(*) AS d FROM el GROUP BY c_src
+    ),
+    dsq AS (SELECT SUM(d * d) AS sd2, COUNT(*) AS n_comm FROM degs)
+    SELECT CAST(n_comm AS BIGINT) AS n_communities,
+           CAST(m2 AS BIGINT) AS n_directed_edges,
+           CAST(w AS BIGINT) AS n_within_edges,
+           ROUND(w / (1.0 * m2) - sd2 / (1.0 * m2 * m2), 6) AS modularity
+    FROM m, within, dsq
+    """,
+)
+def graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of a GIVEN partition — the part-BRAND labels — over the co-order affinity graph: Q = Σ_c (e_c/m −
+    (d_c/m)²) on the symmetric directed edge list. The quality score
+    that tells you whether a candidate community structure (here: does
+    manufacturer predict co-purchase?) beats random wiring; pairs with
+    [[graph_label_propagation]], whose discovered labels this metric
+    evaluates.
+
+    Exactness: within-community edges, per-community degrees and the
+    edge total are exact integers; Q is two integer ratios in one
+    expression, rounded 6. Plan: the co-order edge join, two broadcast
+    label joins, then ONE aggregate + a ≤|brands|-row degree frame — the
+    corpus is scanned once.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lab = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("c")
+    )
+    edges = cooccurrence_edges(li)
+    el = (
+        edges.join(
+            F.broadcast(lab.select(F.col("pk").alias("src"), F.col("c").alias("c_src"))),
+            "src",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("pk").alias("dst"), F.col("c").alias("c_dst"))),
+            "dst",
+        )
+        .select("c_src", "c_dst")
+    )
+    el = persist_once(el)
+    m = el.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0)).alias("w"),
+    )
+    dsq = (
+        el.groupBy("c_src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum(F.col("d") * F.col("d")).alias("sd2"),
+            F.count(F.lit(1)).alias("n_comm"),
+        )
+    )
+    return m.crossJoin(F.broadcast(dsq)).select(
+        F.col("n_comm").cast("long").alias("n_communities"),
+        F.col("m2").cast("long").alias("n_directed_edges"),
+        F.col("w").cast("long").alias("n_within_edges"),
+        F.round(
+            F.col("w") / (1.0 * F.col("m2"))
+            - F.col("sd2") / (1.0 * F.col("m2") * F.col("m2")),
+            6,
+        ).alias("modularity"),
+    )
+
+
+@query(
+    "graph_bipartite_type_projection",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    sz AS (
+      SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_common
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(p.n_common / (SQRT(sa.n) * SQRT(sb.n)), 6) AS cosine,
+           ROUND(p.n_common / (1.0 * (sa.n + sb.n - p.n_common)), 6)
+             AS jaccard
+    FROM pairs p
+    JOIN sz sa ON sa.event_type = p.type_a
+    JOIN sz sb ON sb.event_type = p.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def graph_bipartite_type_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the user–event-type graph onto the type
+    side: for every type pair, the shared-user count with cosine and
+    Jaccard audience overlap — the graph-construction step behind
+    co-engagement recommenders ([[graph_jaccard_link_prediction]] scores
+    node pairs of ONE projected graph; this BUILDS the projection,
+    weights included).
+
+    Exactness: distinct (user, type) membership, per-type audience sizes
+    and pair intersections are exact integers; cosine/Jaccard are one
+    expression per pair row, rounded 6. Plan: one distinct, one
+    self-equi-join on user_id (per-user fan-out bounded by |types|² ≤
+    25), one groupBy to the ≤10-row pair frame with broadcast size
+    joins.
+    """
+    ut = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    ut = persist_once(ut)
+    sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a", "type_b", "n_common", "n_a", "n_b",
+            F.round(
+                F.col("n_common") / (F.sqrt(F.col("n_a")) * F.sqrt(F.col("n_b"))), 6
+            ).alias("cosine"),
+            F.round(
+                F.col("n_common")
+                / (1.0 * (F.col("n_a") + F.col("n_b") - F.col("n_common"))),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -38,6 +38,9 @@ NON_EQUI_WHITELIST = {
     "stats_eb_shrinkage",  # 1-row broadcast prior (m, v, k) over the 25-row nation frame
     "stats_jackknife_loo_rate",  # 1-row broadcast totals/means over the 25-row nation frame
     "ts_sax_symbolize",  # 1-row broadcast global moments over the ~13-row segment frame
+    "text_burstiness_topterms",  # 1-row broadcast doc-count over the term frame
+    "graph_modularity_by_brand",  # 1-row broadcast degree-moment frame × 1-row edge totals
+    "events_rfm_migration",  # 1-row broadcast epoch-midpoint bounds over the scan
     "monitor_chisq_type_drift",  # 1-row broadcast totals over |categories| rows
     "q15_top_supplier",  # 1-row broadcast scalar MAX over the cached revenue frame
     "agg_histogram_price_bins",  # 1-row broadcast grand total over |bins| rows
