@@ -1874,3 +1874,114 @@ def cdc_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 addition: Write-Audit-Publish (WAP)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_write_audit_publish",
+    """
+    WITH batch AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 70 = 0 THEN -o_totalprice
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 140 = 0 THEN NULL
+                  ELSE o_custkey END AS o_custkey
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    audit AS (
+      SELECT *,
+             (o_custkey IS NOT NULL) AND (o_totalprice > 0) AS ok
+      FROM batch
+    )
+    SELECT CAST((SELECT COUNT(*) FROM audit) AS BIGINT) AS n_staged,
+           CAST(COUNT(*) FILTER (WHERE ok) AS BIGINT) AS n_published,
+           CAST(COUNT(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN ok
+                    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS published_cents,
+           CAST(SUM(CASE WHEN ok THEN o_orderkey END) AS BIGINT)
+             AS published_key_checksum
+    FROM audit
+    """,
+)
+def cdc_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (the Iceberg/Netflix WAP pattern) end to end
+    through the managed-table commit protocol: STAGE an incoming batch
+    (a deterministic 1-in-7 orders sample with 1-in-70 corrupted prices
+    and 1-in-140 nulled keys injected) into a staging table, AUDIT it
+    with DLT-style expectations (non-null key, positive total), PUBLISH
+    only passing rows to the target as one atomic commit and quarantine
+    the rest — then report the staged/published/quarantined counts plus
+    the published value checksum, all read back FROM THE TABLES (the
+    oracle recomputes them from the source, so the whole
+    stage→audit→publish→read path is value-verified).
+
+    Scale notes: the audit is one predicate pass over the staged batch
+    (no corpus rescan); publish is the table's staged-rename commit —
+    the same journaled protocol the crash matrix pins
+    (tests/test_crash_recovery.py), which is exactly what makes
+    audit-then-publish safe: a crash between audit and publish leaves
+    the target untouched.
+    """
+    import os as _os
+
+    from databricks_end_to_end_lakeflow_project_spark.pipeline.expectations import (
+        split_expectations,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+        ephemeral_dir,
+    )
+
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    batch = od.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 70 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 140 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    root = ephemeral_dir("wap_")
+    staging = ManagedParquetTable(spark, _os.path.join(root, "staging"))
+    target = ManagedParquetTable(spark, _os.path.join(root, "target"))
+    quarantine = ManagedParquetTable(spark, _os.path.join(root, "quarantine"))
+    # WRITE: the batch lands in staging (atomic, but invisible to consumers)
+    staging.overwrite(batch)
+    # AUDIT: expectations over the staged rows only
+    passed, violated = split_expectations(
+        staging.read(),
+        {
+            "valid_custkey": "o_custkey IS NOT NULL",
+            "positive_total": "o_totalprice > 0",
+        },
+        dataset="wap_batch",
+    )
+    # PUBLISH: one atomic commit per side
+    target.overwrite(passed)
+    quarantine.overwrite(violated.drop("__failed_rules", "__dataset"))
+    pub = target.read().agg(
+        F.count(F.lit(1)).alias("n_published"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "published_cents"
+        ),
+        F.sum("o_orderkey").alias("published_key_checksum"),
+    )
+    sizes = (
+        staging.read()
+        .agg(F.count(F.lit(1)).alias("n_staged"))
+        .crossJoin(F.broadcast(quarantine.read().agg(F.count(F.lit(1)).alias("n_quarantined"))))
+    )
+    return sizes.crossJoin(F.broadcast(pub)).select(
+        "n_staged",
+        "n_published",
+        "n_quarantined",
+        "published_cents",
+        F.col("published_key_checksum").cast("long").alias("published_key_checksum"),
+    )

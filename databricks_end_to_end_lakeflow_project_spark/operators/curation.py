@@ -1517,3 +1517,79 @@ def pipeline_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 addition: length-bucketed batching efficiency
+# ---------------------------------------------------------------------------
+
+_LB_BUCKETS = 8
+
+
+@query(
+    "curation_length_bucket_padding",
+    f"""
+    WITH bounds AS (
+      SELECT MIN(n_chars) AS lo,
+             ((MAX(n_chars) - MIN(n_chars)) // {_LB_BUCKETS}) + 1 AS width
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT LEAST((n_chars - bounds.lo) // bounds.width,
+                   {_LB_BUCKETS - 1}) AS bucket,
+             n_chars
+      FROM documents, bounds
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           SUM(n_chars) AS total_chars,
+           ROUND(SUM(n_chars) / (1.0 * COUNT(*) * MAX(n_chars)), 6)
+             AS pad_efficiency
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def curation_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: split documents into
+    {_LB_BUCKETS} equal-width length buckets and report each bucket's
+    padding efficiency Σlen/(n·max_len) — the fraction of a padded batch
+    that is real tokens when batches are drawn within a bucket. The
+    design input for bucketed batching (dynamic batching's static
+    sibling): compare against the unbucketed efficiency to justify the
+    extra shuffle. [[pack_sequences_token_budget]] PACKS around padding;
+    this MEASURES how much bucketing alone recovers.
+
+    Exactness: bucket id, counts, min/max/sum are exact integer
+    arithmetic off a 1-row broadcast bounds frame; one division per
+    bucket row, rounded 6. Plan: one scan + one {_LB_BUCKETS}-row
+    groupBy — n_chars is a stored column, so the scan prunes to two
+    columns.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("n_chars")
+    bounds = docs.agg(
+        F.min("n_chars").alias("lo"),
+        (
+            ((F.max("n_chars") - F.min("n_chars")) / _LB_BUCKETS).cast("long") + 1
+        ).alias("width"),
+    )
+    bucketed = docs.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            ((F.col("n_chars") - F.col("lo")) / F.col("width")).cast("long"),
+            F.lit(_LB_BUCKETS - 1),
+        ).alias("bucket"),
+        "n_chars",
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(
+                F.sum("n_chars") / (1.0 * F.count(F.lit(1)) * F.max("n_chars")), 6
+            ).alias("pad_efficiency"),
+        )
+        .orderBy("bucket")
+    )

@@ -466,3 +466,97 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the text characters directly."""
     media = documents_as_media(read_table(spark, sf_dir, "documents"))
     return extract_patches(media)
+
+
+# ---------------------------------------------------------------------------
+# round-7 addition: aspect-ratio bucketing (SDXL-style batch grouping)
+# ---------------------------------------------------------------------------
+
+_ASPECT_BUCKETS = (0.5, 0.75, 1.0, 1.3333, 2.0)
+
+
+def _aspect_case_sql() -> str:
+    """Nearest-bucket CASE over |log(ar) − log(b)| — unrolled so DuckDB
+    computes the identical argmin the Spark expression tree does."""
+    dist = lambda b: f"ABS(LN(ar) - LN({b}))"  # noqa: E731
+    lines = []
+    for b in _ASPECT_BUCKETS:
+        others = " AND ".join(
+            f"({dist(b)} < {dist(o)} OR ({dist(b)} = {dist(o)} AND {b} <= {o}))"
+            for o in _ASPECT_BUCKETS
+            if o != b
+        )
+        lines.append(f"WHEN {others} THEN {b}")
+    return "CASE " + " ".join(lines) + " END"
+
+
+@query(
+    "multimodal_aspect_bucketing",
+    f"""
+    WITH dims AS (
+      SELECT doc_id,
+             (64 + octet_length(encode(text)) % 512)::INT AS width,
+             (64 + (octet_length(encode(text)) * 31) % 512)::INT AS height
+      FROM documents
+    ),
+    ar AS (
+      SELECT doc_id, width, height,
+             width / (1.0 * height) AS ar
+      FROM dims
+    ),
+    bucketed AS (
+      SELECT doc_id, width, height, ar,
+             CAST({_aspect_case_sql()} AS DOUBLE) AS bucket
+      FROM ar
+    )
+    SELECT bucket AS aspect_bucket,
+           COUNT(*) AS n_images,
+           ROUND(AVG(1 - LEAST(ar / bucket, bucket / ar)), 6) AS mean_crop_waste
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def multimodal_aspect_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for image-batch training (the SDXL
+    recipe): decode each image's dimensions (deterministic fake codec —
+    the real-codec stub contract, `decode_image_meta`), snap its aspect
+    ratio to the nearest of {len(_ASPECT_BUCKETS)} canonical buckets in
+    log space, and report per-bucket volume plus the mean crop waste
+    1 − min(ar/b, b/ar) — the fraction of pixels lost when the batch is
+    centre-cropped to the bucket shape. The batching sibling of
+    [[curation_length_bucket_padding]] (text pads, images crop).
+
+    Exactness: dimensions are exact integer arithmetic on payload
+    length; the log-space argmin and waste are per-row expression trees
+    with deterministic ≤-tiebreak, rounded 6 after one |buckets|-row
+    aggregate of per-row doubles folded... no: AVG of doubles per
+    bucket — bucket populations are large, so the mean is rounded 6
+    under the float-fold tolerance protocol. Plan: the mapInPandas
+    feature pass (real Arrow plumbing), then one ≤5-row groupBy.
+    """
+    media = documents_as_media(read_table(spark, sf_dir, "documents"))
+    feats = extract_image_features(media).select(
+        "doc_id", (F.col("width") / (1.0 * F.col("height"))).alias("ar")
+    )
+    bucket = None
+    for b in _ASPECT_BUCKETS:
+        d_b = F.abs(F.log("ar") - F.log(F.lit(b)))
+        cond = None
+        for o in _ASPECT_BUCKETS:
+            if o == b:
+                continue
+            d_o = F.abs(F.log("ar") - F.log(F.lit(o)))
+            c = (d_b < d_o) | ((d_b == d_o) & (F.lit(b) <= F.lit(o)))
+            cond = c if cond is None else (cond & c)
+        bucket = (
+            F.when(cond, F.lit(b)) if bucket is None else bucket.when(cond, F.lit(b))
+        )
+    waste = 1 - F.least(F.col("ar") / F.col("bucket"), F.col("bucket") / F.col("ar"))
+    return (
+        feats.withColumn("bucket", bucket)
+        .groupBy(F.col("bucket").alias("aspect_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg(waste), 6).alias("mean_crop_waste"),
+        )
+        .orderBy("aspect_bucket")
+    )

@@ -587,3 +587,83 @@ def privacy_contribution_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 addition: exponential mechanism (DP selection)
+# ---------------------------------------------------------------------------
+
+_EM_EPS = 1.0  # privacy budget for the selection
+
+
+@query(
+    "privacy_exponential_mechanism",
+    f"""
+    WITH cand AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    keyed AS (
+      SELECT lang, n,
+             -- Gumbel-max trick with a content-hash uniform draw:
+             -- u = (md5(lang)[:7] + 1) / (16^7 + 1), g = -ln(-ln u)
+             {_EM_EPS} * n / 2.0
+               - LN(-LN((('0x' || SUBSTRING(md5(lang), 1, 7))::BIGINT + 1)
+                        / 268435457.0)) AS dp_score
+      FROM cand
+    )
+    SELECT lang, n,
+           ROUND(dp_score, 6) AS dp_score,
+           lang = (SELECT lang FROM keyed
+                   ORDER BY dp_score DESC, lang LIMIT 1) AS chosen
+    FROM keyed ORDER BY dp_score DESC, lang
+    """,
+)
+def privacy_exponential_mechanism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential mechanism (McSherry & Talwar) selecting the modal
+    document language under ε={_EM_EPS} differential privacy, via the
+    Gumbel-max formulation: score(c) = ε·u(c)/2Δ + Gumbel, argmax wins
+    (count utility, sensitivity Δ=1). The DP answer to 'which category
+    is biggest' that [[privacy_dp_noisy_counts]]' per-cell noise can't
+    give directly (argmax of noisy counts burns budget per cell; the
+    exponential mechanism pays once).
+
+    The Gumbel draw is the house PRF convention ([[sample_weighted_reservoir]]):
+    a content hash of the candidate, identical in both engines — the
+    selection is a pure function of the data, so rerun/engine/cluster
+    invariant. Plan: one groupBy to the K-candidate frame; the winner is
+    a TakeOrderedAndProject 1-row broadcast (no unpartitioned ranking
+    window — the house rule).
+    """
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        hash_hex,
+    )
+
+    cand = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    u = (F.conv(hash_hex(F.col("lang"), 7), 16, 10).cast("double") + 1) / F.lit(
+        float(16**7) + 1
+    )
+    keyed = cand.select(
+        "lang", "n",
+        (_EM_EPS * F.col("n") / 2.0 - F.log(-F.log(u))).alias("dp_score"),
+    )
+    from databricks_end_to_end_lakeflow_project_spark.session import persist_once
+
+    keyed = persist_once(keyed)
+    best = (
+        keyed.orderBy(F.desc("dp_score"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("best_lang"))
+    )
+    return (
+        keyed.crossJoin(F.broadcast(best))
+        .select(
+            "lang", "n",
+            F.round("dp_score", 6).alias("dp_score"),
+            (F.col("lang") == F.col("best_lang")).alias("chosen"),
+        )
+        .orderBy(F.desc("dp_score"), "lang")
+    )

@@ -1262,3 +1262,94 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stratum string, n_h long, exact_alloc double, n_alloc long",
     )
     return out.orderBy("stratum")
+
+
+# ---------------------------------------------------------------------------
+# round-7 addition: class-balanced loss weights
+# ---------------------------------------------------------------------------
+
+_ENS_BETA = 0.999  # effective-number-of-samples smoothing (Cui et al. 2019)
+
+
+@query(
+    "sample_class_weights_effective",
+    f"""
+    WITH cls AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n,
+             1.0 / n AS w_inv,
+             (1 - {_ENS_BETA}) / (1 - POWER({_ENS_BETA}, n)) AS w_ens,
+             COUNT(*) OVER () AS k
+      FROM cls
+    ),
+    tot AS (
+      SELECT
+        list_reduce(list_prepend(0.0::DOUBLE,
+          (SELECT LIST(w_inv ORDER BY lang) FROM w)), (a, b) -> a + b) AS si,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          (SELECT LIST(w_ens ORDER BY lang) FROM w)), (a, b) -> a + b) AS se
+    )
+    SELECT lang, n,
+           ROUND(w_inv * k / si, 6) AS weight_inverse_freq,
+           ROUND(w_ens * k / se, 6) AS weight_effective_num
+    FROM w, tot ORDER BY lang
+    """,
+)
+def sample_class_weights_effective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced loss weights per language: plain inverse frequency
+    and the effective-number-of-samples variant (Cui et al. 2019,
+    w ∝ (1−β)/(1−βⁿ), β={_ENS_BETA}) — the re-weighting that stops a
+    90%-English corpus from drowning the tail without the variance
+    blow-up naive 1/n causes on tiny classes. Both weights are
+    normalized to mean 1 over the K classes (the convention loss
+    implementations expect).
+
+    Exactness: class counts are exact integers; each weight is one
+    POWER/division per class row; the two normalizers fold the ≤K
+    per-class doubles in pinned lang order on both engines, rounded 6.
+    Plan: one map-side-combinable groupBy; everything else is the
+    K-row class frame.
+    """
+    cls = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = cls.select(
+        "lang",
+        "n",
+        (1.0 / F.col("n")).alias("w_inv"),
+        ((1 - _ENS_BETA) / (1 - F.pow(F.lit(_ENS_BETA), F.col("n")))).alias("w_ens"),
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("lang"), col.alias("v")))),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    tot = w.groupBy().agg(
+        fold(F.col("w_inv")).alias("si"),
+        fold(F.col("w_ens")).alias("se"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n",
+            F.round(F.col("w_inv") * F.col("k") / F.col("si"), 6).alias(
+                "weight_inverse_freq"
+            ),
+            F.round(F.col("w_ens") * F.col("k") / F.col("se"), 6).alias(
+                "weight_effective_num"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -4163,3 +4163,82 @@ def stats_kendall_tau_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kendall_tau_b"),
     )
+
+
+@query(
+    "monitor_order_total_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                            * 100) AS BIGINT)) AS computed_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    rec AS (
+      SELECT o.o_orderstatus AS order_status,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS stated_cents,
+             li.computed_cents
+      FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT order_status,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE stated_cents = computed_cents)
+             AS n_exact_match,
+           ROUND(SUM(ABS(stated_cents - computed_cents))
+                 / (100.0 * COUNT(*)), 2) AS mean_abs_diff,
+           ROUND(MAX(ABS(stated_cents - computed_cents)) / 100.0, 2)
+             AS max_abs_diff
+    FROM rec GROUP BY order_status ORDER BY order_status
+    """,
+)
+def monitor_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-derived reconciliation: per order status, compare each
+    order's STATED total against the total COMPUTED from its line items
+    (Σ extprice·(1−disc)·(1+tax)) — the finance-pipeline sanity check
+    that catches silent drops/duplications a row-count audit
+    ([[monitor_fk_integrity_audit]]) cannot (counts match while values
+    drift). On this synthetic corpus the columns are generated
+    independently, so the report quantifies the expected disagreement —
+    the operator's value is the CONTRACT, exercised end to end.
+
+    Exactness: every money value is quantized to integer cents per row
+    before any aggregate (the house money protocol), so sums, the match
+    predicate and the max are exact; the two divisions happen once per
+    status row, rounded 2. Plan: one map-side-combinable per-order
+    groupBy, one join on the order key, one |status|-row aggregate.
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                ).cast("long")
+            ).alias("computed_cents")
+        )
+    )
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("order_status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("stated_cents"),
+    )
+    rec = od.join(li, od["o_orderkey"] == li["l_orderkey"])
+    diff = F.abs(F.col("stated_cents") - F.col("computed_cents"))
+    return (
+        rec.groupBy("order_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("stated_cents") == F.col("computed_cents"), 1).otherwise(0)
+            ).alias("n_exact_match"),
+            F.round(F.sum(diff) / (100.0 * F.count(F.lit(1))), 2).alias(
+                "mean_abs_diff"
+            ),
+            F.round(F.max(diff) / 100.0, 2).alias("max_abs_diff"),
+        )
+        .orderBy("order_status")
+    )

@@ -41,6 +41,10 @@ NON_EQUI_WHITELIST = {
     "text_burstiness_topterms",  # 1-row broadcast doc-count over the term frame
     "graph_modularity_by_brand",  # 1-row broadcast degree-moment frame × 1-row edge totals
     "events_rfm_migration",  # 1-row broadcast epoch-midpoint bounds over the scan
+    "sample_class_weights_effective",  # 1-row broadcast normalizers over the ≤5-row class frame
+    "curation_length_bucket_padding",  # 1-row broadcast (min, width) bounds over the scan
+    "privacy_exponential_mechanism",  # 1-row broadcast argmax winner over the ≤5-row candidate frame
+    "cdc_write_audit_publish",  # 1-row × 1-row × 1-row audit-report aggregates
     "monitor_chisq_type_drift",  # 1-row broadcast totals over |categories| rows
     "q15_top_supplier",  # 1-row broadcast scalar MAX over the cached revenue frame
     "agg_histogram_price_bins",  # 1-row broadcast grand total over |bins| rows
