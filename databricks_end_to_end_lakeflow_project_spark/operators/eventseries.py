@@ -2624,3 +2624,155 @@ def events_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("seg_before", "seg_after")
     )
+
+
+_CROSTON_ALPHA = 0.2  # smoothing for both demand-size and interval series
+
+
+@query(
+    "ts_croston_intermittent",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS q
+      FROM events WHERE event_type IN ('purchase', 'signup', 'error')
+      GROUP BY event_type, d
+    ),
+    seq0 AS (
+      SELECT event_type, d, q,
+             COALESCE(DATE_DIFF('day',
+               LAG(d) OVER (PARTITION BY event_type ORDER BY d), d), 1) AS g
+      FROM daily
+    ),
+    seq AS (
+      SELECT event_type,
+             LIST(q ORDER BY d) AS sizes,
+             LIST(g ORDER BY d) AS gaps
+      FROM seq0 GROUP BY event_type
+    ),
+    sm AS (
+      SELECT event_type,
+             LENGTH(sizes) AS n_demand_days,
+             list_reduce(list_transform(sizes, x -> x::DOUBLE),
+               (acc, x) -> {_CROSTON_ALPHA} * x
+                           + {1 - _CROSTON_ALPHA} * acc) AS z,
+             list_reduce(list_transform(gaps, x -> x::DOUBLE),
+               (acc, x) -> {_CROSTON_ALPHA} * x
+                           + {1 - _CROSTON_ALPHA} * acc) AS p
+      FROM seq
+    )
+    SELECT event_type, n_demand_days,
+           ROUND(z, 4) AS smoothed_size,
+           ROUND(p, 4) AS smoothed_interval,
+           ROUND(z / p, 4) AS croston_rate
+    FROM sm ORDER BY event_type
+    """,
+)
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand: per event type, smooth
+    the nonzero daily demand SIZES and the INTERVALS between demand days
+    as two independent EWMA recursions (α={_CROSTON_ALPHA}) and
+    forecast the demand rate z/p — the standard forecaster when a plain
+    EWMA ([[ts_ewma_final]]) is biased by the zeros (it smooths toward
+    0 between demands; Croston separates 'how much' from 'how often').
+
+    Exactness: sizes are integer counts and gaps integer day diffs; the
+    two recursions are order-pinned sequential folds
+    (sort_array+aggregate vs LIST ORDER BY+list_reduce — the
+    [[ts_ewma_final]] protocol), one division, rounded 4. Plan: one
+    (type, day) groupBy, one per-type window for gaps, per-type arrays
+    bounded by |days|.
+    """
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup", "error"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("q"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    gapped = daily.select(
+        "event_type", "d", "q",
+        F.coalesce(F.datediff(F.col("d"), F.lag("d").over(w)), F.lit(1)).alias("g"),
+    )
+    seq = gapped.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "q", "g"))).alias("s")
+    )
+    sizes = F.transform(F.col("s"), lambda e: e["q"].cast("double"))
+    gaps = F.transform(F.col("s"), lambda e: e["g"].cast("double"))
+
+    def croston(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, x: _CROSTON_ALPHA * x + (1 - _CROSTON_ALPHA) * acc,
+        )
+
+    return (
+        seq.select(
+            "event_type",
+            F.size("s").alias("n_demand_days"),
+            F.round(croston(sizes), 4).alias("smoothed_size"),
+            F.round(croston(gaps), 4).alias("smoothed_interval"),
+            F.round(croston(sizes) / croston(gaps), 4).alias("croston_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "win_gaps_islands_activity",
+    """
+    WITH au AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island_key
+      FROM au
+    ),
+    islands AS (
+      SELECT user_id, island_key, COUNT(*) AS len
+      FROM isl GROUP BY user_id, island_key
+    )
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           MAX(len) AS longest_streak_days,
+           SUM(len) AS total_active_days
+    FROM islands GROUP BY user_id
+    ORDER BY longest_streak_days DESC, user_id LIMIT 10
+    """,
+)
+def win_gaps_islands_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands on per-user activity days — the classic
+    date-minus-row_number trick: consecutive active days share
+    (d − rank), so one groupBy yields each user's streaks; top-10 users
+    by longest streak. The streak-length complement of
+    [[events_growth_accounting]] (which classifies day-over-day state
+    transitions, not runs).
+
+    Exactness: pure integer date arithmetic and counts — no floating
+    point. Plan: one distinct to the (user, day) grid, one PER-USER
+    window (partitioned — island detection never needs a global sort),
+    two groupBys.
+    """
+    au = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = au.select(
+        "user_id", "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island_key"),
+    )
+    islands = isl.groupBy("user_id", "island_key").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("len").alias("longest_streak_days"),
+            F.sum("len").alias("total_active_days"),
+        )
+        .orderBy(F.desc("longest_streak_days"), "user_id")
+        .limit(10)
+    )

@@ -1555,3 +1555,95 @@ def graph_bipartite_type_projection(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("type_a", "type_b")
     )
+
+
+_RICH_KS = (5, 10, 20)
+
+
+@query(
+    "graph_richclub_coefficient",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+    ed AS (
+      SELECT ds.d AS d_src, dd.d AS d_dst
+      FROM e
+      JOIN deg ds ON e.src = ds.node
+      JOIN deg dd ON e.dst = dd.node
+    ),
+    ks AS (SELECT UNNEST([{", ".join(str(k) for k in _RICH_KS)}]) AS k)
+    SELECT ks.k,
+           (SELECT COUNT(*) FROM deg WHERE d > ks.k) AS n_rich_nodes,
+           (SELECT COUNT(*) FROM ed
+             WHERE d_src > ks.k AND d_dst > ks.k) AS n_rich_edges,
+           ROUND((SELECT COUNT(*) FROM ed
+                   WHERE d_src > ks.k AND d_dst > ks.k)
+                 / (1.0 * NULLIF((SELECT COUNT(*) FROM deg WHERE d > ks.k)
+                    * ((SELECT COUNT(*) FROM deg WHERE d > ks.k) - 1), 0)),
+                 6) AS phi
+    FROM ks ORDER BY ks.k
+    """,
+)
+def graph_richclub_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the co-order graph at k ∈
+    {_RICH_KS}: among nodes of degree > k, the realized fraction of
+    possible directed edges — do the hubs preferentially wire to each
+    other? The topology number that decides whether hot-key mitigation
+    faces correlated hub-hub traffic (the worst shuffle case — the
+    follow-up [[graph_degree_assortativity]]'s single correlation hints
+    at, resolved by threshold).
+
+    Exactness: degrees, rich-node counts and rich-edge counts are exact
+    integers; φ is one guarded division per k row, rounded 6. Plan: the
+    edge list is scanned ONCE with degree decorations (two broadcast-
+    degree joins); all three thresholds come from conditional aggregates
+    over that single decorated pass — never a per-k rescan.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = persist_once(cooccurrence_edges(li))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ed = (
+        edges.join(deg.select(F.col("node").alias("src"), F.col("d").alias("d_src")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("d_dst")), "dst")
+    )
+    eagg = ed.agg(
+        *[
+            F.sum(
+                F.when((F.col("d_src") > k) & (F.col("d_dst") > k), 1).otherwise(0)
+            ).alias(f"re_{k}")
+            for k in _RICH_KS
+        ]
+    )
+    nagg = deg.agg(
+        *[
+            F.sum(F.when(F.col("d") > k, 1).otherwise(0)).alias(f"rn_{k}")
+            for k in _RICH_KS
+        ]
+    )
+    wide = eagg.crossJoin(F.broadcast(nagg))
+    rows = [
+        wide.select(
+            F.lit(k).alias("k"),
+            F.col(f"rn_{k}").cast("long").alias("n_rich_nodes"),
+            F.col(f"re_{k}").cast("long").alias("n_rich_edges"),
+            F.round(
+                F.col(f"re_{k}")
+                / (
+                    1.0
+                    * F.nullif(
+                        F.col(f"rn_{k}") * (F.col(f"rn_{k}") - 1), F.lit(0)
+                    )
+                ),
+                6,
+            ).alias("phi"),
+        )
+        for k in _RICH_KS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("k")

@@ -1084,3 +1084,66 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").alias("nationkey"), "n_cust", "n_supp")
         .orderBy(F.col("nationkey").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 addition: quantified comparisons (ALL / ANY)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subq_quantified_all_any",
+    """
+    WITH nation_avg AS (
+      SELECT c_nationkey,
+             AVG(c_acctbal) AS nav
+      FROM customer GROUP BY c_nationkey
+    ),
+    bounds AS (
+      SELECT MAX(nav) AS max_nav, MIN(nav) AS min_nav FROM nation_avg
+    )
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           COUNT(*) FILTER (WHERE c_acctbal > bounds.max_nav)
+             AS n_above_all_nation_avgs,
+           COUNT(*) FILTER (WHERE c_acctbal > bounds.min_nav)
+             AS n_above_any_nation_avg
+    FROM customer, bounds
+    GROUP BY c_mktsegment, bounds.max_nav, bounds.min_nav
+    ORDER BY segment
+    """,
+)
+def subq_quantified_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons per market segment: customers whose
+    balance exceeds ALL per-nation average balances (`> ALL (subquery)`
+    ⇔ `> MAX(subquery)`) and those exceeding ANY (`⇔ > MIN`) — the
+    standard rewrite Spark itself applies, made explicit because the
+    DataFrame API has no ALL/ANY surface. Completes the subquery family
+    ([[subq_exists_late_orders]] EXISTS, [[subq_scalar_above_avg]]
+    scalar, [[subq_lateral_topk]] LATERAL).
+
+    Exactness: the nation averages are exact-rational (decimal sums /
+    counts in both engines reduce to the same double); the bounds are a
+    1-row broadcast; per-segment counts are integers. Plan: one groupBy
+    to the 25-row nation frame, a 1-row bounds aggregate broadcast over
+    ONE customer scan — the quantifier never rescans per row.
+    """
+    cu = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    nav = cu.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nav"))
+    bounds = nav.agg(F.max("nav").alias("max_nav"), F.min("nav").alias("min_nav"))
+    return (
+        cu.crossJoin(F.broadcast(bounds))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.when(F.col("c_acctbal") > F.col("max_nav"), 1).otherwise(0)
+            ).alias("n_above_all_nation_avgs"),
+            F.sum(
+                F.when(F.col("c_acctbal") > F.col("min_nav"), 1).otherwise(0)
+            ).alias("n_above_any_nation_avg"),
+        )
+        .orderBy("segment")
+    )

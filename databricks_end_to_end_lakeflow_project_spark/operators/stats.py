@@ -4242,3 +4242,288 @@ def monitor_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("order_status")
     )
+
+
+_PERM_B = 200  # deterministic permutation replicates
+
+
+@query(
+    "stats_permutation_test",
+    f"""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    obs AS (
+      SELECT SUM(CASE WHEN event_type = 'click' THEN cents END)
+               / (1.0 * COUNT(*) FILTER (WHERE event_type = 'click'))
+           - SUM(CASE WHEN event_type = 'view' THEN cents END)
+               / (1.0 * COUNT(*) FILTER (WHERE event_type = 'view'))
+             AS d_obs
+      FROM ev
+    ),
+    reps AS (
+      SELECT b.b, ev.cents,
+             (('0x' || SUBSTRING(md5(ev.event_id || '_' || b.b), 1, 7))::BIGINT
+              % 2 = 0) AS grp
+      FROM ev CROSS JOIN (SELECT UNNEST(range(0, {_PERM_B})) AS b) b
+    ),
+    dist AS (
+      SELECT b,
+             SUM(CASE WHEN grp THEN cents END)
+               / (1.0 * COUNT(*) FILTER (WHERE grp))
+           - SUM(CASE WHEN NOT grp THEN cents END)
+               / (1.0 * COUNT(*) FILTER (WHERE NOT grp)) AS d
+      FROM reps GROUP BY b
+    )
+    SELECT CAST({_PERM_B} AS BIGINT) AS n_permutations,
+           ROUND(obs.d_obs / 100.0, 4) AS observed_diff,
+           CAST(COUNT(*) FILTER (WHERE ABS(dist.d) >= ABS(obs.d_obs))
+                AS BIGINT) AS n_as_extreme,
+           ROUND((COUNT(*) FILTER (WHERE ABS(dist.d) >= ABS(obs.d_obs)) + 1)
+                 / ({_PERM_B} + 1.0), 4) AS p_value
+    FROM dist, obs GROUP BY obs.d_obs
+    """,
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of the click-vs-view mean value difference with
+    {_PERM_B} DETERMINISTIC relabelings: replicate b reassigns each row
+    by the house content-hash PRF md5(event_id ‖ b) — a pure function of
+    the data, so the null distribution is engine/rerun/cluster
+    invariant. The assumption-free sibling of [[stats_welch_ttest]]
+    (no normality, no variance model), with the +1 small-sample p-value
+    correction.
+
+    Exactness: values quantized to integer cents, so every per-replicate
+    group sum is exact; each replicate difference is a fixed expression
+    on four integers; the as-extreme count is integer. Plan: ONE
+    broadcast fan-out of the scan over the replicate ids (narrow rows:
+    b, cents, grp), one map-side-combinable (b) groupBy — never B
+    rescans of the corpus.
+    """
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        hash_hex,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id", "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    obs = ev.agg(
+        (
+            F.sum(F.when(F.col("event_type") == "click", F.col("cents")))
+            / (1.0 * F.count(F.when(F.col("event_type") == "click", 1)))
+            - F.sum(F.when(F.col("event_type") == "view", F.col("cents")))
+            / (1.0 * F.count(F.when(F.col("event_type") == "view", 1)))
+        ).alias("d_obs")
+    )
+    reps = spark.range(_PERM_B).select(F.col("id").cast("int").alias("b"))
+    grp = (
+        F.conv(
+            hash_hex(F.concat(F.col("event_id"), F.lit("_"), F.col("b")), 7), 16, 10
+        ).cast("long")
+        % 2
+        == 0
+    )
+    dist = (
+        ev.crossJoin(F.broadcast(reps))
+        .select("b", "cents", grp.alias("grp"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.when(F.col("grp"), F.col("cents")))
+                / (1.0 * F.count(F.when(F.col("grp"), 1)))
+                - F.sum(F.when(~F.col("grp"), F.col("cents")))
+                / (1.0 * F.count(F.when(~F.col("grp"), 1)))
+            ).alias("d")
+        )
+    )
+    return (
+        dist.crossJoin(F.broadcast(obs))
+        .groupBy("d_obs")
+        .agg(
+            F.lit(_PERM_B).cast("long").alias("n_permutations"),
+            F.sum(
+                F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+            ).alias("n_as_extreme"),
+        )
+        .select(
+            "n_permutations",
+            F.round(F.col("d_obs") / 100.0, 4).alias("observed_diff"),
+            F.col("n_as_extreme").cast("long").alias("n_as_extreme"),
+            F.round((F.col("n_as_extreme") + 1) / (_PERM_B + 1.0), 4).alias(
+                "p_value"
+            ),
+        )
+    )
+
+
+@query(
+    "stats_cronbach_alpha",
+    """
+    WITH mat AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS i_click,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS i_view,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS i_purchase,
+             COUNT(*) FILTER (WHERE event_type = 'signup') AS i_signup,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS i_error
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(i_click) AS s_c, SUM(i_click * i_click) AS q_c,
+             SUM(i_view) AS s_v, SUM(i_view * i_view) AS q_v,
+             SUM(i_purchase) AS s_p, SUM(i_purchase * i_purchase) AS q_p,
+             SUM(i_signup) AS s_s, SUM(i_signup * i_signup) AS q_s,
+             SUM(i_error) AS s_e, SUM(i_error * i_error) AS q_e,
+             SUM(i_click + i_view + i_purchase + i_signup + i_error) AS s_t,
+             SUM(POWER(i_click + i_view + i_purchase + i_signup + i_error, 2))
+               AS q_t
+      FROM mat
+    )
+    SELECT n AS n_users, 5 AS k_items,
+           ROUND(((q_c - s_c / (1.0 * n) * s_c)
+                + (q_v - s_v / (1.0 * n) * s_v)
+                + (q_p - s_p / (1.0 * n) * s_p)
+                + (q_s - s_s / (1.0 * n) * s_s)
+                + (q_e - s_e / (1.0 * n) * s_e)) / (n - 1.0), 4)
+             AS sum_item_var,
+           ROUND((q_t - s_t / (1.0 * n) * s_t) / (n - 1.0), 4) AS total_var,
+           ROUND((5 / 4.0) * (1 - ((q_c - s_c / (1.0 * n) * s_c)
+                + (q_v - s_v / (1.0 * n) * s_v)
+                + (q_p - s_p / (1.0 * n) * s_p)
+                + (q_s - s_s / (1.0 * n) * s_s)
+                + (q_e - s_e / (1.0 * n) * s_e))
+                / (q_t - s_t / (1.0 * n) * s_t)), 4) AS cronbach_alpha
+    FROM mom
+    """,
+)
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α internal-consistency of the 5 per-user activity
+    'items' (counts of each event type): α = k/(k−1)·(1 − Σσ²ᵢ/σ²ₜ) —
+    do the five engagement signals measure one underlying trait, the
+    scale-reliability gate before combining them into a single
+    engagement score ([[rfm_customer_segments]] combines blindly; this
+    measures whether combining is justified).
+
+    Exactness: the user×item count matrix and every raw moment (Σx, Σx²
+    per item and for the row total) are exact integers from ONE pivoted
+    groupBy; α is a fixed expression tree on those 13 integers, rounded
+    4. Plan: one map-side-combinable groupBy + a 1-row aggregate — the
+    corpus is scanned once.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    items = ["click", "view", "purchase", "signup", "error"]
+    mat = ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == it, 1).otherwise(0)).alias(f"i_{it}")
+            for it in items
+        ]
+    )
+    tot = sum((F.col(f"i_{it}") for it in items[1:]), F.col(f"i_{items[0]}"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for it in items:
+        c = F.col(f"i_{it}")
+        aggs += [F.sum(c).alias(f"s_{it}"), F.sum(c * c).alias(f"q_{it}")]
+    aggs += [F.sum(tot).alias("s_t"), F.sum(tot * tot).alias("q_t")]
+    mom = mat.agg(*aggs)
+    n = F.col("n") * 1.0
+
+    def var(s, q):
+        return (F.col(q) - F.col(s) / n * F.col(s)) / (F.col("n") - 1.0)
+
+    item_var = None
+    for it in items:
+        v = var(f"s_{it}", f"q_{it}")
+        item_var = v if item_var is None else item_var + v
+    total_var = var("s_t", "q_t")
+    return mom.select(
+        F.col("n").alias("n_users"),
+        F.lit(5).alias("k_items"),
+        F.round(item_var, 4).alias("sum_item_var"),
+        F.round(total_var, 4).alias("total_var"),
+        F.round((5 / 4.0) * (1 - item_var / total_var), 4).alias("cronbach_alpha"),
+    )
+
+
+@query(
+    "stats_gumbel_block_maxima",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY d
+    ),
+    weekly AS (
+      SELECT DATE_TRUNC('week', d) AS wk, MAX(x) AS mx
+      FROM daily GROUP BY wk
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n, SUM(mx) AS s1, SUM(mx * mx) AS s2 FROM weekly
+    ),
+    fit AS (
+      SELECT n,
+             SQRT((s2 - s1 / (1.0 * n) * s1) / (n - 1.0))
+               * SQRT(6.0) / PI() AS beta,
+             s1 / (1.0 * n)
+               - 0.5772156649015329
+               * SQRT((s2 - s1 / (1.0 * n) * s1) / (n - 1.0))
+               * SQRT(6.0) / PI() AS mu
+      FROM mom
+    )
+    SELECT CAST(n AS BIGINT) AS n_weeks,
+           ROUND(mu, 4) AS gumbel_mu,
+           ROUND(beta, 4) AS gumbel_beta,
+           ROUND(mu - beta * LN(-LN(1 - 1.0 / 4)), 4) AS return_level_4wk,
+           ROUND(mu - beta * LN(-LN(1 - 1.0 / 52)), 4) AS return_level_52wk
+    FROM fit
+    """,
+)
+def stats_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value (Gumbel, method-of-moments) fit to WEEKLY MAXIMA of
+    the daily event count: β = σ√6/π, μ = x̄ − γβ, plus the 4-week and
+    52-week return levels μ − β·ln(−ln(1−1/T)) — 'how big a day should
+    we provision for', the capacity question the mean-based alarms
+    ([[ts_cusum_drift]], [[stats_page_hinkley_alarm]]) never answer.
+    Block-maxima is the classical EVT route; [[events_hill_tail_index]]
+    is its peaks-over-threshold cousin on the per-user axis.
+
+    Exactness: weekly maxima and their moments (n, Σ, Σ²) are exact
+    integers from two groupBys; the fit and return levels are fixed
+    expression trees on three integers, rounded 4. Plan: groupBy days →
+    groupBy weeks → 1-row aggregate.
+    """
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    weekly = daily.groupBy(F.date_trunc("week", F.col("d")).alias("wk")).agg(
+        F.max("x").alias("mx")
+    )
+    mom = weekly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).alias("s2"),
+    )
+    n = F.col("n") * 1.0
+    sd = F.sqrt((F.col("s2") - F.col("s1") / n * F.col("s1")) / (F.col("n") - 1.0))
+    import math
+
+    beta = sd * math.sqrt(6.0) / math.pi
+    mu = F.col("s1") / n - 0.5772156649015329 * beta
+
+    def rl(t):
+        return mu - beta * math.log(-math.log(1 - 1.0 / t))
+
+    return mom.select(
+        F.col("n").cast("long").alias("n_weeks"),
+        F.round(mu, 4).alias("gumbel_mu"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(rl(4), 4).alias("return_level_4wk"),
+        F.round(rl(52), 4).alias("return_level_52wk"),
+    )

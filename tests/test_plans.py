@@ -45,6 +45,9 @@ NON_EQUI_WHITELIST = {
     "curation_length_bucket_padding",  # 1-row broadcast (min, width) bounds over the scan
     "privacy_exponential_mechanism",  # 1-row broadcast argmax winner over the ≤5-row candidate frame
     "cdc_write_audit_publish",  # 1-row × 1-row × 1-row audit-report aggregates
+    "stats_permutation_test",  # bounded broadcast replicate-id fan-out (B=200 ints) + 1-row observed-diff join
+    "subq_quantified_all_any",  # 1-row broadcast (max, min) nation-average bounds — the ALL/ANY rewrite
+    "graph_richclub_coefficient",  # 1-row × 1-row rich-node/rich-edge conditional aggregates
     "monitor_chisq_type_drift",  # 1-row broadcast totals over |categories| rows
     "q15_top_supplier",  # 1-row broadcast scalar MAX over the cached revenue frame
     "agg_histogram_price_bins",  # 1-row broadcast grand total over |bins| rows
