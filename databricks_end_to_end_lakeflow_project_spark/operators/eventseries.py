@@ -2776,3 +2776,161 @@ def win_gaps_islands_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("longest_streak_days"), "user_id")
         .limit(10)
     )
+
+
+@query(
+    "events_transition_entropy",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    tc AS (
+      SELECT event_type AS cur, nxt, COUNT(*) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    row_tot AS (
+      SELECT cur, nxt, c,
+             SUM(c) OVER (PARTITION BY cur) AS rc,
+             SUM(c) OVER () AS n
+      FROM tc
+    ),
+    terms AS (
+      SELECT cur, nxt,
+             -- joint-weighted conditional-entropy term, quantized to
+             -- 1e-12 longs so the cross-cell fold is order-free
+             CAST(ROUND((c / (1.0 * n))
+                        * LN(rc / (1.0 * c)) * 1000000000000) AS BIGINT)
+               AS tq,
+             rc, n
+      FROM row_tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_transitions_kinds,
+           ROUND(SUM(tq) / 1000000000000.0 / LN(2), 6)
+             AS conditional_entropy_bits
+    FROM terms
+    """,
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy H(next | current) over the
+    per-user event-type chain, in bits — 'how predictable is the next
+    action': 0 = deterministic funnels, log₂|types| = pure noise. The
+    one-number summary of the transition matrix
+    [[events_path_transitions]] lists (and the order-aware complement of
+    [[text_source_mix_entropy]]'s static mix).
+
+    Exactness: transition counts and both marginals are exact integers;
+    each (cur, next) cell's joint-weighted term is quantized to 1e-12
+    longs BEFORE the cross-cell sum (the house quantize-then-aggregate
+    protocol), so the fold is order-free; one division + ln2 rescale,
+    rounded 6. Plan: one per-user LEAD window, one ≤|types|²-row
+    groupBy, windows over that tiny cell frame.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    tc = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("cur")
+    tot = tc.agg(F.sum("c").alias("n"))  # 1-row broadcast, not a global window
+    terms = tc.crossJoin(F.broadcast(tot)).select(
+        "cur",
+        "nxt",
+        F.round(
+            (F.col("c") / (1.0 * F.col("n")))
+            * F.log(F.sum("c").over(wc) / (1.0 * F.col("c")))
+            * 1_000_000_000_000
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    import math
+
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions_kinds"),
+        F.round(F.sum("tq") / 1_000_000_000_000.0 / math.log(2), 6).alias(
+            "conditional_entropy_bits"
+        ),
+    )
+
+
+@query(
+    "events_midnight_sessions",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) > INTERVAL {_CONC_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id
+                 ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS sid
+        FROM marked
+      ) GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE CAST(s_start AS DATE)
+                                  <> CAST(s_end AS DATE)) AS BIGINT)
+             AS n_midnight_spanning,
+           ROUND(COUNT(*) FILTER (WHERE CAST(s_start AS DATE)
+                                   <> CAST(s_end AS DATE))
+                 / (1.0 * COUNT(*)), 6) AS spanning_share,
+           ROUND(AVG(DATE_DIFF('second', s_start, s_end)), 2)
+             AS mean_session_seconds
+    FROM sessions
+    """,
+)
+def events_midnight_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Midnight-spanning session audit: share of {_CONC_GAP_MIN}-minute-gap
+    sessions that cross a day boundary, plus mean session length — the
+    number that decides whether day-partitioned downstream aggregates
+    ([[events_dau_wau_mau]], [[events_concurrency_peak]]'s per-day
+    carry) can treat days as independent or must carry cross-midnight
+    state. High spanning share ⇒ per-day session metrics double-count.
+
+    Exactness: session bounds are exact timestamps from the standard
+    sessionize windows; span test is a date comparison; duration an
+    integer second diff (AVG of integers, one division rounded 2).
+    Plan: the [[events_sessionize]] per-user windows + ONE aggregate.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(wu).cast("long")
+    marked = ev.select(
+        "user_id", "ts",
+        F.when(
+            F.lag("ts").over(wu).isNull() | (gap > _CONC_GAP_MIN * 60), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = (
+        marked.withColumn("sid", F.sum("is_start").over(wcum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    spanning = F.col("s_start").cast("date") != F.col("s_end").cast("date")
+    return sessions.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(spanning, 1).otherwise(0)).cast("long").alias(
+            "n_midnight_spanning"
+        ),
+        F.round(
+            F.sum(F.when(spanning, 1).otherwise(0)) / (1.0 * F.count(F.lit(1))), 6
+        ).alias("spanning_share"),
+        F.round(
+            F.avg(F.col("s_end").cast("long") - F.col("s_start").cast("long")), 2
+        ).alias("mean_session_seconds"),
+    )

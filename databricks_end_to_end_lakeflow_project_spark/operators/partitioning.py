@@ -560,3 +560,61 @@ def sink_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 addition: partition-level manifest audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sink_partition_manifest",
+    """
+    SELECT o_orderstatus AS order_status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_checksum
+    FROM orders GROUP BY o_orderstatus ORDER BY order_status
+    """,
+)
+def sink_partition_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level publish manifest: write orders PARTITIONED BY
+    status to a scratch sink, then read each partition directory BACK
+    and emit (rows, key checksum, integer-cents value checksum) per
+    partition — the Iceberg/Delta manifest-summary analogue that lets a
+    downstream consumer (or this oracle) verify a partitioned publish
+    without rescanning the source. The value-hash twin of
+    [[sink_partitioned_pruning]] (which verifies the pruning side).
+
+    Exactness: both checksums are exact integer sums computed FROM THE
+    SINK; the oracle recomputes them from the source, so any row lost,
+    duplicated, or value-mangled by the partitioned write round trip
+    hash-fails. Plan: one partitioned write (shuffle on the partition
+    key), one partition-pruned read-back aggregate.
+    """
+    import os as _os
+
+    from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+        ephemeral_dir,
+    )
+
+    od = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _os.path.join(ephemeral_dir("manifest_"), "orders_by_status")
+    od.repartition("o_orderstatus").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("o_orderstatus").alias("order_status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_checksum"),
+        )
+        .orderBy("order_status")
+    )

@@ -1353,3 +1353,56 @@ def sample_class_weights_effective(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "sample_group_kfold",
+    """
+    WITH grouped AS (
+      SELECT DISTINCT user_id,
+             ('0x' || SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+               % 5 AS fold
+      FROM events
+    ),
+    assigned AS (
+      SELECT e.event_id, e.user_id, g.fold
+      FROM events e JOIN grouped g ON e.user_id = g.user_id
+    )
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(event_id) AS BIGINT) AS event_checksum
+    FROM assigned GROUP BY fold ORDER BY fold
+    """,
+)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware 5-fold assignment: every event of a user lands in the
+    SAME fold (fold = content-hash of user_id mod 5), so cross-fold
+    evaluation never leaks a user's behavior between train and test —
+    the grouped counterpart of [[sample_stratified_kfold]] (row-level
+    folds leak correlated rows; user-level splits are the
+    [[sample_split_leakage_safe]] contract applied to CV).
+
+    The per-fold user sets are disjoint BY CONSTRUCTION (fold is a
+    function of user_id), and the checksums let the oracle verify the
+    exact membership, not just sizes. Plan: fold is a row-local
+    expression on the distinct user frame; one broadcast-back join and
+    one groupBy — no shuffle beyond the natural user key.
+    """
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    grouped = ev.select("user_id").distinct().select(
+        "user_id",
+        (F.conv(hash_hex(F.col("user_id").cast("string"), 7), 16, 10).cast("long") % 5).alias(
+            "fold"
+        ),
+    )
+    assigned = ev.join(F.broadcast(grouped), "user_id")
+    return (
+        assigned.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("event_id").cast("long").alias("event_checksum"),
+        )
+        .orderBy("fold")
+    )

@@ -2581,3 +2581,99 @@ def text_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shingle_len")
     )
+
+
+@query(
+    "text_js_divergence_sources",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS token
+      FROM documents
+    ),
+    st AS (
+      SELECT source, token, COUNT(*) AS c FROM tok GROUP BY source, token
+    ),
+    src_tot AS (
+      SELECT source, SUM(c) AS sn FROM st GROUP BY source
+    ),
+    corp AS (
+      SELECT token, SUM(c) AS cc FROM st GROUP BY token
+    ),
+    corp_tot AS (SELECT SUM(cc) AS n FROM corp),
+    terms AS (
+      -- per-(source, token) JSD contribution, quantized to 1e-12 longs
+      -- so the vocab-sized fold is order-free. Corpus mass is summed
+      -- over the FULL vocab per source: tokens absent from the source
+      -- contribute q/2·ln(q/m)=q/2·ln2 analytically via the complement.
+      SELECT s.source,
+             CAST(ROUND((
+               (st.c / (1.0 * s.sn)) / 2.0
+                 * LN((st.c / (1.0 * s.sn))
+                      / ((st.c / (1.0 * s.sn) + corp.cc / (1.0 * t.n)) / 2))
+               + (corp.cc / (1.0 * t.n)) / 2.0
+                 * LN((corp.cc / (1.0 * t.n))
+                      / ((st.c / (1.0 * s.sn) + corp.cc / (1.0 * t.n)) / 2))
+               - (corp.cc / (1.0 * t.n)) / 2.0 * LN(2)
+             ) * 1000000000000) AS BIGINT) AS tq
+      FROM st
+      JOIN src_tot s ON st.source = s.source
+      JOIN corp ON corp.token = st.token
+      CROSS JOIN corp_tot t
+    )
+    SELECT source,
+           ROUND((SUM(tq) / 1000000000000.0 + LN(2) / 2) / LN(2), 6)
+             AS jsd_bits
+    FROM terms GROUP BY source ORDER BY jsd_bits DESC, source
+    """,
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (in bits) between each source's unigram
+    distribution and the whole-corpus distribution — the bounded,
+    symmetric outlier score for 'which source doesn't belong'
+    ([[monitor_unigram_kl_drift]] compares two halves with KL; JSD is
+    finite even on disjoint vocabularies, so a source of pure boilerplate
+    can't blow it to ∞).
+
+    Algebra: Σ over the source's OWN vocabulary of both mixture terms,
+    with the corpus mass of tokens ABSENT from the source folded in
+    analytically (each contributes q/2·ln2, so the total adds
+    (ln2 − Σ_present q·ln2)/2 — no zero-row materialization, the same
+    trick as [[text_burstiness_topterms]]' zero-doc fold-in).
+    Exactness: per-cell contributions are quantized to 1e-12 longs
+    before the vocab-sized sum (order-free), rounded 6 after the ln2
+    rescale. Plan: two groupBys to the (source, token) and token frames,
+    one broadcast-total join — the corpus is tokenized once.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    st = st.persist()
+    src_tot = st.groupBy("source").agg(F.sum("c").alias("sn"))
+    corp = st.groupBy("token").agg(F.sum("c").alias("cc"))
+    corp_tot = corp.agg(F.sum("cc").alias("n"))
+    p = F.col("c") / (1.0 * F.col("sn"))
+    q = F.col("cc") / (1.0 * F.col("n"))
+    m = (p + q) / 2
+    import math
+
+    term = (p / 2) * F.log(p / m) + (q / 2) * F.log(q / m) - (q / 2) * math.log(2)
+    terms = (
+        st.join(F.broadcast(src_tot), "source")
+        .join(corp, "token")
+        .crossJoin(F.broadcast(corp_tot))
+        .select(
+            "source",
+            F.round(term * 1_000_000_000_000).cast("long").alias("tq"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.round(
+                (F.sum("tq") / 1_000_000_000_000.0 + math.log(2) / 2)
+                / math.log(2),
+                6,
+            ).alias("jsd_bits")
+        )
+        .orderBy(F.desc("jsd_bits"), "source")
+    )
