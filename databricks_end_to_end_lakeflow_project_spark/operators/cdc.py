@@ -1985,3 +1985,63 @@ def cdc_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "published_cents",
         F.col("published_key_checksum").cast("long").alias("published_key_checksum"),
     )
+
+
+_SNAPSHOT_CHUNK_ROWS = 5_000
+
+
+@query(
+    "cdc_snapshot_chunk_plan",
+    f"""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT (rn - 1) // {_SNAPSHOT_CHUNK_ROWS} AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_orderkey) AS low_key,
+           MAX(o_orderkey) AS high_key,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_checksum
+    FROM ranked GROUP BY chunk_id ORDER BY chunk_id
+    """,
+)
+def cdc_snapshot_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-snapshot chunk plan (the DBZ/Netflix watermark
+    algorithm's first half): split the initial snapshot of ``orders``
+    into ~{_SNAPSHOT_CHUNK_ROWS}-row key-ordered chunks and emit each
+    chunk's key range + row count + integer-cents checksum — the unit
+    of work a chunked initial load interleaves with the CDC stream, and
+    the manifest that lets a resumed snapshot skip verified chunks
+    ([[cdc_changes_feed]] handles the stream side; this plans the
+    snapshot side).
+
+    Scale shape: the global key rank comes from the scalerank kernel
+    (range-bin + partitioned window — never a single-partition sort);
+    chunk aggregates are map-side-combinable on the chunk id. All
+    outputs exact integers.
+    """
+    from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
+        RankSpec,
+        with_global_ranks,
+    )
+
+    od = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked, _n = with_global_ranks(
+        od, [RankSpec(out="rn", value="o_orderkey", tiebreaks=[], descending=False)]
+    )
+    return (
+        ranked.groupBy(
+            ((F.col("rn") - 1) / _SNAPSHOT_CHUNK_ROWS).cast("long").alias("chunk_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_orderkey").alias("low_key"),
+            F.max("o_orderkey").alias("high_key"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_checksum"),
+        )
+        .orderBy("chunk_id")
+    )

@@ -2786,3 +2786,54 @@ def pipeline_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(hits).cast("long").alias("hits"),
         F.round(F.lit(hits * 1.0 / (_ANN_QUERIES * _ANN_K)), 4).alias("recall_at_k"),
     )
+
+
+@query(
+    "xdomain_doc_embedding_quality",
+    """
+    WITH q AS (
+      SELECT doc_id, n_chars,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+      FROM documents
+    )
+    SELECT e.label AS cluster_label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(1.0 * q.n_chars), 2) AS mean_chars,
+           ROUND(AVG(1.0 * q.n_tokens), 2) AS mean_tokens,
+           CAST(SUM(q.n_chars) AS BIGINT) AS total_chars
+    FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+    GROUP BY e.label ORDER BY cluster_label
+    """,
+)
+def xdomain_doc_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain join of the text and vector worlds: documents joined
+    to their embedding rows (doc_id = vec_id) and profiled PER EMBEDDING
+    CLUSTER LABEL — mean length and token mass by semantic cluster, the
+    table that tells you which clusters are boilerplate farms before
+    [[dedup_semdedup_keep]] prunes inside them (and the join
+    [[pipeline_contrastive_pairs]] assumes is sound).
+
+    Exactness: token counts are exact whitespace arithmetic; averages
+    are integer sums with one division, rounded 2. Plan: one equi-join
+    on the shared id (both sides narrow after pruning), one
+    ≤|labels|-row groupBy.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+        ).alias("n_tokens"),
+    )
+    em = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        docs.join(em, docs["doc_id"] == em["vec_id"])
+        .groupBy(F.col("label").alias("cluster_label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(1.0 * F.col("n_chars")), 2).alias("mean_chars"),
+            F.round(F.avg(1.0 * F.col("n_tokens")), 2).alias("mean_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("cluster_label")
+    )

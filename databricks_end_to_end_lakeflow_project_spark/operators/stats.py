@@ -4609,3 +4609,292 @@ def monitor_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("col")
+
+
+@query(
+    "stats_ipw_ate",
+    """
+    WITH ua AS (
+      SELECT user_id, CAST(FLOOR(LN(COUNT(*)) / LN(2)) AS INT) AS bucket
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT e.event_id, ua.bucket,
+             (e.event_type = 'click') AS treated,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN ua ON e.user_id = ua.user_id
+      WHERE e.event_type IN ('click', 'view')
+    ),
+    prop AS (
+      SELECT bucket,
+             COUNT(*) FILTER (WHERE treated) / (1.0 * COUNT(*)) AS e_x
+      FROM arms GROUP BY bucket
+    ),
+    wrow AS (
+      SELECT a.treated,
+             CAST(ROUND(CASE WHEN a.treated
+                    THEN a.cents / p.e_x
+                    ELSE a.cents / (1 - p.e_x) END) AS BIGINT) AS wcents
+      FROM arms a JOIN prop p ON a.bucket = p.bucket
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM wrow)
+    SELECT CAST(tot.n AS BIGINT) AS n_units,
+           ROUND(SUM(CASE WHEN treated THEN wcents END) / (100.0 * tot.n)
+                 - SUM(CASE WHEN NOT treated THEN wcents END)
+                   / (100.0 * tot.n), 4) AS ate_ipw,
+           ROUND(SUM(CASE WHEN treated THEN wcents END)
+                 / (100.0 * COUNT(*) FILTER (WHERE treated))
+                 - SUM(CASE WHEN NOT treated THEN wcents END)
+                   / (100.0 * COUNT(*) FILTER (WHERE NOT treated)), 4)
+             AS naive_diff_weighted_arms
+    FROM wrow, tot GROUP BY tot.n
+    """,
+)
+def stats_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE of 'click' vs 'view' on event
+    value, stratified by the log₂ user-activity bucket as the observed
+    confounder: ê(x) per bucket, Horvitz–Thompson weights 1/ê (treated)
+    and 1/(1−ê) (control) — the observational-causal counterpart of the
+    randomized-experiment readers ([[stats_welch_ttest]] assumes
+    assignment ⊥ activity; IPW removes the activity confounding it
+    can't).
+
+    Exactness: bucket, propensities and counts are exact integers; each
+    row's weighted outcome is quantized to integer cents BEFORE the
+    corpus-wide sums (order-free — the house protocol), two divisions
+    at the end, rounded 4. Plan: one per-user groupBy (broadcast back),
+    one per-bucket propensity aggregate (≤~12 rows, broadcast), one
+    weighted scan.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(
+        F.floor(F.log(F.count(F.lit(1))) / F.lit(float(__import__("math").log(2))))
+        .cast("int")
+        .alias("bucket")
+    )
+    arms = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .join(F.broadcast(ua), "user_id")
+        .select(
+            "bucket",
+            (F.col("event_type") == "click").alias("treated"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    prop = arms.groupBy("bucket").agg(
+        (
+            F.sum(F.when(F.col("treated"), 1).otherwise(0)) / (1.0 * F.count(F.lit(1)))
+        ).alias("e_x")
+    )
+    wrow = arms.join(F.broadcast(prop), "bucket").select(
+        "treated",
+        F.round(
+            F.when(F.col("treated"), F.col("cents") / F.col("e_x")).otherwise(
+                F.col("cents") / (1 - F.col("e_x"))
+            )
+        )
+        .cast("long")
+        .alias("wcents"),
+    )
+    agg = wrow.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("treated"), F.col("wcents"))).alias("st"),
+        F.sum(F.when(~F.col("treated"), F.col("wcents"))).alias("sc"),
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0)).alias("nc"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_units"),
+        F.round(
+            F.col("st") / (100.0 * F.col("n")) - F.col("sc") / (100.0 * F.col("n")),
+            4,
+        ).alias("ate_ipw"),
+        F.round(
+            F.col("st") / (100.0 * F.col("nt")) - F.col("sc") / (100.0 * F.col("nc")),
+            4,
+        ).alias("naive_diff_weighted_arms"),
+    )
+
+
+@query(
+    "stats_sign_test_paired",
+    """
+    WITH bounds AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cutoff_us
+      FROM events
+    ),
+    per AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE epoch_us(ts) < bounds.cutoff_us) AS n1,
+             COUNT(*) FILTER (WHERE epoch_us(ts) >= bounds.cutoff_us) AS n2
+      FROM events, bounds GROUP BY user_id
+    ),
+    s AS (
+      SELECT COUNT(*) FILTER (WHERE n2 > n1) AS s_plus,
+             COUNT(*) FILTER (WHERE n2 < n1) AS s_minus,
+             COUNT(*) FILTER (WHERE n2 = n1) AS ties
+      FROM per
+    )
+    SELECT CAST(s_plus AS BIGINT) AS s_plus,
+           CAST(s_minus AS BIGINT) AS s_minus,
+           CAST(ties AS BIGINT) AS ties,
+           ROUND((s_plus - s_minus) / SQRT(s_plus + s_minus), 4) AS z_stat
+    FROM s
+    """,
+)
+def stats_sign_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test of per-user activity, first half vs second half
+    of the log (integer epoch-microsecond midpoint — the
+    [[events_rfm_migration]] cutoff): S⁺/S⁻ users who sped up / slowed
+    down, ties dropped, z = (S⁺−S⁻)/√(S⁺+S⁻). The distribution-free
+    paired test — each user is their own control, so cross-user scale
+    differences cancel where the unpaired [[stats_mann_whitney_u]] would
+    eat them as noise.
+
+    Exactness: everything through the z numerator/denominator is exact
+    integer arithmetic; one division, rounded 4. Plan: one 1-row bounds
+    broadcast, one per-user conditional groupBy, one 1-row aggregate.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    bounds = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("cutoff_us")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("cutoff_us"), 1).otherwise(0)).alias(
+                "n1"
+            ),
+            F.sum(F.when(F.col("us") >= F.col("cutoff_us"), 1).otherwise(0)).alias(
+                "n2"
+            ),
+        )
+    )
+    s = per.agg(
+        F.sum(F.when(F.col("n2") > F.col("n1"), 1).otherwise(0)).alias("s_plus"),
+        F.sum(F.when(F.col("n2") < F.col("n1"), 1).otherwise(0)).alias("s_minus"),
+        F.sum(F.when(F.col("n2") == F.col("n1"), 1).otherwise(0)).alias("ties"),
+    )
+    return s.select(
+        F.col("s_plus").cast("long").alias("s_plus"),
+        F.col("s_minus").cast("long").alias("s_minus"),
+        F.col("ties").cast("long").alias("ties"),
+        F.round(
+            (F.col("s_plus") - F.col("s_minus"))
+            / F.sqrt(F.col("s_plus") + F.col("s_minus")),
+            4,
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "stats_anova_oneway",
+    """
+    WITH parts AS (
+      SELECT CASE WHEN EXTRACT(hour FROM ts) < 6 THEN 'night'
+                  WHEN EXTRACT(hour FROM ts) < 12 THEN 'morning'
+                  WHEN EXTRACT(hour FROM ts) < 18 THEN 'afternoon'
+                  ELSE 'evening' END AS daypart,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT daypart, COUNT(*) AS n, SUM(cents) AS s1,
+             SUM(cents * cents) AS s2
+      FROM parts GROUP BY daypart
+    ),
+    tot AS (
+      SELECT SUM(n) AS nn, SUM(s1) AS t1, SUM(s2) AS t2, COUNT(*) AS k
+      FROM g
+    ),
+    ss AS (
+      SELECT k, nn,
+             -- between-group SS folded in pinned daypart order
+             list_reduce(list_prepend(0.0::DOUBLE,
+               (SELECT LIST(s1 / (100.0 * n) * s1 / n ORDER BY daypart)
+                FROM g)), (a, b) -> a + b)
+               - (t1 / 100.0) * t1 / nn AS ssb_c,
+             t2 / 10000.0 - (t1 / 100.0) * t1 / 10000.0 / nn AS sst
+      FROM tot
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n_rows,
+           ROUND(ssb_c / 100.0, 2) AS ss_between,
+           ROUND(sst - ssb_c / 100.0, 2) AS ss_within,
+           ROUND((ssb_c / 100.0 / (k - 1))
+                 / ((sst - ssb_c / 100.0) / (nn - k)), 4) AS f_stat
+    FROM ss
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across four dayparts: the F ratio of
+    between-daypart to within-daypart variance — the K-group
+    generalization of [[stats_welch_ttest]] (equal-variance form; the
+    K-group screen you run before drilling into pairwise contrasts with
+    multiplicity control, [[stats_fdr_bh]]).
+
+    Exactness: per-group moments (n, Σ, Σ²) are exact integer cents from
+    ONE groupBy; the between-group sum of squares folds the K=4
+    per-group terms in pinned daypart order; everything else is a fixed
+    expression tree, rounded 2/4. Plan: one map-side-combinable groupBy
+    + algebra on the 4-row frame.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    daypart = (
+        F.when(hour < 6, "night")
+        .when(hour < 12, "morning")
+        .when(hour < 18, "afternoon")
+        .otherwise("evening")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = ev.select(daypart.alias("daypart"), cents.alias("cents")).groupBy(
+        "daypart"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    fold_b = F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("daypart"),
+                        (
+                            F.col("s1") / (100.0 * F.col("n")) * F.col("s1") / F.col("n")
+                        ).alias("v"),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    tot = g.groupBy().agg(
+        F.sum("n").alias("nn"),
+        F.sum("s1").alias("t1"),
+        F.sum("s2").alias("t2"),
+        F.count(F.lit(1)).alias("k"),
+        fold_b.alias("fb"),
+    )
+    ssb_c = F.col("fb") - (F.col("t1") / 100.0) * F.col("t1") / F.col("nn")
+    sst = (
+        F.col("t2") / 10000.0
+        - (F.col("t1") / 100.0) * F.col("t1") / 10000.0 / F.col("nn")
+    )
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_rows"),
+        F.round(ssb_c / 100.0, 2).alias("ss_between"),
+        F.round(sst - ssb_c / 100.0, 2).alias("ss_within"),
+        F.round(
+            (ssb_c / 100.0 / (F.col("k") - 1))
+            / ((sst - ssb_c / 100.0) / (F.col("nn") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+    )

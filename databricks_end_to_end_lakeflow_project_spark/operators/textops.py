@@ -2677,3 +2677,61 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jsd_bits"), "source")
     )
+
+
+_KWIC_KEYWORD = "spark"
+
+
+@query(
+    "text_kwic_concordance",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, ws, generate_subscripts(ws, 1) AS pos, unnest(ws) AS token
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+    ),
+    hits AS (
+      SELECT CASE WHEN pos > 1 THEN ws[pos - 1] ELSE '<s>' END AS left_word,
+             CASE WHEN pos < len(ws) THEN ws[pos + 1] ELSE '</s>' END
+               AS right_word
+      FROM tok WHERE token = '{_KWIC_KEYWORD}'
+    )
+    SELECT left_word, right_word, COUNT(*) AS n_occurrences
+    FROM hits GROUP BY left_word, right_word
+    ORDER BY n_occurrences DESC, left_word, right_word LIMIT 15
+    """,
+)
+def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) concordance for '{_KWIC_KEYWORD}': the
+    15 most frequent (left, right) neighbor pairs, with sentence-edge
+    sentinels — the corpus linguist's first look at how a term is used,
+    and the qualitative companion to [[text_pmi_collocations]] (PMI
+    ranks associated words; KWIC shows the actual frames they occur in).
+
+    Exactness: pure token-position arithmetic and integer counts —
+    no floating point. Plan: positions come from one posexplode of the
+    token array (the array rides along, so neighbors are element_at
+    lookups — no self-join of the token stream), one groupBy to the
+    context-pair frame.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    tok = docs.select(
+        F.col("doc_id"), ws.alias("ws"), F.posexplode(ws).alias("pos0", "token")
+    )
+    hits = tok.filter(F.col("token") == _KWIC_KEYWORD).select(
+        F.when(F.col("pos0") > 0, F.element_at(F.col("ws"), F.col("pos0")))
+        .otherwise("<s>")
+        .alias("left_word"),
+        F.when(
+            F.col("pos0") < F.size("ws") - 1,
+            F.element_at(F.col("ws"), F.col("pos0") + 2),
+        )
+        .otherwise("</s>")
+        .alias("right_word"),
+    )
+    return (
+        hits.groupBy("left_word", "right_word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "left_word", "right_word")
+        .limit(15)
+    )
