@@ -1658,3 +1658,164 @@ def dedup_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFra
         .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard_sim"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 addition: the dedup cascade as ONE funnel
+# ---------------------------------------------------------------------------
+
+_CASCADE_RARE_DF = 50  # posting-list cap for the exact-verify stage
+_CASCADE_TAU = 0.8
+
+
+@query(
+    "pipeline_dedup_cascade",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws,
+             md5(trim(text)) AS h_exact
+      FROM documents
+    ),
+    s1 AS (  -- exact-text dedup: keep the smallest doc per hash
+      SELECT doc_id, ws FROM (
+        SELECT doc_id, ws,
+               ROW_NUMBER() OVER (PARTITION BY h_exact ORDER BY doc_id) AS rn
+        FROM toks
+      ) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT doc_id,
+             array_to_string(ws[i : i + 2], ' ') AS shingle
+      FROM s1 CROSS JOIN LATERAL UNNEST(range(1, len(ws) - 1)) AS u(i)
+    ),
+    ssets AS (
+      SELECT doc_id,
+             md5(string_agg(DISTINCT shingle, '|' ORDER BY shingle)) AS h_set
+      FROM sh GROUP BY doc_id
+    ),
+    s2 AS (  -- shingle-SET dedup (catches reorderings exact text misses)
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY h_set ORDER BY doc_id) AS rn
+        FROM ssets
+      ) WHERE rn = 1
+    ),
+    dsh AS (
+      SELECT DISTINCT sh.doc_id, sh.shingle
+      FROM sh JOIN s2 ON sh.doc_id = s2.doc_id
+    ),
+    df AS (SELECT shingle, COUNT(*) AS df FROM dsh GROUP BY shingle),
+    rare AS (
+      SELECT dsh.doc_id, dsh.shingle
+      FROM dsh JOIN df ON dsh.shingle = df.shingle
+      WHERE df.df <= {_CASCADE_RARE_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY da, db
+    ),
+    pairs AS (
+      SELECT da, db
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.da
+      JOIN sizes sb ON sb.doc_id = inter.db
+      WHERE inter.i >= {_CASCADE_TAU} * (sa.sz + sb.sz - inter.i)
+    )
+    SELECT stage, n FROM (
+      SELECT '0_raw_docs' AS stage,
+             (SELECT COUNT(*) FROM toks) AS n
+      UNION ALL
+      SELECT '1_after_exact_dedup', (SELECT COUNT(*) FROM s1)
+      UNION ALL
+      SELECT '2_after_shingleset_dedup', (SELECT COUNT(*) FROM s2)
+      UNION ALL
+      SELECT '3_neardup_pairs_tau80', (SELECT COUNT(*) FROM pairs)
+    ) ORDER BY stage
+    """,
+)
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE as one funnel: exact-text hash →
+    shingle-SET hash (catches token reorderings) → rare-shingle
+    inverted-index exact Jaccard ≥ {_CASCADE_TAU} pair detection among
+    the survivors — cheapest filter first, each stage shrinking the next
+    stage's input, with the per-stage survivor counts as the report
+    ([[dedup_minhash_lsh_pairs]] is the probabilistic candidate
+    generator; this cascade is the exact-arithmetic path a curation run
+    composes around it, cf. `pipeline_pretraining_run`'s funnel).
+
+    Scale design: stages 0-2 are hash groupBys (map-side combinable);
+    stage 3 joins the inverted shingle index RESTRICTED to shingles with
+    df ≤ {_CASCADE_RARE_DF} — the standard posting-list cap that bounds
+    pair fan-out per shingle at df²/2 while near-dups (which share MANY
+    rare shingles) always surface. All counts exact integers.
+    """
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    toks = docs.select(
+        "doc_id", ws.alias("ws"), F.md5(F.trim(F.col("text"))).alias("h_exact")
+    )
+    toks = persist_once(toks)
+    w1 = Window.partitionBy("h_exact").orderBy("doc_id")
+    s1 = (
+        toks.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "ws")
+    )
+    sh = s1.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 2),
+                lambda i: F.array_join(F.slice(F.col("ws"), i, 3), " "),
+            )
+        ).alias("shingle"),
+    )
+    sh = persist_once(sh)
+    ssets = sh.groupBy("doc_id").agg(
+        F.md5(F.array_join(F.sort_array(F.collect_set("shingle")), "|")).alias(
+            "h_set"
+        )
+    )
+    w2 = Window.partitionBy("h_set").orderBy("doc_id")
+    s2 = (
+        ssets.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    dsh = sh.join(s2, "doc_id").distinct()
+    dsh = persist_once(dsh)
+    df = dsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = dsh.join(df.filter(F.col("df") <= _CASCADE_RARE_DF), "shingle").select(
+        "doc_id", "shingle"
+    )
+    rare = persist_once(rare)
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = rare.select(F.col("doc_id").alias("da"), "shingle")
+    b = rare.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pairs = (
+        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sa")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("sb")), "db")
+        .filter(
+            F.col("i") >= _CASCADE_TAU * (F.col("sa") + F.col("sb") - F.col("i"))
+        )
+    )
+    counts = [
+        ("0_raw_docs", toks.count()),
+        ("1_after_exact_dedup", s1.count()),
+        ("2_after_shingleset_dedup", s2.count()),
+        ("3_neardup_pairs_tau80", pairs.count()),
+    ]
+    return spark.createDataFrame(counts, "stage string, n long").orderBy("stage")

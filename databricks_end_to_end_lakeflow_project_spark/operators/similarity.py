@@ -2837,3 +2837,157 @@ def xdomain_doc_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("cluster_label")
     )
+
+
+_SWEEP_NPROBES = (1, 2, 3, 4)
+
+
+def _nprobe_sweep_oracle() -> str:
+    nps = ", ".join(str(n) for n in _SWEEP_NPROBES)
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS cell, embedding AS cvec
+      FROM embeddings WHERE vec_id < {_IVF_CELLS}
+    ),
+    qs AS (
+      SELECT vec_id AS qid, embedding AS qv
+      FROM embeddings WHERE vec_id < {_ANN_QUERIES}
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 's.cvec')} DESC, s.cell
+               ) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, cell, rn FROM (
+        SELECT q.qid, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_cos_sql('s.cvec', 'q.qv')} DESC, s.cell
+               ) AS rn
+        FROM qs q CROSS JOIN seeds s
+      ) WHERE rn <= {max(_SWEEP_NPROBES)}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id, a.cell,
+             {_cos_sql('e.embedding', 'q.qv')} AS cos
+      FROM embeddings e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      CROSS JOIN qs q
+      WHERE e.vec_id <> q.qid
+    ),
+    brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+                 AS rn
+        FROM scored
+      ) WHERE rn <= {_ANN_K}
+    ),
+    nps AS (SELECT UNNEST([{nps}]) AS nprobe),
+    served AS (
+      SELECT nprobe, qid, vec_id FROM (
+        SELECT n.nprobe, s.qid, s.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY n.nprobe, s.qid
+                                  ORDER BY s.cos DESC, s.vec_id) AS rn
+        FROM scored s
+        JOIN probes p ON p.qid = s.qid AND p.cell = s.cell
+        JOIN nps n ON p.rn <= n.nprobe
+      ) WHERE rn <= {_ANN_K}
+    )
+    SELECT sv.nprobe,
+           CAST(COUNT(*) AS BIGINT) AS hits,
+           ROUND(COUNT(*) * 1.0 / ({_ANN_QUERIES} * {_ANN_K}), 4)
+             AS recall_at_{_ANN_K}
+    FROM served sv JOIN brute b ON b.qid = sv.qid AND b.vec_id = sv.vec_id
+    GROUP BY sv.nprobe ORDER BY sv.nprobe
+    """
+
+
+@query("sim_ivf_nprobe_sweep", _nprobe_sweep_oracle())
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe tuning table: recall@{_ANN_K} of IVF serving vs exact
+    brute force for nprobe ∈ {_SWEEP_NPROBES} over the fixed
+    {_ANN_QUERIES}-query panel — the experiment that picks the
+    latency/recall operating point [[pipeline_ann_recall_report]] then
+    certifies at the chosen nprobe. One row per nprobe; recall must be
+    non-decreasing in nprobe by construction (a violated monotonicity
+    means the quantizer is broken).
+
+    Plan: the scored frame is built ONCE (cell-decorated scan × bounded
+    query broadcast); all sweep points come from ONE windowed pass —
+    probes carry their rank and each nprobe filters `p.rn ≤ nprobe`, so
+    the sweep never rescans the corpus per point. Exactness: identical
+    sequential-fold cosine on both rankings, vec_id tiebreak — the hit
+    count is deterministic in both engines.
+    """
+    em = read_table(spark, sf_dir, "embeddings")
+    seeds = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in em.filter(F.col("vec_id") < _IVF_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in em.filter(F.col("vec_id") < _ANN_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for qid, qv in queries:
+        ranked = sorted(seeds, key=lambda s: (-_seq_cosine(s[1], qv), s[0]))
+        probe_rows += [
+            (qid, cell, rn + 1)
+            for rn, (cell, _v) in enumerate(ranked[: max(_SWEEP_NPROBES)])
+        ]
+    probes = spark.createDataFrame(probe_rows, "qid long, cell long, rn int")
+    assigned = persist_once(
+        ivf_assign(em, seeds).select("vec_id", "embedding", "cell")
+    )
+    qframe = spark.createDataFrame(
+        [(qid, qv) for qid, qv in queries], "qid long, qv array<double>"
+    )
+    scored = persist_once(
+        assigned.crossJoin(F.broadcast(qframe))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "cell",
+            cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    brute = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _ANN_K)
+        .select("qid", "vec_id")
+    )
+    nps = spark.createDataFrame([(n,) for n in _SWEEP_NPROBES], "nprobe int")
+    wnq = Window.partitionBy("nprobe", "qid").orderBy(F.desc("cos"), "vec_id")
+    served = (
+        scored.join(
+            F.broadcast(probes.withColumnRenamed("rn", "prn")), ["qid", "cell"]
+        )
+        .join(F.broadcast(nps), F.col("prn") <= F.col("nprobe"))
+        .withColumn("rn", F.row_number().over(wnq))
+        .filter(F.col("rn") <= _ANN_K)
+        .select("nprobe", "qid", "vec_id")
+    )
+    return (
+        served.join(brute, ["qid", "vec_id"])
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("hits"),
+            F.round(
+                F.count(F.lit(1)) * 1.0 / (_ANN_QUERIES * _ANN_K), 4
+            ).alias(f"recall_at_{_ANN_K}"),
+        )
+        .orderBy("nprobe")
+    )

@@ -51,6 +51,7 @@ NON_EQUI_WHITELIST = {
     "events_transition_entropy",  # 1-row broadcast transition total over the ≤|types|² cell frame
     "text_js_divergence_sources",  # 1-row broadcast corpus-token total over the (source, token) frame
     "stats_sign_test_paired",  # 1-row broadcast epoch-midpoint bounds over the scan
+    "sim_ivf_nprobe_sweep",  # bounded broadcasts: 20-query batch-scoring panel + 4-row nprobe fan-out (p.rn <= nprobe)
     "monitor_chisq_type_drift",  # 1-row broadcast totals over |categories| rows
     "q15_top_supplier",  # 1-row broadcast scalar MAX over the cached revenue frame
     "agg_histogram_price_bins",  # 1-row broadcast grand total over |bins| rows
