@@ -1659,7 +1659,11 @@ def _markov_oracle() -> str:
     )
     SELECT variant,
            ROUND(COALESCE(r, 0), 6) AS reach,
-           ROUND(1 - COALESCE(r, 0) / rf, 6) AS removal_effect
+           -- "+ 0" normalizes IEEE negative zero: the scalar subquery may
+           -- recompute reach with a different parallel summation order,
+           -- leaving r/rf one ULP above 1 for the full variant, and
+           -- ROUND(-2e-16, 6) prints -0 (caught live in the r7 full run)
+           ROUND(1 - COALESCE(r, 0) / rf, 6) + 0 AS removal_effect
     FROM (SELECT v.variant, reach.r FROM variants v
           LEFT JOIN reach ON reach.variant = v.variant), fullr
     ORDER BY variant
@@ -1761,7 +1765,8 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "variant",
             F.round(F.coalesce(F.col("r"), F.lit(0.0)), 6).alias("reach"),
-            F.round(1 - F.coalesce(F.col("r"), F.lit(0.0)) / rf_col, 6).alias(
+            # + 0.0 mirrors the oracle's negative-zero normalization
+            (F.round(1 - F.coalesce(F.col("r"), F.lit(0.0)) / rf_col, 6) + 0.0).alias(
                 "removal_effect"
             ),
         )
