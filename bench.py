@@ -306,6 +306,27 @@ def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
             )
         )
 
+    # the dedup CASCADE funnel (round-7): the scale-risky stage is the
+    # rare-shingle (df ≤ 50) inverted-index join — the cap bounds pair
+    # fan-out per shingle, so pairs must grow ~linearly with the
+    # per-replica near-dup mass, never quadratically with the corpus.
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        dedup_cascade_funnel,
+    )
+
+    curve["cascade"] = []
+    for label, d in [
+        ("sf0.1", docs1),
+        ("sf0.1 x10", replicate_docs(docs1, 10)),
+        ("sf0.1 x100", replicate_docs(docs1, 100)),
+    ]:
+        spark.catalog.clearCache()
+        t0 = _t.perf_counter()
+        funnel = dict(dedup_cascade_funnel(d.select("doc_id", "text")))
+        curve["cascade"].append(
+            {"point": label, **funnel, "sec": round(_t.perf_counter() - t0, 2)}
+        )
+
     curve["pipeline"] = []
     for label, d in [
         ("sf0.1", docs1),

@@ -1752,11 +1752,21 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair fan-out per shingle at df²/2 while near-dups (which share MANY
     rare shingles) always surface. All counts exact integers.
     """
+    docs = read_table(spark, sf_dir, "documents")
+    counts = dedup_cascade_funnel(docs)
+    return spark.createDataFrame(counts, "stage string, n long").orderBy("stage")
+
+
+def dedup_cascade_funnel(docs: DataFrame) -> list[tuple[str, int]]:
+    """The cascade itself, reusable over any (doc_id, text) frame —
+    `pipeline_dedup_cascade` runs it on the documents table; bench.py's
+    dedup curve runs it on ×10/×100 replicas to measure the posting-list
+    cap's behavior at scale. Returns the funnel counts."""
     from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
         tokens,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    spark = docs.sparkSession
     ws = tokens(F.col("text"))
     toks = docs.select(
         "doc_id", ws.alias("ws"), F.md5(F.trim(F.col("text"))).alias("h_exact")
@@ -1812,10 +1822,9 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i") >= _CASCADE_TAU * (F.col("sa") + F.col("sb") - F.col("i"))
         )
     )
-    counts = [
+    return [
         ("0_raw_docs", toks.count()),
         ("1_after_exact_dedup", s1.count()),
         ("2_after_shingleset_dedup", s2.count()),
         ("3_neardup_pairs_tau80", pairs.count()),
     ]
-    return spark.createDataFrame(counts, "stage string, n long").orderBy("stage")
