@@ -1766,7 +1766,6 @@ def dedup_cascade_funnel(docs: DataFrame) -> list[tuple[str, int]]:
         tokens,
     )
 
-    spark = docs.sparkSession
     ws = tokens(F.col("text"))
     toks = docs.select(
         "doc_id", ws.alias("ws"), F.md5(F.trim(F.col("text"))).alias("h_exact")
