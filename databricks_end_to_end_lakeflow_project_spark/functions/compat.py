@@ -24,6 +24,22 @@ from pyspark.sql import functions as F
 MONEY = "decimal(18,2)"
 
 
+def asc_seq(start: Column, stop: Column) -> Column:
+    """``sequence(start, stop)`` that is EMPTY when ``stop < start``.
+
+    Spark's ``sequence()`` defaults the step to -1 when start > stop, so
+    ``sequence(1, 0)`` yields a DESCENDING ``[1, 0]`` — not the empty
+    array that DuckDB's ``range(start, stop+1)`` (and every oracle in this
+    repo) produces. A descending index sequence then feeds 0/negative
+    positions into ``slice``/``element_at`` and raises a
+    SparkRuntimeException on otherwise-valid short inputs. Every computed
+    index fan-out must use this instead of raw ``F.sequence``.
+    """
+    return F.when(stop >= start, F.sequence(start, stop)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def money(c: Column | str) -> Column:
     """Exact 2-dp decimal view of a money/rate column stored as double."""
     col = F.col(c) if isinstance(c, str) else c

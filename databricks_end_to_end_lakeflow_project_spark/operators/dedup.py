@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql import types as T
 
+from databricks_end_to_end_lakeflow_project_spark.functions.compat import asc_seq
 from databricks_end_to_end_lakeflow_project_spark.registry import query
 from databricks_end_to_end_lakeflow_project_spark.session import persist_once
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
@@ -1781,7 +1782,10 @@ def dedup_cascade_funnel(docs: DataFrame) -> list[tuple[str, int]]:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("ws") - 2),
+                # asc_seq: a <3-token doc must yield ZERO shingles, not a
+                # descending [1,0] that makes slice() throw (the DuckDB
+                # oracle's range(1, n-1) is empty there).
+                asc_seq(F.lit(1), F.size("ws") - 2),
                 lambda i: F.array_join(F.slice(F.col("ws"), i, 3), " "),
             )
         ).alias("shingle"),

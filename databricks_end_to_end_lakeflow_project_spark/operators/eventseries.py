@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from databricks_end_to_end_lakeflow_project_spark.functions.compat import asc_seq
 from databricks_end_to_end_lakeflow_project_spark.registry import query
 from databricks_end_to_end_lakeflow_project_spark.session import persist_once
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
@@ -436,7 +437,10 @@ def ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.posexplode(
-                F.sequence(F.lit(1), F.greatest(F.size("vals") - _PAT_M + 1, F.lit(0)))
+                # asc_seq, NOT greatest(...,0): sequence(1,0) is a
+                # descending [1,0] in Spark, which would feed slice(vals,0,M)
+                # and throw on a series shorter than the pattern window.
+                asc_seq(F.lit(1), F.size("vals") - _PAT_M + 1)
             ).alias("i", "off"),
             "vals",
         )
@@ -2044,7 +2048,7 @@ def ts_stl_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = (
         arr.withColumn("xs", xs)
         # 1-based centers with a full 7-day window: j in 4 .. n-3
-        .withColumn("idx", F.sequence(F.lit(4), F.size("xs") - 3))
+        .withColumn("idx", asc_seq(F.lit(4), F.size("xs") - 3))
         .select(
             F.explode(
                 F.transform(
@@ -2238,7 +2242,7 @@ def ts_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     win = (
         arr.withColumn("xs", F.transform(F.col("s"), lambda e: e["x"]))
-        .withColumn("idx", F.sequence(F.lit(_RMAD_W), F.size("xs")))
+        .withColumn("idx", asc_seq(F.lit(_RMAD_W), F.size("xs")))
         .select(
             F.explode(
                 F.transform(
@@ -2326,7 +2330,7 @@ def ts_peak_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nb = (
         arr.withColumn("xs", F.transform(F.col("s"), lambda e: e["x"]))
-        .withColumn("idx", F.sequence(F.lit(4), F.size("xs") - 3))
+        .withColumn("idx", asc_seq(F.lit(4), F.size("xs") - 3))
         .select(
             F.explode(
                 F.transform(
@@ -2456,7 +2460,7 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("delta").alias("net"))
         .groupBy()
         .agg(F.sort_array(F.collect_list(F.struct("day", "net"))).alias("s"))
-        .withColumn("idx", F.sequence(F.lit(1), F.size("s")))
+        .withColumn("idx", asc_seq(F.lit(1), F.size("s")))
         .select(
             F.explode(
                 F.transform(

@@ -30,6 +30,7 @@ from databricks_end_to_end_lakeflow_project_spark.operators.scalerank import (
     with_global_ranks,
     with_ntile,
 )
+from databricks_end_to_end_lakeflow_project_spark.functions.compat import asc_seq
 from databricks_end_to_end_lakeflow_project_spark.registry import query
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
@@ -2645,7 +2646,9 @@ def stats_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     fit = F.transform(
-        F.sequence(F.lit(0), m - 1),
+        # asc_seq: m == 0 (empty input) must yield an empty fit, not a
+        # descending [0,-1] whose i=-1 leg hits element_at(cn, 0).
+        asc_seq(F.lit(0), m - 1),
         lambda i: F.array_max(
             F.transform(
                 F.sequence(F.lit(0), i),
@@ -3884,7 +3887,7 @@ def stats_page_hinkley_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_sum = lambda a, i: F.aggregate(F.slice(a, 1, i), zero, add)  # noqa: E731
     stat = (
         arr.withColumn("xs", xs)
-        .withColumn("idx", F.sequence(F.lit(1), F.size("xs")))
+        .withColumn("idx", asc_seq(F.lit(1), F.size("xs")))
         .withColumn(
             "tq",
             F.transform(

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from databricks_end_to_end_lakeflow_project_spark.functions.compat import asc_seq
 from databricks_end_to_end_lakeflow_project_spark.registry import query
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
@@ -1823,7 +1824,9 @@ def text_bpe_apply_merge_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs2 = seg.select(
         "cnt",
-        F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+        # asc_seq: a word merged to ONE symbol (word == top pair) has
+        # size(syms)=1; raw sequence(1,0) descends into element_at(syms,0).
+        F.explode(asc_seq(F.lit(1), F.size("syms") - 1)).alias("i"),
         "syms",
     ).select(
         F.concat(

@@ -102,6 +102,14 @@ class Pipeline:
         self._lineage: set[tuple[str, str]] = set()
         self._resolve_lock = threading.RLock()
 
+    @property
+    def cdc_flows(self):
+        """Read-only view of the registered CDC flows, for callers that
+        schedule flows themselves (e.g. the flight lake's overlapped
+        bronze→silver chains) instead of calling ``run()``. Public so
+        such callers never reach into ``_flows``."""
+        return tuple(self._flows)
+
     # -- registration -------------------------------------------------------
 
     def view(

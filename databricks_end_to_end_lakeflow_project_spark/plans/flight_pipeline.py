@@ -133,7 +133,19 @@ class FlightLakehouse:
 
         p = self.silver
         p.begin_run()
-        flows_by_source = {f.source: f for f in p._flows}
+        flows_by_source = {f.source: f for f in p.cdc_flows}
+        # The chained path hand-schedules one CDC flow per entity; if the
+        # silver DAG ever grows a flow this loop would silently skip (or an
+        # entity's flow goes missing → bare KeyError mid-chain), fail loudly
+        # here instead so run_all/run_silver parity can't drift.
+        expected = {f"{e}_raw" for e in ENTITIES}
+        if len(p.cdc_flows) != len(expected) or set(flows_by_source) != expected:
+            raise RuntimeError(
+                "ingest_and_silver chains cover flows sourced from "
+                f"{sorted(expected)} but the silver pipeline registers "
+                f"{sorted(flows_by_source)}; update the chain builder to "
+                "match (or run via run_silver, which executes all flows)"
+            )
 
         def chain(entity: str) -> None:
             if os.path.isdir(os.path.join(self.raw_root, entity)):

@@ -1,0 +1,149 @@
+"""Round-8 regression tests.
+
+Degenerate-input guards: Spark's ``sequence(a, b)`` DESCENDS when b < a
+(default step -1), so every computed index fan-out that can go empty must
+use ``asc_seq`` (functions/compat.py) or a short-but-valid input crashes
+with INVALID_ARRAY_INDEX instead of producing the zero rows the DuckDB
+oracles produce. These tests pin that contract on fixtures explicitly
+built to be shorter than each operator's window.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    import __spark_entry__ as e
+
+    return e.queries()[name]
+
+
+@pytest.fixture(scope="module")
+def tiny_sf_dir(spark, tmp_path_factory):
+    """A scale-factor dir whose events span only TWO days (shorter than
+    every rolling/STL/peak window) and whose documents include <3-token
+    texts plus a word that BPE-merges into a single symbol."""
+    root = tmp_path_factory.mktemp("sf_degenerate")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(hours=6 * i), i % 3, "view", float(i), "{}")
+            for i in range(8)  # 2024-01-01 .. 2024-01-02
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    ev.coalesce(1).write.parquet(str(root / "events.parquet"))
+    docs = spark.createDataFrame(
+        [
+            (1, "one", "en", "web", 3),  # 1 token  (< 3-shingle window)
+            (2, "two words", "en", "web", 9),  # 2 tokens
+            (3, "ab ab abab ab", "en", "web", 13),  # 'ab' merges to ONE symbol
+            (4, "three token doc here", "en", "web", 20),
+            (5, "three token doc here", "en", "web", 20),  # exact dup of 4
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.coalesce(1).write.parquet(str(root / "documents.parquet"))
+    return str(root)
+
+
+# Each of these read only `events` and window over the daily series; with a
+# 2-day series every one of them must return ZERO detection rows (matching
+# the oracle's empty window/range scan), never raise.
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ts_stl_decompose_weekly",
+        "ts_rolling_mad_anomaly",
+        "ts_peak_prominence",
+    ],
+)
+def test_short_series_yields_zero_rows(spark, tiny_sf_dir, name):
+    assert _q(name)(spark, tiny_sf_dir).count() == 0
+
+
+def test_pattern_search_short_series_no_crash(spark, tiny_sf_dir):
+    # each user has fewer than _PAT_M points -> no candidate windows at all
+    out = _q("ts_pattern_search")(spark, tiny_sf_dir)
+    assert out.count() == 0
+
+
+def test_page_hinkley_short_series_no_crash(spark, tiny_sf_dir):
+    # 2 daily points: the fold itself is well-defined, must not raise
+    _q("stats_page_hinkley_alarm")(spark, tiny_sf_dir).collect()
+
+
+def test_concurrency_peak_short_series_no_crash(spark, tiny_sf_dir):
+    _q("events_concurrency_peak")(spark, tiny_sf_dir).collect()
+
+
+def test_bpe_merge_single_symbol_word(spark, tiny_sf_dir):
+    """A word equal to the round-1 top pair segments to ONE symbol; the
+    round-2 pair scan over it must contribute zero pairs, not crash on
+    element_at(syms, 0)."""
+    out = _q("text_bpe_apply_merge_round2")(spark, tiny_sf_dir)
+    out.collect()  # would raise INVALID_ARRAY_INDEX before the guard
+
+
+def test_cascade_funnel_short_docs(spark, tiny_sf_dir):
+    """<3-token docs produce zero shingles (doc survives as its own
+    shingle-set group) instead of crashing in slice()."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (
+        dedup_cascade_funnel,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_table,
+    )
+
+    docs = read_table(spark, tiny_sf_dir, "documents")
+    stages = dict(dedup_cascade_funnel(docs))
+    assert stages["0_raw_docs"] == 5
+    assert stages["1_after_exact_dedup"] == 4  # doc 5 is an exact dup
+    # docs 1 and 2 produce ZERO shingles, so they leave the funnel at the
+    # shingle-set stage — exactly what the DuckDB oracle's
+    # range(1, len-1) lateral does; docs 3 and 4 keep distinct sets
+    assert stages["2_after_shingleset_dedup"] == 2
+    assert stages["3_neardup_pairs_tau80"] >= 0
+
+
+def test_asc_seq_matches_duckdb_range_semantics(spark):
+    """asc_seq(1, n) == DuckDB range(1, n+1): ascending when n >= 1,
+    EMPTY (not [1,0]) when n < 1."""
+    from databricks_end_to_end_lakeflow_project_spark.functions.compat import asc_seq
+
+    df = spark.range(1).select(
+        asc_seq(F.lit(1), F.lit(3)).alias("up"),
+        asc_seq(F.lit(1), F.lit(0)).alias("empty0"),
+        asc_seq(F.lit(4), F.lit(-2)).alias("emptyneg"),
+    )
+    row = df.collect()[0]
+    assert row["up"] == [1, 2, 3]
+    assert row["empty0"] == []
+    assert row["emptyneg"] == []
+
+
+def test_pipeline_flow_coverage_guard(spark, tmp_path):
+    """ingest_and_silver must refuse to run if the silver DAG registers a
+    CDC flow its chain builder would silently skip."""
+    from databricks_end_to_end_lakeflow_project_spark.plans.flight_pipeline import (
+        FlightLakehouse,
+    )
+
+    lake = FlightLakehouse(spark, str(tmp_path / "raw"), str(tmp_path / "lake"))
+    p = lake.silver
+    # register an extra streaming table + flow the chains don't know about
+    p.create_streaming_table("rogue_tbl")
+    p.create_auto_cdc_flow(
+        target="rogue_tbl",
+        source="rogue_src_raw",  # NOT one of the {entity}_raw sources the chains cover
+        keys=["booking_id"],
+        sequence_by="modifiedDate",
+    )
+    with pytest.raises(RuntimeError, match="ingest_and_silver chains"):
+        lake.ingest_and_silver()
