@@ -1045,6 +1045,51 @@ def graph_scale_curve(spark) -> list:
     return curve
 
 
+def calibration_probe(spark) -> dict:
+    """Fixed synthetic probe pair for host-speed normalization.
+
+    The round-7 headline moved 22.8 → 28.4 s with ZERO code changes to
+    the measured queries — pure host drift, only distinguishable from a
+    plan regression by an independent rerun. This probe is constant by
+    construction (fixed row counts, seedless deterministic hash work, no
+    file I/O), so its wall time moves ONLY with host speed/load:
+
+    - cpu leg: 512M-row whole-stage-codegen hash fold (xxhash64 + pmod +
+      sum) — pins scalar CPU throughput.
+    - shuffle leg: 32M rows hash-aggregated into 65,536 groups then
+      re-reduced — pins shuffle write/read + hash-agg machinery.
+
+    Each leg is min-of-3 after one warm-up (same min-of-N policy as the
+    headline loop). The headline is reported raw AND divided by
+    ``calibration_sec`` (`headline_per_calibration`, dimensionless):
+    round-over-round, compare the normalized number — host drift cancels.
+    """
+    from pyspark.sql import functions as F
+
+    legs = {
+        "cpu": lambda: spark.range(512_000_000, numPartitions=64)
+        .select(F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_003))))
+        .collect(),
+        "shuffle": lambda: spark.range(32_000_000, numPartitions=64)
+        .groupBy(F.pmod(F.xxhash64("id"), F.lit(65536)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy()
+        .agg(F.sum("c"))
+        .collect(),
+    }
+    out = {}
+    for leg, run in legs.items():
+        run()  # warm-up (codegen compile, shuffle dirs)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{leg}_sec"] = round(best, 3)
+    out["calibration_sec"] = round(out["cpu_sec"] + out["shuffle_sec"], 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -1057,7 +1102,12 @@ def main() -> None:
         n for n in sorted(qs) if n not in HEADLINE and n.startswith("bench_")
     ]
 
-    # warm the JVM + file listing once with the cheapest query
+    # host-calibration probe FIRST (also serves as JVM warm-up): fixed
+    # synthetic work whose time moves only with host speed, so headline
+    # numbers are comparable across rounds despite host drift.
+    cal = calibration_probe(spark)
+
+    # warm the file listing once with the cheapest query
     qs[names[0]](spark, sf_dir).count()
 
     # min-of-N damps same-machine load noise (±30% observed run-to-run);
@@ -1107,6 +1157,10 @@ def main() -> None:
             out["stream_curve"] = stream_scale_curve(spark, sf01, sf1)
 
     out["queries"] = times
+    # calibration goes LAST-but-one so the driver's 2,000-char stdout
+    # tail keeps it alongside the headline value.
+    out.update(cal)
+    out["headline_per_calibration"] = round(total / cal["calibration_sec"], 2)
     out["value"] = total
     print(json.dumps(out))
     spark.stop()
