@@ -356,6 +356,7 @@ class FlightLakehouse:
 import tempfile  # noqa: E402
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.session import cloned_session  # noqa: E402
 from databricks_end_to_end_lakeflow_project_spark.sources.scratch import ephemeral_dir  # noqa: E402
 from databricks_end_to_end_lakeflow_project_spark.sources import flight_fixtures  # noqa: E402
 
@@ -399,22 +400,19 @@ def pipeline_medallion_scd_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     root = ephemeral_dir("flight_demo_")
     raw = os.path.join(root, "raw")
     flight_fixtures.write_base(raw)
-    lake = FlightLakehouse(spark, raw, os.path.join(root, "lake"))
     # The replay executes EAGERLY here (availableNow drains + upserts),
     # over fixture-sized micro-batches where 32-partition shuffles are
-    # pure scheduling overhead (~13% of wall at sf0.01). Pin a small
-    # shuffle width for the eager section and RESTORE before returning —
-    # the returned frame is a plain table read, so later queries in the
-    # session keep their own setting. At 100 TB the replay's batches are
-    # data-sized and this override would be removed with the fixture.
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        lake.run_all(clock=_T1)
-        flight_fixtures.write_scd(raw)
-        lake.run_all(clock=_T2)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    # pure scheduling overhead (~13% of wall at sf0.01). Run the whole
+    # eager section on an ISOLATED cloned session with a small shuffle
+    # width — the caller's session conf is never touched, so concurrent
+    # registry queries in one session can't observe it. At 100 TB the
+    # replay's batches are data-sized and the override disappears with
+    # the fixture.
+    eager = cloned_session(spark, {"spark.sql.shuffle.partitions": "8"})
+    lake = FlightLakehouse(eager, raw, os.path.join(root, "lake"))
+    lake.run_all(clock=_T1)
+    flight_fixtures.write_scd(raw)
+    lake.run_all(clock=_T2)
     return lake._gold_table("DimAirports").read().select(
         "airport_id", "airport_name", "city", "country", "DimAirportsKey",
         "create_date", "update_date", "modifiedDate",
@@ -545,26 +543,23 @@ def stream_business_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = ephemeral_dir("flight_stream_")
     raw = os.path.join(root, "raw")
     flight_fixtures.write_base(raw)
-    lake = FlightLakehouse(spark, raw, os.path.join(root, "lake"))
     # Fixed-cost shape (the registry's slowest entry before this form):
-    # per-entity ingest→silver chains instead of two phase barriers,
-    # fixture-sized shuffle width pinned for the eager batch section
-    # (same rationale as the medallion replay above), and the silver
+    # per-entity ingest→silver chains instead of two phase barriers, the
+    # whole eager section on an ISOLATED cloned session with a
+    # fixture-sized shuffle width (the caller's conf is never mutated —
+    # same rationale as the medallion replay above), and the silver
     # finalize (quarantine/event-log — the join reads only the silver
     # TABLES) overlapped with the stream drain. Identical rows by
     # construction; the golden VALUES oracle pins it.
     from concurrent.futures import ThreadPoolExecutor
 
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        finalize = lake.ingest_and_silver(clock=_T1)
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            fin = ex.submit(finalize)
-            rows = business_silver_stream(lake)
-            fin.result()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    eager = cloned_session(spark, {"spark.sql.shuffle.partitions": "8"})
+    lake = FlightLakehouse(eager, raw, os.path.join(root, "lake"))
+    finalize = lake.ingest_and_silver(clock=_T1)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fin = ex.submit(finalize)
+        rows = business_silver_stream(lake)
+        fin.result()
     return (
         rows.groupBy("airport_id")
         .agg(

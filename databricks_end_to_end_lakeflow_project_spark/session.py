@@ -81,6 +81,26 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return out
 
 
+def cloned_session(spark: SparkSession, conf: dict[str, str]) -> SparkSession:
+    """A sibling session sharing the SparkContext (and cache) but with its
+    OWN SQLConf and temp-view catalog — for eager fixture-scale sections
+    that want e.g. a small shuffle width WITHOUT mutating the caller's
+    session. Two registry queries running concurrently in one session must
+    never observe each other's conf; ``spark.conf.set`` inside a query body
+    is banned (tests/test_plans.py guard) and this is the replacement.
+
+    The correctness-pinned confs (UTC timezone, ANSI) are copied from the
+    caller so plans built on the clone hash-match the oracle exactly like
+    plans built on the original.
+    """
+    s = spark.newSession()
+    for k in ("spark.sql.session.timeZone", "spark.sql.ansi.enabled"):
+        s.conf.set(k, spark.conf.get(k))
+    for k, v in conf.items():
+        s.conf.set(k, v)
+    return s
+
+
 def persist_once(df):
     """``df.persist()`` unless the CacheManager already holds an entry for
     the same CANONICALIZED plan. ``DataFrame.is_cached`` is object-local

@@ -213,6 +213,25 @@ def test_dim_surrogate_assignment_plans_partitioned_window(spark, tmp_path):
     new2.unpersist()
 
 
+def test_no_conf_set_in_query_bodies():
+    """No registry query may mutate the caller's session conf — two
+    queries running concurrently in one session must never observe each
+    other's settings. Eager fixture-scale sections that want a different
+    shuffle width use ``session.cloned_session`` (own SQLConf) instead.
+    Source-level grep over every registered query function."""
+    import inspect
+
+    from databricks_end_to_end_lakeflow_project_spark.registry import _QUERIES, _collect
+
+    _collect()
+    offenders = []
+    for name, fn in _QUERIES.items():
+        src = inspect.getsource(fn)
+        if "conf.set" in src or "conf.unset" in src:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_unpartitioned_window_detector(spark):
     """The detector must flag a genuinely global ordered window and pass
     partition-only and partition+order windows."""
