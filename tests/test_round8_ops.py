@@ -147,3 +147,32 @@ def test_pipeline_flow_coverage_guard(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="ingest_and_silver chains"):
         lake.ingest_and_silver()
+
+
+# ------------------------------------------------- off-model ER blocking
+
+
+def test_offmodel_blocking_covers_every_family(spark):
+    """Each corruption family's true pair must share at least one block
+    key (the per-family coverage proof, exercised on data): recall 1.0
+    per family on the smoke fixture."""
+    rows = _q("er_offmodel_match_quality")(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["match_recall"] == 1.0, (r["family"], r["match_recall"])
+        assert r["match_precision"] == 1.0, (r["family"], r["match_precision"])
+
+
+def test_offmodel_deletion_keys_shape(spark):
+    """FastSS depth-1 neighborhood: len(name)+2 keys per side (self +
+    one per deleted position + the token-set key)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.entity import (
+        _offmodel_block_keys,
+    )
+
+    row = (
+        spark.createDataFrame([("Customer#000000001",)], "s string")
+        .select(F.size(_offmodel_block_keys(F.col("s"))).alias("n"))
+        .collect()[0]
+    )
+    assert row["n"] == 18 + 2
