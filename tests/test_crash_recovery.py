@@ -445,3 +445,170 @@ def test_delete_where_killed_mid_swap(spark, tmp_path, monkeypatch, kill_rename)
     assert not glob.glob(f"{t.path}.__tmp_*") and not glob.glob(
         f"{t.path}.__old_*"
     )
+
+
+# ---------------------------------------------- streaming-ingest kill points
+#
+# The bronze ingest's exactly-once claim (streaming/ingest.py:95-124) rests
+# on Structured Streaming's checkpoint + FileStreamSink metadata log, not on
+# the intent journal the rest of this matrix exercises. These cases
+# reconstruct the two REAL crash states a SIGKILL can leave between a
+# micro-batch's side effects — the checkpoint records offsets BEFORE the
+# sink writes and the commit marker AFTER, so a crash lands either
+# (a) pre-sink-commit: offsets/N present, orphan part files possible in the
+#     target, no _spark_metadata/N, no commits/N; or
+# (b) post-sink-commit: _spark_metadata/N present, commits/N missing
+# — and assert the re-run drain converges to exactly-once bronze rows
+# (no duplicates, no loss) in both, plus across a drain interrupted
+# between micro-batches.
+
+
+def _write_csv(path: str, ids) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write("id,val\n")
+        for i in ids:
+            fh.write(f"{i},v{i}\n")
+
+
+def _bronze_ids(spark, target: str) -> list[int]:
+    # read through the FileStreamSink metadata log (spark.read.parquet
+    # detects _spark_metadata): orphan part files from a pre-commit crash
+    # must be invisible here
+    return sorted(
+        r["id"] for r in spark.read.parquet(target).select("id").collect()
+    )
+
+
+@pytest.fixture()
+def ingest_dirs(tmp_path):
+    return {
+        "src": str(tmp_path / "raw"),
+        "target": str(tmp_path / "bronze"),
+        "ckpt": str(tmp_path / "ckpt"),
+        "schema": str(tmp_path / "schema"),
+    }
+
+
+def _drain(spark, d) -> int:
+    """One bronze drain; retries the transient 'multiple streaming
+    queries concurrently using <ckpt>' start-rejection — the PRIOR
+    (terminated) query's checkpoint-path registration is removed by an
+    async listener, so an immediate restart can race it. This is a
+    same-session restart artifact of the test harness, not a recovery
+    property."""
+    import time as _time
+
+    from databricks_end_to_end_lakeflow_project_spark.streaming.ingest import (
+        ingest_csv_stream,
+    )
+
+    last = None
+    for _ in range(40):
+        try:
+            return ingest_csv_stream(
+                spark, d["src"], d["target"], d["ckpt"], d["schema"]
+            )
+        except Exception as exc:  # noqa: BLE001
+            if "concurrently" not in str(exc):
+                raise
+            last = exc
+            _time.sleep(0.25)
+    raise last
+
+
+def test_ingest_killed_post_sink_pre_checkpoint_commit(spark, ingest_dirs):
+    """Crash state (b): the sink committed batch 0 (_spark_metadata/0 on
+    disk) but the checkpoint's commits/0 never landed. The restarted
+    drain re-offers batch 0; FileStreamSink's log already holds the
+    batch id, so it must SKIP the write — rows stay exactly-once."""
+    d = ingest_dirs
+    _write_csv(os.path.join(d["src"], "f1.csv"), range(1, 6))
+    assert _drain(spark, d) == 1
+    commit0 = os.path.join(d["ckpt"], "commits", "0")
+    assert os.path.exists(commit0)
+    os.remove(commit0)  # the crash window: sink done, checkpoint not
+
+    _drain(spark, d)  # recovery re-run
+    assert _bronze_ids(spark, d["target"]) == list(range(1, 6))
+    assert os.path.exists(commit0), "recovery must complete the commit"
+
+
+def test_ingest_killed_pre_sink_commit_leaves_orphans_invisible(
+    spark, ingest_dirs
+):
+    """Crash state (a): batch 0 died mid-write — orphan part files exist
+    in the target dir but _spark_metadata/0 and commits/0 do not. The
+    restarted drain re-executes batch 0 from the recorded offsets; the
+    metadata-log read must show each row exactly once (orphans are
+    invisible to the log reader)."""
+    import glob
+    import shutil
+
+    d = ingest_dirs
+    _write_csv(os.path.join(d["src"], "f1.csv"), range(1, 6))
+    assert _drain(spark, d) == 1
+    # reconstruct the pre-sink-commit state: keep the batch's part files
+    # as orphans, remove the sink-log entry and the checkpoint commit
+    os.remove(os.path.join(d["ckpt"], "commits", "0"))
+    meta0 = os.path.join(d["target"], "_spark_metadata", "0")
+    os.remove(meta0)
+    n_parts_before = len(glob.glob(os.path.join(d["target"], "part-*")))
+    assert n_parts_before > 0
+
+    _drain(spark, d)  # recovery: re-executes batch 0, writes new parts
+    assert os.path.exists(meta0)
+    # physical dir has orphans + the re-written batch...
+    assert len(glob.glob(os.path.join(d["target"], "part-*"))) > n_parts_before
+    # ...but the log reader sees exactly-once rows
+    assert _bronze_ids(spark, d["target"]) == list(range(1, 6))
+
+
+def test_ingest_interrupted_between_batches_then_resumed(spark, ingest_dirs):
+    """A drain stopped between micro-batches (maxFilesPerTrigger=1 so
+    each file is its own batch) must resume from the checkpoint: files
+    already committed are not re-ingested, pending files are not lost."""
+    from databricks_end_to_end_lakeflow_project_spark.streaming.ingest import (
+        infer_or_load_schema,
+        INGEST_FILE_COL,
+        INGEST_TIME_COL,
+        RESCUE_COL,
+    )
+    import pyspark.sql.functions as F
+
+    d = ingest_dirs
+    for k, ids in enumerate([range(1, 6), range(6, 11), range(11, 16)]):
+        _write_csv(os.path.join(d["src"], f"f{k}.csv"), ids)
+    schema = infer_or_load_schema(spark, d["src"], d["schema"])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", RESCUE_COL)
+        .csv(d["src"])
+        .withColumn(INGEST_TIME_COL, F.current_timestamp())
+        .withColumn(INGEST_FILE_COL, F.col("_metadata.file_path"))
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", d["ckpt"])
+        .option("path", d["target"])
+        .start()
+    )
+    # stop after the first committed micro-batch — mid-drain interruption
+    import time as _time
+
+    deadline = _time.time() + 60
+    while not os.path.exists(os.path.join(d["ckpt"], "commits", "0")):
+        assert _time.time() < deadline, "first batch never committed"
+        _time.sleep(0.05)
+    q.stop()
+    q.awaitTermination()
+    partial = _bronze_ids(spark, d["target"])
+    assert set(partial) <= set(range(1, 16))
+
+    _drain(spark, d)  # resume
+    assert _bronze_ids(spark, d["target"]) == list(range(1, 16))
