@@ -2321,7 +2321,24 @@ def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    cells = _assigned_cells(em, seeds, _BITEXT_NPROBE)
+    return bitext_margin_pairs(em, seeds, _BITEXT_NPROBE)
+
+
+def bitext_margin_pairs(
+    em: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    n_probe: int,
+    nn_k: int = _BITEXT_NN_K,
+    topk: int | None = _BITEXT_TOPK,
+) -> DataFrame:
+    """The parametrized bitext kernel behind `sim_bitext_margin_pairs`
+    (same plan, constants exposed) — bench.py's bitext_curve sweeps
+    n_probe across ×10/×100 corpora with corpus-scaled cell counts.
+    ``topk=None`` returns the FULL margined candidate frame (no global
+    ordering) so callers can apply the production emission rule —
+    per-source top-1 above a margin threshold — instead of the
+    registry's global top-20 report."""
+    cells = _assigned_cells(em, seeds, n_probe)
     a = cells.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("src"), F.col("embedding").alias("va"), "cell"
     )
@@ -2350,17 +2367,17 @@ def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         folded = F.aggregate(
-            F.slice(arr, 1, _BITEXT_NN_K),
+            F.slice(arr, 1, nn_k),
             F.lit(0.0),
             lambda acc, s: acc + s["c"],
         )
         return pairs.groupBy(side).agg(
-            (folded / _BITEXT_NN_K).alias(f"nn_{side}")
+            (folded / nn_k).alias(f"nn_{side}")
         )
 
     nns = nn_mean("src", "dst")
     nnd = nn_mean("dst", "src")
-    return (
+    margined = (
         pairs.join(nns, "src")
         .join(nnd, "dst")
         .select(
@@ -2371,9 +2388,10 @@ def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cos_sim") / ((F.col("nn_src") + F.col("nn_dst")) / 2), 6
             ).alias("margin"),
         )
-        .orderBy(F.col("margin").desc(), "src", "dst")
-        .limit(_BITEXT_TOPK)
     )
+    if topk is None:
+        return margined
+    return margined.orderBy(F.col("margin").desc(), "src", "dst").limit(topk)
 
 
 _EMB_DRIFT_ORACLE = """

@@ -41,6 +41,7 @@ _QUERY_MODULES = [
     "databricks_end_to_end_lakeflow_project_spark.streaming.windows",
     "databricks_end_to_end_lakeflow_project_spark.streaming.replay",
     "databricks_end_to_end_lakeflow_project_spark.operators.stats",
+    "databricks_end_to_end_lakeflow_project_spark.operators.stats_tests",
     "databricks_end_to_end_lakeflow_project_spark.operators.sampling",
     "databricks_end_to_end_lakeflow_project_spark.operators.rollup",
     "databricks_end_to_end_lakeflow_project_spark.operators.curation",

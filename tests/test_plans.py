@@ -91,6 +91,8 @@ NON_EQUI_WHITELIST = {
     "sample_target_encode_kfold",  # 1-row global-prior frame broadcast onto the cells
     "stats_uplift_qini_deciles",  # 1-row date-span frame broadcast onto the scoring scan
     "sim_embedding_drift_monitor",  # 1-row cohort-split scalar broadcast onto the scan
+    "stats_kruskal_wallis",  # 1-row tie-term frame broadcast into the H expression
+    "stats_pinball_loss",  # 1-row time-midpoint broadcast onto the scan (same shape as stats_sign_test_paired)
 }
 
 
