@@ -37,6 +37,7 @@ _QUERY_MODULES = [
     "databricks_end_to_end_lakeflow_project_spark.operators.dedup",
     "databricks_end_to_end_lakeflow_project_spark.operators.similarity",
     "databricks_end_to_end_lakeflow_project_spark.operators.textops",
+    "databricks_end_to_end_lakeflow_project_spark.operators.textmining",
     "databricks_end_to_end_lakeflow_project_spark.operators.multimodal",
     "databricks_end_to_end_lakeflow_project_spark.streaming.windows",
     "databricks_end_to_end_lakeflow_project_spark.streaming.replay",

@@ -92,6 +92,10 @@ NON_EQUI_WHITELIST = {
     "stats_uplift_qini_deciles",  # 1-row date-span frame broadcast onto the scoring scan
     "sim_embedding_drift_monitor",  # 1-row cohort-split scalar broadcast onto the scan
     "stats_kruskal_wallis",  # 1-row tie-term frame broadcast into the H expression
+    "text_stopword_discovery",  # 1-row corpus-count broadcast over the token-df frame
+    "text_boilerplate_templates",  # 1-row corpus-count broadcast over the template frame
+    "text_char_trigram_nll",  # 1-row (total, V) broadcast onto the test-trigram scoring scan
+    "text_quality_gate_sweep",  # 1-row LM consts + 4-row threshold broadcast over the per-doc frame
     "stats_pinball_loss",  # 1-row time-midpoint broadcast onto the scan (same shape as stats_sign_test_paired)
 }
 
