@@ -1593,3 +1593,91 @@ def curation_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-8: quality-filter overlap contingency
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_filter_overlap",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             (length(trim(text)) >= 200) AS g_len,
+             (len(string_split(trim(text), ' ')) >= 40) AS g_words,
+             (CAST((SELECT MAX(cnt) FROM (
+                 SELECT COUNT(*) AS cnt
+                 FROM UNNEST(string_split(trim(text), ' ')) AS u(w)
+                 GROUP BY u.w)) AS DOUBLE)
+              / len(string_split(trim(text), ' ')) <= 0.10) AS g_rep
+      FROM documents
+    ),
+    cells AS (
+      SELECT g_len, g_words, g_rep, COUNT(*) AS n_docs
+      FROM feats GROUP BY g_len, g_words, g_rep
+    ),
+    tot AS (SELECT COUNT(*) AS nd FROM feats)
+    SELECT g_len, g_words, g_rep, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / nd, 4) AS share
+    FROM cells, tot
+    ORDER BY g_len DESC, g_words DESC, g_rep DESC
+    """,
+)
+def curation_filter_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate OVERLAP contingency: the 2³ cell counts of three
+    standard curation gates — length ≥ 200 chars, ≥ 40 words, top-word
+    share ≤ 10% (repetition) — over the corpus. The design table for a
+    filter CASCADE: if two gates' fail sets coincide, the second buys
+    nothing and should be dropped; if they're disjoint, ordering by
+    cheapest-first ([[pipeline_dedup_cascade]]'s principle) sets the
+    cost. [[text_quality_score]] combines these gates into one score;
+    this measures their joint geometry instead.
+
+    Exactness: each gate is a deterministic integer/boolean expression
+    per doc (max token frequency via a grouped-count max inside a
+    higher-order expression — no second scan); cells are exact integer
+    counts. Plan: one projection + one 8-cell groupBy; the corpus total
+    rides a 1-row broadcast.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    # max token frequency without an explode: sort tokens, fold runs
+    maxrun = F.aggregate(
+        F.array_sort(w),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    feats = docs.select(
+        (F.length(F.trim("text")) >= 200).alias("g_len"),
+        (F.size(w) >= 40).alias("g_words"),
+        (maxrun.cast("double") / F.size(w) <= 0.10).alias("g_rep"),
+    )
+    tot = feats.agg(F.count(F.lit(1)).alias("nd"))
+    cells = feats.groupBy("g_len", "g_words", "g_rep").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "g_len",
+            "g_words",
+            "g_rep",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("nd"), 4).alias("share"),
+        )
+        .orderBy(F.desc("g_len"), F.desc("g_words"), F.desc("g_rep"))
+    )

@@ -1871,3 +1871,107 @@ def dedup_cascade_funnel(docs: DataFrame) -> list[tuple[str, int]]:
         ("2_after_shingleset_dedup", s2.count()),
         ("3_neardup_pairs_tau80", pairs.count()),
     ]
+
+
+# ---------------------------------------------------------------------------
+# round-8: LSH (bands × rows) operating-point design sweep
+# ---------------------------------------------------------------------------
+
+_BR_CONFIGS = [(32, 2), (16, 4), (8, 8)]  # b × r = 64 permutations each
+
+
+@query(
+    "dedup_band_row_tradeoff",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w
+      FROM {_AUDIT_SAMPLE_SQL} documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM toks WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ), cfg AS (
+      SELECT * FROM (VALUES {", ".join(f"({b}, {r})" for b, r in _BR_CONFIGS)})
+        AS t(bands, rows_per_band)
+    ), sweep AS (
+      SELECT bands, rows_per_band,
+             COUNT(*) FILTER (WHERE j >= 0.8) AS n_true_pairs,
+             SUM(CAST(ROUND((1 - POWER(1 - POWER(j, rows_per_band), bands))
+                            * 1000000) AS BIGINT))
+               FILTER (WHERE j >= 0.8) AS etp_q,
+             SUM(CAST(ROUND((1 - POWER(1 - POWER(j, rows_per_band), bands))
+                            * 1000000) AS BIGINT)) AS ecand_q
+      FROM pairs, cfg GROUP BY bands, rows_per_band
+    )
+    SELECT bands, rows_per_band,
+           ROUND(1 - POWER(1 - POWER(0.8, rows_per_band), bands), 6)
+             AS p_detect_at_080,
+           n_true_pairs,
+           ROUND(COALESCE(etp_q, 0) / 1000000.0, 4) AS expected_true_detected,
+           ROUND(ecand_q / 1000000.0, 4) AS expected_candidates
+    FROM sweep ORDER BY bands DESC
+    """,
+)
+def dedup_band_row_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH operating-point design sweep over (bands × rows) splits of the
+    64-permutation MinHash budget: for each config, the theoretical
+    s-curve detection probability at the j=0.8 threshold AND the
+    EXPECTED true-pair detections / total candidates on this corpus —
+    Σ over the audit sample's exact pairwise Jaccards of
+    1 − (1 − jʳ)ᵇ. This is the table you read before picking
+    [[dedup_minhash_lsh_pairs]]'s (16, 4) default: more bands → higher
+    recall AND more junk candidates; the corpus-weighted expectation
+    (not just the s-curve) is what actually prices the choice.
+    [[dedup_minhash_estimate_audit]] validates the estimator itself;
+    this sweeps the decision.
+
+    Exactness: pairwise Jaccard is exact set arithmetic on the bounded
+    content-hash audit sample (`_audit_sample`); each pair's detection
+    probability is one POWER expression identical in both engines,
+    quantized to 1e-6 BEFORE the sum. Plan: the bounded all-pairs
+    kernel (whitelisted, 256-doc sample) × a 3-row config broadcast,
+    one groupBy.
+    """
+    docs = _audit_sample(read_table(spark, sf_dir, "documents"))
+    sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= 3).select(
+        "doc_id", shingles(F.col("text")).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sb"))
+    j = (
+        F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+        / F.size(F.array_union(F.col("sa"), F.col("sb")))
+    )
+    pairs = a.join(b, F.col("da") < F.col("db")).select(j.alias("j"))
+    cfg = docs.sparkSession.createDataFrame(
+        _BR_CONFIGS, "bands int, rows_per_band int"
+    )
+    p = 1 - F.pow(1 - F.pow(F.col("j"), F.col("rows_per_band")), F.col("bands"))
+    pq = F.round(p * 1_000_000).cast("long")
+    sweep = (
+        pairs.crossJoin(F.broadcast(cfg))
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum((F.col("j") >= 0.8).cast("long")).alias("n_true_pairs"),
+            F.coalesce(F.sum(F.when(F.col("j") >= 0.8, pq)), F.lit(0)).alias(
+                "etp_q"
+            ),
+            F.sum(pq).alias("ecand_q"),
+        )
+    )
+    return sweep.select(
+        "bands",
+        "rows_per_band",
+        F.round(
+            1 - F.pow(1 - F.pow(F.lit(0.8), F.col("rows_per_band")), F.col("bands")),
+            6,
+        ).alias("p_detect_at_080"),
+        "n_true_pairs",
+        F.round(F.col("etp_q") / 1_000_000.0, 4).alias("expected_true_detected"),
+        F.round(F.col("ecand_q") / 1_000_000.0, 4).alias("expected_candidates"),
+    ).orderBy(F.desc("bands"))

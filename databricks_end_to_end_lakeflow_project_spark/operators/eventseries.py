@@ -2943,3 +2943,109 @@ def events_midnight_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("s_end").cast("long") - F.col("s_start").cast("long")), 2
         ).alias("mean_session_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-8: Theta-method forecast (M3-competition classic)
+# ---------------------------------------------------------------------------
+
+_THETA_A = 0.5  # SES smoothing constant on the theta=2 line
+
+
+@query(
+    "ts_theta_forecast",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    idx AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+      FROM daily
+    ),
+    ols AS (
+      SELECT event_type, COUNT(*) AS n,
+             regr_slope(y, i) AS b, regr_intercept(y, i) AS a
+      FROM idx GROUP BY event_type
+    ),
+    z AS (
+      SELECT idx.event_type,
+             LIST(2 * y - (a + b * i) ORDER BY i) AS zs,
+             ANY_VALUE(n) AS n, ANY_VALUE(a) AS a, ANY_VALUE(b) AS b
+      FROM idx JOIN ols USING (event_type)
+      GROUP BY idx.event_type
+    ),
+    ses AS (
+      SELECT event_type, n, a, b,
+             list_reduce(zs,
+               (acc, x) -> {_THETA_A} * x + (1 - {_THETA_A}) * acc) AS l
+      FROM z
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(b, 4) AS trend_slope,
+           ROUND(l, 4) AS ses_level,
+           ROUND(0.5 * (a + b * (n + 3)) + 0.5 * l, 4) AS theta_forecast_h3
+    FROM ses ORDER BY event_type
+    """,
+)
+def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the
+    M3-competition winner) of each event type's daily value total: the
+    h=3 forecast is the average of the extrapolated OLS trend line
+    (theta=0) and SES over the theta=2 line Z_t = 2y_t − (a + b·t).
+    Complements [[ts_holt_linear]] (recursive trend state) with the
+    decomposition-based classic that wins on monthly/weekly business
+    series.
+
+    Exactness: daily totals sum in DECIMAL; the OLS (a, b) come from the
+    co-moment `regr_slope/intercept` aggregates (identical co-moment
+    algebra both engines); Z_t is per-element identical, and the SES
+    left-fold is a SINGLE-SCALAR accumulator — safe in DuckDB's
+    list_reduce, unlike the multi-field struct folds the Holt oracle had
+    to unroll as a recursive CTE. Plan: one daily pre-aggregate, one
+    per-type PARTITIONED rank window, one groupBy fold.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.withColumn("i", F.row_number().over(w))
+    ols = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.regr_slope("y", "i").alias("b"),
+        F.regr_intercept("y", "i").alias("a"),
+    )
+    z = (
+        idx.join(ols, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("i", (2 * F.col("y") - (F.col("a") + F.col("b") * F.col("i"))).alias("z"))
+                    )
+                ),
+                lambda s: s["z"],
+            ).alias("zs"),
+            F.first("n").alias("n"),
+            F.first("a").alias("a"),
+            F.first("b").alias("b"),
+        )
+    )
+    l = F.aggregate(
+        F.slice(F.col("zs"), 2, F.greatest(F.size("zs") - 1, F.lit(0))),
+        F.element_at(F.col("zs"), 1),
+        lambda acc, x: F.lit(_THETA_A) * x + F.lit(1 - _THETA_A) * acc,
+    )
+    return z.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("b"), 4).alias("trend_slope"),
+        F.round(l, 4).alias("ses_level"),
+        F.round(
+            0.5 * (F.col("a") + F.col("b") * (F.col("n") + 3)) + 0.5 * l, 4
+        ).alias("theta_forecast_h3"),
+    ).orderBy("event_type")

@@ -667,3 +667,119 @@ def privacy_exponential_mechanism(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.desc("dp_score"), "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-8: DP quantile via the exponential mechanism over value bins
+# ---------------------------------------------------------------------------
+
+_DPQ_EPS = 1.0
+_DPQ_LO, _DPQ_HI, _DPQ_BINS = -1000.0, 10000.0, 20  # acctbal domain, public
+
+
+@query(
+    "privacy_dp_quantile",
+    f"""
+    WITH src AS (SELECT c_acctbal AS x FROM customer),
+    n AS (SELECT COUNT(*) AS nn FROM src),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR((x - ({_DPQ_LO})) / {(_DPQ_HI - _DPQ_LO) / _DPQ_BINS})
+                        AS INT), {_DPQ_BINS - 1}) AS bin,
+             COUNT(*) AS c
+      FROM src GROUP BY 1
+    ),
+    bins AS (SELECT UNNEST(range({_DPQ_BINS})) AS bin),
+    cum AS (
+      SELECT b.bin,
+             COALESCE(SUM(x.c) FILTER (WHERE x.bin <= b.bin), 0) AS cum_count
+      FROM bins b LEFT JOIN binned x ON x.bin <= b.bin
+      GROUP BY b.bin
+    ),
+    keyed AS (
+      SELECT bin, cum_count,
+             -{_DPQ_EPS} * ABS(2 * cum_count - nn) / 4.0
+               - LN(-LN((('0x' || SUBSTRING(md5('dpq|' || bin), 1, 7))::BIGINT
+                         + 1) / 268435457.0)) AS dp_score
+      FROM cum, n
+    )
+    SELECT bin,
+           CAST(ROUND({_DPQ_LO} + bin * {(_DPQ_HI - _DPQ_LO) / _DPQ_BINS}, 2)
+                AS DOUBLE) AS bin_lo,
+           CAST(ROUND({_DPQ_LO} + (bin + 1) * {(_DPQ_HI - _DPQ_LO) / _DPQ_BINS}, 2)
+                AS DOUBLE) AS bin_hi,
+           cum_count,
+           ROUND(dp_score, 6) AS dp_score,
+           bin = (SELECT bin FROM keyed ORDER BY dp_score DESC, bin LIMIT 1)
+             AS chosen
+    FROM keyed ORDER BY bin
+    """,
+)
+def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP MEDIAN of account balance via the exponential mechanism over
+    a public 20-bin grid: utility u(bin) = −|cum_count(bin) − n/2|
+    (sensitivity 1 — one person moves any cumulative count by one), the
+    Gumbel-max formulation with the house content-hash PRF draw. The
+    quantile counterpart of [[privacy_exponential_mechanism]] (categorical
+    argmax) — DP quantiles are what a private data card publishes where
+    [[profile_numeric_columns]] would leak exact order statistics.
+
+    Exactness: cumulative counts are exact integers (per-bin counts
+    reduced over the ≤20-bin grid); |2·cum − n| keeps the utility
+    integral (no n/2 fraction); the Gumbel draw hashes only the public
+    bin id. Plan: one binned groupBy (map-side combinable), a ≤20-row
+    cumulative reduction, TakeOrdered(1) winner broadcast back.
+    """
+    from databricks_end_to_end_lakeflow_project_spark.operators.sampling import (
+        hash_hex,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.session import persist_once
+
+    width = (_DPQ_HI - _DPQ_LO) / _DPQ_BINS
+    cust = read_table(spark, sf_dir, "customer")
+    n = cust.agg(F.count(F.lit(1)).alias("nn"))
+    binned = cust.select(
+        F.least(
+            F.floor((F.col("c_acctbal") - _DPQ_LO) / width).cast("int"),
+            F.lit(_DPQ_BINS - 1),
+        ).alias("bin")
+    ).groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    bins = spark.range(_DPQ_BINS).select(F.col("id").cast("int").alias("bin"))
+    cum = (
+        bins.join(
+            binned.select(F.col("bin").alias("xb"), "c"),
+            F.col("xb") <= F.col("bin"),
+            "left",
+        )
+        .groupBy("bin")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("cum_count"))
+    )
+    u = (F.conv(hash_hex(F.concat(F.lit("dpq|"), F.col("bin")), 7), 16, 10).cast(
+        "double"
+    ) + 1) / F.lit(float(16**7) + 1)
+    keyed = persist_once(
+        cum.crossJoin(F.broadcast(n)).select(
+            "bin",
+            "cum_count",
+            (
+                -_DPQ_EPS * F.abs(2 * F.col("cum_count") - F.col("nn")) / 4.0
+                - F.log(-F.log(u))
+            ).alias("dp_score"),
+        )
+    )
+    best = (
+        keyed.orderBy(F.desc("dp_score"), "bin")
+        .limit(1)
+        .select(F.col("bin").alias("best_bin"))
+    )
+    return (
+        keyed.crossJoin(F.broadcast(best))
+        .select(
+            "bin",
+            F.round(F.lit(_DPQ_LO) + F.col("bin") * width, 2).alias("bin_lo"),
+            F.round(F.lit(_DPQ_LO) + (F.col("bin") + 1) * width, 2).alias("bin_hi"),
+            "cum_count",
+            F.round("dp_score", 6).alias("dp_score"),
+            (F.col("bin") == F.col("best_bin")).alias("chosen"),
+        )
+        .orderBy("bin")
+    )

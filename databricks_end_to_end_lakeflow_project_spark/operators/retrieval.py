@@ -661,3 +661,204 @@ def retrieval_ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-8: pseudo-relevance-feedback query expansion (Rocchio/RM3-style)
+# ---------------------------------------------------------------------------
+
+_PRF_BASE = ["join", "spark"]  # alphabetical; distinct from text_bm25_topk's 3
+_PRF_TOP = 10
+_PRF_NEXP = 2
+_PRF_K1, _PRF_B = 1.2, 0.75
+
+_PRF_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w,
+             LENGTH(string_split(trim(text), ' '))::DOUBLE AS dl
+      FROM documents
+    ),
+    g AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM d),
+    tok AS (
+      SELECT DISTINCT doc_id, u.w AS term
+      FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(w)
+      WHERE length(u.w) > 0
+    ),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+    r1 AS (
+      SELECT d.doc_id,
+             ln(1 + (n - dfa.df + 0.5) / (dfa.df + 0.5))
+               * tfa * {_PRF_K1 + 1}
+               / (tfa + {_PRF_K1} * ({1 - _PRF_B} + {_PRF_B} * dl / avgdl))
+           + ln(1 + (n - dfb.df + 0.5) / (dfb.df + 0.5))
+               * tfb * {_PRF_K1 + 1}
+               / (tfb + {_PRF_K1} * ({1 - _PRF_B} + {_PRF_B} * dl / avgdl))
+             AS sc
+      FROM (SELECT doc_id, dl,
+                   len(list_filter(w, x -> x = '{_PRF_BASE[0]}'))::DOUBLE AS tfa,
+                   len(list_filter(w, x -> x = '{_PRF_BASE[1]}'))::DOUBLE AS tfb
+            FROM d) d
+      CROSS JOIN g
+      CROSS JOIN (SELECT df FROM dfc WHERE term = '{_PRF_BASE[0]}') dfa
+      CROSS JOIN (SELECT df FROM dfc WHERE term = '{_PRF_BASE[1]}') dfb
+    ),
+    top1 AS (SELECT doc_id FROM r1 ORDER BY sc DESC, doc_id LIMIT {_PRF_TOP}),
+    exp AS (
+      SELECT t.term, COUNT(*) AS cnt
+      FROM tok t JOIN top1 USING (doc_id)
+      WHERE length(t.term) >= 3
+        AND t.term NOT IN ('{_PRF_BASE[0]}', '{_PRF_BASE[1]}')
+      GROUP BY t.term
+    ),
+    chosen AS (
+      SELECT e.term
+      FROM exp e JOIN dfc USING (term) CROSS JOIN g
+      ORDER BY CAST(ROUND(e.cnt * LN(n / df) * 1000000) AS BIGINT) DESC, e.term
+      LIMIT {_PRF_NEXP}
+    ),
+    qterms AS (
+      SELECT '{_PRF_BASE[0]}' AS term UNION ALL
+      SELECT '{_PRF_BASE[1]}' UNION ALL
+      SELECT term FROM chosen
+    ),
+    tokall AS (
+      SELECT doc_id, u.w AS term
+      FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(w)
+    ),
+    tf2 AS (
+      SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+      FROM tokall JOIN qterms USING (term) GROUP BY doc_id, term
+    ),
+    scored AS (
+      SELECT tf2.doc_id, tf2.term,
+             ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * {_PRF_K1 + 1}
+               / (tf + {_PRF_K1} * ({1 - _PRF_B} + {_PRF_B} * dl / avgdl))
+               AS s
+      FROM tf2
+      JOIN d ON tf2.doc_id = d.doc_id
+      JOIN dfc ON tf2.term = dfc.term
+      CROSS JOIN g
+    ),
+    s2 AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0::DOUBLE, LIST(s ORDER BY term)),
+                         (a, b) -> a + b) AS sc
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(sc, 4) AS bm25_prf,
+           (SELECT MIN(term) FROM chosen) AS exp_term_1,
+           (SELECT MAX(term) FROM chosen) AS exp_term_2
+    FROM s2 ORDER BY sc DESC, doc_id LIMIT {_PRF_TOP}
+"""
+
+
+@query("retrieval_prf_expansion", _PRF_ORACLE)
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM3 family):
+    BM25 round 1 for the base query {join, spark} → the top-2 expansion
+    terms from the top-10 docs by presence-count × IDF → BM25 round 2
+    with the 4-term expanded query. The classical recall lever layered
+    on [[text_bm25_topk]]; [[retrieval_hybrid_rrf]] fuses rankers,
+    PRF reshapes the query itself from the corpus's own evidence.
+
+    Exactness: round-1 scores are per-doc-identical expression trees on
+    exact scalars (N, avgdl — integer-valued doubles sum exactly in any
+    order — and integer dfs), so the top-10 cut is deterministic; the
+    expansion key quantizes cnt·ln(N/df) to 1e-6 longs (tie → term
+    order); round-2 per-doc scores fold per-term contributions in
+    ALPHABETICAL term order on both sides (0.0-seeded left fold — IEEE
+    equal to Spark's array fold). Plan: two known-query scoring passes
+    (size(filter(...)) inside the scan, no explode for round 1), one
+    bounded top-doc token aggregate, and one 4-term equi-join pass for
+    round 2; the 2 expansion terms and 2 df scalars are the only
+    driver-side pulls (bounded, the model-moves contract).
+    """
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    d = docs.select("doc_id", w.alias("w"), F.size(w).cast("double").alias("dl"))
+    d = d.persist()
+    g = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n, avgdl = g["n"], g["avgdl"]
+    tok = (
+        docs.select("doc_id", F.explode(w).alias("term"))
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    dfc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfc = dfc.persist()
+    base_dfs = {
+        r["term"]: r["df"]
+        for r in dfc.filter(F.col("term").isin(_PRF_BASE)).collect()
+    }
+
+    def norm_expr():
+        return F.lit(_PRF_K1) * (
+            F.lit(1 - _PRF_B) + F.lit(_PRF_B) * F.col("dl") / F.lit(avgdl)
+        )
+
+    def term_score(term: str, df: int, tf_col):
+        import math
+
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return F.lit(idf) * tf_col * F.lit(_PRF_K1 + 1) / (tf_col + norm_expr())
+
+    def tf_of(term: str):
+        return F.size(
+            F.filter(F.col("w"), (lambda t: (lambda x: x == t))(term))
+        ).cast("double")
+
+    r1 = d.select(
+        "doc_id",
+        (
+            term_score(_PRF_BASE[0], base_dfs[_PRF_BASE[0]], tf_of(_PRF_BASE[0]))
+            + term_score(_PRF_BASE[1], base_dfs[_PRF_BASE[1]], tf_of(_PRF_BASE[1]))
+        ).alias("sc"),
+    )
+    top1 = r1.orderBy(F.desc("sc"), "doc_id").limit(_PRF_TOP).select("doc_id")
+    exp = (
+        tok.join(top1, "doc_id")
+        .filter((F.length("term") >= 3) & ~F.col("term").isin(_PRF_BASE))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    key = F.round(
+        F.col("cnt") * F.log(F.lit(n) / F.col("df")) * 1_000_000
+    ).cast("long")
+    chosen = [
+        r["term"]
+        for r in exp.join(dfc, "term")
+        .orderBy(key.desc(), "term")
+        .limit(_PRF_NEXP)
+        .collect()
+    ]
+    all_terms = sorted(set(_PRF_BASE) | set(chosen))
+    term_dfs = {
+        r["term"]: r["df"]
+        for r in dfc.filter(F.col("term").isin(all_terms)).collect()
+    }
+    # per-term scores folded in alphabetical order (0.0-seeded, matching
+    # the oracle's list_reduce(prepend(0.0, LIST(... ORDER BY term))))
+    score2 = F.aggregate(
+        F.array(*[term_score(t, term_dfs[t], tf_of(t)) for t in all_terms]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exp_sorted = sorted(chosen)
+    out = (
+        d.select("doc_id", score2.alias("sc"))
+        .orderBy(F.desc("sc"), "doc_id")
+        .limit(_PRF_TOP)
+        .select(
+            "doc_id",
+            F.round(F.col("sc"), 4).alias("bm25_prf"),
+            F.lit(exp_sorted[0]).alias("exp_term_1"),
+            F.lit(exp_sorted[-1]).alias("exp_term_2"),
+        )
+    )
+    return out

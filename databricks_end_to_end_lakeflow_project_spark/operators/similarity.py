@@ -2347,12 +2347,19 @@ def bitext_margin_pairs(
     )
     pairs = (
         a.join(b, "cell")
-        .dropDuplicates(["src", "dst"])
+        # cosine BEFORE the pair dedup: a pair sharing several probed
+        # cells appears p² times, and deduping first would shuffle every
+        # copy with BOTH embedding payloads (~1 KB/row — measured 50+ GB
+        # of spill at a ×100 corpus, where the projected frame is 24 B/row).
+        # Recomputing the 64-FMA cosine per copy is far cheaper than
+        # shipping the vectors through the exchange; the duplicate copies
+        # carry identical cos_sim, so the dedup result is unchanged.
         .select(
             "src",
             "dst",
             F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
+        .dropDuplicates(["src", "dst"])
     )
     pairs = persist_once(pairs)
 

@@ -92,6 +92,9 @@ NON_EQUI_WHITELIST = {
     "stats_uplift_qini_deciles",  # 1-row date-span frame broadcast onto the scoring scan
     "sim_embedding_drift_monitor",  # 1-row cohort-split scalar broadcast onto the scan
     "stats_kruskal_wallis",  # 1-row tie-term frame broadcast into the H expression
+    "privacy_dp_quantile",  # <=20-bin cumulative triangle join over the public bin grid
+    "dedup_band_row_tradeoff",  # bounded-sample all-pairs kernel x 3-row config broadcast
+    "curation_filter_overlap",  # 1-row corpus-count broadcast over the 8-cell frame
     "text_stopword_discovery",  # 1-row corpus-count broadcast over the token-df frame
     "text_boilerplate_templates",  # 1-row corpus-count broadcast over the template frame
     "text_char_trigram_nll",  # 1-row (total, V) broadcast onto the test-trigram scoring scan
