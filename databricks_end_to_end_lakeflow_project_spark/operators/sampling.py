@@ -1406,3 +1406,97 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-8: clipped self-normalized importance sampling + ESS diagnostics
+# ---------------------------------------------------------------------------
+
+_ISW_CLIP = 5.0  # weight clip (the variance/bias knob)
+
+
+@query(
+    "sample_importance_clipped",
+    f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_l) AS n, COUNT(*) AS k FROM counts),
+    -- target = uniform over languages; proposal = the corpus mix;
+    -- w(doc) = (1/k) / (n_l/n), clipped at {_ISW_CLIP}
+    weighted AS (
+      SELECT d.lang,
+             CAST(ROUND(LEAST(CAST(n AS DOUBLE) / (k * n_l), {_ISW_CLIP})
+                        * 1000000) AS BIGINT) AS w_q,
+             d.n_chars
+      FROM documents d JOIN counts USING (lang) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(w_q) AS sw,
+             SUM(CAST(w_q AS HUGEINT) * w_q) AS sw2,
+             SUM(CAST(w_q AS HUGEINT) * n_chars) AS swx
+      FROM weighted
+    )
+    SELECT n_docs,
+           ROUND(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 4)
+             AS est_mean_chars_target,
+           ROUND(CAST(sw AS DOUBLE) * sw
+                 / (CAST(sw2 AS DOUBLE) * n_docs), 6) AS ess_fraction,
+           ROUND(CAST(sw AS DOUBLE) / 1000000.0 / n_docs, 6) AS mean_weight
+    FROM agg
+    """,
+)
+def sample_importance_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped self-normalized importance sampling: reweight the corpus
+    toward a UNIFORM-over-languages target (w = target/proposal density
+    ratio, clipped at {_ISW_CLIP} — the standard variance/bias trade),
+    estimating the target-population mean document length plus the
+    effective-sample-size fraction ESS = (Σw)²/(n·Σw²) — the diagnostic
+    that says how much of the corpus the reweighting actually uses.
+    The eval-side companion of [[sample_temperature_mixture]] /
+    [[sample_dsir_importance]] (those choose what to sample; this scores
+    any reweighting WITHOUT resampling) and the same estimator family as
+    [[stats_ipw_ate]].
+
+    Exactness: weights are deterministic ratios of exact counts,
+    quantized to 1e-6 longs BEFORE every sum; Σw² and Σw·x fold in
+    decimal(38,0) ↔ HUGEINT (w_q² ~ 2.5e13/doc — wraps int64 by ~400M
+    docs). Plan: one language groupBy, one broadcast join back, one
+    aggregate row.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = counts.agg(F.sum("n_l").alias("n"), F.count(F.lit(1)).alias("k"))
+    w_q = F.round(
+        F.least(
+            F.col("n").cast("double") / (F.col("k") * F.col("n_l")),
+            F.lit(_ISW_CLIP),
+        )
+        * 1_000_000
+    ).cast("long")
+    weighted = (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(w_q.alias("w_q"), "n_chars")
+    )
+    agg = weighted.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w_q").alias("sw"),
+        F.sum((F.col("w_q").cast("decimal(38,0)") * F.col("w_q")).cast("decimal(38,0)")).alias("sw2"),
+        F.sum((F.col("w_q").cast("decimal(38,0)") * F.col("n_chars")).cast("decimal(38,0)")).alias("swx"),
+    )
+    return agg.select(
+        "n_docs",
+        F.round(
+            F.col("swx").cast("double") / F.col("sw").cast("double"), 4
+        ).alias("est_mean_chars_target"),
+        F.round(
+            F.col("sw").cast("double") * F.col("sw")
+            / (F.col("sw2").cast("double") * F.col("n_docs")),
+            6,
+        ).alias("ess_fraction"),
+        F.round(F.col("sw").cast("double") / 1_000_000.0 / F.col("n_docs"), 6).alias(
+            "mean_weight"
+        ),
+    )

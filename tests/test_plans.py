@@ -93,6 +93,7 @@ NON_EQUI_WHITELIST = {
     "sim_embedding_drift_monitor",  # 1-row cohort-split scalar broadcast onto the scan
     "stats_kruskal_wallis",  # 1-row tie-term frame broadcast into the H expression
     "privacy_dp_quantile",  # <=20-bin cumulative triangle join over the public bin grid
+    "sample_importance_clipped",  # 1-row (n, k) totals broadcast onto the weighting scan
     "dedup_band_row_tradeoff",  # bounded-sample all-pairs kernel x 3-row config broadcast
     "curation_filter_overlap",  # 1-row corpus-count broadcast over the 8-cell frame
     "text_stopword_discovery",  # 1-row corpus-count broadcast over the token-df frame

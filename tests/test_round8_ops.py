@@ -176,3 +176,55 @@ def test_offmodel_deletion_keys_shape(spark):
         .collect()[0]
     )
     assert row["n"] == 18 + 2
+
+
+# --------------------------------------------- round-8 operator invariants
+
+
+def test_band_row_tradeoff_monotone(spark):
+    """More bands (fewer rows per band) must raise BOTH the s-curve
+    detection probability at 0.8 and the expected candidate volume."""
+    rows = sorted(
+        _q("dedup_band_row_tradeoff")(spark, SF_SMOKE).collect(),
+        key=lambda r: r["bands"],
+    )
+    ps = [r["p_detect_at_080"] for r in rows]
+    cands = [r["expected_candidates"] for r in rows]
+    assert ps == sorted(ps)
+    assert cands == sorted(cands)
+
+
+def test_quality_gate_sweep_monotone(spark):
+    """A looser NLL threshold can only keep MORE docs/tokens."""
+    rows = sorted(
+        _q("text_quality_gate_sweep")(spark, SF_SMOKE).collect(),
+        key=lambda r: r["thr_centinat"],
+    )
+    kept = [r["docs_kept"] for r in rows]
+    assert kept == sorted(kept)
+
+
+def test_capture_recapture_reasonable(spark):
+    r = _q("stats_capture_recapture")(spark, SF_SMOKE).collect()[0]
+    # both captures are ~half the corpus, so Chapman should land within
+    # a loose factor of truth on any non-adversarial corpus
+    assert 0.5 * r["n_true"] <= r["chapman_estimate"] <= 2 * r["n_true"]
+
+
+def test_dp_quantile_exactly_one_chosen(spark):
+    rows = _q("privacy_dp_quantile")(spark, SF_SMOKE).collect()
+    assert sum(1 for r in rows if r["chosen"]) == 1
+    cums = [r["cum_count"] for r in sorted(rows, key=lambda r: r["bin"])]
+    assert cums == sorted(cums)  # cumulative counts must be monotone
+
+
+def test_prf_expansion_excludes_base_terms(spark):
+    rows = _q("retrieval_prf_expansion")(spark, SF_SMOKE).collect()
+    terms = {rows[0]["exp_term_1"], rows[0]["exp_term_2"]}
+    assert terms.isdisjoint({"join", "spark"})
+    assert all(len(t) >= 3 for t in terms)
+
+
+def test_importance_clipped_ess_bounds(spark):
+    r = _q("sample_importance_clipped")(spark, SF_SMOKE).collect()[0]
+    assert 0 < r["ess_fraction"] <= 1.0
