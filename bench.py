@@ -1047,23 +1047,32 @@ def bitext_scale_curve(spark, sf1_dir: str) -> list:
         return [(int(j), C[j].tolist()) for j in range(k)]
 
     def truth_top1(ids, V):
+        # Three ROW-WISE blocked GEMM passes, no per-element rounding:
+        # the engine side rounds cosines to 6dp, which moves margins by
+        # ≤ ~2e-7 — far inside the MARGIN_T decision band and the truth
+        # set's own tie tolerance, while np.round over 10¹⁰ cells plus a
+        # column-axis running partition dominated the first cut (829 s at
+        # ×100; this form is ~6×), so exactness is spent where it pays.
         even = ids % 2 == 0
         sid, did = ids[even], ids[~even]
         A = unitf(V[even]).astype(np.float32)
         B = unitf(V[~even]).astype(np.float32)
-        blk = 1024
-        nn_src = np.empty(len(A))
-        dst_pool = np.full((NN_K, len(B)), -2.0, dtype=np.float32)
-        for lo in range(0, len(A), blk):
-            R = np.round(A[lo : lo + blk] @ B.T, 6)
-            nn_src[lo : lo + blk] = (
-                -np.partition(-R, NN_K - 1, axis=1)[:, :NN_K]
-            ).mean(axis=1)
-            dst_pool = -np.partition(-np.vstack([dst_pool, R]), NN_K - 1, axis=0)[:NN_K]
-        nn_dst = dst_pool.mean(axis=0)
+        blk = 2048
+
+        def topk_means(X, Y):
+            out = np.empty(len(X))
+            for lo in range(0, len(X), blk):
+                R = X[lo : lo + blk] @ Y.T
+                out[lo : lo + blk] = (
+                    -np.partition(-R, NN_K - 1, axis=1)[:, :NN_K]
+                ).mean(axis=1)
+            return out
+
+        nn_src = topk_means(A, B)
+        nn_dst = topk_means(B, A)
         out = {}
         for lo in range(0, len(A), blk):
-            R = np.round(A[lo : lo + blk] @ B.T, 6)
+            R = A[lo : lo + blk] @ B.T
             M = R / ((nn_src[lo : lo + blk, None] + nn_dst[None, :]) / 2.0)
             j = M.argmax(axis=1)
             m = M[np.arange(len(M)), j]

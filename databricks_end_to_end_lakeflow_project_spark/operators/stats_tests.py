@@ -722,3 +722,272 @@ def stats_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pinball_p90"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Hodges–Lehmann location estimator (Walsh-average median)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_hodges_lehmann",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    walsh AS (
+      -- Walsh averages kept DOUBLED (x_i + x_j is integral) over i <= j
+      SELECT a.x + b.x AS w2
+      FROM daily a JOIN daily b ON a.d <= b.d
+    )
+    SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+           COUNT(*) AS n_walsh,
+           CAST(quantile_cont(w2, 0.5) AS DOUBLE) / 2.0 AS hodges_lehmann,
+           (SELECT CAST(quantile_cont(x, 0.5) AS DOUBLE) FROM daily)
+             AS plain_median
+    FROM walsh
+    """,
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann location estimate of the daily event volume: the
+    median of all Walsh averages (xᵢ+xⱼ)/2, i ≤ j — the estimator behind
+    the Wilcoxon test, ~95% Gaussian efficiency yet 29%-breakdown
+    robust (the plain median rides along for contrast). Pairs with
+    [[stats_theil_sen_trend]] (the same pairwise-median idea applied to
+    slopes) and [[stats_mad_outliers]] in the robust toolbox.
+
+    Exactness: Walsh averages are kept DOUBLED (xᵢ+xⱼ — exact integers),
+    halved only after the exact interpolated percentile. The pairwise
+    frame is the calendar-day grain (~n²/2 ≈ 4k rows for a 90-day
+    fixture; month/day-grain self-joins are the documented bounded-frame
+    pattern, cf. the Theil–Sen whitelist entry). Plan: one daily
+    pre-aggregate (map-side combinable), one bounded range self-join,
+    one exact-percentile aggregate.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    walsh = a.join(b, F.col("da") <= F.col("db")).select(
+        (F.col("xa") + F.col("xb")).alias("w2")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    med = daily.agg(F.percentile("x", F.lit(0.5)).alias("plain_median"))
+    return (
+        walsh.agg(
+            F.count(F.lit(1)).alias("n_walsh"),
+            (F.percentile("w2", F.lit(0.5)) / 2.0).alias("hodges_lehmann"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(med))
+        .select("n_days", "n_walsh", "hodges_lehmann", "plain_median")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_runs_test",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    med AS (SELECT quantile_cont(x, 0.5) AS m FROM daily),
+    signs AS (
+      SELECT d, (x > m) AS above,
+             LAG(x > m) OVER (ORDER BY d) AS prev_above
+      FROM daily, med WHERE x <> m
+    ),
+    c AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE above) AS n_plus,
+             COUNT(*) FILTER (WHERE NOT above) AS n_minus,
+             1 + COUNT(*) FILTER (WHERE prev_above IS NOT NULL
+                                    AND above <> prev_above) AS runs
+      FROM signs
+    )
+    SELECT n_plus, n_minus, runs,
+           ROUND(1 + 2.0 * n_plus * n_minus / n, 4) AS expected_runs,
+           ROUND((runs - (1 + 2.0 * n_plus * n_minus / n))
+                 / SQRT(2.0 * n_plus * n_minus
+                        * (2.0 * n_plus * n_minus - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 4) AS z_stat
+    FROM c
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily event-volume
+    series around its median: too FEW runs of above/below-median days
+    means trending/clustering, too MANY means oscillation — the
+    nonparametric 'is this series actually random' gate that
+    [[stats_page_hinkley_alarm]] (drift) and [[ts_cusum_drift]] assume
+    was checked. Median-tied days drop (the textbook convention).
+
+    Exactness: run boundaries are exact integer comparisons on a
+    PARTITION-FREE series... no — the lag window orders the ~90-row
+    DAILY frame (calendar-bounded, the documented grain for ordered
+    scans: the frame size is |days|, not |events|); counts are exact
+    integers and the z-stat is one expression. The daily pre-aggregate
+    is the only corpus-scale pass.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    med = daily.agg(F.percentile("x", F.lit(0.5)).alias("m"))
+    # calendar-bounded frame: sort once via the array fold (no
+    # unpartitioned window — same device as the ts_* operators)
+    arr = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("m"))
+        .groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("d", (F.col("x") > F.col("m")).alias("ab")))
+            ).alias("s")
+        )
+    )
+    ab = F.transform(F.col("s"), lambda e: e["ab"].cast("int"))
+    n = F.size("s")
+    n_plus = F.aggregate(ab, F.lit(0), lambda a, x: a + x)
+    runs = F.lit(1) + F.aggregate(
+        F.zip_with(ab, F.slice(ab, 2, F.greatest(n - 1, F.lit(0))), lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda a, x: a + F.coalesce(x, F.lit(0)),
+    )
+    stat = arr.select(
+        n.alias("n"), n_plus.alias("n_plus"), (n - n_plus).alias("n_minus"), runs.alias("runs")
+    )
+    er = 1 + 2.0 * F.col("n_plus") * F.col("n_minus") / F.col("n")
+    z = (F.col("runs") - er) / F.sqrt(
+        2.0
+        * F.col("n_plus")
+        * F.col("n_minus")
+        * (2.0 * F.col("n_plus") * F.col("n_minus") - F.col("n"))
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    )
+    return stat.select(
+        "n_plus",
+        "n_minus",
+        "runs",
+        F.round(er, 4).alias("expected_runs"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) drift monitor, integer-exact
+# ---------------------------------------------------------------------------
+
+_W1_LO, _W1_HI, _W1_BINS = 0.0, 100000.0, 40  # o_totalprice public grid
+
+
+@query(
+    "monitor_wasserstein_drift",
+    f"""
+    WITH rng AS (
+      SELECT (epoch_us(MIN(o_orderdate)) + epoch_us(MAX(o_orderdate))) // 2
+        AS mid_us
+      FROM orders
+    ),
+    binned AS (
+      SELECT (epoch_us(o_orderdate) >= mid_us) AS late,
+             LEAST(CAST(FLOOR(o_totalprice / {(_W1_HI - _W1_LO) / _W1_BINS})
+                        AS INT), {_W1_BINS - 1}) AS bin
+      FROM orders, rng
+    ),
+    cells AS (
+      SELECT bin,
+             COUNT(*) FILTER (WHERE NOT late) AS c0,
+             COUNT(*) FILTER (WHERE late) AS c1
+      FROM binned GROUP BY bin
+    ),
+    grid AS (SELECT UNNEST(range({_W1_BINS})) AS bin),
+    cum AS (
+      SELECT g.bin,
+             COALESCE(SUM(c.c0) FILTER (WHERE c.bin <= g.bin), 0) AS cum0,
+             COALESCE(SUM(c.c1) FILTER (WHERE c.bin <= g.bin), 0) AS cum1
+      FROM grid g LEFT JOIN cells c ON c.bin <= g.bin
+      GROUP BY g.bin
+    ),
+    tot AS (
+      SELECT MAX(cum0) AS n0, MAX(cum1) AS n1 FROM cum
+    )
+    SELECT n0, n1,
+           ROUND(SUM(ABS(CAST(cum0 AS HUGEINT) * n1
+                         - CAST(cum1 AS HUGEINT) * n0))
+                 * {(_W1_HI - _W1_LO) / _W1_BINS}
+                 / (CAST(n0 AS DOUBLE) * n1), 4) AS wasserstein_1
+    FROM cum, tot
+    GROUP BY n0, n1
+    """,
+)
+def monitor_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between the early and
+    late halves of the order-value distribution on a public 40-bin grid:
+    W₁ = Δ·Σ|F₀(b) − F₁(b)| — the drift metric with UNITS (dollars of
+    mass-shift), unlike [[monitor_psi_value_drift]] (dimensionless,
+    bin-sensitive) and [[monitor_ks_value_drift]] (sup-norm only feels
+    the worst bin). The standard trio a drift monitor publishes
+    together.
+
+    Exactness: fully INTEGER until the last division — the per-bin term
+    is |cum₀·n₁ − cum₁·n₀| (exact HUGEINT/decimal(38,0) products; the
+    common 1/(n₀n₁) factors out of the sum), so no float CDF is ever
+    summed. Plan: one binned groupBy, a ≤40-bin cumulative triangle
+    join, one aggregate row.
+    """
+    width = (_W1_HI - _W1_LO) / _W1_BINS
+    orders = read_table(spark, sf_dir, "orders")
+    ts_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    rng = orders.agg(
+        ((F.min(ts_us) + F.max(ts_us)) / F.lit(2)).cast("long").alias("mid_us")
+    )
+    binned = orders.crossJoin(F.broadcast(rng)).select(
+        (ts_us >= F.col("mid_us")).alias("late"),
+        F.least(
+            F.floor(F.col("o_totalprice") / width).cast("int"),
+            F.lit(_W1_BINS - 1),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum((~F.col("late")).cast("long")).alias("c0"),
+        F.sum(F.col("late").cast("long")).alias("c1"),
+    )
+    grid = spark.range(_W1_BINS).select(F.col("id").cast("int").alias("bin"))
+    cum = (
+        grid.join(
+            cells.select(F.col("bin").alias("xb"), "c0", "c1"),
+            F.col("xb") <= F.col("bin"),
+            "left",
+        )
+        .groupBy("bin")
+        .agg(
+            F.coalesce(F.sum("c0"), F.lit(0)).alias("cum0"),
+            F.coalesce(F.sum("c1"), F.lit(0)).alias("cum1"),
+        )
+    )
+    tot = cum.agg(F.max("cum0").alias("n0"), F.max("cum1").alias("n1"))
+    term = F.abs(
+        F.col("cum0").cast(_D38) * F.col("n1") - F.col("cum1").cast(_D38) * F.col("n0")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n0", "n1")
+        .agg(
+            F.round(
+                F.sum(term).cast("double")
+                * width
+                / (F.col("n0").cast("double") * F.col("n1")),
+                4,
+            ).alias("wasserstein_1")
+        )
+        .select("n0", "n1", "wasserstein_1")
+    )

@@ -387,3 +387,71 @@ def text_sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram conditional-entropy rate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_entropy_rate_bigram",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> length(x) > 0)
+               AS w
+      FROM documents
+    ),
+    big AS (
+      SELECT w[u.i] AS w1, w[u.i + 1] AS w2
+      FROM d CROSS JOIN LATERAL UNNEST(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    cnt2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+    cnt1 AS (SELECT w1, SUM(c2) AS c1 FROM cnt2 GROUP BY w1),
+    n AS (SELECT SUM(c2) AS nb FROM cnt2),
+    terms AS (
+      SELECT CAST(ROUND(c2 * LN(CAST(c1 AS DOUBLE) / c2) * 1000000) AS BIGINT)
+        AS t_q
+      FROM cnt2 JOIN cnt1 USING (w1)
+    )
+    SELECT CAST(nb AS BIGINT) AS n_bigrams,
+           ROUND(SUM(t_q) / 1000000.0 / nb, 6) AS entropy_rate_nats
+    FROM terms, n GROUP BY nb
+    """,
+)
+def text_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-entropy rate of the corpus,
+    H(W₂|W₁) = Σ p(w₁,w₂)·ln(c(w₁)/c(w₁,w₂)) — the sequence-level
+    predictability number (natural text ≈ 2-4 nats/token; machine
+    boilerplate collapses toward 0; random token soup approaches the
+    unigram entropy). Sits between [[text_source_mix_entropy]] (unigram,
+    per-source) and the held-out LM NLLs ([[text_bigram_nll]] measures a
+    MODEL; this measures the CORPUS itself).
+
+    Exactness: bigram counts are exact integers from one ordinal-joined
+    pass; each summand c₂·ln(c₁/c₂) is quantized to 1e-6 longs before
+    the global sum. Plan: posexplode → one self-equi-join on
+    (doc, position+1) → two map-side-combinable groupBys.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    # filter empties BEFORE indexing — adjacency is over the CLEANED
+    # token sequence on both sides
+    clean = F.filter(tokens(F.col("text")), lambda x: F.length(x) > 0)
+    tok = docs.select("doc_id", F.posexplode(clean).alias("i", "w"))
+    a = tok.select("doc_id", F.col("i").alias("ia"), F.col("w").alias("w1"))
+    b = tok.select("doc_id", F.col("i").alias("ib"), F.col("w").alias("w2"))
+    big = a.join(b, (a["doc_id"] == b["doc_id"]) & (F.col("ib") == F.col("ia") + 1))
+    cnt2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    t_q = F.round(
+        F.col("c2") * F.log(F.col("c1").cast("double") / F.col("c2")) * 1_000_000
+    ).cast("long")
+    terms = cnt2.join(cnt1, "w1").select(t_q.alias("t_q"), "c2")
+    return terms.agg(
+        F.sum("c2").cast("long").alias("n_bigrams"),
+        F.round(F.sum("t_q") / 1_000_000.0 / F.sum("c2"), 6).alias(
+            "entropy_rate_nats"
+        ),
+    )

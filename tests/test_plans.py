@@ -94,6 +94,9 @@ NON_EQUI_WHITELIST = {
     "stats_kruskal_wallis",  # 1-row tie-term frame broadcast into the H expression
     "privacy_dp_quantile",  # <=20-bin cumulative triangle join over the public bin grid
     "sample_importance_clipped",  # 1-row (n, k) totals broadcast onto the weighting scan
+    "stats_hodges_lehmann",  # Walsh-average self-join over the ~90-row DAY frame (calendar-bounded, cf. theil_sen) + 1-row result broadcasts
+    "stats_runs_test",  # 1-row median frame broadcast onto the ~90-row day frame
+    "monitor_wasserstein_drift",  # <=40-bin cumulative triangle join + 1-row midpoint/total broadcasts
     "dedup_band_row_tradeoff",  # bounded-sample all-pairs kernel x 3-row config broadcast
     "curation_filter_overlap",  # 1-row corpus-count broadcast over the 8-cell frame
     "text_stopword_discovery",  # 1-row corpus-count broadcast over the token-df frame
