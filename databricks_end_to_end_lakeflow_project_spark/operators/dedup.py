@@ -320,10 +320,13 @@ def _audit_sample(docs: DataFrame) -> DataFrame:
     return sample.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
 
-_JACCARD_PAIRS_ORACLE = f"""
+# template shared by the bounded-sample audit baseline ({src} = the
+# 256-doc audit sample) and the FULL-corpus version that serves as the
+# LSH query's ground-truth oracle ({src} = documents)
+_JACCARD_PAIRS_ORACLE_TPL = """
     WITH toks AS (
       SELECT doc_id, string_split(trim(text), ' ') AS w
-      FROM {_AUDIT_SAMPLE_SQL} documents
+      FROM {src} documents
     ), sh AS (
       SELECT doc_id,
              list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
@@ -337,6 +340,9 @@ _JACCARD_PAIRS_ORACLE = f"""
     WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
           / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
 """
+
+_JACCARD_PAIRS_ORACLE = _JACCARD_PAIRS_ORACLE_TPL.format(src=_AUDIT_SAMPLE_SQL)
+_JACCARD_PAIRS_FULL_ORACLE = _JACCARD_PAIRS_ORACLE_TPL.format(src="")
 
 
 @query("dedup_ngram_jaccard_pairs", _JACCARD_PAIRS_ORACLE)
@@ -653,7 +659,7 @@ def minhash_lsh_stats(
     return {"n_docs": docs.count(), **row.asDict()}
 
 
-@query("dedup_minhash_lsh_pairs", _JACCARD_PAIRS_ORACLE)
+@query("dedup_minhash_lsh_pairs", _JACCARD_PAIRS_FULL_ORACLE)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs at the default (64-perm, 16-band)
     operating point — oracle-identical to the brute-force Jaccard baseline
