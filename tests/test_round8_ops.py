@@ -228,3 +228,36 @@ def test_prf_expansion_excludes_base_terms(spark):
 def test_importance_clipped_ess_bounds(spark):
     r = _q("sample_importance_clipped")(spark, SF_SMOKE).collect()[0]
     assert 0 < r["ess_fraction"] <= 1.0
+
+
+def test_bitext_dedup_exchange_is_narrow(spark):
+    """The pair dedup must shuffle (src, dst, cos_sim) ONLY — deduping
+    before the cosine projection ships both 64-dim embeddings per
+    duplicate through the exchange (~1 KB/row; measured 50+ GB of spill
+    at a ×100 corpus before the round-8 fix)."""
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        bitext_margin_pairs,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_table,
+    )
+
+    em = read_table(spark, SF_SMOKE, "embeddings")
+    seeds = sorted(
+        (r["vec_id"], r["embedding"])
+        for r in em.filter(F.col("vec_id") < 8).collect()
+    )
+    plan = (
+        bitext_margin_pairs(em, seeds, 4, topk=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    dedup_aggs = [
+        ln
+        for ln in plan.splitlines()
+        if "HashAggregate(keys=[src#" in ln and ", dst#" in ln
+    ]
+    assert dedup_aggs, "pair-dedup aggregate not found in plan"
+    for ln in dedup_aggs:
+        assert "embedding" not in ln and "va#" not in ln and "vb#" not in ln, ln
