@@ -3049,3 +3049,146 @@ def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.5 * (F.col("a") + F.col("b") * (F.col("n") + 3)) + 0.5 * l, 4
         ).alias("theta_forecast_h3"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# round-8: seasonal-strength diagnostic (Hyndman F_s) on the weekly cycle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonal_strength",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    idx AS (
+      SELECT d, x,
+             ROW_NUMBER() OVER (ORDER BY d) AS i,
+             COUNT(*) OVER () AS n,
+             7 * x - SUM(x) OVER (ORDER BY d
+                                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS d7
+      FROM daily
+    ),
+    det AS (
+      SELECT d, d7, dayofweek(d) + 1 AS dow
+      FROM idx WHERE i BETWEEN 4 AND n - 3
+    ),
+    seas AS (
+      SELECT dow, CAST(SUM(d7) AS DOUBLE) / COUNT(*) AS s_dow
+      FROM det GROUP BY dow
+    ),
+    rem AS (
+      SELECT d7,
+             CAST(ROUND((d7 - s_dow) * 1000000) AS BIGINT) AS r_q
+      FROM det JOIN seas USING (dow)
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(d7) AS sd, SUM(CAST(d7 AS HUGEINT) * d7) AS sdd,
+             SUM(r_q) AS sr, SUM(CAST(r_q AS HUGEINT) * r_q) AS srr
+      FROM rem
+    )
+    SELECT CAST(n AS BIGINT) AS n_centered,
+           ROUND((CAST(sdd AS DOUBLE) / n
+                  - CAST(sd AS DOUBLE) * sd / (CAST(n AS DOUBLE) * n)) / 49.0,
+                 4) AS var_detrended,
+           ROUND((CAST(srr AS DOUBLE) / n / 1e12
+                  - CAST(sr AS DOUBLE) * sr
+                    / (CAST(n AS DOUBLE) * n) / 1e12) / 49.0, 4)
+             AS var_remainder,
+           ROUND(GREATEST(0.0,
+                 1 - (CAST(srr AS DOUBLE) / n / 1e12
+                      - CAST(sr AS DOUBLE) * sr / (CAST(n AS DOUBLE) * n) / 1e12)
+                   / (CAST(sdd AS DOUBLE) / n
+                      - CAST(sd AS DOUBLE) * sd / (CAST(n AS DOUBLE) * n))), 4)
+             AS seasonal_strength
+    FROM agg
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's seasonal-strength diagnostic on the weekly cycle:
+    F_s = max(0, 1 − Var(remainder)/Var(detrended)) over the daily
+    event-count series, where detrended = x − MA₇ (kept as the exact
+    integer 7x − S₇, the [[ts_stl_decompose_weekly]] device) and the
+    remainder subtracts the per-day-of-week seasonal index. F_s near 1
+    says the weekly cycle explains the detrended variance — the
+    one-number gate for whether a deseasonalized alarm
+    ([[ts_cusum_drift]]) is worth running at all.
+
+    Exactness: Σd7 and Σd7² are exact integers (squares in HUGEINT ↔
+    decimal(38,0)); the remainder subtracts an identical per-dow double
+    and is quantized to 1e-6 longs before ITS sums; both variances share
+    the /49 descaling which cancels in the ratio but keeps the reported
+    variances in x-units². Day-of-week parity: Spark `dayofweek` is
+    1-based Sunday, DuckDB's is 0-based (+1 in the oracle — the house
+    pitfall list). Plan: one daily groupBy, the single-array centered
+    window, a 7-row seasonal join, one aggregate row.
+    """
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    arr = daily.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
+    )
+    det = (
+        arr.withColumn("xs", F.transform(F.col("s"), lambda e: e["x"]))
+        .withColumn("idx", asc_seq(F.lit(4), F.size("xs") - 3))
+        .select(
+            F.explode(
+                F.transform(
+                    F.col("idx"),
+                    lambda j: F.struct(
+                        F.element_at(F.col("s"), j)["d"].alias("d"),
+                        (
+                            7 * F.element_at(F.col("xs"), j)
+                            - F.aggregate(
+                                F.slice(F.col("xs"), j - 3, 7),
+                                F.lit(0).cast("long"),
+                                lambda acc, v: acc + v,
+                            )
+                        ).alias("d7"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.d").alias("d"), F.col("e.d7").alias("d7"))
+        .withColumn("dow", F.dayofweek("d"))
+    )
+    det = persist_once(det)
+    seas = det.groupBy("dow").agg(
+        (F.sum("d7").cast("double") / F.count(F.lit(1))).alias("s_dow")
+    )
+    r_q = F.round((F.col("d7") - F.col("s_dow")) * 1_000_000).cast("long")
+    agg = (
+        det.join(seas, "dow")
+        .select("d7", r_q.alias("r_q"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d7").alias("sd"),
+            F.sum((F.col("d7").cast("decimal(38,0)") * F.col("d7")).cast("decimal(38,0)")).alias("sdd"),
+            F.sum("r_q").alias("sr"),
+            F.sum((F.col("r_q").cast("decimal(38,0)") * F.col("r_q")).cast("decimal(38,0)")).alias("srr"),
+        )
+    )
+    n = F.col("n").cast("double")
+    var_d = (
+        F.col("sdd").cast("double") / n
+        - F.col("sd").cast("double") * F.col("sd") / (n * n)
+    )
+    var_r = (
+        F.col("srr").cast("double") / n / 1e12
+        - F.col("sr").cast("double") * F.col("sr") / (n * n) / 1e12
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_centered"),
+        F.round(var_d / 49.0, 4).alias("var_detrended"),
+        F.round(var_r / 49.0, 4).alias("var_remainder"),
+        F.round(F.greatest(F.lit(0.0), 1 - var_r / var_d), 4).alias(
+            "seasonal_strength"
+        ),
+    )
