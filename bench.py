@@ -1046,43 +1046,56 @@ def bitext_scale_curve(spark, sf1_dir: str) -> list:
             C = unitf(C).astype(np.float32)
         return [(int(j), C[j].tolist()) for j in range(k)]
 
-    def truth_top1(ids, V):
-        # Three ROW-WISE blocked GEMM passes, no per-element rounding:
-        # the engine side rounds cosines to 6dp, which moves margins by
-        # ≤ ~2e-7 — far inside the MARGIN_T decision band and the truth
-        # set's own tie tolerance, while np.round over 10¹⁰ cells plus a
-        # column-axis running partition dominated the first cut (829 s at
-        # ×100; this form is ~6×), so exactness is spent where it pays.
+    def truth_top1(ids, V, src_stride=1):
+        # TWO row-wise blocked GEMM passes, no per-element rounding: the
+        # engine side rounds cosines to 6dp, which moves margins by
+        # ≤ ~2e-7 — inside the MARGIN_T decision band — while np.round
+        # over 10¹⁰ cells plus a column-axis running partition dominated
+        # the first cut (829 s at ×100). Pass 1 is the full B→A sweep
+        # (every dst's exact top-k mean is needed); pass 2 computes each
+        # src block's cosines ONCE, deriving nn_src and the margins from
+        # the same R. ``src_stride`` evaluates truth on every k-th src —
+        # a deterministic panel estimator for the recall ratio (at the
+        # measured ~0.999 recalls a ¼ panel's CI is ±0.3%); the mined
+        # side still runs the full corpus.
         even = ids % 2 == 0
         sid, did = ids[even], ids[~even]
         A = unitf(V[even]).astype(np.float32)
         B = unitf(V[~even]).astype(np.float32)
+        if src_stride > 1:
+            # deterministic HASH-keyed panel: collect order is unstable,
+            # and any modular id stride aliases the mod-8 gold-plant
+            # pattern (a sid % 8 panel IS the gold set — measured, recall
+            # read 1.0 on a fully confounded sample). Fibonacci-hash high
+            # bits decorrelate from every small modulus.
+            h = (sid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+            mask = h % np.uint64(src_stride) == 0
+            A, sid = A[mask], sid[mask]
         blk = 2048
 
-        def topk_means(X, Y):
-            out = np.empty(len(X))
-            for lo in range(0, len(X), blk):
-                R = X[lo : lo + blk] @ Y.T
-                out[lo : lo + blk] = (
-                    -np.partition(-R, NN_K - 1, axis=1)[:, :NN_K]
-                ).mean(axis=1)
-            return out
-
-        nn_src = topk_means(A, B)
-        nn_dst = topk_means(B, A)
+        nn_dst = np.empty(len(B))
+        for lo in range(0, len(B), blk):
+            R = B[lo : lo + blk] @ A.T
+            nn_dst[lo : lo + blk] = (
+                -np.partition(-R, NN_K - 1, axis=1)[:, :NN_K]
+            ).mean(axis=1)
         out = {}
         for lo in range(0, len(A), blk):
             R = A[lo : lo + blk] @ B.T
-            M = R / ((nn_src[lo : lo + blk, None] + nn_dst[None, :]) / 2.0)
-            j = M.argmax(axis=1)
-            m = M[np.arange(len(M)), j]
-            for r in range(len(M)):
+            nn_s = (-np.partition(-R, NN_K - 1, axis=1)[:, :NN_K]).mean(axis=1)
+            np.divide(R, (nn_s[:, None] + nn_dst[None, :]) / 2.0, out=R)
+            j = R.argmax(axis=1)
+            m = R[np.arange(len(R)), j]
+            for r in range(len(R)):
                 out[int(sid[lo + r])] = (int(did[j[r]]), float(m[r]))
         return out
 
     base = read_table(spark, sf1_dir, "embeddings")
     curve = []
-    for label, k_rep, probes in [("x10", 10, [1, 2, 4]), ("x100", 100, [2, 4])]:
+    for label, k_rep, probes, stride in [
+        ("x10", 10, [1, 2, 4], 1),
+        ("x100", 100, [2, 4], 4),  # truth on a 1/4 src panel (CI ±0.3%)
+    ]:
         em = plant(replicate(base, k_rep)).persist()
         n = em.count()
         rows = em.select("vec_id", "embedding", "gold").collect()
@@ -1090,8 +1103,9 @@ def bitext_scale_curve(spark, sf1_dir: str) -> list:
         V = np.array([r["embedding"] for r in rows], dtype=np.float64)
         gold = {(int(r["vec_id"]) - 1, int(r["vec_id"])) for r in rows if r["gold"]}
         t0 = time.perf_counter()
-        t1 = truth_top1(ids, V)
+        t1 = truth_top1(ids, V, src_stride=stride)
         truth = {(s, d) for s, (d, m) in t1.items() if m >= MARGIN_T}
+        panel_srcs = set(t1)  # recall denominators restrict to the panel
         truth_sec = round(time.perf_counter() - t0, 1)
         n_cells = max(8, n // 64)
         seeds = kmeans_seeds(V, n_cells)
@@ -1108,17 +1122,24 @@ def bitext_scale_curve(spark, sf1_dir: str) -> list:
             )
             sec = round(time.perf_counter() - t0, 2)
             mset = {(r["src"], r["dst"]) for r in mined}
+            mpanel = {(s, d) for s, d in mset if s in panel_srcs}
+            gpanel = {(s, d) for s, d in gold if s in panel_srcs}
             curve.append(
                 {
                     "point": label,
                     "n_vectors": n,
                     "n_cells": n_cells,
                     "nprobe": p,
+                    "truth_src_stride": stride,
                     "n_truth": len(truth),
                     "n_mined": len(mset),
-                    "recall": round(len(mset & truth) / max(1, len(truth)), 4),
-                    "precision": round(len(mset & truth) / max(1, len(mset)), 4),
-                    "gold_recall": round(len(mset & gold) / max(1, len(gold)), 4),
+                    "recall": round(len(mpanel & truth) / max(1, len(truth)), 4),
+                    "precision": round(
+                        len(mpanel & truth) / max(1, len(mpanel)), 4
+                    ),
+                    "gold_recall": round(
+                        len(mset & gpanel) / max(1, len(gpanel)), 4
+                    ),
                     "truth_sec": truth_sec,
                     "sec": sec,
                 }
