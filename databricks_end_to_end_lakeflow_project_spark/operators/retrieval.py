@@ -813,35 +813,55 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.col("w"), (lambda t: (lambda x: x == t))(term))
         ).cast("double")
 
-    r1 = d.select(
-        "doc_id",
-        (
-            term_score(_PRF_BASE[0], base_dfs[_PRF_BASE[0]], tf_of(_PRF_BASE[0]))
-            + term_score(_PRF_BASE[1], base_dfs[_PRF_BASE[1]], tf_of(_PRF_BASE[1]))
-        ).alias("sc"),
-    )
-    top1 = r1.orderBy(F.desc("sc"), "doc_id").limit(_PRF_TOP).select("doc_id")
-    exp = (
-        tok.join(top1, "doc_id")
-        .filter((F.length("term") >= 3) & ~F.col("term").isin(_PRF_BASE))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    key = F.round(
-        F.col("cnt") * F.log(F.lit(n) / F.col("df")) * 1_000_000
-    ).cast("long")
-    chosen = [
-        r["term"]
-        for r in exp.join(dfc, "term")
-        .orderBy(key.desc(), "term")
-        .limit(_PRF_NEXP)
-        .collect()
-    ]
-    all_terms = sorted(set(_PRF_BASE) | set(chosen))
+    if all(t in base_dfs for t in _PRF_BASE):
+        r1 = d.select(
+            "doc_id",
+            (
+                term_score(_PRF_BASE[0], base_dfs[_PRF_BASE[0]], tf_of(_PRF_BASE[0]))
+                + term_score(_PRF_BASE[1], base_dfs[_PRF_BASE[1]], tf_of(_PRF_BASE[1]))
+            ).alias("sc"),
+        )
+        top1 = r1.orderBy(F.desc("sc"), "doc_id").limit(_PRF_TOP).select("doc_id")
+        exp = (
+            tok.join(top1, "doc_id")
+            .filter((F.length("term") >= 3) & ~F.col("term").isin(_PRF_BASE))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        key = F.round(
+            F.col("cnt") * F.log(F.lit(n) / F.col("df")) * 1_000_000
+        ).cast("long")
+        chosen = [
+            r["term"]
+            for r in exp.join(dfc, "term")
+            .orderBy(key.desc(), "term")
+            .limit(_PRF_NEXP)
+            .collect()
+        ]
+    else:
+        # a base term absent from the corpus empties the oracle's r1 CTE
+        # (CROSS JOIN with a zero-row df subquery) -> no round-1 top docs,
+        # no expansion candidates; degrade identically instead of KeyError
+        chosen = []
+    # score only terms that exist in the corpus — the oracle's `scored`
+    # CTE inner-joins dfc, so an absent term contributes nothing there
     term_dfs = {
         r["term"]: r["df"]
-        for r in dfc.filter(F.col("term").isin(all_terms)).collect()
+        for r in dfc.filter(
+            F.col("term").isin(sorted(set(_PRF_BASE) | set(chosen)))
+        ).collect()
     }
+    all_terms = sorted(term_dfs)
+    if not all_terms:
+        # oracle: tf2/scored/s2 all empty -> empty result (schema kept)
+        d.unpersist()
+        dfc.unpersist()
+        return d.select(
+            "doc_id",
+            F.lit(0.0).alias("bm25_prf"),
+            F.lit(None).cast("string").alias("exp_term_1"),
+            F.lit(None).cast("string").alias("exp_term_2"),
+        ).limit(0)
     # per-term scores folded in alphabetical order (0.0-seeded, matching
     # the oracle's list_reduce(prepend(0.0, LIST(... ORDER BY term))))
     score2 = F.aggregate(
@@ -850,6 +870,10 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     exp_sorted = sorted(chosen)
+    # oracle exp terms are MIN/MAX over `chosen` — NULL when empty; a
+    # single candidate legitimately fills both columns
+    e1 = F.lit(exp_sorted[0]) if exp_sorted else F.lit(None).cast("string")
+    e2 = F.lit(exp_sorted[-1]) if exp_sorted else F.lit(None).cast("string")
     out = (
         d.select("doc_id", score2.alias("sc"))
         .orderBy(F.desc("sc"), "doc_id")
@@ -857,8 +881,8 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.round(F.col("sc"), 4).alias("bm25_prf"),
-            F.lit(exp_sorted[0]).alias("exp_term_1"),
-            F.lit(exp_sorted[-1]).alias("exp_term_2"),
+            e1.alias("exp_term_1"),
+            e2.alias("exp_term_2"),
         )
     )
     return out

@@ -340,7 +340,10 @@ def stats_grubbs_extreme(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = src.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        # squared cents fold in decimal(38,0) per the module's overflow
+        # protocol (DuckDB side promotes SUM(BIGINT) to HUGEINT): a plain
+        # long sum wraps/raises under ANSI at x128 value magnitudes
+        F.sum(F.col("cents").cast(_D38) * F.col("cents")).alias("s2"),
     )
     dev = src.join(g, "seg").withColumn(
         "dev_scaled", F.abs(F.col("n") * F.col("cents") - F.col("s1"))
@@ -474,8 +477,12 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_ljung_box",
     """
     WITH hourly AS (
+      -- quantize-before-aggregate: the bucket mean folds an exact
+      -- DECIMAL sum (order-free) before the 6dp round, so a
+      -- round-boundary tie cannot flip between engines/partitionings
       SELECT event_type, date_trunc('hour', ts) AS bucket,
-             ROUND(AVG(value), 6) AS v
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
       FROM events GROUP BY event_type, date_trunc('hour', ts)
     ),
     lagged AS (
@@ -523,7 +530,13 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("v")
+    )
     w = Window.partitionBy("event_type").orderBy("bucket")
     lagged = hourly.select(
         "event_type",
