@@ -451,35 +451,49 @@ def business_silver_stream(lake: FlightLakehouse) -> DataFrame:
         run_to_memory,
     )
 
-    spark = lake.spark
+    # capture only paths + schemas so the join plan can be rebuilt on the
+    # run_to_memory builder session (conf overrides bind to a cloned
+    # session; lake.spark's conf is never mutated)
+    sides = {
+        t: (lake.silver._tables[t].path, lake.silver._tables[t].read().schema)
+        for t in (
+            "bookings_silver",
+            "flights_silver",
+            "customers_silver",
+            "airports_silver",
+        )
+    }
 
-    def side(table: str, md: str) -> DataFrame:
-        tbl = lake.silver._tables[table]
-        schema = tbl.read().schema
+    def build(s: SparkSession) -> DataFrame:
+        def side(table: str, md: str) -> DataFrame:
+            path, schema = sides[table]
+            return (
+                s.readStream.schema(schema)
+                .parquet(path)
+                .withColumnRenamed("modifiedDate", md)
+                .withWatermark(md, "1 hour")
+            )
+
+        b = side("bookings_silver", "b_md")
+        f = side("flights_silver", "f_md")
+        c = side("customers_silver", "c_md")
+        a = side("airports_silver", "a_md")
+
+        def co_arrival(md: str):
+            return F.expr(
+                f"{md} BETWEEN b_md - INTERVAL 1 DAY AND b_md + INTERVAL 1 DAY"
+            )
+
         return (
-            spark.readStream.schema(schema)
-            .parquet(tbl.path)
-            .withColumnRenamed("modifiedDate", md)
-            .withWatermark(md, "1 hour")
+            b.join(f, (b["flight_id"] == f["flight_id"]) & co_arrival("f_md"))
+            .drop(f["flight_id"])
+            .join(c, (b["passenger_id"] == c["passenger_id"]) & co_arrival("c_md"))
+            .drop(c["passenger_id"])
+            .join(a, (b["airport_id"] == a["airport_id"]) & co_arrival("a_md"))
+            .drop(a["airport_id"])
+            .drop("b_md", "f_md", "c_md", "a_md")
         )
 
-    b = side("bookings_silver", "b_md")
-    f = side("flights_silver", "f_md")
-    c = side("customers_silver", "c_md")
-    a = side("airports_silver", "a_md")
-
-    def co_arrival(md: str):
-        return F.expr(f"{md} BETWEEN b_md - INTERVAL 1 DAY AND b_md + INTERVAL 1 DAY")
-
-    j = (
-        b.join(f, (b["flight_id"] == f["flight_id"]) & co_arrival("f_md"))
-        .drop(f["flight_id"])
-        .join(c, (b["passenger_id"] == c["passenger_id"]) & co_arrival("c_md"))
-        .drop(c["passenger_id"])
-        .join(a, (b["airport_id"] == a["airport_id"]) & co_arrival("a_md"))
-        .drop(a["airport_id"])
-        .drop("b_md", "f_md", "c_md", "a_md")
-    )
     # INNER stream-stream joins emit every match in the data batch where
     # both sides are present; the trailing no-data micro-batch only
     # advances the watermark to EVICT state — it can't add or change
@@ -489,10 +503,11 @@ def business_silver_stream(lake: FlightLakehouse) -> DataFrame:
     # rounds for zero rows). A LEFT OUTER join would need it back on —
     # null-padded rows emit on eviction.
     return run_to_memory(
-        j,
+        build,
         f"bizsilver_{_uuid.uuid4().hex[:8]}",
         state_partitions=STATE_PARTITIONS,
         extra_conf={"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
+        spark=lake.spark,
     )
 
 

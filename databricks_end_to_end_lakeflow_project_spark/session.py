@@ -96,6 +96,13 @@ def cloned_session(spark: SparkSession, conf: dict[str, str]) -> SparkSession:
     s = spark.newSession()
     for k in ("spark.sql.session.timeZone", "spark.sql.ansi.enabled"):
         s.conf.set(k, spark.conf.get(k))
+    # the events-table reader pins this on whatever session reads it, but
+    # carrying the caller's value over avoids a re-probe on the clone
+    nanos = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        s.conf.set(nanos, spark.conf.get(nanos))
+    except Exception:
+        pass  # unset on the caller — leave the clone at the default
     for k, v in conf.items():
         s.conf.set(k, v)
     return s

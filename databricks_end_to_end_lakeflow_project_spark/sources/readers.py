@@ -16,11 +16,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Pin ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session.
+
+    The ONE sanctioned session-conf write reachable from query bodies
+    (``MONOTONE_CONF_HELPERS`` in tests/test_plans.py): it writes a single
+    CONSTANT value and is never restored or unset, so it is monotone —
+    every concurrent query observes either the default or ``true``, and
+    every reader of the events table calls this before its first scan.
+    A save/restore or variable-value write here would reintroduce the
+    cross-query conf race the guard exists to ban; route those through
+    ``session.cloned_session`` instead.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read ``{sf_dir}/{name}.parquet`` with engine-standard normalization."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ensure_nanos_as_long(spark)
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

@@ -33,6 +33,7 @@ from pyspark.sql.streaming.stateful_processor import (
 
 from databricks_end_to_end_lakeflow_project_spark.operators.cdc import ManagedParquetTable
 from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.session import cloned_session
 from databricks_end_to_end_lakeflow_project_spark.sources.scratch import ephemeral_dir
 from databricks_end_to_end_lakeflow_project_spark.streaming.windows import tumbling_agg
 
@@ -76,40 +77,54 @@ the test streams hold ≤150 distinct users, so 8 is already generous.
 
 
 def run_to_memory(
-    stream_df: DataFrame,
+    stream: DataFrame | Callable[[SparkSession], DataFrame],
     name: str,
     output_mode: str = "append",
     state_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    spark: SparkSession | None = None,
 ) -> DataFrame:
     """Drain a streaming query into an in-memory table and return it as a
-    batch DataFrame (test/verification harness). ``state_partitions`` and
-    ``extra_conf`` scope session-conf overrides to this stream: the
-    values bind when the query STARTS, so the session conf is restored
-    immediately after the drain without affecting later queries."""
-    spark = stream_df.sparkSession
+    batch DataFrame (test/verification harness).
+
+    ``stream`` is either a streaming DataFrame (drained as-is on its own
+    session, no conf overrides allowed) or a BUILDER
+    ``SparkSession -> streaming DataFrame``. Conf overrides
+    (``state_partitions`` / ``extra_conf``) require the builder form:
+    a streaming query binds its conf from the session the plan was built
+    on, so the builder is invoked against a ``cloned_session`` carrying
+    the overrides — its own SQLConf, shared SparkContext — and the
+    caller's session conf is NEVER touched. (The previous save/restore
+    implementation mutated the shared session for the duration of the
+    drain; a concurrently-running query could observe the overridden
+    values — the exact hazard tests/test_plans.py's conf guard bans.)
+    """
     overrides = dict(extra_conf or {})
     if state_partitions:
         overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
-    old = {k: spark.conf.get(k, None) for k in overrides}
-    for k, v in overrides.items():
-        spark.conf.set(k, v)
-    try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-    return spark.table(name)
+    if callable(stream) and not isinstance(stream, DataFrame):
+        if spark is None:
+            raise ValueError("the builder form of run_to_memory requires spark=")
+        session = cloned_session(spark, overrides) if overrides else spark
+        stream_df = stream(session)
+    else:
+        if overrides:
+            raise ValueError(
+                "conf overrides require the builder form: pass a "
+                "Callable[[SparkSession], DataFrame] so the plan binds to an "
+                "isolated cloned session instead of mutating the shared one"
+            )
+        stream_df = stream
+        session = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return session.table(name)
 
 
 def watermarked_tumbling(stream_events: DataFrame, delay: str = "10 minutes") -> DataFrame:
@@ -203,8 +218,12 @@ def stream_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps, which Spark surfaces as TIMESTAMP_NTZ). The streaming
     source needs an explicit schema, so a batch read probes the file's
     actual physical layout first."""
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        ensure_nanos_as_long,
+    )
+
     src = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_as_long(spark)
     probe_type = dict(spark.read.parquet(src).dtypes).get("ts")
     if probe_type == "bigint":
         stream = stream_from_dir(
@@ -247,18 +266,20 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     through `applyInPandasWithState`, drained with availableNow into a
     memory sink; the last (monotone-max) emission per user equals the
     batch GROUP BY — which is exactly what the oracle computes."""
-    stream = stream_events_table(spark, sf_dir).withColumn(
-        "value_cents", F.round(F.col("value") * 100).cast("long")
-    )
-    totals = stream.groupBy("user_id").applyInPandasWithState(
-        _running_cents,
-        outputStructType=_CENTS_SCHEMA,
-        stateStructType=_CENTS_STATE,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    drained = run_to_memory(totals, f"sst_{uuid.uuid4().hex[:8]}", output_mode="update",
-                            state_partitions=STATE_PARTITIONS)
+    def build(s: SparkSession) -> DataFrame:
+        stream = stream_events_table(s, sf_dir).withColumn(
+            "value_cents", F.round(F.col("value") * 100).cast("long")
+        )
+        return stream.groupBy("user_id").applyInPandasWithState(
+            _running_cents,
+            outputStructType=_CENTS_SCHEMA,
+            stateStructType=_CENTS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    drained = run_to_memory(build, f"sst_{uuid.uuid4().hex[:8]}", output_mode="update",
+                            state_partitions=STATE_PARTITIONS, spark=spark)
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("total_cents").alias("total_cents")
     )
@@ -272,12 +293,14 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`dropDuplicatesWithinWatermark` on (user_id, event_type) run as a
     real stream; key columns only are returned (which duplicate's payload
     survives is engine-dependent, the key set is not)."""
-    stream = stream_events_table(spark, sf_dir)
-    deduped = dedup_within_watermark(stream, ["user_id", "event_type"], delay="365 days").select(
-        "user_id", "event_type"
-    )
-    drained = run_to_memory(deduped, f"swd_{uuid.uuid4().hex[:8]}",
-                            state_partitions=STATE_PARTITIONS)
+    def build(s: SparkSession) -> DataFrame:
+        stream = stream_events_table(s, sf_dir)
+        return dedup_within_watermark(
+            stream, ["user_id", "event_type"], delay="365 days"
+        ).select("user_id", "event_type")
+
+    drained = run_to_memory(build, f"swd_{uuid.uuid4().hex[:8]}",
+                            state_partitions=STATE_PARTITIONS, spark=spark)
     return drained.distinct()
 
 
@@ -302,23 +325,25 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     money keeps the result reduction-order-exact."""
     from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 
-    stream = stream_events_table(spark, sf_dir).withColumn(
-        "value_cents", F.round(F.col("value") * 100).cast("long")
-    )
-    cust = read_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
-    )
-    agg = (
-        stream.join(cust, "user_id")
-        .groupBy("segment")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value_cents").alias("total_cents"),
+    def build(s: SparkSession) -> DataFrame:
+        stream = stream_events_table(s, sf_dir).withColumn(
+            "value_cents", F.round(F.col("value") * 100).cast("long")
         )
-    )
+        cust = read_table(s, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+        )
+        return (
+            stream.join(cust, "user_id")
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value_cents").alias("total_cents"),
+            )
+        )
+
     drained = run_to_memory(
-        agg, f"sse_{uuid.uuid4().hex[:8]}", output_mode="complete",
-        state_partitions=STATE_PARTITIONS,
+        build, f"sse_{uuid.uuid4().hex[:8]}", output_mode="complete",
+        state_partitions=STATE_PARTITIONS, spark=spark,
     )
     return drained
 
@@ -350,6 +375,33 @@ def stream_upsert_into(
     q.awaitTermination()
 
 
+def _click_purchase_pairs(
+    s: SparkSession, sf_dir: str, how: str = "inner"
+) -> DataFrame:
+    """The watermarked click→purchase interval join, built on the GIVEN
+    session (the run_to_memory builder contract — conf overrides bind to
+    a cloned session, never the caller's)."""
+    clicks = (
+        stream_events_table(s, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_events_table(s, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"
+        ),
+        how,
+    )
+
+
 @query(
     "stream_stream_interval_join",
     """
@@ -376,32 +428,16 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides pass the watermark; drained with availableNow, the pair
     set equals the oracle's batch self-join, aggregated per user after
     the drain."""
-    clicks = (
-        stream_events_table(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-    )
-    purchases = (
-        stream_events_table(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-    )
-    pairs = clicks.join(
-        purchases,
-        F.expr(
-            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"
-        ),
-    )
     # INNER stream-stream joins emit pairs eagerly within the data batch;
     # the trailing no-data micro-batch would only run state eviction, so
     # skipping it (scoped to this drain) cuts ~30% of wall-clock. The
     # LEFT OUTER variant below MUST keep it — that batch is what emits
     # the expired unmatched rows.
     drained = run_to_memory(
-        pairs, f"ssj_{uuid.uuid4().hex[:8]}", state_partitions=STATE_PARTITIONS,
+        lambda s: _click_purchase_pairs(s, sf_dir),
+        f"ssj_{uuid.uuid4().hex[:8]}", state_partitions=STATE_PARTITIONS,
         extra_conf={"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
+        spark=spark,
     )
     return drained.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_attributed")
@@ -477,29 +513,22 @@ def stream_tws_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``SELECT user_id, COUNT(*), COUNT(DISTINCT event_type) GROUP BY 1``
     (asserted by its gated test rather than a driver oracle — see
     :func:`tws_available`)."""
-    stream = stream_events_table(spark, sf_dir)
-    out = distinct_types_per_user(stream)
     # transformWithState requires the RocksDB state store (typed state
     # families aren't supported by the default HDFS-backed provider);
-    # scope the override to this drain — it binds at query start
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    old_provider = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    # the override rides the builder's cloned session — the caller's
+    # provider conf is never touched
+    drained = run_to_memory(
+        lambda s: distinct_types_per_user(stream_events_table(s, sf_dir)),
+        f"tws_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+        state_partitions=STATE_PARTITIONS,
+        extra_conf={
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+        },
+        spark=spark,
     )
-    try:
-        drained = run_to_memory(
-            out,
-            f"tws_{uuid.uuid4().hex[:8]}",
-            output_mode="update",
-            state_partitions=STATE_PARTITIONS,
-        )
-    finally:
-        if old_provider:
-            spark.conf.set(provider_key, old_provider)
-        else:
-            spark.conf.unset(provider_key)
     return drained.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("n_types").alias("n_types")
     )
@@ -592,27 +621,10 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     the outer-ness adds only the expiry scan — same shuffle shape as
     the inner join, on the partition count sized for stream volume.
     """
-    clicks = (
-        stream_events_table(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-    )
-    purchases = (
-        stream_events_table(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-    )
-    pairs = clicks.join(
-        purchases,
-        F.expr(
-            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"
-        ),
-        "left_outer",
-    )
     drained = run_to_memory(
-        pairs, f"sslo_{uuid.uuid4().hex[:8]}", state_partitions=STATE_PARTITIONS
+        lambda s: _click_purchase_pairs(s, sf_dir, "left_outer"),
+        f"sslo_{uuid.uuid4().hex[:8]}", state_partitions=STATE_PARTITIONS,
+        spark=spark,
     )
     return (
         drained.groupBy(F.col("c_user").alias("user_id"))
@@ -685,29 +697,12 @@ def stream_join_then_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (watermark + 30 min) of data per side, window state is the open
     windows within the delayed watermark horizon; one shuffle for the
     join key, one for the window key."""
-    clicks = (
-        stream_events_table(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
-        .withWatermark("c_ts", "1 hour")
-    )
-    purchases = (
-        stream_events_table(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-    )
-    pairs = clicks.join(
-        purchases,
-        F.expr(
-            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"
-        ),
-    )
-    agg = pairs.groupBy(F.window("p_ts", "1 hour")).agg(
-        F.count(F.lit(1)).alias("n_pairs")
-    )
     drained = run_to_memory(
-        agg, f"jwa_{uuid.uuid4().hex[:8]}", state_partitions=STATE_PARTITIONS
+        lambda s: _click_purchase_pairs(s, sf_dir)
+        .groupBy(F.window("p_ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_pairs")),
+        f"jwa_{uuid.uuid4().hex[:8]}", state_partitions=STATE_PARTITIONS,
+        spark=spark,
     )
     return drained.select(
         F.col("window.start").alias("window_start"), "n_pairs"

@@ -226,23 +226,139 @@ def test_dim_surrogate_assignment_plans_partitioned_window(spark, tmp_path):
     new2.unpersist()
 
 
+_PKG = "databricks_end_to_end_lakeflow_project_spark"
+
+# The ONLY package functions reachable from query bodies that may touch a
+# session conf. Each is individually safe:
+#   cloned_session      — writes exclusively to the session it just created
+#                         with newSession() (own SQLConf); the caller's
+#                         session is read, never written.
+#   ensure_nanos_as_long — writes one CONSTANT value, never restored or
+#                         unset (monotone): a concurrent query observes
+#                         either the default or `true`, and every events
+#                         reader calls it before its first scan, so there
+#                         is no window where a wrong value is visible.
+MONOTONE_CONF_HELPERS = {"cloned_session", "ensure_nanos_as_long"}
+
+
+_CALLEE_CACHE: dict = {}
+
+
+def _package_callees(fn):
+    """Resolve the package-internal functions ``fn``'s body calls: names
+    and dotted attributes from its globals, plus ``from X import Y``
+    statements inside the body (local imports are the package's house
+    style)."""
+    import ast
+    import importlib
+    import inspect
+    import textwrap
+
+    if fn in _CALLEE_CACHE:
+        return _CALLEE_CACHE[fn]
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError):
+        return []
+    local_imports = {}
+    called = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(_PKG):
+            for alias in node.names:
+                local_imports[alias.asname or alias.name] = (node.module, alias.name)
+        elif isinstance(node, ast.Call):
+            f = node.func
+            if isinstance(f, ast.Name):
+                called.add((f.id,))
+            elif isinstance(f, ast.Attribute) and isinstance(f.value, ast.Name):
+                called.add((f.value.id, f.attr))
+    out = []
+    g = getattr(fn, "__globals__", {})
+    for parts in called:
+        obj = None
+        if parts[0] in local_imports:
+            mod_name, attr = local_imports[parts[0]]
+            try:
+                obj = getattr(importlib.import_module(mod_name), attr, None)
+            except ImportError:
+                obj = None
+        elif len(parts) == 1:
+            obj = g.get(parts[0])
+        else:
+            base = g.get(parts[0])
+            if base is not None:
+                obj = getattr(base, parts[1], None)
+        if callable(obj) and (getattr(obj, "__module__", None) or "").startswith(_PKG):
+            out.append(obj)
+    _CALLEE_CACHE[fn] = out
+    return out
+
+
 def test_no_conf_set_in_query_bodies():
     """No registry query may mutate the caller's session conf — two
     queries running concurrently in one session must never observe each
     other's settings. Eager fixture-scale sections that want a different
-    shuffle width use ``session.cloned_session`` (own SQLConf) instead.
-    Source-level grep over every registered query function."""
+    shuffle width use ``session.cloned_session`` (own SQLConf) instead;
+    streaming drains route overrides through ``run_to_memory``'s builder
+    form (which clones). The walk covers each query's OWN source plus the
+    transitive closure of package-internal callees (depth 3 — enough for
+    query → business_silver_stream → run_to_memory), so a helper doing
+    the mutation one call deep no longer escapes (the round-8 loophole).
+    Only the justified ``MONOTONE_CONF_HELPERS`` may touch a conf."""
     import inspect
 
     from databricks_end_to_end_lakeflow_project_spark.registry import _QUERIES, _collect
 
     _collect()
     offenders = []
+    seen_safe: set[str] = set()
     for name, fn in _QUERIES.items():
-        src = inspect.getsource(fn)
-        if "conf.set" in src or "conf.unset" in src:
-            offenders.append(name)
+        frontier = [(fn, 0)]
+        visited = set()
+        while frontier:
+            f, depth = frontier.pop()
+            qual = f"{getattr(f, '__module__', '?')}.{getattr(f, '__qualname__', '?')}"
+            if qual in visited:
+                continue
+            visited.add(qual)
+            if getattr(f, "__name__", "") in MONOTONE_CONF_HELPERS:
+                continue
+            if qual not in seen_safe:
+                try:
+                    src = inspect.getsource(f)
+                except (OSError, TypeError):
+                    continue
+                if "conf.set" in src or "conf.unset" in src:
+                    offenders.append(f"{name} via {qual}")
+                    continue
+                seen_safe.add(qual)
+            if depth < 3:
+                frontier.extend((c, depth + 1) for c in _package_callees(f))
     assert not offenders, offenders
+
+
+def test_conf_guard_catches_helper_mutation():
+    """The guard must flag a conf mutation one call DEEP (the exact
+    round-8 blind spot), not just in the query body itself."""
+    import databricks_end_to_end_lakeflow_project_spark.session as sess_mod
+
+    def naughty_helper(spark):
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+
+    naughty_helper.__module__ = sess_mod.__name__
+
+    def fake_query(spark, sf_dir):
+        naughty_helper(spark)
+
+    fake_query.__globals__["naughty_helper"] = naughty_helper
+    try:
+        callees = _package_callees(fake_query)
+        assert any(c is naughty_helper for c in callees)
+        import inspect
+
+        assert "conf.set" in inspect.getsource(naughty_helper)
+    finally:
+        fake_query.__globals__.pop("naughty_helper", None)
 
 
 def test_unpartitioned_window_detector(spark):

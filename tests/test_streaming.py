@@ -442,32 +442,35 @@ def test_stream_stream_full_outer_join_subsumes_left_outer(spark):
     sf = "/root/testdata/sf0.001"
     cond = "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"
 
-    def sides():
-        clicks = (
-            st.stream_events_table(spark, sf)
-            .filter(F.col("event_type") == "click")
-            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
-            .withWatermark("c_ts", "1 hour")
-        )
-        purchases = (
-            st.stream_events_table(spark, sf)
-            .filter(F.col("event_type") == "purchase")
-            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
-            .withWatermark("p_ts", "1 hour")
-        )
-        return clicks, purchases
+    def joined(how):
+        def build(s):
+            clicks = (
+                st.stream_events_table(s, sf)
+                .filter(F.col("event_type") == "click")
+                .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+                .withWatermark("c_ts", "1 hour")
+            )
+            purchases = (
+                st.stream_events_table(s, sf)
+                .filter(F.col("event_type") == "purchase")
+                .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+                .withWatermark("p_ts", "1 hour")
+            )
+            return clicks.join(purchases, F.expr(cond), how)
 
-    c, p = sides()
+        return build
+
     full = st.run_to_memory(
-        c.join(p, F.expr(cond), "full_outer"),
+        joined("full_outer"),
         f"ssfo_{uuid.uuid4().hex[:8]}",
         state_partitions=st.STATE_PARTITIONS,
+        spark=spark,
     ).collect()
-    c2, p2 = sides()
     left = st.run_to_memory(
-        c2.join(p2, F.expr(cond), "left_outer"),
+        joined("left_outer"),
         f"sslo2_{uuid.uuid4().hex[:8]}",
         state_partitions=st.STATE_PARTITIONS,
+        spark=spark,
     ).collect()
 
     key = lambda r: (r["c_user"], r["c_ts"], r["p_user"], r["p_ts"])
@@ -507,23 +510,30 @@ def test_join_then_window_agg_boundary(spark, tmp_path):
     )
     d = str(tmp_path / "ev")
     df.write.parquet(d)
-    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(d)
-    clicks = (
-        stream.filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
-        .withWatermark("c_ts", "1 hour")
+    def build(s):
+        stream = s.readStream.schema(EVENT_SCHEMA).parquet(d)
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "1 hour")
+        )
+        purch = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "1 hour")
+        )
+        pairs = clicks.join(
+            purch,
+            F.expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"),
+        )
+        return pairs.groupBy(F.window("p_ts", "10 minutes")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    out = run_to_memory(
+        build, f"jwab_{uuid.uuid4().hex[:6]}",
+        state_partitions=STATE_PARTITIONS, spark=spark,
     )
-    purch = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-    )
-    pairs = clicks.join(
-        purch,
-        F.expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"),
-    )
-    agg = pairs.groupBy(F.window("p_ts", "10 minutes")).agg(F.count(F.lit(1)).alias("n"))
-    out = run_to_memory(agg, f"jwab_{uuid.uuid4().hex[:6]}", state_partitions=STATE_PARTITIONS)
     emitted = sorted(r["window"]["end"] for r in out.collect())
     mc = max(r[1] for r in rows if r[3] == "click")
     mp = max(r[1] for r in rows if r[3] == "purchase")
