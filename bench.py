@@ -1377,16 +1377,30 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    # field ORDER is part of the artifact contract: the driver keeps only
-    # the last ~2,000 chars of stdout, so the headline total and per-query
-    # times go LAST (after the bulky curves) — a truncated-from-the-front
-    # tail still contains them. "value" is the driver's metric field; it is
-    # duplicated nowhere and printed at the very end.
+    # The PROTOCOL stamp ties every artifact to the exact harness that cut
+    # it: a content hash of this file (stronger than a git short-hash — it
+    # also flags uncommitted edits). tests/test_artifacts.py fails when the
+    # newest committed BENCH_FULL_r*.json carries a different protocol than
+    # HEAD's bench.py, so a harness change without a re-cut can't ship
+    # (the round-8 stale-bitext-truth incident).
+    import hashlib
+
+    with open(__file__, "rb") as fh:
+        protocol = hashlib.sha256(fh.read()).hexdigest()[:10]
+
+    # stdout carries ONE SLIM JSON line (metric/sf/protocol/per-query
+    # times/calibration/value — ~1.2k chars) so the driver's 2,000-char
+    # stdout tail parses it whole; the bulky scale curves go ONLY to the
+    # full-payload side file (SPARK_GRAFT_BENCH_FULL, default
+    # BENCH_FULL_LATEST.json — renamed to BENCH_FULL_r{N}.json when a
+    # round artifact is cut).
     out = {
         "metric": "headline_queries_total_sec",
         "unit": "sec",
         "sf": sf,
+        "protocol": protocol,
     }
+    full = dict(out)
 
     # dedup/ANN scale curve (candidate pairs + bucket/cell maxima vs
     # corpus size incl. synthetic 10x/100x corpora); disable with
@@ -1397,21 +1411,24 @@ def main() -> None:
         sf1 = os.path.join(parent, "sf0.1")
         if os.path.isdir(sf01) and os.path.isdir(sf1):
             spark.catalog.clearCache()
-            out["dedup_curve"] = dedup_scale_curve(spark, sf01, sf1)
-            out["rank_curve"] = rank_scale_curve(spark, sf01, sf1)
-            out["shuffle_curve"] = shuffle_scale_curve(spark, sf01, sf1)
-            out["skew_join_curve"] = skew_join_curve(spark)
-            out["er_curve"] = er_scale_curve(spark)
-            out["bitext_curve"] = bitext_scale_curve(spark, sf1)
-            out["graph_curve"] = graph_scale_curve(spark)
-            out["stream_curve"] = stream_scale_curve(spark, sf01, sf1)
+            full["dedup_curve"] = dedup_scale_curve(spark, sf01, sf1)
+            full["rank_curve"] = rank_scale_curve(spark, sf01, sf1)
+            full["shuffle_curve"] = shuffle_scale_curve(spark, sf01, sf1)
+            full["skew_join_curve"] = skew_join_curve(spark)
+            full["er_curve"] = er_scale_curve(spark)
+            full["bitext_curve"] = bitext_scale_curve(spark, sf1)
+            full["graph_curve"] = graph_scale_curve(spark)
+            full["stream_curve"] = stream_scale_curve(spark, sf01, sf1)
 
-    out["queries"] = times
-    # calibration goes LAST-but-one so the driver's 2,000-char stdout
-    # tail keeps it alongside the headline value.
-    out.update(cal)
-    out["headline_per_calibration"] = round(total / cal["calibration_sec"], 2)
-    out["value"] = total
+    for d in (out, full):
+        d["queries"] = times
+        d.update(cal)
+        d["headline_per_calibration"] = round(total / cal["calibration_sec"], 2)
+        d["value"] = total
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL_LATEST.json")
+    if full_path:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=False)
     print(json.dumps(out))
     spark.stop()
 
