@@ -612,3 +612,159 @@ def test_ingest_interrupted_between_batches_then_resumed(spark, ingest_dirs):
 
     _drain(spark, d)  # resume
     assert _bronze_ids(spark, d["target"]) == list(range(1, 16))
+
+
+# ------------------------------------------- silver CDC flow drain kill points
+#
+# `stream_upsert_into` (streaming/structured.py) is the STREAMING execution of
+# `create_auto_cdc_flow` (pipeline/dag.py:183, reference
+# dlt_bronze_to_silver_pipeline.py:30-36): foreachBatch commits one
+# latest-wins merge per micro-batch, and the checkpoint's commits/N marker
+# lands only AFTER the batch function returns. Two real crash windows:
+#   (a) merge PUBLISHED, commits/N missing — the restart re-offers batch N
+#       and the merge replays on identical rows; the latest-wins condition
+#       (src.seq >= trg.seq, DIM_Gold_layer.py:281 semantics) must make the
+#       replay a state no-op;
+#   (b) killed MID-merge — the intent journal recovers the torn table
+#       commit, commits/N is still missing, and the re-offered batch must
+#       land exactly once.
+# Together with the bronze matrix above this kill-tests every checkpointed
+# write path in the medallion chain.
+
+
+def _cdc_seed(spark, tmp_path):
+    t = ManagedParquetTable(spark, str(tmp_path / "silver"), keys=["key"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a0", 0), (2, "b0", 0)], "key int, val string, seq int"
+        )
+    )
+    return t
+
+
+def _cdc_src(spark, tmp_path) -> str:
+    d = str(tmp_path / "changes")
+    spark.createDataFrame(
+        [(1, "a1", 1), (3, "c1", 1)], "key int, val string, seq int"
+    ).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def _drain_upsert(spark, src_dir, table, ckpt) -> None:
+    """One silver CDC drain; retries the same-session checkpoint-registration
+    race documented at `_drain`."""
+    import time as _time
+
+    from databricks_end_to_end_lakeflow_project_spark.streaming.structured import (
+        stream_upsert_into,
+    )
+
+    last = None
+    for _ in range(40):
+        try:
+            stream = spark.readStream.schema(
+                "key int, val string, seq int"
+            ).parquet(src_dir)
+            return stream_upsert_into(
+                stream, table, ["key"], "seq", ckpt
+            )
+        except Exception as exc:  # noqa: BLE001
+            if "concurrently" not in str(exc):
+                raise
+            last = exc
+            _time.sleep(0.25)
+    raise last
+
+
+_CDC_AFTER_B0 = {(1, "a1"), (2, "b0"), (3, "c1")}
+
+
+def test_cdc_flow_killed_post_merge_pre_checkpoint_commit(spark, tmp_path):
+    """Crash window (a): the merge for batch 0 is fully published (table
+    shows the upserted state) but commits/0 never landed. The restarted
+    drain re-offers batch 0; replaying the identical merge must leave the
+    table state unchanged (idempotent latest-wins), keys unique, and the
+    stream must keep processing NEW batches afterwards."""
+    t = _cdc_seed(spark, tmp_path)
+    src = _cdc_src(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    _drain_upsert(spark, src, t, ckpt)
+    assert _rows(t) == _CDC_AFTER_B0
+    v_published = t.version()
+    commit0 = os.path.join(ckpt, "commits", "0")
+    assert os.path.exists(commit0)
+    os.remove(commit0)  # the crash window: merge published, checkpoint not
+
+    _drain_upsert(spark, src, t, ckpt)  # recovery replays batch 0
+    assert _rows(t) == _CDC_AFTER_B0, "replayed merge must be a state no-op"
+    keys = [r["key"] for r in t.read().select("key").collect()]
+    assert len(keys) == len(set(keys)), "replay must not duplicate keys"
+    assert os.path.exists(commit0), "recovery must complete the commit"
+    assert t.version() >= v_published  # a no-op REWRITE may bump, never fork
+
+    # the recovered stream continues: a genuinely new change batch lands once
+    spark.createDataFrame(
+        [(2, "b2", 2)], "key int, val string, seq int"
+    ).coalesce(1).write.mode("append").parquet(src)
+    _drain_upsert(spark, src, t, ckpt)
+    assert _rows(t) == {(1, "a1"), (2, "b2"), (3, "c1")}
+
+
+class _KillExc(RuntimeError):
+    """Mid-merge kill for drains crossing the py4j foreachBatch boundary:
+    a BaseException raised inside the callback never returns a py4j
+    response, deadlocking the streaming query thread — so this variant
+    derives from Exception. On-disk it is EQUIVALENT to `_Kill` for the
+    rename-swap window under test: the upsert commit path's handlers
+    catch only (ConcurrentWriteError, TimeoutError) (cdc.py:624,677,914),
+    so neither kill runs any cleanup there."""
+
+
+def _kill_rename_exc_at(monkeypatch, table_path: str, n: int) -> None:
+    real = os.rename
+    calls = {"n": 0}
+
+    def killing(src, dst):
+        if str(src).startswith(table_path) or str(dst).startswith(table_path):
+            calls["n"] += 1
+            if calls["n"] == n:
+                raise _KillExc(f"rename #{n}: {src} -> {dst}")
+        return real(src, dst)
+
+    monkeypatch.setattr(os, "rename", killing)
+
+
+@pytest.mark.parametrize("kill_rename", [1, 2])
+def test_cdc_flow_killed_mid_merge(spark, tmp_path, monkeypatch, kill_rename):
+    """Crash window (b): kill inside the merge's commit protocol while
+    the drain is mid-batch. The table must recover old-or-new via the
+    intent journal, commits/0 must be missing (the batch never completed),
+    and the re-run drain must converge to exactly-once state."""
+    t = _cdc_seed(spark, tmp_path)
+    src = _cdc_src(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    _kill_rename_exc_at(monkeypatch, t.path, kill_rename)
+    with pytest.raises(Exception):
+        # the kill crosses the py4j foreachBatch boundary as a
+        # StreamingQueryException — the query (and its batch) dies
+        _drain_upsert(spark, src, t, ckpt)
+    monkeypatch.undo()
+    _mark_writer_dead(t)
+
+    assert not os.path.exists(os.path.join(ckpt, "commits", "0"))
+    # reader sees only old-or-new state, never a torn table
+    assert _rows(t) in ({(1, "a0"), (2, "b0")}, _CDC_AFTER_B0)
+
+    _drain_upsert(spark, src, t, ckpt)  # recovery
+    assert _rows(t) == _CDC_AFTER_B0
+    keys = [r["key"] for r in t.read().select("key").collect()]
+    assert len(keys) == len(set(keys))
+    assert not os.path.exists(t._intent_path())
+    import glob as _glob
+
+    assert not _glob.glob(f"{t.path}.__tmp_*") and not _glob.glob(
+        f"{t.path}.__old_*"
+    )
+    assert os.path.exists(os.path.join(ckpt, "commits", "0"))
