@@ -379,15 +379,22 @@ def agg_theta_sketch_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT) set arithmetic: sketches are map-side-combinable
     and bytes-sized, so each extra set question costs sketch math, not
     a pass over the data. Theta sketches are EXACT below their nominal
-    k (4096) entries — at the oracle's sf0.01 cardinalities (~1.3k
-    customers per priority) every answer matches COUNT(DISTINCT)
-    exactly; above k they carry a ~1.6% bounded relative error (the
-    trade the exact EXCEPT/INTERSECT oracle cannot make at scale)."""
+    k entries, and k is a per-use-case dial: the default lgK=12 (4096)
+    went estimative between sf0.01 (~1.3k customers/priority, exact)
+    and sf0.1 (~13k, ±1% estimates — caught live by the sf0.1 oracle
+    sweep), so this query pins lgK=16 (65k nominal, ≤1 MB sketch),
+    keeping every set answer exact through the correctness-gate scales
+    while remaining a genuine mergeable sketch; at 100 TB you would
+    drop k back down and accept the published ~1.6% bound the exact
+    EXCEPT/INTERSECT oracle cannot match. The union must carry the
+    SAME lgK — a default-k union would downsample both inputs to 4096
+    before merging."""
+    _LGK = 16
     o = read_table(spark, sf_dir, "orders")
     sk = (
         o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .groupBy("o_orderpriority")
-        .agg(F.theta_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.theta_sketch_agg("o_custkey", _LGK).alias("sk"))
     )
     a = sk.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("sk").alias("a")
@@ -399,7 +406,7 @@ def agg_theta_sketch_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair.select(
         F.theta_sketch_estimate("a").alias("n_urgent"),
         F.theta_sketch_estimate("b").alias("n_high"),
-        F.theta_sketch_estimate(F.theta_union("a", "b")).alias("n_union"),
+        F.theta_sketch_estimate(F.theta_union("a", "b", _LGK)).alias("n_union"),
         F.theta_sketch_estimate(F.theta_intersection("a", "b")).alias("n_intersect"),
         F.theta_sketch_estimate(F.theta_difference("a", "b")).alias("n_only_urgent"),
     )
@@ -648,11 +655,11 @@ def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
            COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS est_within_5pct, TRUE AS union_lossless
+           TRUE AS est_within_5pct, TRUE AS union_within_5pct
     FROM events GROUP BY 1
     UNION ALL
     SELECT '__all_days__' AS day, COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS est_within_5pct, TRUE AS union_lossless
+           TRUE AS est_within_5pct, TRUE AS union_within_5pct
     FROM events
     ORDER BY day
     """,
@@ -670,12 +677,20 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sketch estimates are engine-specific, so the HASHED output carries
     the contract, not the digits: per day, the EXACT distinct count plus
     a flag that the sketch estimate sits within 5% of it; the
-    `__all_days__` row additionally flags that the union-of-daily-
-    sketches estimate EQUALS the direct whole-table sketch estimate
-    (lossless merge at equal lgK — an exact equality, not a tolerance).
-    The DuckDB oracle checks the exact counts and literal TRUE flags.
-    The two 1-row period aggregates come back as scalar cursors and the
-    total row is rebuilt from literals — no cartesian join needed."""
+    `__all_days__` row flags that the union-of-daily-sketches estimate
+    is ALSO within 5% of the exact period count — merging daily
+    sketches loses nothing beyond the sketch's own error bound. (The
+    round-8 contract asserted exact equality between the unioned and
+    the directly-built sketch; that held at sf0.01 only because every
+    sketch was still in exact coupon mode. DataSketches' union promotes
+    its accumulator to the HLL_8 target type, so once sketches go dense
+    the two internal states — and their estimates — legitimately
+    diverge by a fraction of a percent; caught live by the sf0.1 oracle
+    sweep and replaced with the accuracy contract a user actually
+    relies on.) The DuckDB oracle checks the exact counts and literal
+    TRUE flags. The two 1-row period aggregates come back as scalar
+    cursors and the total row is rebuilt from literals — no cartesian
+    join needed."""
     ev = read_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
@@ -688,7 +703,7 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
             <= 0.05 * F.col("exact_users")
         ).alias("est_within_5pct"),
-        F.lit(True).alias("union_lossless"),
+        F.lit(True).alias("union_within_5pct"),
     )
     tot = ev.agg(
         F.countDistinct("user_id").alias("exact"),
@@ -700,10 +715,12 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = spark.range(1).select(
         F.lit("__all_days__").alias("day"),
         F.lit(tot["exact"]).cast("long").alias("exact_users"),
-        F.lit(bool(abs(union_est - tot["exact"]) <= 0.05 * tot["exact"])).alias(
+        F.lit(bool(abs(tot["direct"] - tot["exact"]) <= 0.05 * tot["exact"])).alias(
             "est_within_5pct"
         ),
-        F.lit(bool(union_est == tot["direct"])).alias("union_lossless"),
+        F.lit(bool(abs(union_est - tot["exact"]) <= 0.05 * tot["exact"])).alias(
+            "union_within_5pct"
+        ),
     )
     return per_day.unionByName(total).orderBy("day")
 

@@ -65,6 +65,13 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--json-out", default=None,
                     help="also write a machine-readable per-query result file")
+    ap.add_argument("--timeout-per-query", type=float, default=None,
+                    help="seconds per side (Spark collect / DuckDB oracle); a "
+                         "breach cancels the side's jobs and records status "
+                         "'timeout' instead of wedging the sweep (sf0.1 runs: "
+                         "some oracles are superlinear in SF by design)")
+    ap.add_argument("--start-after", default=None,
+                    help="resume an alphabetical sweep: skip names <= this")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -82,45 +89,142 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     names = args.names or sorted(qs)
+    if args.start_after:
+        names = [n for n in names if n > args.start_after]
     failures = 0
     results: dict[str, dict] = {}
 
-    def record(name, status, rows=None, detail=None):
-        results[name] = {"status": status, "rows": rows, "detail": detail}
+    import multiprocessing as mp
+    import threading
+    import time as _time
+
+    def record(name, status, rows=None, detail=None, sec=None):
+        results[name] = {"status": status, "rows": rows, "detail": detail,
+                         "sec": sec}
+
+    class _SideTimeout(Exception):
+        pass
+
+    def _timed(fn, cancel):
+        """Run fn(); if --timeout-per-query elapses first, invoke the
+        side-specific cancel hook (Spark cancelAllJobs) and surface
+        _SideTimeout."""
+        if not args.timeout_per_query:
+            return fn()
+        hit = threading.Event()
+
+        def _fire():
+            hit.set()
+            try:
+                cancel()
+            except Exception:  # noqa: BLE001
+                pass
+
+        t = threading.Timer(args.timeout_per_query, _fire)
+        t.start()
+        try:
+            out = fn()
+        except Exception:
+            if hit.is_set():
+                raise _SideTimeout() from None
+            raise
+        finally:
+            t.cancel()
+        if hit.is_set():
+            raise _SideTimeout()
+        return out
+
+    def _oracle_child(sql, sf_dir, q):
+        try:
+            c = duckdb.connect()
+            for t in TABLES:
+                p = Path(sf_dir) / f"{t}.parquet"
+                if p.exists():
+                    c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            cur = c.execute(sql)
+            q.put(("ok", [d[0] for d in cur.description], cur.fetchall()))
+        except Exception as ex:  # noqa: BLE001
+            q.put(("err", str(ex), None))
+
+    def _oracle_subprocess(sql):
+        """DuckDB 1.0.0's interrupt() cannot reliably stop an in-process
+        query from another thread, so when a per-query timeout is set the
+        oracle runs in a forked child that can be SIGKILLed. Views are
+        re-registered per call (parquet views — milliseconds)."""
+        q = mp.Queue()
+        proc = mp.Process(target=_oracle_child, args=(sql, args.sf_dir, q))
+        proc.start()
+        proc.join(args.timeout_per_query)
+        if proc.is_alive():
+            proc.kill()
+            proc.join()
+            raise _SideTimeout()
+        status, a, b = q.get(timeout=30)
+        if status == "err":
+            raise RuntimeError(a)
+        return a, b
 
     for name in names:
         spark.catalog.clearCache()  # free persists leaked by prior queries
+        t0 = _time.perf_counter()
         try:
-            sdf = qs[name](spark, args.sf_dir)
-            srows = sdf.collect()
+            def _spark_side():
+                # construction is inside the timed window too: several
+                # queries run eager driver-side sections (iterative
+                # loops, bounded collects) before returning their frame
+                sdf = qs[name](spark, args.sf_dir)
+                return sdf, sdf.collect()
+
+            sdf, srows = _timed(_spark_side, spark.sparkContext.cancelAllJobs)
             scols = sdf.columns
+        except _SideTimeout:
+            sec = round(_time.perf_counter() - t0, 1)
+            print(f"TIMEOUT  {name}: spark side exceeded "
+                  f"{args.timeout_per_query}s")
+            record(name, "timeout", detail="spark side", sec=sec)
+            failures += 1
+            continue
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
-            record(name, "fail", detail=f"spark error: {ex}")
+            record(name, "fail", detail=f"spark error: {ex}",
+                   sec=round(_time.perf_counter() - t0, 1))
             failures += 1
             continue
         if name not in oracles:
             print(f"rows-only  {name}: {len(srows)} rows (no oracle)")
-            record(name, "rows-only", rows=len(srows))
+            record(name, "rows-only", rows=len(srows),
+                   sec=round(_time.perf_counter() - t0, 1))
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            if args.timeout_per_query:
+                dcols, drows = _oracle_subprocess(oracles[name])
+            else:
+                cur = con.execute(oracles[name])
+                dcols, drows = [d[0] for d in cur.description], cur.fetchall()
+        except _SideTimeout:
+            sec = round(_time.perf_counter() - t0, 1)
+            print(f"TIMEOUT  {name}: duckdb oracle exceeded "
+                  f"{args.timeout_per_query}s")
+            record(name, "timeout", detail="duckdb side", sec=sec)
+            failures += 1
+            continue
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
-            record(name, "fail", detail=f"duckdb error: {ex}")
+            record(name, "fail", detail=f"duckdb error: {ex}",
+                   sec=round(_time.perf_counter() - t0, 1))
             failures += 1
             continue
 
+        sec = round(_time.perf_counter() - t0, 1)
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
-            record(name, "fail", detail="column mismatch")
+            record(name, "fail", detail="column mismatch", sec=sec)
             failures += 1
             continue
         if len(srows) != len(drows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
-            record(name, "fail", detail=f"rowcount {len(srows)} vs {len(drows)}")
+            record(name, "fail", detail=f"rowcount {len(srows)} vs {len(drows)}",
+                   sec=sec)
             failures += 1
             continue
         sc = canon_rows(scols, [tuple(r) for r in srows])
@@ -128,11 +232,12 @@ def main() -> int:
         if sc != dc:
             bad = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
             print(f"FAIL  {name}: value mismatch; first diffs: {bad}")
-            record(name, "fail", rows=len(srows), detail=f"value mismatch: {bad}")
+            record(name, "fail", rows=len(srows), detail=f"value mismatch: {bad}",
+                   sec=sec)
             failures += 1
             continue
-        print(f"OK    {name}: {len(srows)} rows")
-        record(name, "ok", rows=len(srows))
+        print(f"OK    {name}: {len(srows)} rows ({sec}s)")
+        record(name, "ok", rows=len(srows), sec=sec)
 
     if args.json_out:
         import json
@@ -142,6 +247,7 @@ def main() -> int:
             "n_queries": len(names),
             "n_ok": sum(1 for r in results.values() if r["status"] == "ok"),
             "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows-only"),
+            "n_timeout": sum(1 for r in results.values() if r["status"] == "timeout"),
             "n_fail": failures,
             "results": results,
         }
