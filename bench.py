@@ -940,6 +940,42 @@ def er_scale_curve(spark) -> list:
             ],
         }
     )
+
+    # ADVERSARIAL leg (judge r9 brief #3): corruption shapes the blocking
+    # union was NOT built for — double substitution, sub+del in one
+    # record, corrupted blocking field — through the tiered policy
+    # (production union → residual segment fallback → escalation). The
+    # published contract is the HONEST number: sub_del's recall_total is
+    # expected well below 1.0 (no tier covers length-changing d=2 combos
+    # — operators/entity.py documents the coverage proofs), with the
+    # unresolved rows counted in n_escalated rather than dropped.
+    from databricks_end_to_end_lakeflow_project_spark.operators.entity import (
+        _adversarial_dirty_feed,
+        adversarial_match_report,
+    )
+
+    dirty_adv = _adversarial_dirty_feed(cust)
+    t0 = time.perf_counter()
+    rows = adversarial_match_report(dirty_adv, cust).collect()
+    sec = round(time.perf_counter() - t0, 2)
+    curve.append(
+        {
+            "point": "x10 adversarial mix (tiered)",
+            "n_cust": n,
+            "sec": sec,
+            "families": [
+                {
+                    "family": r["family"],
+                    "n_dirty": r["n_dirty"],
+                    "recall_primary": r["recall_primary"],
+                    "recall_total": r["recall_total"],
+                    "n_escalated": r["n_escalated"],
+                    "precision": r["precision_total"],
+                }
+                for r in rows
+            ],
+        }
+    )
     return curve
 
 
