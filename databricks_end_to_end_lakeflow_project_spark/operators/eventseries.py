@@ -1870,16 +1870,20 @@ def events_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     mom AS (
+      -- HUGEINT moments: s1^2 wraps BIGINT at sf0.1 (total seconds x
+      -- users ~ 4e9, squared ~ 1.6e19 > 2^63) — caught live by the
+      -- sf0.1 sweep; Spark side folds the same term in decimal(38,0)
       SELECT event_type,
              COUNT(g)::BIGINT AS n,
-             SUM(g)::BIGINT AS s1,
-             SUM(g * g)::BIGINT AS s2
+             SUM(g)::HUGEINT AS s1,
+             SUM(g::HUGEINT * g)::HUGEINT AS s2
       FROM gaps WHERE g IS NOT NULL GROUP BY event_type
     )
     SELECT event_type AS channel, n AS n_gaps,
-           ROUND(s1 * 1.0 / n, 4) AS mean_gap_s,
-           ROUND(3600.0 * n / s1, 6) AS lambda_per_hour,
-           ROUND(SQRT((n * s2 - s1 * s1) * 1.0) / s1, 4) AS cv
+           ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean_gap_s,
+           ROUND(3600.0 * n / CAST(s1 AS DOUBLE), 6) AS lambda_per_hour,
+           ROUND(SQRT(CAST(n::HUGEINT * s2 - s1 * s1 AS DOUBLE))
+                 / CAST(s1 AS DOUBLE), 4) AS cv
     FROM mom ORDER BY channel
     """,
 )
@@ -1906,21 +1910,24 @@ def events_interarrival_exp_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g"
         ),
     ).filter(F.col("g").isNotNull())
+    # decimal(38,0) moment folds (house overflow protocol): s1^2 wraps a
+    # long at sf0.1 — total gap-seconds per channel ~4e9, squared 1.6e19
     mom = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("g").alias("s1"),
-        F.sum(F.col("g") * F.col("g")).alias("s2"),
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("g") * F.col("g")).cast("decimal(38,0)")).alias("s2"),
     )
+    var_term = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1") * F.col("s1")
+    )
+    s1d = F.col("s1").cast("double")
     return mom.select(
         F.col("event_type").alias("channel"),
         F.col("n").alias("n_gaps"),
-        F.round(F.col("s1") * 1.0 / F.col("n"), 4).alias("mean_gap_s"),
-        F.round(3600.0 * F.col("n") / F.col("s1"), 6).alias("lambda_per_hour"),
-        F.round(
-            F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) * 1.0)
-            / F.col("s1"),
-            4,
-        ).alias("cv"),
+        F.round(s1d / F.col("n"), 4).alias("mean_gap_s"),
+        F.round(3600.0 * F.col("n") / s1d, 6).alias("lambda_per_hour"),
+        F.round(F.sqrt(var_term.cast("double")) / s1d, 4).alias("cv"),
     ).orderBy("channel")
 
 

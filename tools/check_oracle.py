@@ -36,6 +36,25 @@ TABLES = [
 ]
 
 
+def _oracle_child(sql: str, sf_dir: str, q) -> None:
+    """Subprocess body for the timeout-guarded oracle run. Module-level so
+    the SPAWN start method can pickle it — spawn (not fork) is required:
+    forking the sweep process, which hosts a JVM and py4j threads, can
+    inherit mutexes held by threads that don't exist in the child and
+    deadlock inside duckdb.connect (observed live: trivial 0.04 s oracles
+    'timing out' at 180 s)."""
+    try:
+        con = duckdb.connect()
+        for t in TABLES:
+            p = Path(sf_dir) / f"{t}.parquet"
+            if p.exists():
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        cur = con.execute(sql)
+        q.put(("ok", [d[0] for d in cur.description], cur.fetchall()))
+    except Exception as ex:  # noqa: BLE001
+        q.put(("err", str(ex), None))
+
+
 def canon_cell(v) -> str:
     if v is None:
         return "NULL"
@@ -134,32 +153,33 @@ def main() -> int:
             raise _SideTimeout()
         return out
 
-    def _oracle_child(sql, sf_dir, q):
-        try:
-            c = duckdb.connect()
-            for t in TABLES:
-                p = Path(sf_dir) / f"{t}.parquet"
-                if p.exists():
-                    c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-            cur = c.execute(sql)
-            q.put(("ok", [d[0] for d in cur.description], cur.fetchall()))
-        except Exception as ex:  # noqa: BLE001
-            q.put(("err", str(ex), None))
+    _spawn = mp.get_context("spawn")
 
     def _oracle_subprocess(sql):
         """DuckDB 1.0.0's interrupt() cannot reliably stop an in-process
         query from another thread, so when a per-query timeout is set the
-        oracle runs in a forked child that can be SIGKILLed. Views are
-        re-registered per call (parquet views — milliseconds)."""
-        q = mp.Queue()
-        proc = mp.Process(target=_oracle_child, args=(sql, args.sf_dir, q))
+        oracle runs in a SPAWNED child that can be SIGKILLed (see
+        _oracle_child for why spawn, not fork). Views are re-registered
+        per call (parquet views — milliseconds)."""
+        import queue as _queue
+
+        q = _spawn.Queue()
+        proc = _spawn.Process(target=_oracle_child, args=(sql, args.sf_dir, q))
         proc.start()
-        proc.join(args.timeout_per_query)
+        try:
+            # drain BEFORE join: a child with a result bigger than the
+            # queue's pipe buffer (~64 KB) cannot exit until the parent
+            # reads it — join-first deadlocks and misreports fast oracles
+            # as timeouts (observed live on every >~1k-row result)
+            status, a, b = q.get(timeout=args.timeout_per_query)
+        except _queue.Empty:
+            proc.kill()
+            proc.join()
+            raise _SideTimeout() from None
+        proc.join(30)
         if proc.is_alive():
             proc.kill()
             proc.join()
-            raise _SideTimeout()
-        status, a, b = q.get(timeout=30)
         if status == "err":
             raise RuntimeError(a)
         return a, b
