@@ -322,7 +322,12 @@ def _audit_sample(docs: DataFrame) -> DataFrame:
 
 # template shared by the bounded-sample audit baseline ({src} = the
 # 256-doc audit sample) and the FULL-corpus version that serves as the
-# LSH query's ground-truth oracle ({src} = documents)
+# LSH query's ground-truth oracle ({src} = documents).
+# EXACT Jaccard via the inverted index (round-9): |A∩B| = count of
+# matching distinct-shingle rows, |A∪B| = |A|+|B|-|A∩B|, and J >= 0.8 > 0
+# implies >= 1 shared shingle, so the blocked pair set is complete —
+# identical values to the naive all-pairs list_intersect form, but the
+# full-corpus instance drops from a >180 s sf0.1 wedge to seconds.
 _JACCARD_PAIRS_ORACLE_TPL = """
     WITH toks AS (
       SELECT doc_id, string_split(trim(text), ' ') AS w
@@ -332,13 +337,18 @@ _JACCARD_PAIRS_ORACLE_TPL = """
              list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
                AS shingles
       FROM toks WHERE len(w) >= 3
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard_sim
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    SELECT da AS doc_a, db AS doc_b,
+           ROUND(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard_sim
+    FROM inter JOIN sz sa ON sa.doc_id = inter.da
+               JOIN sz sb ON sb.doc_id = inter.db
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
 """
 
 _JACCARD_PAIRS_ORACLE = _JACCARD_PAIRS_ORACLE_TPL.format(src=_AUDIT_SAMPLE_SQL)
@@ -1048,11 +1058,19 @@ _SURVIVOR_ORACLE = """
              list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
                AS shingles
       FROM toks WHERE len(w) >= 3
-    ), pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ),
+    -- exact inverted-index Jaccard (see _JACCARD_PAIRS_ORACLE_TPL note)
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    pairs AS (
+      SELECT da AS doc_a, db AS doc_b FROM inter
+      JOIN sz sa ON sa.doc_id = inter.da
+      JOIN sz sb ON sb.doc_id = inter.db
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
     ), edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION ALL
@@ -1145,13 +1163,20 @@ _CONTAINMENT_ORACLE = """
              list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
                AS shingles
       FROM toks WHERE len(w) >= 3
-    )
-    SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
-           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                 / len(a.shingles), 4) AS containment
-    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(a.shingles) >= 0.9
+    ),
+    -- exact inverted-index containment: |A∩B| via matching-shingle
+    -- counts, ORDERED pairs (both directions emitted by the <> join);
+    -- C >= 0.9 > 0 implies a shared shingle, so blocking is complete
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ), sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    SELECT da AS contained_doc, db AS container_doc,
+           ROUND(i::DOUBLE / sa.n, 4) AS containment
+    FROM inter JOIN sz sa ON sa.doc_id = inter.da
+    WHERE i::DOUBLE / sa.n >= 0.9
 """
 
 
@@ -1162,21 +1187,39 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote/superset case — a short document wholly embedded in a longer
     one scores low symmetric similarity but containment ≈ 1 — which is
     exactly the shape of boilerplate wrappers, quoted snippets, and
-    expanded revisions in a crawl corpus. Same all-pairs baseline
-    contract as `dedup_ngram_jaccard_pairs`: at scale this predicate
-    runs inside LSH candidate buckets, never globally."""
+    expanded revisions in a crawl corpus.
+
+    Plan (round-9 rewrite — the sf0.1 sweep caught the previous
+    all-pairs nested loop exceeding 180 s on the SPARK side): exact
+    inverted-index containment. Explode distinct shingles, equi-join on
+    the shingle (one hash shuffle, no nested loop), count matching rows
+    per ordered pair = |A∩B|, divide by |A|. C ≥ 0.9 > 0 implies ≥ 1
+    shared shingle, so the blocked pair set is complete — identical
+    output to the nested-loop form. Cost is Σ_s df(s)² matching rows
+    (~2M at sf0.1 vs 25M nested-loop pairs × array intersections); at
+    100 TB the same plan applies with a df-capped index + prefix
+    filtering, the standard all-pairs-similarity hardening."""
     docs = read_table(spark, sf_dir, "documents")
     sh = docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= 3).select(
         "doc_id", shingles(F.col("text")).alias("sh")
     )
-    a = sh.select(F.col("doc_id").alias("contained_doc"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("container_doc"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, F.col("contained_doc") != F.col("container_doc"))
-    c = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
-        "double"
-    ) / F.size(F.col("sh_a"))
+    sh = persist_once(sh)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = ex.select(F.col("doc_id").alias("contained_doc"), "s")
+    b = ex.select(F.col("doc_id").alias("container_doc"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("contained_doc") != F.col("container_doc"))
+        .groupBy("contained_doc", "container_doc")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sh.select(
+        F.col("doc_id").alias("contained_doc"), F.size("sh").alias("n_a")
+    )
+    c = F.col("i").cast("double") / F.col("n_a")
     return (
-        pairs.withColumn("containment", F.round(c, 4))
+        inter.join(sizes, "contained_doc")
+        .withColumn("containment", F.round(c, 4))
         .filter(c >= 0.9)
         .select("contained_doc", "container_doc", "containment")
     )
@@ -1296,15 +1339,20 @@ def incremental_lsh_delta_pairs(
              list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
                AS shingles
       FROM toks WHERE len(w) >= 3
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
-             AS jaccard_sim
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE (a.doc_id >= {_DELTA_START} OR b.doc_id >= {_DELTA_START})
-      AND len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ),
+    -- exact inverted-index Jaccard (see _JACCARD_PAIRS_ORACLE_TPL note)
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    SELECT da AS doc_a, db AS doc_b,
+           ROUND(i::DOUBLE / (sa.n + sb.n - i), 4) AS jaccard_sim
+    FROM inter JOIN sz sa ON sa.doc_id = inter.da
+               JOIN sz sb ON sb.doc_id = inter.db
+    WHERE (da >= {_DELTA_START} OR db >= {_DELTA_START})
+      AND i::DOUBLE / (sa.n + sb.n - i) >= 0.8
     """,
 )
 def dedup_incremental_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,11 +1378,19 @@ def dedup_incremental_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
              list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
                AS shingles
       FROM toks WHERE len(w) >= 3
-    ), pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ),
+    -- exact inverted-index Jaccard (see _JACCARD_PAIRS_ORACLE_TPL note)
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    pairs AS (
+      SELECT da AS doc_a, db AS doc_b FROM inter
+      JOIN sz sa ON sa.doc_id = inter.da
+      JOIN sz sb ON sb.doc_id = inter.db
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
     ), dup_docs AS (
       SELECT DISTINCT doc_id FROM (
         SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs

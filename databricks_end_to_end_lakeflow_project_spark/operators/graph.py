@@ -918,29 +918,33 @@ _KCORE_ROUNDS = 6  # bounded supersteps (same contract as PageRank's 6)
 def _kcore_oracle() -> str:
     """Unroll the fixed peel rounds as chained CTEs (standard SQL forbids
     aggregation in a recursive term — same device as the PageRank/LPA
-    oracles)."""
+    oracles). Every CTE is MATERIALIZED: each e{{r}} references its
+    predecessor through BOTH keep{{r}} and itself, so DuckDB's default
+    inlining re-evaluates the chain exponentially (2^rounds cooc
+    self-joins — the sf0.1 sweep's 180 s oracle wedge); materialization
+    makes it the linear 6-pass computation the Spark side runs."""
     ctes = []
     prev = "edges"
     for r in range(_KCORE_ROUNDS):
         ctes.append(
-            f"keep{r} AS (SELECT src AS node FROM {prev} "
+            f"keep{r} AS MATERIALIZED (SELECT src AS node FROM {prev} "
             f"GROUP BY src HAVING COUNT(*) >= {_KCORE_K})"
         )
         ctes.append(
-            f"e{r} AS (SELECT e.src, e.dst FROM {prev} e "
+            f"e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e "
             f"JOIN keep{r} a ON e.src = a.node "
             f"JOIN keep{r} b ON e.dst = b.node)"
         )
         prev = f"e{r}"
     chain = ",\n    ".join(ctes)
     return f"""
-    WITH cooc AS (
+    WITH cooc AS MATERIALIZED (
       SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       WHERE a.l_partkey <> b.l_partkey
       GROUP BY a.l_partkey, b.l_partkey
     ),
-    edges AS (SELECT src, dst FROM cooc WHERE w >= 2),
+    edges AS MATERIALIZED (SELECT src, dst FROM cooc WHERE w >= 2),
     {chain}
     SELECT src AS node, COUNT(*) AS deg
     FROM {prev} GROUP BY src ORDER BY node
