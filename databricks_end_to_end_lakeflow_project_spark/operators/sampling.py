@@ -202,11 +202,19 @@ _LEAKAGE_SAFE_ORACLE = """
              list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
                AS shingles
       FROM toks WHERE len(w) >= 3
-    ), pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+    ),
+    -- exact inverted-index Jaccard (see dedup._JACCARD_PAIRS_ORACLE_TPL)
+    ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    pairs AS (
+      SELECT da AS doc_a, db AS doc_b FROM inter
+      JOIN sz sa ON sa.doc_id = inter.da
+      JOIN sz sb ON sb.doc_id = inter.db
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
     ), edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION ALL
