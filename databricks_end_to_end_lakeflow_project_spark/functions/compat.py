@@ -56,6 +56,77 @@ def disc_price() -> Column:
     return money("l_extendedprice") * (F.lit(1) - money("l_discount"))
 
 
+# -- integer-cents fast path -------------------------------------------------
+#
+# The decimal pattern above is exact but pays a per-row price: a
+# decimal(18,2) × decimal(19,2) product has result precision 38, which
+# drops Spark's Decimal out of its compact-long representation into the
+# JavaBigDecimal path for every row (measured 2× on the flagship star
+# aggregate at sf0.1 — see OPTIMIZATION_r09.md). The SAME exact values can
+# be computed in whole-stage-codegen long arithmetic:
+#
+#   cents(x)   = (x·100 + signum(x)·0.5) as long — exact for 2-dp money
+#                doubles: the true value is k/100, its double is within
+#                1 ulp, so x·100 lands within a few ulps of the integer k
+#                and the half-add-then-truncate recovers k exactly for
+#                either sign (|k| < 2^52). NOT F.round(): Spark's double
+#                round goes through BigDecimal.valueOf (a Double.toString
+#                per row) — measured 3× slower than this pure-codegen
+#                form, which costs the same as a double multiply.
+#   products   = long · long              — e.g. cents(p)·(100−cents(d))
+#                is the disc_price numerator in 10⁻⁴-dollar units; bounded
+#                by ~1e11/row even at ×128 magnitudes (long-safe).
+#   SUM        = decimal(38,0) fold of the long products — cast(long) is a
+#                compact decimal, and Decimal.+ of equal-scale compacts
+#                stays in checked long adds until genuine overflow, so the
+#                aggregation buffer never touches BigDecimal at any scale
+#                (same fold the stats/eventseries operators standardized
+#                on in r7; overflow-sweep safe).
+#   result     = SUM / 10^scale, rounded — ONE decimal division per GROUP
+#                (not per row). The quotient's true scale ≤ 6, Spark's
+#                division result type is decimal(38,6), so the division is
+#                exact and ROUND(·, s) matches ROUND(SUM(decimal), s)
+#                bit-for-bit; decimal→double conversion is value-based
+#                (correctly rounded in both Decimal.toDouble paths), so
+#                the final double equals the decimal pattern's.
+#
+# Every query converted to this path is oracle-hash-verified at
+# sf0.001/0.01/0.1 against the UNCHANGED decimal-SQL oracle.
+
+
+def cents(c: Column | str, scale: int = 2) -> Column:
+    """Exact scaled-integer (long) view of a ``scale``-dp money double.
+
+    Half-add-then-truncate (sign-aware) instead of ``F.round`` — see the
+    module comment above; exact for any ``scale``-dp value of either sign
+    with |scaled value| < 2⁵², NULL-propagating like a cast."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (col * (10**scale) + F.signum(col) * F.lit(0.5)).cast("long")
+
+
+def disc_price_cents() -> Column:
+    """disc_price in 10⁻⁴-dollar integer units (long)."""
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+
+def charge_cents() -> Column:
+    """charge in 10⁻⁶-dollar integer units (long)."""
+    return disc_price_cents() * (F.lit(100) + cents("l_tax"))
+
+
+def csum(units: Column, unit_scale: int = 2) -> Column:
+    """Exact decimal SUM of integer money units, as dollars: equals
+    ``F.sum(decimal_expr)`` for the equivalent decimal product, with the
+    per-row work in long codegen. Result is decimal(38,6) (exact — the
+    true scale is ≤ ``unit_scale`` ≤ 6)."""
+    return F.sum(units.cast("decimal(38,0)")) / F.lit(10**unit_scale)
+
+
+def cdsum(units: Column, unit_scale: int = 2, round_scale: int = 2) -> Column:
+    """``dsum`` on the integer-cents path: ROUND(SUM, round_scale)::DOUBLE."""
+    return F.round(csum(units, unit_scale), round_scale).cast("double")
+
+
 def charge() -> Column:
     """disc_price * (1 + l_tax), exact decimal(·,6).
 

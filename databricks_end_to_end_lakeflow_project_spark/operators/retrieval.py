@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
+from databricks_end_to_end_lakeflow_project_spark.session import persist_once
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
 from databricks_end_to_end_lakeflow_project_spark.operators.similarity import cosine
 from databricks_end_to_end_lakeflow_project_spark.operators.textops import tokens
@@ -76,6 +77,13 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
             for i, t in enumerate(_LEX_TERMS, 1)
         ],
     )
+    # corpus constants ride the plan as a broadcast 1-row frame instead of
+    # a driver collect: d (narrow numeric projection) is persisted so the
+    # corpus is tokenized ONCE — the stats aggregate fills the cache and
+    # the scoring select reads it — and the builder schedules zero jobs.
+    # Column refs carry the exact doubles the former F.lit()s carried, so
+    # the score expression (and its 6-dp round) is bit-identical.
+    d = persist_once(d)
     g = d.agg(
         F.count("*").cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
@@ -83,30 +91,32 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
             F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double").alias(f"df{i}")
             for i in range(1, len(_LEX_TERMS) + 1)
         ],
-    ).collect()[0]
-    n, avgdl = g["n"], g["avgdl"]
+    )
     norm = F.lit(_BM25_K1) * (
-        F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl)
+        F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
     )
     score = None
     for i in range(1, len(_LEX_TERMS) + 1):
         idf = F.log(
             F.lit(1.0)
-            + (F.lit(n) - F.lit(g[f"df{i}"]) + F.lit(0.5))
-            / (F.lit(g[f"df{i}"]) + F.lit(0.5))
+            + (F.col("n") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
         )
         part = idf * F.col(f"tf{i}") * F.lit(_BM25_K1 + 1) / (F.col(f"tf{i}") + norm)
         score = part if score is None else score + part
-    return d.select("doc_id", F.round(score, 6).alias("score"))
+    return d.crossJoin(F.broadcast(g)).select("doc_id", F.round(score, 6).alias("score"))
 
 
-def _query_vector(em: DataFrame) -> F.Column:
-    return F.array(
-        *[
-            F.lit(float(x))
-            for x in em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-        ]
+def _query_vector(sf_dir: str) -> F.Column:
+    """Query embedding (vec_id = 0) as a literal array — fetched
+    driver-side with pyarrow (row-group pruned), identical values to the
+    former .collect(), zero Spark jobs."""
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_seed_rows,
     )
+
+    row = read_seed_rows(sf_dir, "embeddings", ["embedding"], "vec_id", eq=0)[0]
+    return F.array(*[F.lit(float(x)) for x in row["embedding"]])
 
 
 # DuckDB oracle: both legs recomputed in SQL, ranked on the same rounded
@@ -186,7 +196,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = read_table(spark, sf_dir, "embeddings")
 
     lex = _ranked_topk(_bm25_scores(docs), "score", _LEG_DEPTH, "lex_rank")
-    qv = _query_vector(em)
+    qv = _query_vector(sf_dir)
     vec_scored = em.filter(F.col("vec_id") != 0).select(
         F.col("vec_id").alias("doc_id"),
         F.round(cosine(F.col("embedding"), qv), 6).alias("cos_sim"),
@@ -367,7 +377,7 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent numpy implementation.
     """
     em = read_table(spark, sf_dir, "embeddings")
-    qv = _query_vector(em)
+    qv = _query_vector(sf_dir)
     cand = (
         em.filter(F.col("vec_id") != 0)
         .select(

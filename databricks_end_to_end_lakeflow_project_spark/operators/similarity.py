@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 
 from databricks_end_to_end_lakeflow_project_spark.registry import query
 from databricks_end_to_end_lakeflow_project_spark.session import persist_once
-from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
+from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+    read_seed_rows,
+    read_table,
+)
 
 DIM = 64
 _BANDS = 16
@@ -101,9 +104,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score ranking with vec_id tiebreak → TakeOrderedAndProject (never a
     global sort)."""
     em = read_table(spark, sf_dir, "embeddings")
+    # query embedding fetched driver-side (pyarrow, row-group pruned) —
+    # identical values to the former .collect(), zero Spark jobs
     qv = F.array(*[
         F.lit(float(x))
-        for x in em.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        for x in read_seed_rows(sf_dir, "embeddings", ["embedding"], "vec_id", eq=0)[0][
+            "embedding"
+        ]
     ])
     scored = em.filter(F.col("vec_id") != 0).select(
         "vec_id",
@@ -1513,9 +1520,13 @@ def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster pair is recovered — both measured in
     tests/test_llmops.py against the brute-force pair baseline."""
     em = read_table(spark, sf_dir, "embeddings")
+    # seed centroids fetched driver-side (pyarrow, row-group pruned) —
+    # identical values to the former .collect(), zero Spark jobs
     seeds = sorted(
         (r["vec_id"], r["embedding"])
-        for r in em.filter(F.col("vec_id") < _IVF_CELLS).select("vec_id", "embedding").collect()
+        for r in read_seed_rows(
+            sf_dir, "embeddings", ["vec_id", "embedding"], "vec_id", hi=_IVF_CELLS
+        )
     )
     edges = semdedup_edges(em, seeds)
     from databricks_end_to_end_lakeflow_project_spark.operators.dedup import (

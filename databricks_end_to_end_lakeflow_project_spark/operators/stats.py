@@ -493,8 +493,14 @@ def text_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matched against the oracle's exact full groupBy, which proves
     the candidate stage never drops a true heavy hitter here."""
     docs = read_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    # the sketch-then-verify kernel scans its input twice (nominate, then
+    # count candidates exactly): persist the token stream so the corpus
+    # tokenizes once per run — the second pass reads the (disk-spillable)
+    # cache instead of re-running the explode
+    from databricks_end_to_end_lakeflow_project_spark.session import persist_once
+
+    tok = persist_once(
+        docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"))
     )
     return heavy_hitters_topk(tok, "token", k=10, capacity=256)
 

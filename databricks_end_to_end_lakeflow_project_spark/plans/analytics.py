@@ -7,10 +7,12 @@ batch relational core in one plan each: parquet scan with predicate
 pushdown + column pruning, broadcast hash joins against small dimensions,
 partial (map-side) aggregation, and top-k sort.
 
-Money aggregates use the exact-decimal pattern from
-``functions.compat`` so results are bit-identical to the DuckDB oracle
-(and run-to-run deterministic at cluster scale) — see that module's
-docstring.
+Money aggregates use the integer-cents fast path from
+``functions.compat`` (``cents``/``csum``/``cdsum``): bit-identical to the
+exact-decimal pattern (and to the DuckDB oracle, which keeps the decimal
+SQL), but the per-row arithmetic stays in whole-stage-codegen longs
+instead of precision-38 Decimal — see that module's docstring for the
+exactness argument.
 
 Scale notes (100 TB): constant-size dims (nation/region) carry explicit
 broadcast hints; part/supplier/customer-scale sides carry NO hint (they
@@ -28,10 +30,11 @@ from pyspark.sql import functions as F
 from databricks_end_to_end_lakeflow_project_spark.functions.compat import (
     SQL_CHARGE,
     SQL_DISC_PRICE,
-    charge,
-    disc_price,
-    dsum,
-    money,
+    cdsum,
+    cents,
+    charge_cents,
+    csum,
+    disc_price_cents,
 )
 from databricks_end_to_end_lakeflow_project_spark.registry import query
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_table
@@ -68,7 +71,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("o_orderdate").alias("order_month"),
         )
         .agg(
-            dsum(disc_price()).alias("revenue"),
+            cdsum(disc_price_cents(), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), "region_name", "nation_name", "order_month")
@@ -129,13 +132,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(money("l_quantity")).alias("sum_qty"),
-            dsum(money("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price()).alias("sum_disc_price"),
-            dsum(charge()).alias("sum_charge"),
-            F.round(F.sum(money("l_quantity")).cast("double") / cnt, 4).alias("avg_qty"),
-            F.round(F.sum(money("l_extendedprice")).cast("double") / cnt, 4).alias("avg_price"),
-            F.round(F.sum(money("l_discount")).cast("double") / cnt, 4).alias("avg_disc"),
+            cdsum(cents("l_quantity")).alias("sum_qty"),
+            cdsum(cents("l_extendedprice")).alias("sum_base_price"),
+            cdsum(disc_price_cents(), 4).alias("sum_disc_price"),
+            cdsum(charge_cents(), 6).alias("sum_charge"),
+            F.round(csum(cents("l_quantity")).cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(csum(cents("l_extendedprice")).cast("double") / cnt, 4).alias("avg_price"),
+            F.round(csum(cents("l_discount")).cast("double") / cnt, 4).alias("avg_disc"),
             cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -174,7 +177,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cu.join(od, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(disc_price()).alias("revenue"))
+        .agg(cdsum(disc_price_cents(), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -221,7 +224,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(dsum(disc_price()).alias("revenue"))
+        .agg(cdsum(disc_price_cents(), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "nation_name")
     )
 
@@ -256,9 +259,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(money("l_extendedprice") * money("l_discount")), 4)
-            .cast("double")
-            .alias("revenue")
+            cdsum(
+                cents("l_extendedprice") * cents("l_discount"), 4, 4
+            ).alias("revenue")
         )
     )
 
@@ -297,7 +300,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
-        .agg(dsum(disc_price()).alias("revenue"))
+        .agg(cdsum(disc_price_cents(), 4).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "nation_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -335,7 +338,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     big_orders = (
         li.groupBy("l_orderkey")
-        .agg(dsum(money("l_quantity")).alias("total_qty"))
+        .agg(cdsum(cents("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -406,8 +409,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is IEEE-identical to the oracle's."""
     li = _t(spark, sf_dir, "lineitem")
     pt = _t(spark, sf_dir, "part")
-    promo = F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(
-        F.lit(0).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", disc_price_cents()).otherwise(
+        F.lit(0).cast("long")
     )
     return (
         li.filter(
@@ -417,8 +420,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(promo).cast("double")
-                / F.sum(disc_price()).cast("double"),
+                * csum(promo, 4).cast("double")
+                / csum(disc_price_cents(), 4).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -472,9 +475,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = na.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
-    volume = disc_price()
+    volume = disc_price_cents()
     china = F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(
-        F.lit(0).cast("decimal(18,4)")
+        F.lit(0).cast("long")
     )
     return (
         li.join(
@@ -497,7 +500,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(china).cast("double") / F.sum(volume).cast("double"), 4
+                csum(china, 4).cast("double") / csum(volume, 4).cast("double"), 4
             ).alias("mkt_share")
         )
         .orderBy("o_year")

@@ -31,6 +31,53 @@ def ensure_nanos_as_long(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def read_seed_rows(
+    sf_dir: str,
+    name: str,
+    columns: list[str],
+    id_col: str,
+    lo: int | None = None,
+    hi: int | None = None,
+    eq: int | None = None,
+) -> list[dict]:
+    """Driver-side keyed fetch of a BOUNDED seed/query slice of a table
+    (e.g. the query embedding ``vec_id = 0``, the 8 IVF seed centroids
+    ``vec_id < 8``) straight off the parquet file with pyarrow.
+
+    Replaces the ``df.filter(key).collect()`` pattern in query builders:
+    the values are identical (same file, same columns, file order), but
+    no Spark job is scheduled — at bench scale each such collect costs a
+    full job round trip for a handful of rows, and several headline
+    builders paid 1-2 of them before the measured plan even existed.
+    Predicate + column pushdown (``filters=``) keeps this a row-group-
+    pruned metadata-sized read even on a huge table, the same access
+    pattern a keyed side-input fetch uses at 100 TB. Recomputed from the
+    input directory on every call — nothing is memoized across runs.
+    """
+    import pyarrow.parquet as pq
+
+    if eq is not None:
+        filters = [(id_col, "=", eq)]
+    else:
+        filters = []
+        if lo is not None:
+            filters.append((id_col, ">=", lo))
+        if hi is not None:
+            filters.append((id_col, "<", hi))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    t = pq.read_table(path, columns=columns, filters=filters or None)
+    return t.to_pylist()
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of ``{sf_dir}/{name}.parquet`` from the parquet
+    FOOTER (pyarrow metadata read) — identical to ``COUNT(*)`` over the
+    table, with no Spark job. Metadata only, re-read on every call."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, f"{name}.parquet")).num_rows
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read ``{sf_dir}/{name}.parquet`` with engine-standard normalization."""
     path = os.path.join(sf_dir, f"{name}.parquet")

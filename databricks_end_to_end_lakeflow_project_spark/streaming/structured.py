@@ -200,6 +200,8 @@ def _stream_dir_for(sf_dir: str, table: str) -> str:
     return base
 
 
+_EVENTS_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
+
 _EVENT_NS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -224,14 +226,22 @@ def stream_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "events.parquet")
     ensure_nanos_as_long(spark)
-    probe_type = dict(spark.read.parquet(src).dtypes).get("ts")
+    # schema PROBE memoized per (path, mtime): pure file metadata (a
+    # parquet footer read), never data — every streaming builder paid two
+    # footer inferences per invocation before
+    key = (src, os.path.getmtime(src))
+    schema = _EVENTS_SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(src).schema
+        _EVENTS_SCHEMA_CACHE[key] = schema
+    probe_type = dict((f.name, f.dataType.simpleString()) for f in schema).get("ts")
     if probe_type == "bigint":
         stream = stream_from_dir(
             spark, _stream_dir_for(sf_dir, "events"), schema=_EVENT_NS_SCHEMA
         )
         return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     stream = stream_from_dir(
-        spark, _stream_dir_for(sf_dir, "events"), schema=spark.read.parquet(src).schema
+        spark, _stream_dir_for(sf_dir, "events"), schema=schema
     )
     if probe_type == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
