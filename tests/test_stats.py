@@ -146,10 +146,12 @@ def test_fn_url_suite_roundtrip(spark):
         assert r["q_encoded"] == "a+b+c"
 
 
-def test_hll_sketch_union_lossless_and_accurate(spark):
-    """Daily-sketch union must equal the direct whole-table sketch
-    (lossless merge at equal lgK) and sit within 5% of the exact
-    distinct count."""
+def test_hll_sketch_union_accurate(spark):
+    """Daily-sketch union must sit within 5% of the exact distinct count
+    (the sf0.1 sweep replaced the old exact-equality `union_lossless`
+    contract: DataSketches' union promotes its accumulator to the HLL_8
+    target type, so unioned and directly-built sketches legitimately
+    diverge once sketches go dense — see the operator docstring)."""
     from databricks_end_to_end_lakeflow_project_spark.operators.stats import (
         agg_hll_sketch_union,
     )
@@ -159,8 +161,10 @@ def test_hll_sketch_union_lossless_and_accurate(spark):
     exact = ev.select("user_id").distinct().count()
     tot = rows["__all_days__"]
     assert tot["exact_users"] == exact
-    assert tot["union_lossless"] and tot["est_within_5pct"]
-    assert all(r["est_within_5pct"] and r["union_lossless"] for r in rows.values())
+    assert tot["union_within_5pct"] and tot["est_within_5pct"]
+    assert all(
+        r["est_within_5pct"] and r["union_within_5pct"] for r in rows.values()
+    )
     assert all(r["exact_users"] <= exact for r in rows.values())
 
 
