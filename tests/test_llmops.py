@@ -895,6 +895,38 @@ def test_c4_delta_equals_full_run_restricted(spark, monkeypatch):
         )["n_removed"]
 
 
+def test_minhash_mersenne_fold_equals_mod():
+    """The r9 signature-kernel rewrite replaces ``(a·h + b) % P`` with a
+    two-step Mersenne fold (P = 2³¹−1). Pin fold == ``%`` on the exact
+    domain the kernel sees (x = a·h + b < P² + P), including the
+    adversarial boundary values a plain random sweep would miss: 0,
+    P−1, P, P+1, 2P, k·P around the fold carries, and the maximum
+    product."""
+    import numpy as np
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.dedup import _P
+
+    p64 = np.int64(_P)
+
+    def fold(x):
+        x = (x & p64) + (x >> 31)
+        x = (x & p64) + (x >> 31)
+        return np.where(x >= p64, x - p64, x)
+
+    edges = [0, 1, _P - 1, _P, _P + 1, 2 * _P - 1, 2 * _P, 2 * _P + 1]
+    edges += [k * _P for k in (3, 2**20, 2**30)]
+    edges += [(_P - 1) * (_P - 1) + (_P - 1), _P * _P - 1, _P * _P + _P - 1]
+    x = np.array(edges, dtype=np.int64)
+    assert np.array_equal(fold(x), x % p64)
+
+    rng = np.random.default_rng(20260817)
+    a = rng.integers(1, _P, 2000, dtype=np.int64)
+    h = rng.integers(0, _P, 2000, dtype=np.int64)
+    b = rng.integers(0, _P, 2000, dtype=np.int64)
+    x = a * h + b
+    assert np.array_equal(fold(x), x % p64)
+
+
 def test_minhash_signature_numpy_matches_jvm_arithmetic(spark):
     """The vectorized numpy signature kernel must be bit-identical to
     the JVM long-arithmetic formulation (explode + 64 min() aggregates)
