@@ -1400,12 +1400,19 @@ def main() -> None:
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     times: dict[str, float] = {}
     for name in names:
-        # drop persisted frames leaked by earlier queries (e.g. LSH shingle
-        # cache): accumulated storage memory evicts shuffle/exec memory and
-        # skews later measurements by 2-3x
-        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(max(1, repeat)):
+            # clear BEFORE EVERY repetition (r9 measurement fix; was per
+            # query, i.e. before the first rep only): several builders now
+            # persist_once() a reused intermediate (token streams, seed
+            # projections), so with a per-query clear the second rep read
+            # the first rep's cache and the min-of-N reported a partially
+            # warmed query. Per-rep clearing makes every sample a cold
+            # compute-from-parquet run — strictly more conservative. It
+            # also drops persisted frames leaked by earlier queries (LSH
+            # shingle cache): accumulated storage memory evicts
+            # shuffle/exec memory and skews later measurements by 2-3x.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
