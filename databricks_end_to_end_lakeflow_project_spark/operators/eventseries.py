@@ -541,16 +541,28 @@ def ts_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_seasonal_hourly_profile",
     """
     WITH hod AS (
+      -- exact integer cents (quantize-before-aggregate): the 4-dp mean
+      -- of 2-dp values is a REAL half-way tie for power-of-two bucket
+      -- sizes (e.g. 551.43/8 = 68.92875), where Spark's ROUND (shortest
+      -- decimal repr, HALF_UP) and DuckDB's (exact double, half away)
+      -- disagree by 1e-4 — caught by the round-9 sf0.001 full sweep.
+      -- The mean is therefore computed as an integral half-up division
+      -- in 10^-4-unit space ((200*sum + n) // (2n), values >= 0), which
+      -- is exact in both engines at any reduction order.
       SELECT event_type, EXTRACT(hour FROM ts) AS hour_of_day,
-             value
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
       FROM events
     ), prof AS (
       SELECT event_type, hour_of_day,
              COUNT(*) AS n,
-             ROUND(AVG(value), 4) AS seasonal_mean
+             CAST((200 * SUM(vc) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+               / 10000 AS seasonal_mean
       FROM hod GROUP BY event_type, hour_of_day
     ), overall AS (
-      SELECT event_type, ROUND(AVG(value), 4) AS level FROM hod GROUP BY event_type
+      SELECT event_type,
+             CAST((200 * SUM(vc) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+               / 10000 AS level
+      FROM hod GROUP BY event_type
     )
     SELECT p.event_type, p.hour_of_day, p.n, p.seasonal_mean,
            ROUND(p.seasonal_mean - o.level, 4) AS seasonal_effect
@@ -566,15 +578,27 @@ def ts_seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregatable passes over (type, hour) and (type); the
     profile is 24·|types| rows — broadcastable back onto any stream for
     residual computation at scale."""
+    from databricks_end_to_end_lakeflow_project_spark.functions.compat import cents
+
     ev = _t(spark, sf_dir, "events")
     hod = ev.select(
-        "event_type", F.hour("ts").alias("hour_of_day"), "value"
+        "event_type",
+        F.hour("ts").alias("hour_of_day"),
+        cents(F.col("value")).alias("vc"),
+    )
+    # exact integral half-up mean in 10^-4-unit space — see the oracle
+    # comment (a power-of-two bucket's mean is a REAL .xxxx5 tie that
+    # Spark's shortest-repr ROUND and DuckDB's exact-double ROUND split);
+    # `div` keeps the division in long arithmetic end to end
+    dmean = lambda: (  # noqa: E731
+        F.expr("(200 * sum(vc) + count(1)) div (2 * count(1))").cast("double")
+        / 10000
     )
     prof = hod.groupBy("event_type", "hour_of_day").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 4).alias("seasonal_mean"),
+        dmean().alias("seasonal_mean"),
     )
-    overall = hod.groupBy("event_type").agg(F.round(F.avg("value"), 4).alias("level"))
+    overall = hod.groupBy("event_type").agg(dmean().alias("level"))
     return (
         prof.join(F.broadcast(overall), "event_type")
         .select(

@@ -32,6 +32,7 @@ from databricks_end_to_end_lakeflow_project_spark.session import persist_once
 from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
     read_seed_rows,
     read_table,
+    table_row_count,
 )
 
 DIM = 64
@@ -2249,6 +2250,12 @@ _BITEXT_NN_K = 4
 _BITEXT_TOPK = 20
 _BITEXT_NCELLS = 8  # IVF seed centroids for the candidate legs
 _BITEXT_NPROBE = 4  # probed cells per vector (scale rule: fixed as cells ∝ √n)
+# Below this corpus size the quantizer probes EVERY cell (exact coverage —
+# the standard ANN brute-force-below-cutoff rule): at n=500 with 8 cells and
+# 4 probes, whether the true top-k neighborhoods all land in shared probed
+# cells is data luck, and the sf0.001 corpus instance lost that bet (caught
+# by the round-9 sf0.001 full sweep — same n as sf0.01, different draw).
+_BITEXT_FULL_PROBE_MAX = 512
 
 
 _BITEXT_ORACLE = f"""
@@ -2315,24 +2322,35 @@ def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-serving operators use), candidate pairs come from ONE equi-join
     on the cell key, and the margin algebra (two grouped top-k folds +
     one join) runs on candidates. No cartesian anywhere. The oracle
-    stays the EXACT all-pairs ground truth: at the oracle corpus the
-    probed cells cover every neighborhood that reaches the top-k folds,
-    so the ANN result reproduces the exact top pairs bit-identically
-    (verified by the driver hash). At 100 TB the cell count follows the
-    k ∝ √n rule with n_probe fixed, so candidate volume is ~n^1.5/k per
-    direction instead of |A|·|B| — recall then becomes the measured
-    trade `pipeline_ann_recall_report` tracks, exactly as in the
-    CCMatrix recipe. Neighborhood state is one row per vector: model
-    moves, not data.
+    stays the EXACT all-pairs ground truth: below
+    ``_BITEXT_FULL_PROBE_MAX`` rows the quantizer probes every cell
+    (exact coverage by construction — the ANN brute-force-below-cutoff
+    rule; see the constant's comment), so the oracle-gate corpora
+    reproduce the exact top pairs bit-identically (verified by the
+    driver hash). At 100 TB the cell count follows the k ∝ √n rule with
+    n_probe fixed, so candidate volume is ~n^1.5/k per direction
+    instead of |A|·|B| — recall then becomes the measured trade
+    `pipeline_ann_recall_report` tracks, exactly as in the CCMatrix
+    recipe. Neighborhood state is one row per vector: model moves, not
+    data.
     """
     em = read_table(spark, sf_dir, "embeddings")
+    # seed centroids from a pyarrow row-group-pruned footer read —
+    # identical values to a .collect(), zero Spark jobs (the wave-1
+    # jobless-builder pattern; same helper as dedup_semdedup_keep)
     seeds = sorted(
         (r["vec_id"], r["embedding"])
-        for r in em.filter(F.col("vec_id") < _BITEXT_NCELLS)
-        .select("vec_id", "embedding")
-        .collect()
+        for r in read_seed_rows(
+            sf_dir, "embeddings", ["vec_id", "embedding"], "vec_id",
+            hi=_BITEXT_NCELLS,
+        )
     )
-    return bitext_margin_pairs(em, seeds, _BITEXT_NPROBE)
+    n_probe = (
+        _BITEXT_NCELLS
+        if table_row_count(sf_dir, "embeddings") <= _BITEXT_FULL_PROBE_MAX
+        else _BITEXT_NPROBE
+    )
+    return bitext_margin_pairs(em, seeds, n_probe)
 
 
 def bitext_margin_pairs(

@@ -46,10 +46,15 @@ from databricks_end_to_end_lakeflow_project_spark.sources.readers import read_ta
            COUNT(*) AS n,
            ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
            ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           -- "+ 0" normalizes IEEE negative zero (the repo-wide idiom,
+           -- see events_markov_attribution): a near-symmetric group's
+           -- skew is ~±1e-5 and DuckDB's ROUND keeps the sign (-0.0)
+           -- while Spark's ROUND goes through BigDecimal, which has no
+           -- signed zero (caught by the round-9 sf0.001 full sweep)
            ROUND(AVG(POW(l_quantity - m, 3))
-                 / POW(AVG(POW(l_quantity - m, 2)), 1.5), 4) AS skew_qty,
+                 / POW(AVG(POW(l_quantity - m, 2)), 1.5), 4) + 0 AS skew_qty,
            ROUND(AVG(POW(l_quantity - m, 4))
-                 / POW(AVG(POW(l_quantity - m, 2)), 2) - 3, 4) AS kurt_qty
+                 / POW(AVG(POW(l_quantity - m, 2)), 2) - 3, 4) + 0 AS kurt_qty
     FROM lineitem JOIN mu ON l_returnflag = mu.grp
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -2062,23 +2067,35 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_mad_outliers",
     """
-    WITH med AS (
-      SELECT l_returnflag AS grp, QUANTILE_CONT(l_extendedprice, 0.5) AS med
-      FROM lineitem GROUP BY 1
+    -- quantiles over exact integer CENTS (quantize-before-aggregate):
+    -- interpolated medians of 2-dp money land on half-cent boundaries,
+    -- and the double dollar path left Spark/DuckDB one ulp apart across
+    -- a ROUND boundary (52724.245, caught by the round-9 sf0.001 full
+    -- sweep). In cent space every intermediate (median = half-integer,
+    -- MAD = quarter-integer) is exact in both engines, and the final
+    -- ROUND happens on exact cent values.
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+      FROM lineitem
+    ),
+    med AS (
+      SELECT l_returnflag AS grp, QUANTILE_CONT(pc, 0.5) AS med_c
+      FROM c GROUP BY 1
     ),
     mad AS (
-      SELECT l.l_returnflag AS grp, ANY_VALUE(m.med) AS med,
-             QUANTILE_CONT(ABS(l.l_extendedprice - m.med), 0.5) AS mad
-      FROM lineitem l JOIN med m ON l.l_returnflag = m.grp
+      SELECT c.l_returnflag AS grp, ANY_VALUE(m.med_c) AS med_c,
+             QUANTILE_CONT(ABS(c.pc - m.med_c), 0.5) AS mad_c
+      FROM c JOIN med m ON c.l_returnflag = m.grp
       GROUP BY 1
     )
-    SELECT l.l_returnflag AS grp,
-           ROUND(ANY_VALUE(m.med), 2) AS med,
-           ROUND(ANY_VALUE(m.mad), 2) AS mad,
+    SELECT c.l_returnflag AS grp,
+           ROUND(ANY_VALUE(m.med_c)) / 100 AS med,
+           ROUND(ANY_VALUE(m.mad_c)) / 100 AS mad,
            COUNT(*) AS n,
-           SUM(CASE WHEN ABS(l.l_extendedprice - m.med)
-                         > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS n_outliers
-    FROM lineitem l JOIN mad m ON l.l_returnflag = m.grp
+           SUM(CASE WHEN ABS(c.pc - m.med_c)
+                         > 3 * 1.4826 * m.mad_c THEN 1 ELSE 0 END) AS n_outliers
+    FROM c JOIN mad m ON c.l_returnflag = m.grp
     GROUP BY 1 ORDER BY 1
     """,
 )
@@ -2092,28 +2109,36 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented `percentile` contract) + one broadcast join back for
     the flag count. At raw-column 100 TB scale, swap both percentiles
     for `approx_percentile` — identical shape, sketch-mergeable.
+
+    Cross-engine exactness: the percentiles run over exact integer
+    CENTS (see the oracle comment — the double-dollar path rounded a
+    half-cent median differently per engine at sf0.001), so the median
+    is an exact half-integer, the MAD an exact quarter-integer, and the
+    outlier threshold compares bit-identical doubles on both engines.
     """
+    from databricks_end_to_end_lakeflow_project_spark.functions.compat import cents
+
     li = read_table(spark, sf_dir, "lineitem")
-    p = F.col("l_extendedprice")
+    pc = cents(F.col("l_extendedprice"))
     med = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
-        F.percentile(p, 0.5).alias("med")
+        F.percentile(pc, 0.5).alias("med_c")
     )
     j1 = li.join(
         F.broadcast(med), li["l_returnflag"] == med["grp"]
     )
     mad = j1.groupBy("grp").agg(
-        F.first("med").alias("med"),
-        F.percentile(F.abs(p - F.col("med")), 0.5).alias("mad"),
+        F.first("med_c").alias("med_c"),
+        F.percentile(F.abs(pc - F.col("med_c")), 0.5).alias("mad_c"),
     )
     j2 = li.join(F.broadcast(mad), li["l_returnflag"] == mad["grp"])
     out = F.when(
-        F.abs(p - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+        F.abs(pc - F.col("med_c")) > 3 * 1.4826 * F.col("mad_c"), 1
     ).otherwise(0)
     return (
         j2.groupBy("grp")
         .agg(
-            F.round(F.first("med"), 2).alias("med"),
-            F.round(F.first("mad"), 2).alias("mad"),
+            (F.round(F.first("med_c")) / 100).alias("med"),
+            (F.round(F.first("mad_c")) / 100).alias("mad"),
             F.count(F.lit(1)).alias("n"),
             F.sum(out).alias("n_outliers"),
         )
