@@ -204,7 +204,23 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join with a compound join condition."""
+    """TPC-H Q5 shape: 6-way star join with a compound join condition.
+
+    Pre-filter (optimization guide §2.3/§3.2): the region filter keeps
+    ~5 of 25 nations, and every surviving row must have its customer in
+    one of them (c_nationkey = s_nationkey ∈ ASIA) — so the bounded
+    5-row nation⋈region key set is broadcast-SEMI-joined onto customer
+    BEFORE the big joins, and the customer⋈orders and ⋈lineitem stages
+    carry ~1/5 of the rows the tail-filtered order would. The semi
+    filter is implied by the original inner-join chain (pure
+    reassociation — result-identical, oracle-hash-verified at three
+    SFs), adds zero exchanges (5-row broadcast), and leaves the
+    downstream join tree byte-identical so the supplier join keeps its
+    size-estimate-driven strategy. Filtering supplier the same way is
+    deliberately NOT done: it is row-redundant once customers are
+    filtered, and the post-semi size estimate flips the supplier join
+    to a static SortMergeJoin (measured — AQE converts it back, but the
+    probe stream then pays a shuffle write)."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01")
@@ -213,8 +229,18 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = _t(spark, sf_dir, "supplier")
     na = _t(spark, sf_dir, "nation")
     re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # bounded classes (|nation| ≤ 25, |region| = 5): broadcast by contract
+    asia_keys = (
+        na.join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    cu_asia = cu.join(
+        F.broadcast(asia_keys),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "semi",
+    )
     return (
-        cu.join(od, F.col("c_custkey") == F.col("o_custkey"))
+        cu_asia.join(od, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
             # supplier scales with SF (not a bounded class) — AQE decides
