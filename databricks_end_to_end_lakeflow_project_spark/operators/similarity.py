@@ -2367,7 +2367,16 @@ def bitext_margin_pairs(
     ordering) so callers can apply the production emission rule —
     per-source top-1 above a margin threshold — instead of the
     registry's global top-20 report."""
-    cells = _assigned_cells(em, seeds, n_probe)
+    if n_probe >= len(seeds):
+        # FULL probe (the ≤512-row brute-force-below-cutoff leg): every
+        # vector would carry every cell, so the cell equi-join would form
+        # each pair |cells| times only for dropDuplicates to collapse
+        # them (measured at sf0.01: 12.3 s vs 4.5 s). One constant cell
+        # forms each pair exactly once — same exact all-pairs coverage,
+        # bounded by the cutoff (≤ 512×512/4 candidate pairs).
+        cells = em.select("vec_id", "embedding", F.lit(0).alias("cell"))
+    else:
+        cells = _assigned_cells(em, seeds, n_probe)
     a = cells.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("src"), F.col("embedding").alias("va"), "cell"
     )
