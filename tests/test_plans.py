@@ -106,6 +106,12 @@ NON_EQUI_WHITELIST = {
     "text_char_trigram_nll",  # 1-row (total, V) broadcast onto the test-trigram scoring scan
     "text_quality_gate_sweep",  # 1-row LM consts + 4-row threshold broadcast over the per-doc frame
     "stats_pinball_loss",  # 1-row time-midpoint broadcast onto the scan (same shape as stats_sign_test_paired)
+    # full-probe leg only: below _BITEXT_FULL_PROBE_MAX (512) rows the
+    # quantizer probes every cell, so the cell key is a constant and
+    # Catalyst folds the equi-join into a BroadcastNestedLoopJoin — an
+    # INTENTIONAL bounded all-pairs leg (≤ 512×512/4 candidate pairs by
+    # the cutoff; the >512-row probe path keeps the real cell equi-join)
+    "sim_bitext_margin_pairs",
 }
 
 
