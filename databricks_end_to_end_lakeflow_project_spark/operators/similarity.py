@@ -1283,6 +1283,116 @@ def _chunked_cell_assignment(assigned: DataFrame, max_cell: int) -> DataFrame:
 _GEMM_ASSIGN_MIN_SEEDS = 32
 
 
+def _py_seq_norm(vec: list[float]) -> float:
+    """norm(b) for a literal seed vector with the engine's exact fold
+    order: acc = 0.0; acc = acc + x·x per element; sqrt. Python floats
+    are IEEE doubles, so this matches the JVM/DuckDB fold bit-for-bit."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        x = float(x)
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _seq_fold_assign_fn(em: DataFrame, seeds, n_probe: int):
+    """mapInPandas kernel for the small-seed cell assignment: per-seed
+    cosines via an explicit per-dimension fold loop (bit-identical to the
+    `cosine` expression / DuckDB ``list_reduce``), ranked by (−cos, cell).
+
+    Fold-order proof: the expression computes
+    ``acc ← acc + (cast(a_d) · cast(b_d))`` left-to-right from 0.0, each
+    step individually IEEE-rounded. The loop below computes
+    ``tmp = ET[d] · b_d`` then ``acc += tmp`` — two element-wise numpy
+    float64 ops, each IEEE-rounded per element, never fused and never
+    reassociated (element-wise kernels have no cross-element reduction),
+    so every intermediate equals the JVM double exactly. Norms use the
+    same per-dim loop; the final ``dot / (norm_a · norm_b)`` is one
+    rounded multiply + one rounded divide in both engines."""
+    order = sorted(range(len(seeds)), key=lambda i: seeds[i][0])
+    cell_ids = np.array([seeds[i][0] for i in order], dtype=np.int64)
+    svecs = [
+        np.asarray(seeds[i][1], dtype=np.float64) for i in order
+    ]
+    snorms = np.array(
+        [_py_seq_norm(seeds[i][1]) for i in order], dtype=np.float64
+    )
+    k = len(seeds)
+    take = min(n_probe, k)
+    dim = len(svecs[0]) if svecs else 0
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            emat = np.stack(pdf["embedding"].map(np.asarray).values).astype(
+                np.float64
+            )
+            et = np.ascontiguousarray(emat.T)  # (dim, n): contiguous rows
+            # norm(a): sequential fold over dims (one vectorized step per dim)
+            acc = np.zeros(n, dtype=np.float64)
+            tmp = np.empty(n, dtype=np.float64)
+            for d in range(dim):
+                np.multiply(et[d], et[d], out=tmp)
+                np.add(acc, tmp, out=acc)
+            enorm = np.sqrt(acc)
+            ns = np.empty((n, k), dtype=np.float64)
+            for si in range(k):
+                sv = svecs[si]
+                acc.fill(0.0)
+                for d in range(dim):
+                    np.multiply(et[d], sv[d], out=tmp)
+                    np.add(acc, tmp, out=acc)
+                # cos = dot / (norm_a * norm_b), ns = -cos; 0-norm rows
+                # divide by zero exactly like the JVM expression (inf/nan)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ns[:, si] = -(acc / (enorm * snorms[si]))
+            # rank by (ns, cell): cells pre-sorted ascending, stable sort
+            top = np.argsort(ns, axis=1, kind="stable")[:, :take]
+            idx = np.repeat(np.arange(n), take)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[idx],
+                    "embedding": pdf["embedding"].iloc[idx].to_numpy(),
+                    "cell": cell_ids[top.reshape(-1)].astype(np.int32),
+                }
+            )
+
+    return assign
+
+
+def _assigned_cells_expression(
+    em: DataFrame, seeds: list[tuple[int, list[float]]], n_probe: int
+) -> DataFrame:
+    """The pre-r10 pure-JVM expression formulation of the small-seed
+    assignment (per-seed `cosine` structs + ``array_sort`` + slice).
+    Kept as the reference model for
+    test_assigned_cells_kernel_matches_expression — the exact-fold
+    kernel must reproduce it bit-for-bit; NOT used by any query path
+    (the HOF lambdas run interpreted, ~20× slower than the kernel)."""
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(
+                (-cosine(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in cvec]),
+                )).alias("ns"),
+                F.lit(cell_id).alias("cell"),
+            )
+            for cell_id, cvec in seeds
+        ])
+    )
+    return em.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+
+
 def _assigned_cells(
     em: DataFrame, seeds: list[tuple[int, list[float]]], n_probe: int
 ) -> DataFrame:
@@ -1293,40 +1403,39 @@ def _assigned_cells(
     Two physically different plans for the same operator:
 
     - SMALL seed sets (< ``_GEMM_ASSIGN_MIN_SEEDS``, e.g. the registry's
-      oracle-pinned k=8 corpus): a pure JVM expression — per-seed cosine
-      structs, ``array_sort`` on (−score, cell), slice. Zero Python, and
-      bit-compatible with the DuckDB oracle's fold order.
+      oracle-pinned k=8 corpus): an Arrow ``mapInPandas`` kernel whose
+      per-seed cosine is an EXPLICIT per-dimension fold loop — one
+      vectorized multiply+add per dimension, in dimension order — so
+      every score is bit-identical to the JVM/DuckDB sequential
+      ``aggregate``/``list_reduce`` fold (IEEE double ops round
+      identically; element-wise numpy ops never reassociate a
+      reduction, unlike ``np.dot``/BLAS). Until r10 this branch was a
+      JVM expression (per-seed `cosine` structs + ``array_sort``), but
+      Spark never compiles higher-order-function lambdas — the 8-seed
+      ranking map ran INTERPRETED and was the dominant slice of
+      `dedup_semdedup_keep` (1.86 s of 3.80 at sf0.1, r9 decomposition);
+      the fold-loop kernel produces the same doubles at ~20× the
+      throughput (guide §4.2/§4.5). Exactness is pinned by
+      tests/test_llmops.py::test_assigned_cells_kernel_matches_expression
+      against the old expression formulation on real corpora.
     - LARGE seed sets (the k ∝ √n operating rule at scale): ONE numpy
-      GEMM per Arrow batch inside ``mapInPandas`` against the broadcast
-      seed matrix. The expression path's cost is k·dim scalar expression
-      nodes per row — at k in the hundreds it falls out of whole-stage
-      codegen and runs interpreted (measured: 200k rows × 223 seeds
-      took minutes interpreted vs seconds as a gemm). Assignment ties
+      GEMM per Arrow batch against the broadcast seed matrix. The
+      per-dim fold loop's cost is k·dim vectorized passes — at k in the
+      hundreds the O(k·dim) loop overhead loses to one BLAS call, and
+      scores may differ by summation-order ulps, which only matters on
+      exact ties between DIFFERENT scores — not a correctness surface
+      (the oracle corpus stays on the exact-fold path). Assignment ties
       are broken identically ((−score, cell), seeds pre-sorted by cell
-      + stable argsort); scores may differ by summation-order ulps,
-      which only matters on exact ties between DIFFERENT scores — not a
-      correctness surface (the oracle corpus stays on the expression
-      path).
+      + stable argsort).
     """
     if len(seeds) < _GEMM_ASSIGN_MIN_SEEDS:
-        ranked = F.array_sort(
-            F.array(*[
-                F.struct(
-                    (-cosine(
-                        F.col("embedding"),
-                        F.array(*[F.lit(float(x)) for x in cvec]),
-                    )).alias("ns"),
-                    F.lit(cell_id).alias("cell"),
-                )
-                for cell_id, cvec in seeds
-            ])
-        )
-        return em.select(
-            "vec_id",
-            "embedding",
-            F.explode(
-                F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cell"])
-            ).alias("cell"),
+        return em.select("vec_id", "embedding").mapInPandas(
+            _seq_fold_assign_fn(em, seeds, n_probe),
+            schema=(
+                f"vec_id long, "
+                f"embedding {em.schema['embedding'].dataType.simpleString()}, "
+                "cell int"
+            ),
         )
 
     seeds = sorted(seeds)  # stable argsort tie → smallest cell id first

@@ -1416,3 +1416,39 @@ def test_minhash_estimate_audit_bounds(spark):
         assert r["est_x10000"] == r["n_matching_slots"] * 10000 // 64
         sd = math.sqrt(max(j * (1 - j), 1e-9) / 64)
         assert abs(r["est_x10000"] / 10000.0 - j) <= max(4 * sd, 0.04), r
+
+
+def test_assigned_cells_kernel_matches_expression(spark):
+    """The r10 exact-fold Arrow assignment kernel must reproduce the old
+    JVM expression formulation BIT-FOR-BIT: same (vec_id, cell) multiset
+    AND same probe rank per vector (the full-precision cosine ranking is
+    the correctness surface — a single flipped near-tie would move a
+    vector between cells). Run on real corpora at two SFs and at both
+    registry operating points (n_probe 2 and 4)."""
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_seed_rows,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        em = read_table(spark, sf_dir, "embeddings")
+        seeds = sorted(
+            (r["vec_id"], r["embedding"])
+            for r in read_seed_rows(
+                sf_dir, "embeddings", ["vec_id", "embedding"], "vec_id",
+                hi=similarity._IVF_CELLS,
+            )
+        )
+        for n_probe in (2, 4):
+            def ranked(df):
+                # (vec_id, probe order) -> cell: rank inside a vec_id is
+                # the emitted row order per vector, recovered by grouping
+                out = {}
+                for r in df.collect():
+                    out.setdefault(r["vec_id"], []).append(r["cell"])
+                return out
+
+            kern = ranked(similarity._assigned_cells(em, seeds, n_probe))
+            expr = ranked(
+                similarity._assigned_cells_expression(em, seeds, n_probe)
+            )
+            assert kern == expr, (sf_dir, n_probe)
