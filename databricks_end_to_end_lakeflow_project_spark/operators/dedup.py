@@ -170,6 +170,41 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def _band_rows(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, sig) → one (doc_id, band_id, band_hash) row per band.
+
+    The band key is ``xxhash64(sig[r1..rk], band_id)`` over the band's
+    signature slots DIRECTLY — long columns straight into the hash, with
+    the band index folded in as a final argument. Until r10 this was
+    ``xxhash64(concat_ws(",", slots))``: 64 long→string conversions plus
+    a string concat per document before hashing, measured ~0.5 s of the
+    2.5 s cold query at sf0.1 (20%). Correctness is hash-agnostic: two
+    documents share a bucket iff their band slots are EQUAL (equal
+    inputs → equal hash under any deterministic function), so every
+    banded pair survives any keying change; hash collisions can only ADD
+    candidates, which exact-Jaccard verification then filters. The
+    stats/pairs/incremental paths must all key identically — they share
+    this helper."""
+    return sig_df.select(
+        "doc_id",
+        *[c for c in sig_df.columns if c not in ("doc_id", "sig")],
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                        F.lit(bi),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 @query(
     "dedup_exact_prefix",
     """
@@ -523,28 +558,7 @@ def minhash_lsh_pairs(
     # band rows carry ONLY (doc_id, band key) — the shingle arrays stay out
     # of the explode and the bucket shuffle (bands× payload amplification
     # saved)
-    band_rows = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    band_rows = _band_rows(sig, bands, rows_per_band)
 
     # one shuffle: gather each bucket's (sorted) doc list, then expand i<j
     # pairs with array higher-order functions — no second pass, no bucket
@@ -644,29 +658,8 @@ def minhash_lsh_stats(
     )
     sig = minhash_signatures(sh, n_perm)
     # IDENTICAL bucket keying to minhash_lsh_pairs — the stats must audit
-    # the buckets the pairs path actually joins on
-    band_rows = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    # the buckets the pairs path actually joins on (shared _band_rows)
+    band_rows = _band_rows(sig, bands, rows_per_band)
     sizes = band_rows.groupBy("band_id", "band_hash").count()
     c = F.col("count")
     pairs = (c * (c - 1) / 2).cast("long")
@@ -1272,29 +1265,9 @@ def incremental_lsh_delta_pairs(
     sig = minhash_signatures(sh, n_perm).join(
         sh.select("doc_id", "is_d"), "doc_id"
     )
-    band_rows = sig.select(
-        "doc_id",
-        "is_d",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "is_d", "band.band_id", "band.band_hash")
+    band_rows = _band_rows(sig, bands, rows_per_band).select(
+        "doc_id", "is_d", "band_id", "band_hash"
+    )
 
     # one bucket shuffle; pair expansion REQUIRES a delta member — the
     # base-only combinations never materialize
