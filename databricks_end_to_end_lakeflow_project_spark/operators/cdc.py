@@ -985,16 +985,39 @@ def scd2_from_history(
     (no-op updates do not open versions). Deterministic given a unique
     (keys, sequence_by, tiebreakers) ordering.
 
-    Scale notes: ONE shuffle on the business key — the tie-dedup window,
-    the change-detection lag and the closing lead all share the same
-    (partitionBy=keys, orderBy=seq) sort, so Catalyst reuses a single
-    exchange+sort across the three window functions.
+    Scale notes: ONE shuffle on the business key — the tie-dedup lag,
+    the change-detection lag and the closing lead all run over the same
+    (partitionBy=keys, orderBy=seq…) sort, so Catalyst plans a single
+    exchange+sort for the whole build. Until r10 the tie-dedup was a
+    `latest_by_key` window partitioned by (keys, seq) — a SECOND hash
+    exchange on a different key that the (keys)-window then re-shuffled
+    (2 Exchange / 2 Sort, confirmed in
+    plans/r10/cdc_scd2_history_before.txt); sorting by
+    (seq asc, tiebreakers desc) instead makes the first row of every
+    seq-run exactly the row_number()=1 winner of the old window, and the
+    downstream windows' (seq asc) requirement is prefix-satisfied by the
+    same sort.
     """
     keys = list(keys)
     attrs = [c for c in df.columns if c not in {*keys, sequence_by, *tiebreakers}]
     # resolve sequence ties to one change (latest tiebreaker wins)
     if tiebreakers:
-        df = latest_by_key(df, [*keys, sequence_by], list(tiebreakers))
+        ws = Window.partitionBy(*keys).orderBy(
+            F.col(sequence_by).asc(),
+            *[F.col(t).desc_nulls_last() for t in tiebreakers],
+        )
+        # first row of each seq run == latest_by_key's winner (the old
+        # (keys, seq)-window ordered tiebreakers desc_nulls_last; this
+        # sort puts that row first within the run); detected with one
+        # lag over the SAME exchange+sort the change/close windows reuse
+        df = (
+            df.withColumn(
+                "__dup",
+                F.lag(sequence_by).over(ws).eqNullSafe(F.col(sequence_by)),
+            )
+            .filter(~F.col("__dup"))
+            .drop("__dup")
+        )
     else:
         df = df.dropDuplicates([*keys, sequence_by])
     df = df.select(*keys, sequence_by, *attrs)
