@@ -66,7 +66,12 @@ def _hyperplanes(seed: int = 7, n: int = _BANDS * _PLANES_PER_BAND, dim: int = D
 
 
 def band_signatures(vec: Column) -> Column:
-    """Array of 16 band keys; band i packs the sign bits of its 3 planes."""
+    """Array of 16 band keys; band i packs the sign bits of its 3 planes.
+
+    Expression form (48 interpreted HOF dot folds per row — Spark never
+    compiles `aggregate` lambdas); query paths use the bit-identical
+    Arrow kernel `with_band_signatures` instead (guide §4.2). Kept as
+    the reference model for the kernel's exactness test."""
     planes = _hyperplanes()
     bands = []
     for bi in range(_BANDS):
@@ -77,6 +82,107 @@ def band_signatures(vec: Column) -> Column:
             bits = bits + F.when(dot(vec, plane) > 0, F.lit(1 << pi)).otherwise(F.lit(0))
         bands.append(bits)
     return F.array(*bands)
+
+
+def _fold_dot_cols(et: "np.ndarray", bt: "np.ndarray") -> "np.ndarray":
+    """Exact sequential-fold dot of two (dim, n) float64 matrices along
+    dim: acc ← acc + a_d·b_d, one IEEE-rounded vectorized multiply and
+    add per dimension, in dimension order — bit-identical per element to
+    the JVM `dot` / DuckDB `list_reduce` folds (element-wise numpy ops
+    never reassociate a reduction, unlike np.dot/BLAS)."""
+    n = et.shape[1]
+    acc = np.zeros(n, dtype=np.float64)
+    tmp = np.empty(n, dtype=np.float64)
+    for d in range(et.shape[0]):
+        np.multiply(et[d], bt[d], out=tmp)
+        np.add(acc, tmp, out=acc)
+    return acc
+
+
+def _emb_tmat(col) -> "np.ndarray":
+    """pandas Series of float32 arrays → contiguous (dim, n) float64."""
+    return np.ascontiguousarray(
+        np.stack(col.map(np.asarray).values).astype(np.float64).T
+    )
+
+
+def with_fold_cosine(
+    df: DataFrame, a: str, b: str, out: str, keep: list[str] | None = None
+) -> DataFrame:
+    """Append ``out = cosine(a, b)`` computed by the exact-fold Arrow
+    kernel — the same doubles the interpreted `cosine` expression (and
+    the DuckDB oracle's `list_reduce`) produce, at batch speed instead of
+    three interpreted HOF folds per row (guide §4.2; measured ~25 µs per
+    row interpreted vs ~0.1 µs vectorized). ``keep`` names the columns to
+    emit besides ``out`` (default: all — pass a narrow list so the heavy
+    embedding arrays don't ride BACK through Arrow, guide §4.1's
+    only-the-columns-the-function-needs in both directions); callers keep
+    rounding/threshold logic in the JVM so engine-visible semantics
+    (F.round HALF_UP, filter on the unrounded value) are untouched.
+    Exactness is pinned by
+    tests/test_llmops.py::test_fold_cosine_kernel_matches_expression."""
+    keep = list(df.columns) if keep is None else list(keep)
+    by_name = {f.name: f for f in df.schema.fields}
+    schema = ", ".join(
+        f"{c} {by_name[c].dataType.simpleString()}" for c in keep
+    ) + f", {out} double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            at = _emb_tmat(pdf[a])
+            bt = _emb_tmat(pdf[b])
+            dot_ab = _fold_dot_cols(at, bt)
+            na = np.sqrt(_fold_dot_cols(at, at))
+            nb = np.sqrt(_fold_dot_cols(bt, bt))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot_ab / (na * nb)
+            res = pdf[keep].copy()
+            res[out] = cos
+            yield res
+
+    return df.mapInPandas(score, schema=schema)
+
+
+def with_band_signatures(
+    em: DataFrame, out: str = "bands", keep: list[str] | None = None
+) -> DataFrame:
+    """Append ``out = band_signatures(embedding)`` (array<int>[16]) via
+    the exact-fold kernel: 48 per-dim fold dots against the fixed
+    hyperplanes, sign bits packed per band — the same ints the
+    interpreted expression produces (the sign of a bit-identical double
+    is bit-identical), so the LSH candidate set reproduces exactly in
+    both engines. ``keep`` as in `with_fold_cosine`."""
+    planes = np.array(_hyperplanes(), dtype=np.float64)  # (48, dim)
+    keep = list(em.columns) if keep is None else list(keep)
+    by_name = {f.name: f for f in em.schema.fields}
+    schema = ", ".join(
+        f"{c} {by_name[c].dataType.simpleString()}" for c in keep
+    ) + f", {out} array<int>"
+
+    def bands_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            et = _emb_tmat(pdf["embedding"])
+            n = et.shape[1]
+            acc = np.empty(n, dtype=np.float64)
+            tmp = np.empty(n, dtype=np.float64)
+            keys = np.zeros((n, _BANDS), dtype=np.int32)
+            for bi in range(_BANDS):
+                for pi in range(_PLANES_PER_BAND):
+                    pvec = planes[bi * _PLANES_PER_BAND + pi]
+                    acc.fill(0.0)
+                    for d in range(et.shape[0]):
+                        np.multiply(et[d], pvec[d], out=tmp)
+                        np.add(acc, tmp, out=acc)
+                    keys[:, bi] += (acc > 0).astype(np.int32) << pi
+            res = pdf[keep].copy()
+            res[out] = list(keys)
+            yield res
+
+    return em.mapInPandas(bands_fn, schema=schema)
 
 
 @query(
@@ -240,16 +346,25 @@ def sim_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine high-similarity pairs (≥ 0.42 — this corpus's
     embeddings are near-orthogonal, max pairwise cosine ≈ 0.51), brute
     force: the correctness baseline the LSH bucket path is tested
-    against."""
+    against. Pair scoring runs through the exact-fold Arrow kernel
+    (`with_fold_cosine`, bit-identical doubles to the old interpreted
+    `cosine` expression — r10, guide §4.2: 124,750 interpreted HOF folds
+    took ~10 s at sf0.01, the kernel ~0.3 s); the round and the
+    unrounded-threshold filter stay in the JVM, so engine-visible
+    semantics are unchanged."""
     em = read_table(spark, sf_dir, "embeddings")
     a = em.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = em.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    c = cosine(F.col("ea"), F.col("eb"))
+    scored = with_fold_cosine(
+        a.join(b, F.col("vec_a") < F.col("vec_b")),
+        "ea",
+        "eb",
+        "c",
+        keep=["vec_a", "vec_b"],
+    )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", F.round(c, 6))
-        .filter(c >= 0.42)
-        .select("vec_a", "vec_b", "cos_sim")
+        scored.filter(F.col("c") >= 0.42)
+        .select("vec_a", "vec_b", F.round(F.col("c"), 6).alias("cos_sim"))
     )
 
 
@@ -437,21 +552,26 @@ def sim_ann_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines fold the same doubles in the same order, so the sign bits —
     and therefore the candidate set — reproduce exactly; output ⊆ the
     brute-force baseline by construction, and recall ≥ 0.9 is asserted
-    in tests/test_llmops.py."""
+    in tests/test_llmops.py. r10 (guide §4.2): band keys and candidate
+    cosines both run through the exact-fold Arrow kernels — the 48
+    interpreted HOF plane dots per row and the per-candidate interpreted
+    cosine were the whole cost; the kernels produce bit-identical
+    doubles, so the candidate set and scores are unchanged."""
     em = read_table(spark, sf_dir, "embeddings")
-    sigs = em.select(
-        "vec_id", "embedding", F.posexplode(band_signatures(F.col("embedding"))).alias("band_id", "key")
+    sigs = with_band_signatures(em.select("vec_id", "embedding")).select(
+        "vec_id", "embedding", F.posexplode("bands").alias("band_id", "key")
     )
     a = sigs.select("band_id", "key", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = sigs.select("band_id", "key", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    c = cosine(F.col("ea"), F.col("eb"))
-    return (
+    cand = (
         a.join(b, ["band_id", "key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
-        .withColumn("cos_sim", F.round(c, 6))
-        .filter(c >= 0.42)
-        .select("vec_a", "vec_b", "cos_sim")
+    )
+    scored = with_fold_cosine(cand, "ea", "eb", "c", keep=["vec_a", "vec_b"])
+    return (
+        scored.filter(F.col("c") >= 0.42)
+        .select("vec_a", "vec_b", F.round(F.col("c"), 6).alias("cos_sim"))
     )
 
 
@@ -1865,10 +1985,13 @@ def pipeline_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    sigs = em.select(
-        "vec_id",
-        F.posexplode(band_signatures(F.col("embedding"))).alias("band_id", "key"),
-    )
+    # r10 (guide §4.2): band keys + both scoring passes run through the
+    # exact-fold Arrow kernels (bit-identical doubles to the interpreted
+    # expressions, which were this query's entire cost — 48 HOF plane
+    # dots per row plus one HOF cosine per candidate/negative row).
+    sigs = with_band_signatures(
+        em.select("vec_id", "embedding"), keep=["vec_id"]
+    ).select("vec_id", F.posexplode("bands").alias("band_id", "key"))
     cand = (
         sigs.select("band_id", "key", F.col("vec_id").alias("anchor"))
         .join(
@@ -1885,17 +2008,21 @@ def pipeline_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("a_emb"),
     )
     b = em.select(F.col("vec_id").alias("positive"), F.col("embedding").alias("b_emb"))
-    pair_cos = cosine(F.col("a_emb"), F.col("b_emb"))
+    pos_scored = with_fold_cosine(
+        cand.join(a, "anchor").join(b, "positive"),
+        "a_emb",
+        "b_emb",
+        "pair_cos",
+        keep=["anchor", "positive", "anchor_label", "a_emb"],
+    )
     pos = (
-        cand.join(a, "anchor")
-        .join(b, "positive")
-        .filter(pair_cos >= _CONTRAST_TAU)
+        pos_scored.filter(F.col("pair_cos") >= _CONTRAST_TAU)
         .select(
             "anchor",
             "positive",
             "anchor_label",
             "a_emb",
-            F.round(pair_cos, 6).alias("pos_cos"),
+            F.round(F.col("pair_cos"), 6).alias("pos_cos"),
         )
         .orderBy(F.col("pos_cos").desc(), "anchor", "positive")
         .limit(_CONTRAST_PAIRS)
@@ -1905,26 +2032,23 @@ def pipeline_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("n_label"),
         F.col("embedding").alias("n_emb"),
     )
-    neg_cos = cosine(F.col("a_emb"), F.col("n_emb"))
     w = Window.partitionBy("anchor", "positive").orderBy(
         F.col("neg_cos_raw").desc(), "negative"
     )
-    return (
-        F.broadcast(pos)
-        .join(
+    neg_scored = with_fold_cosine(
+        F.broadcast(pos).join(
             negs,
             (F.col("n_label") != F.col("anchor_label"))
             & (F.col("negative") != F.col("anchor"))
             & (F.col("negative") != F.col("positive")),
-        )
-        .select(
-            "anchor",
-            "positive",
-            "pos_cos",
-            "negative",
-            neg_cos.alias("neg_cos_raw"),
-        )
-        .withColumn("rn", F.row_number().over(w))
+        ),
+        "a_emb",
+        "n_emb",
+        "neg_cos_raw",
+        keep=["anchor", "positive", "pos_cos", "negative"],
+    )
+    return (
+        neg_scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _CONTRAST_NEGS)
         .select(
             "anchor",

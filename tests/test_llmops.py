@@ -1452,3 +1452,53 @@ def test_assigned_cells_kernel_matches_expression(spark):
                 similarity._assigned_cells_expression(em, seeds, n_probe)
             )
             assert kern == expr, (sf_dir, n_probe)
+
+
+def test_fold_cosine_kernel_matches_expression(spark):
+    """with_fold_cosine must reproduce the interpreted `cosine`
+    expression bit-for-bit (full-precision doubles compared exactly) on
+    a real all-pairs frame."""
+    em = read_table(spark, SF, "embeddings").limit(120)
+    a = em.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = em.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    kern = {
+        (r["va"], r["vb"]): r["c"]
+        for r in similarity.with_fold_cosine(
+            pairs, "ea", "eb", "c", keep=["va", "vb"]
+        ).collect()
+    }
+    expr = {
+        (r["va"], r["vb"]): r["c"]
+        for r in pairs.select(
+            "va", "vb", similarity.cosine(F.col("ea"), F.col("eb")).alias("c")
+        ).collect()
+    }
+    assert kern.keys() == expr.keys()
+    import math
+    for k in expr:
+        assert (
+            kern[k] == expr[k]
+            or (math.isnan(kern[k]) and math.isnan(expr[k]))
+        ), (k, kern[k], expr[k])
+
+
+def test_band_signatures_kernel_matches_expression(spark):
+    """with_band_signatures must reproduce the interpreted
+    band_signatures expression exactly (the sign of a bit-identical
+    fold dot is bit-identical, so every packed band key matches)."""
+    em = read_table(spark, SF, "embeddings")
+    kern = {
+        r["vec_id"]: r["bands"]
+        for r in similarity.with_band_signatures(
+            em.select("vec_id", "embedding"), keep=["vec_id"]
+        ).collect()
+    }
+    expr = {
+        r["vec_id"]: r["bands"]
+        for r in em.select(
+            "vec_id",
+            similarity.band_signatures(F.col("embedding")).alias("bands"),
+        ).collect()
+    }
+    assert kern == expr
