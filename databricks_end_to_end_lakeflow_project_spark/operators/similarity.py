@@ -107,7 +107,11 @@ def _emb_tmat(col) -> "np.ndarray":
 
 
 def with_fold_cosine(
-    df: DataFrame, a: str, b: str, out: str, keep: list[str] | None = None
+    df: DataFrame,
+    a: str,
+    b: "str | list[float]",
+    out: str,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Append ``out = cosine(a, b)`` computed by the exact-fold Arrow
     kernel — the same doubles the interpreted `cosine` expression (and
@@ -126,16 +130,29 @@ def with_fold_cosine(
     schema = ", ".join(
         f"{c} {by_name[c].dataType.simpleString()}" for c in keep
     ) + f", {out} double"
+    # literal query vector: its fold norm is a constant — computed once
+    # driver-side with the same IEEE ops the norm() expression applies
+    bvec = None if isinstance(b, str) else np.asarray([float(x) for x in b])
+    bnorm = None if bvec is None else _py_seq_norm([float(x) for x in b])
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             at = _emb_tmat(pdf[a])
-            bt = _emb_tmat(pdf[b])
-            dot_ab = _fold_dot_cols(at, bt)
+            n = at.shape[1]
+            if bvec is None:
+                bt = _emb_tmat(pdf[b])
+                dot_ab = _fold_dot_cols(at, bt)
+                nb = np.sqrt(_fold_dot_cols(bt, bt))
+            else:
+                acc = np.zeros(n, dtype=np.float64)
+                tmp = np.empty(n, dtype=np.float64)
+                for d in range(at.shape[0]):
+                    np.multiply(at[d], bvec[d], out=tmp)
+                    np.add(acc, tmp, out=acc)
+                dot_ab, nb = acc, bnorm
             na = np.sqrt(_fold_dot_cols(at, at))
-            nb = np.sqrt(_fold_dot_cols(bt, bt))
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = dot_ab / (na * nb)
             res = pdf[keep].copy()
@@ -212,18 +229,21 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort)."""
     em = read_table(spark, sf_dir, "embeddings")
     # query embedding fetched driver-side (pyarrow, row-group pruned) —
-    # identical values to the former .collect(), zero Spark jobs
-    qv = F.array(*[
-        F.lit(float(x))
-        for x in read_seed_rows(sf_dir, "embeddings", ["embedding"], "vec_id", eq=0)[0][
+    # identical values to the former .collect(), zero Spark jobs; scoring
+    # via the exact-fold Arrow kernel (r10, guide §4.2 — the interpreted
+    # HOF cosine was the whole scan cost), round + ranking in the JVM
+    qv = list(
+        read_seed_rows(sf_dir, "embeddings", ["embedding"], "vec_id", eq=0)[0][
             "embedding"
         ]
-    ])
-    scored = em.filter(F.col("vec_id") != 0).select(
-        "vec_id",
-        "label",
-        F.round(cosine(F.col("embedding"), qv), 6).alias("cos_sim"),
     )
+    scored = with_fold_cosine(
+        em.filter(F.col("vec_id") != 0).select("vec_id", "label", "embedding"),
+        "embedding",
+        qv,
+        "c",
+        keep=["vec_id", "label"],
+    ).select("vec_id", "label", F.round(F.col("c"), 6).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
 
 
@@ -279,14 +299,15 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("a_label"),
         F.col("embedding").alias("av"),
     )
-    scored = (
-        em.join(F.broadcast(anchors), F.col("label") != F.col("a_label"))
-        .select(
-            "anchor_id",
-            "vec_id",
-            "label",
-            F.round(cosine(F.col("embedding"), F.col("av")), 6).alias("cos_sim"),
-        )
+    # scoring via the exact-fold Arrow kernel (r10, guide §4.2)
+    scored = with_fold_cosine(
+        em.join(F.broadcast(anchors), F.col("label") != F.col("a_label")),
+        "embedding",
+        "av",
+        "c",
+        keep=["anchor_id", "vec_id", "label"],
+    ).select(
+        "anchor_id", "vec_id", "label", F.round(F.col("c"), 6).alias("cos_sim")
     )
     w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     return (
@@ -377,23 +398,21 @@ def ivf_assign(em: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataF
 
     Centroids arrive as driver-side literals (they are tiny by design) so
     assignment is a narrow map over the scan — no join, no shuffle. The
-    argmax is one sorted (−score, cell) struct array (ties → lowest
-    cell, identical to ORDER BY score DESC, cell), NOT a chained CASE:
-    the chain's expression tree grows quadratically in the cell count
-    (each WHEN re-embeds every earlier cosine), which at 8 cells already
-    costs seconds of whole-stage-codegen compile and at a realistic
-    √n-cell quantizer would not compile at all. This form is linear —
-    each cosine appears once."""
-    ranked = F.array_sort(
-        F.array(*[
-            F.struct(
-                (-cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c]))).alias("ns"),
-                F.lit(cell_id).alias("cell"),
-            )
-            for cell_id, c in centroids
-        ])
+    argmax runs in the exact-fold Arrow kernel (`_seq_fold_assign_fn`
+    with n_probe=1, r10): per-centroid cosines as per-dimension fold
+    loops, bit-identical to the old sorted (−score, cell) struct-array
+    expression (which ran INTERPRETED — Spark never compiles HOF
+    lambdas — and was the dominant cost of every IVF consumer), ties →
+    lowest cell, identical to ORDER BY score DESC, cell. All input
+    columns pass through."""
+    keep = list(em.columns)
+    by_name = {f.name: f for f in em.schema.fields}
+    schema = ", ".join(
+        f"{c} {by_name[c].dataType.simpleString()}" for c in keep
+    ) + ", cell int"
+    return em.mapInPandas(
+        _seq_fold_assign_fn(em, centroids, 1, keep=keep), schema=schema
     )
-    return em.withColumn("cell", F.element_at(ranked, 1)["cell"])
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -478,7 +497,6 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in em.filter(F.col("vec_id") < _IVF_CELLS).select("vec_id", "embedding").collect()
     )
     qv_vals = [float(x) for x in next(e for i, e in seeds if i == 0)]
-    qv = F.array(*[F.lit(x) for x in qv_vals])
 
     # driver-side probe selection over the tiny centroid set — the same
     # sequential fold as the column expression, tie → lowest cell
@@ -486,9 +504,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_ids = [cell_id for cell_id, _ in probed]
 
     assigned = ivf_assign(em, seeds)
+    scored = with_fold_cosine(
+        assigned.filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != 0)),
+        "embedding",
+        qv_vals,
+        "c",
+        keep=["vec_id", "label"],
+    )
     return (
-        assigned.filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != 0))
-        .select("vec_id", "label", F.round(cosine(F.col("embedding"), qv), 6).alias("cos_sim"))
+        scored.select("vec_id", "label", F.round(F.col("c"), 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
@@ -1416,7 +1440,7 @@ def _py_seq_norm(vec: list[float]) -> float:
     return math.sqrt(acc)
 
 
-def _seq_fold_assign_fn(em: DataFrame, seeds, n_probe: int):
+def _seq_fold_assign_fn(em: DataFrame, seeds, n_probe: int, keep=None):
     """mapInPandas kernel for the small-seed cell assignment: per-seed
     cosines via an explicit per-dimension fold loop (bit-identical to the
     `cosine` expression / DuckDB ``list_reduce``), ranked by (−cos, cell).
@@ -1441,6 +1465,7 @@ def _seq_fold_assign_fn(em: DataFrame, seeds, n_probe: int):
     k = len(seeds)
     take = min(n_probe, k)
     dim = len(svecs[0]) if svecs else 0
+    keep = ["vec_id", "embedding"] if keep is None else list(keep)
 
     def assign(batches):
         for pdf in batches:
@@ -1472,13 +1497,9 @@ def _seq_fold_assign_fn(em: DataFrame, seeds, n_probe: int):
             # rank by (ns, cell): cells pre-sorted ascending, stable sort
             top = np.argsort(ns, axis=1, kind="stable")[:, :take]
             idx = np.repeat(np.arange(n), take)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy()[idx],
-                    "embedding": pdf["embedding"].iloc[idx].to_numpy(),
-                    "cell": cell_ids[top.reshape(-1)].astype(np.int32),
-                }
-            )
+            res = pdf[keep].iloc[idx].reset_index(drop=True)
+            res["cell"] = cell_ids[top.reshape(-1)].astype(np.int32)
+            yield res
 
     return assign
 
@@ -1892,20 +1913,32 @@ def sim_recall_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("q_vec").orderBy(F.col("cos").desc(), "vec_id")
 
+    # both scoring passes via the exact-fold Arrow kernel (r10, §4.2)
     gt = (
-        em.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("q_vec"))
-        .select("q_vec", "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos"))
+        with_fold_cosine(
+            em.crossJoin(F.broadcast(queries)).filter(
+                F.col("vec_id") != F.col("q_vec")
+            ),
+            "embedding",
+            "qv",
+            "cos",
+            keep=["q_vec", "vec_id"],
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _RECALL_K)
         .select("q_vec", "vec_id")
     )
     assigned = ivf_assign(em, seeds).select("vec_id", "embedding", "cell")
     ivf = (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("q_vec"))
-        .join(F.broadcast(queries), "q_vec")
-        .select("q_vec", "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos"))
+        with_fold_cosine(
+            assigned.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("q_vec"))
+            .join(F.broadcast(queries), "q_vec"),
+            "embedding",
+            "qv",
+            "cos",
+            keep=["q_vec", "vec_id"],
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _RECALL_K)
         # rename the join key: both sides descend from `queries`, and an
@@ -2122,15 +2155,16 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv"),
     )
     w = Window.partitionBy("q_vec").orderBy(F.col("cos").desc(), "vec_id")
+    # scoring via the exact-fold Arrow kernel (r10, guide §4.2)
     nn = (
-        em.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("q_vec"))
-        .select(
-            "q_vec",
-            "true_label",
-            "label",
-            "vec_id",
-            cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        with_fold_cosine(
+            em.crossJoin(F.broadcast(queries)).filter(
+                F.col("vec_id") != F.col("q_vec")
+            ),
+            "embedding",
+            "qv",
+            "cos",
+            keep=["q_vec", "true_label", "label", "vec_id"],
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KNN_K)
@@ -2617,7 +2651,6 @@ def bitext_margin_pairs(
         F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"), "cell"
     )
     pairs = (
-        a.join(b, "cell")
         # cosine BEFORE the pair dedup: a pair sharing several probed
         # cells appears p² times, and deduping first would shuffle every
         # copy with BOTH embedding payloads (~1 KB/row — measured 50+ GB
@@ -2625,11 +2658,11 @@ def bitext_margin_pairs(
         # Recomputing the 64-FMA cosine per copy is far cheaper than
         # shipping the vectors through the exchange; the duplicate copies
         # carry identical cos_sim, so the dedup result is unchanged.
-        .select(
-            "src",
-            "dst",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
+        # r10: the per-copy cosine runs in the exact-fold Arrow kernel
+        # (guide §4.2 — it was interpreted HOF folds, the candidate
+        # stage's dominant cost); the 6-dp round stays in the JVM.
+        with_fold_cosine(a.join(b, "cell"), "va", "vb", "c", keep=["src", "dst"])
+        .select("src", "dst", F.round(F.col("c"), 6).alias("cos_sim"))
         .dropDuplicates(["src", "dst"])
     )
     pairs = persist_once(pairs)
@@ -3045,18 +3078,23 @@ def pipeline_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for qid, qv in queries:
         ranked = sorted(seeds, key=lambda s: (-_seq_cosine(s[1], qv), s[0]))
         probe_map[qid] = [cell for cell, _ in ranked[:_IVF_NPROBE]]
-    assigned = persist_once(ivf_assign(em, seeds).select("vec_id", "embedding", "cell"))
+    # the scored frame below is the persisted intermediate (it feeds both
+    # the brute and the served legs); assignment has a single consumer
+    assigned = ivf_assign(em, seeds).select("vec_id", "embedding", "cell")
     qframe = spark.createDataFrame(
         [(qid, qv) for qid, qv in queries], "qid long, qv array<double>"
     )
-    scored = (
-        assigned.crossJoin(F.broadcast(qframe))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            "cell",
-            cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+    # batch scoring via the exact-fold Arrow kernel (r10, guide §4.2);
+    # persisted so the brute and served legs score once
+    scored = persist_once(
+        with_fold_cosine(
+            assigned.crossJoin(F.broadcast(qframe)).filter(
+                F.col("vec_id") != F.col("qid")
+            ),
+            "embedding",
+            "qv",
+            "cos",
+            keep=["qid", "vec_id", "cell"],
         )
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
@@ -3243,20 +3281,22 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for rn, (cell, _v) in enumerate(ranked[: max(_SWEEP_NPROBES)])
         ]
     probes = spark.createDataFrame(probe_rows, "qid long, cell long, rn int")
-    assigned = persist_once(
-        ivf_assign(em, seeds).select("vec_id", "embedding", "cell")
-    )
+    # scored is the persisted intermediate (feeds brute + served legs);
+    # assignment has a single consumer. Batch scoring via the exact-fold
+    # Arrow kernel (r10, guide §4.2).
+    assigned = ivf_assign(em, seeds).select("vec_id", "embedding", "cell")
     qframe = spark.createDataFrame(
         [(qid, qv) for qid, qv in queries], "qid long, qv array<double>"
     )
     scored = persist_once(
-        assigned.crossJoin(F.broadcast(qframe))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            "cell",
-            cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        with_fold_cosine(
+            assigned.crossJoin(F.broadcast(qframe)).filter(
+                F.col("vec_id") != F.col("qid")
+            ),
+            "embedding",
+            "qv",
+            "cos",
+            keep=["qid", "vec_id", "cell"],
         )
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
