@@ -739,34 +739,48 @@ def pretraining_run(docs: DataFrame) -> DataFrame:
     domain = (
         F.conv(hash_hex(F.col("source"), 1), 16, 10).cast("long") % 4
     )
-    t = docs.select(
-        "doc_id",
-        "text",
-        F.size(w).cast("long").alias("ntok"),
-        F.when(domain == 0, "web")
-        .when(domain == 1, "books")
-        .when(domain == 2, "code")
-        .otherwise("forums")
-        .alias("domain"),
-    )
-
     hits = {lang: stopword_hits(w, lex) for lang, lex in LEXICONS.items()}
     known = ~(
         (hits["en"] == 0) & (hits["fr"] == 0) & (hits["es"] == 0) & (hits["de"] == 0)
     )
-    langid = t.filter(known)
-
-    n = F.col("ntok").cast("double")
+    # n matches the old two-step derivation exactly: ntok was
+    # size(w)::long and the score read ntok::double
+    n = F.size(w).cast("long").cast("double")
     score = (
         0.4 * F.least(n / 100.0, F.lit(1.0))
         + 0.4 * (F.size(F.array_distinct(w)).cast("double") / n)
         + 0.2 * (F.lit(1.0) - stopword_hits(w, STOPWORDS).cast("double") / n)
     )
-    gated = langid.withColumn("score", score).filter(
-        F.col("score") >= _RUN_QUALITY_MIN
+    # ONE persisted narrow feature pass (ids + counts + gate flags, no
+    # text — the stage-funnel policy): until r10 the tokenize + 6
+    # interpreted stopword/distinct HOF folds re-ran for every consumer
+    # of t/langid/gated (stage rows, LSH input, CC rank join — 4 full
+    # passes, ~1.1 s each at sf0.01; guide §5 "cache only when reused
+    # AND recompute is expensive" — both hold here)
+    feat = persist_once(
+        docs.select(
+            "doc_id",
+            F.size(w).cast("long").alias("ntok"),
+            F.when(domain == 0, "web")
+            .when(domain == 1, "books")
+            .when(domain == 2, "code")
+            .otherwise("forums")
+            .alias("domain"),
+            known.alias("known"),
+            score.alias("score"),
+        )
     )
+    t = feat  # stage-1 funnel row reads the cache
+    langid = feat.filter(F.col("known"))
+    gated = langid.filter(F.col("score") >= _RUN_QUALITY_MIN)
 
-    pairs = minhash_lsh_pairs(gated).select(
+    # LSH needs the text back for the gated survivors only: re-attach by
+    # id (text never enters the cache; the join side is the narrow id
+    # frame, so AQE broadcasts it)
+    gated_text = docs.select("doc_id", "text").join(
+        gated.select("doc_id"), "doc_id"
+    )
+    pairs = minhash_lsh_pairs(gated_text).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(
@@ -783,7 +797,7 @@ def pretraining_run(docs: DataFrame) -> DataFrame:
         .select("doc_id", "ntok", "domain")
     )
 
-    grams = t.select(
+    grams = docs.select(
         "doc_id",
         hash_hex(F.col("doc_id"), 1).alias("hd"),
         F.explode(grams_all(F.col("text"), 5)).alias("g"),

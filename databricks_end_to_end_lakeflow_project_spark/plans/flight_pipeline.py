@@ -502,10 +502,19 @@ def business_silver_stream(lake: FlightLakehouse) -> DataFrame:
     # as the data batch (full queryPlanning + 6 state-store commit
     # rounds for zero rows). A LEFT OUTER join would need it back on —
     # null-padded rows emit on eviction.
+    # state_partitions=2 (not the global STATE_PARTITIONS=8): this drain
+    # runs THREE chained stream-stream joins, and every partition of
+    # every join carries 4 state stores — 3×8×4 = 96 store
+    # init+commit lifecycles per micro-batch at width 8 vs 24 at width
+    # 2, on a fixture-sized batch (~1k rows/side). Measured (r10,
+    # warmed session, same drain): width 8 ≈ 4.8–5.2 s, width 2 ≈
+    # 3.7 s. Width is a per-call knob — a production deployment sizes
+    # it to the arrival rate; rows are width-invariant (the golden
+    # VALUES oracle pins them).
     return run_to_memory(
         build,
         f"bizsilver_{_uuid.uuid4().hex[:8]}",
-        state_partitions=STATE_PARTITIONS,
+        state_partitions=2,
         extra_conf={"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
         spark=lake.spark,
     )
