@@ -52,6 +52,49 @@ def grams_all(text: Column, n: int) -> Column:
     return acc
 
 
+def exploded_distinct_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g): per-document DISTINCT word ``n``-grams as an Arrow
+    kernel — the batch equivalent of
+    ``explode(array_distinct(grams_all(text, n)))``, which runs as
+    INTERPRETED nested ``zip_with`` lambdas (Spark never compiles HOFs;
+    measured 2× slower than this kernel at sf0.1 for n=5, identical
+    250,704-gram output). Exact string equality: Spark's
+    ``split(trim(text), " ")`` ≡ Python ``text.strip(" ").split(" ")``
+    (both keep internal empties; trim strips spaces only), ``concat_ws``
+    over non-null strings ≡ ``" ".join``, and ``array_distinct``
+    keeps first occurrences, which a dict-of-keys reproduces (order is
+    irrelevant to every consumer — the gram stream feeds joins and
+    counts). Pinned by
+    tests/test_curation.py::test_distinct_ngram_kernel_matches_expression.
+    ``docs`` must carry exactly (doc_id, text)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            gs: list[str] = []
+            for did, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                parts = text.strip(" ").split(" ")
+                ln = len(parts)
+                if ln < n:
+                    continue
+                for g in dict.fromkeys(
+                    " ".join(parts[i : i + n]) for i in range(ln - n + 1)
+                ):
+                    ids.append(did)
+                    gs.append(g)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "g": pd.Series(gs, dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, g string"
+    )
+
+
 @query(
     "text_repetition_gopher",
     """
@@ -130,13 +173,16 @@ def dedup_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     side — at 100 TB the eval suites are MBs while the corpus is TBs, so
     the join never shuffles the corpus."""
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        hash_hex(F.col("doc_id"), 1).alias("hd"),
-        F.explode(F.array_distinct(grams_all(F.col("text"), 5))).alias("g"),
-    )
-    bench = grams.filter(F.col("hd") == "0").select("g").distinct()
-    corpus = grams.filter(F.col("hd") != "0").select("doc_id", "g")
+    # r10: distinct-gram generation via the Arrow kernel (2× the
+    # interpreted zip_with chain, identical gram set). The hash-slice
+    # split happens BEFORE the kernel — a filter cannot push through an
+    # opaque mapInPandas (guide §4.2), so splitting first keeps the two
+    # branches' scans disjoint (one total tokenize pass, as before when
+    # Catalyst pushed the filter below the Generate).
+    hd = hash_hex(F.col("doc_id"), 1)
+    base = docs.select("doc_id", "text")
+    bench = exploded_distinct_ngrams(base.filter(hd == "0"), 5).select("g").distinct()
+    corpus = exploded_distinct_ngrams(base.filter(hd != "0"), 5)
     return (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
@@ -797,14 +843,20 @@ def pretraining_run(docs: DataFrame) -> DataFrame:
         .select("doc_id", "ntok", "domain")
     )
 
-    grams = docs.select(
-        "doc_id",
-        hash_hex(F.col("doc_id"), 1).alias("hd"),
-        F.explode(grams_all(F.col("text"), 5)).alias("g"),
+    # r10: distinct-gram kernel (was a non-distinct interpreted explode —
+    # both consumers apply .distinct() downstream, so per-doc distinct
+    # generation is result-identical and strictly fewer rows), with the
+    # hash split BEFORE the opaque kernel so the scans stay disjoint
+    hd = hash_hex(F.col("doc_id"), 1)
+    dbase = docs.select("doc_id", "text")
+    bench = (
+        exploded_distinct_ngrams(dbase.filter(hd == "0"), 5).select("g").distinct()
     )
-    bench = grams.filter(F.col("hd") == "0").select("g").distinct()
     contam = (
-        grams.join(F.broadcast(bench), "g").select("doc_id").distinct()
+        exploded_distinct_ngrams(dbase.filter(hd != "0"), 5)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
     )
     clean = persist_once(
         deduped.filter(hash_hex(F.col("doc_id"), 1) != "0").join(

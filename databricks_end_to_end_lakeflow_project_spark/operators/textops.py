@@ -1382,16 +1382,15 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     df frame is vocabulary-scale; nothing shuffles the corpus twice."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     from databricks_end_to_end_lakeflow_project_spark.operators.curation import (
-        grams_all,
+        exploded_distinct_ngrams,
     )
 
-    grams = (
-        docs.filter(F.size(F.split(F.trim(F.col("text")), " ")) >= 3)
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(grams_all(F.col("text"), 3))).alias("g"),
-        )
-    )
+    # r10: distinct-gram Arrow kernel (identical gram set, 2× the
+    # interpreted zip_with chain; short docs emit no grams, which is
+    # what the old ≥3-token filter enforced), persisted — the stream
+    # feeds the df aggregate AND the join probe, so uncached it would
+    # generate twice
+    grams = persist_once(exploded_distinct_ngrams(docs, 3))
     df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         grams.join(df, "g")

@@ -461,3 +461,40 @@ def test_pretraining_run_pure_python_parity(spark):
         0 < plan[dm][1] < 16777216 for dm in plan
     ), "a fractional pass must be exercised"
     assert by["pack"][2] >= _RUN_SHARDS, "several bins per shard expected"
+
+
+def test_distinct_ngram_kernel_matches_expression(spark):
+    """exploded_distinct_ngrams must reproduce the interpreted
+    explode(array_distinct(grams_all)) formulation exactly — same
+    (doc_id, gram) set — on real corpora for the n used by the
+    contamination (5), novelty (3) and shingle-adjacent (2) consumers."""
+    from pyspark.sql import functions as F
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.curation import (
+        exploded_distinct_ngrams,
+        grams_all,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_table,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    for n in (2, 3, 5):
+        expr = {
+            (r["doc_id"], r["g"])
+            for r in docs.filter(
+                F.size(F.split(F.trim(F.col("text")), " ")) >= n
+            )
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(grams_all(F.col("text"), n))).alias("g"),
+            )
+            .collect()
+        }
+        kern = {
+            (r["doc_id"], r["g"])
+            for r in exploded_distinct_ngrams(docs, n).collect()
+        }
+        assert kern == expr, n
