@@ -58,6 +58,152 @@ HEADLINE = [
 ]
 
 
+def replicate_docs_frame(docs, k):
+    """Module-level ×k document replication (decorrelated per-replica
+    substitution ciphers) — the dedup curve's `replicate_docs`, shared by
+    `headline_x10` so both synthetic corpora are built identically."""
+    import random as _rnd
+    import string
+
+    from pyspark.sql import functions as F
+
+    alpha = string.ascii_lowercase
+    rows = []
+    for i in range(k):
+        perm = list(alpha)
+        if i:
+            _rnd.Random(i).shuffle(perm)
+        rows.append((i, alpha, "".join(perm)))
+    spark = docs.sparkSession
+    reps = spark.createDataFrame(rows, "rep int, m string, r string")
+    n_parts = spark.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n_parts)
+        .crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep").cast("long") * 10_000_000).alias(
+                "doc_id"
+            ),
+            F.expr("translate(text, m, r)").alias("text"),
+            F.col("source"),
+        )
+    )
+
+
+def replicate_embeddings_frame(em, k):
+    """Module-level ×k embedding replication (per-replica signed
+    coordinate permutations) — the dedup curve's `replicate_embeddings`,
+    shared by `headline_x10`. Replica 0 is the identity, so seed/query
+    ids (vec_id < 8, vec_id = 0) keep their original vectors."""
+    import hashlib
+    import random as _rnd
+
+    from pyspark.sql import functions as F
+
+    spark = em.sparkSession
+    reps = []
+    for i in range(k):
+        perm = list(range(64))
+        if i:
+            _rnd.Random(i).shuffle(perm)
+        signs = [
+            1.0 if hashlib.md5(f"{i}:{d}".encode()).digest()[0] % 2 else -1.0
+            for d in range(64)
+        ]
+        reps.append((i, [p + 1 for p in perm], signs))
+    rdf = spark.createDataFrame(reps, "rep int, perm array<int>, signs array<double>")
+    e = F.col("embedding")
+    rotated = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: F.element_at(e, F.element_at("perm", d + F.lit(1)))
+        * F.element_at("signs", d + F.lit(1)),
+    )
+    other = [c for c in em.columns if c not in ("vec_id", "embedding")]
+    return (
+        em.crossJoin(F.broadcast(rdf))
+        .select(
+            (F.col("vec_id") + F.col("rep").cast("long") * 10_000_000).alias(
+                "vec_id"
+            ),
+            rotated.alias("embedding"),
+            *other,
+        )
+        .repartition(64, "vec_id")
+    )
+
+
+def headline_x10(spark, sf1_dir: str, qs) -> dict:
+    """×10 synthetic point for the slowest headline queries (judge r9
+    brief #7): the headline grain shows no parallel speedup at sf0.1 —
+    every query is fixed-cost bound — so this block re-runs the five
+    slowest driver-measured queries through their REGISTRY builders
+    against a staged ×10 replication of their inputs (decorrelated
+    replicas, same construction as the dedup curve; replica 0 is the
+    identity so seed/query ids survive). Staging is untimed; each query
+    is one cold rep (clearCache first) at the session's core count, so
+    the driver's two-core-count runs yield per-query low/high ratios at
+    a grain where parallelism is actually claimed. Lives ONLY in the
+    BENCH_FULL side file — the slim stdout line and the headline total
+    are unchanged."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_table,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.scratch import (
+        ephemeral_dir,
+    )
+
+    staged = ephemeral_dir("bench_headline_x10_")
+
+    def stage(name, df):
+        df.write.mode("overwrite").parquet(os.path.join(staged, f"{name}.parquet"))
+
+    t0 = _t.perf_counter()
+    stage("documents", replicate_docs_frame(read_table(spark, sf1_dir, "documents"), 10))
+    stage(
+        "embeddings",
+        replicate_embeddings_frame(read_table(spark, sf1_dir, "embeddings"), 10),
+    )
+    ev = read_table(spark, sf1_dir, "events")
+    reps = spark.range(10).select(F.col("id").cast("int").alias("rep"))
+    stage(
+        "events",
+        ev.crossJoin(F.broadcast(reps)).select(
+            (F.col("event_id") + F.col("rep").cast("long") * 100_000_000).alias(
+                "event_id"
+            ),
+            (F.col("user_id") + F.col("rep").cast("long") * 100_000_000).alias(
+                "user_id"
+            ),
+            "event_type",
+            F.timestamp_add("SECOND", F.col("rep") * 911, F.col("ts")).alias("ts"),
+            *[c for c in ev.columns if c not in ("event_id", "user_id", "event_type", "ts")],
+        ),
+    )
+    stage_sec = round(_t.perf_counter() - t0, 2)
+
+    names = [
+        "dedup_minhash_lsh_pairs",
+        "dedup_semdedup_keep",
+        "dedup_contamination_ngram",
+        "cdc_scd2_history",
+        "retrieval_hybrid_rrf",
+    ]
+    out = {"staging_sec_untimed": stage_sec, "queries": {}}
+    for name in names:
+        spark.catalog.clearCache()
+        t0 = _t.perf_counter()
+        qs[name](spark, staged).write.format("noop").mode("overwrite").save()
+        out["queries"][name] = round(_t.perf_counter() - t0, 2)
+    spark.catalog.clearCache()
+    shutil.rmtree(staged, ignore_errors=True)
+    return out
+
+
 def dedup_scale_curve(spark, sf01_dir: str, sf1_dir: str) -> dict:
     """Cost curve behind the dedup/ANN 100 TB claims: candidate-pair
     counts and max bucket/cell sizes vs corpus size, at sf0.01, sf0.1 and
@@ -1454,6 +1600,7 @@ def main() -> None:
         sf1 = os.path.join(parent, "sf0.1")
         if os.path.isdir(sf01) and os.path.isdir(sf1):
             spark.catalog.clearCache()
+            full["headline_x10"] = headline_x10(spark, sf1, qs)
             full["dedup_curve"] = dedup_scale_curve(spark, sf01, sf1)
             full["rank_curve"] = rank_scale_curve(spark, sf01, sf1)
             full["shuffle_curve"] = shuffle_scale_curve(spark, sf01, sf1)

@@ -589,7 +589,13 @@ def ts_seasonal_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integral half-up mean in 10^-4-unit space — see the oracle
     # comment (a power-of-two bucket's mean is a REAL .xxxx5 tie that
     # Spark's shortest-repr ROUND and DuckDB's exact-double ROUND split);
-    # `div` keeps the division in long arithmetic end to end
+    # `div` keeps the division in long arithmetic end to end. The
+    # +count(1) half-shift is HALF_UP only for NON-NEGATIVE sums —
+    # events.value ≥ 0 is a fixture-contract invariant, pinned at all
+    # three oracle SFs by tests/test_eventseries.py::
+    # test_events_value_nonnegative_invariant (negative values would
+    # still agree across engines — both `div`s truncate — but would
+    # round half-toward-zero, not the documented HALF_UP)
     dmean = lambda: (  # noqa: E731
         F.expr("(200 * sum(vc) + count(1)) div (2 * count(1))").cast("double")
         / 10000

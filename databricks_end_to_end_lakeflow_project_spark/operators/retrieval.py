@@ -63,7 +63,8 @@ def _ranked_topk(scored: DataFrame, score_col: str, k: int, rank_name: str) -> D
 def _bm25_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, score) Okapi BM25 for the fixed query terms — same
     shuffle-free known-query plan as ``text_bm25_topk`` (per-term tf via
-    size(filter(tokens)), corpus constants via one scalar agg)."""
+    size(filter(tokens)), corpus constants via one scalar agg; an Arrow
+    counts kernel was measured SLOWER here — see text_bm25_topk's note)."""
     w = tokens(F.col("text"))
 
     def _eq(term: str):
@@ -196,11 +197,30 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = read_table(spark, sf_dir, "embeddings")
 
     lex = _ranked_topk(_bm25_scores(docs), "score", _LEG_DEPTH, "lex_rank")
-    qv = _query_vector(sf_dir)
-    vec_scored = em.filter(F.col("vec_id") != 0).select(
-        F.col("vec_id").alias("doc_id"),
-        F.round(cosine(F.col("embedding"), qv), 6).alias("cos_sim"),
+    # dense leg scored by the exact-fold Arrow kernel (r10, guide §4.2 —
+    # the interpreted HOF cosine was the leg's whole cost); round + ranking
+    # stay in the JVM
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        with_fold_cosine,
     )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_seed_rows,
+    )
+
+    qv_vals = list(
+        read_seed_rows(sf_dir, "embeddings", ["embedding"], "vec_id", eq=0)[0][
+            "embedding"
+        ]
+    )
+    vec_scored = with_fold_cosine(
+        em.filter(F.col("vec_id") != 0).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ),
+        "embedding",
+        qv_vals,
+        "c",
+        keep=["doc_id"],
+    ).select("doc_id", F.round(F.col("c"), 6).alias("cos_sim"))
     vec = _ranked_topk(vec_scored, "cos_sim", _LEG_DEPTH, "vec_rank")
     fused = (
         lex.join(vec, "doc_id", "full_outer")
@@ -377,14 +397,30 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent numpy implementation.
     """
     em = read_table(spark, sf_dir, "embeddings")
-    qv = _query_vector(sf_dir)
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        with_fold_cosine,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_seed_rows,
+    )
+
+    # relevance scored by the exact-fold Arrow kernel (r10, guide §4.2)
+    qv_vals = list(
+        read_seed_rows(sf_dir, "embeddings", ["embedding"], "vec_id", eq=0)[0][
+            "embedding"
+        ]
+    )
     cand = (
-        em.filter(F.col("vec_id") != 0)
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("embedding"), qv), 6).alias("rel"),
+        with_fold_cosine(
+            em.filter(F.col("vec_id") != 0).select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
             "embedding",
+            qv_vals,
+            "c",
+            keep=["doc_id", "embedding"],
         )
+        .select("doc_id", F.round(F.col("c"), 6).alias("rel"), "embedding")
         .orderBy(F.col("rel").desc(), "doc_id")
         .limit(_MMR_CANDIDATES)
         .withColumn("g", F.lit(1))
@@ -603,12 +639,18 @@ def retrieval_ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.abs(F.col("label") - F.col("qlabel")) == 1, 1)
         .otherwise(0)
     )
-    scored = cand.crossJoin(F.broadcast(q)).select(
-        "qid",
-        "did",
-        rel.alias("rel"),
-        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+    # batch scoring via the exact-fold Arrow kernel (r10, guide §4.2)
+    from databricks_end_to_end_lakeflow_project_spark.operators.similarity import (
+        with_fold_cosine,
     )
+
+    scored = with_fold_cosine(
+        cand.crossJoin(F.broadcast(q)).withColumn("rel", rel),
+        "embedding",
+        "qv",
+        "c",
+        keep=["qid", "did", "rel"],
+    ).select("qid", "did", "rel", F.round(F.col("c"), 6).alias("score"))
     wq = Window.partitionBy("qid")
     ranked = scored.withColumn(
         "rk", F.row_number().over(wq.orderBy(F.col("score").desc(), "did"))

@@ -14,6 +14,7 @@ tokenizer here; the operator shapes are identical.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -42,6 +43,43 @@ def tokens(text: Column) -> Column:
 
 def stopword_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def doc_token_counts(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, token, tf): per-document token frequencies as an Arrow
+    kernel — the batch equivalent of ``explode(tokens)`` followed by a
+    ``groupBy(doc_id, token).count()``, with the counting done
+    partition-locally (a document's tokens live in one row, so its
+    counts are complete without any exchange; the old plan shuffled the
+    partial (doc_id, token) aggregates). Token strings are exact
+    (tokenizer equivalence above); counts are exact integers. r10,
+    guide §4.2/§2.4."""
+    import collections
+
+    import pandas as pd
+
+    def counts(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            toks: list[str] = []
+            tfs: list[int] = []
+            for did, text in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                c = collections.Counter(text.strip(" ").split(" "))
+                for t, k in c.items():
+                    ids.append(did)
+                    toks.append(t)
+                    tfs.append(k)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "token": pd.Series(toks, dtype="object"),
+                    "tf": pd.Series(tfs, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        counts, schema="doc_id long, token string, tf long"
+    )
 
 
 @query(
@@ -417,6 +455,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # F.filter's (element, index) overload and compare tokens to indexes
         return lambda x: x == term
 
+    # NOTE (r10, measured and kept): an exact-count Arrow kernel for this
+    # (dl, tf1..tf3) frame was measured SLOWER than the HOF expressions —
+    # interleaved A/B at sf0.1: 0.18/0.22 s expression vs 0.22/0.29 s
+    # kernel. With only 3 fixed terms the per-row HOF work is small and
+    # the Arrow text roundtrip dominates — the opposite of the
+    # full-vocabulary tfidf case, where the kernel removes an exchange.
     d = docs.select(
         "doc_id",
         F.size(w).cast("double").alias("dl"),
@@ -497,16 +541,16 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced.
     """
     docs = read_table(spark, sf_dir, "documents")
-    # tok feeds BOTH the tf and the df aggregates: persisted so the corpus
-    # is tokenized once per run instead of once per consumer (the token
-    # stream spills to disk at scale rather than re-running the explode).
-    tok = persist_once(
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").cast("double").alias("tf"))
-    df = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
-    )
+    # per-doc token counts straight from the Arrow kernel (r10): a
+    # document's tokens live in one row, so its (token, tf) pairs are
+    # complete WITHOUT the old explode + (doc_id, token) exchange — one
+    # shuffle gone. The frame feeds BOTH the scoring join and the df
+    # aggregate (countDistinct(doc_id) per token ≡ COUNT(*) over the
+    # per-doc counts — each (doc, token) appears exactly once), so it is
+    # persisted and the corpus tokenizes once per run.
+    tfk = persist_once(doc_token_counts(docs.select("doc_id", "text")))
+    tf = tfk.select("doc_id", "token", F.col("tf").cast("double").alias("tf"))
+    df = tfk.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
     # COUNT(*) of the input table == its parquet metadata row count: a
     # footer read, not a Spark job (the builder formerly scheduled one)
     n = table_row_count(sf_dir, "documents")

@@ -498,3 +498,35 @@ def test_distinct_ngram_kernel_matches_expression(spark):
             for r in exploded_distinct_ngrams(docs, n).collect()
         }
         assert kern == expr, n
+
+
+def test_doc_token_counts_kernel_matches_expression(spark):
+    """doc_token_counts must reproduce explode(tokens) +
+    groupBy(doc_id, token).count() exactly on a real corpus."""
+    from pyspark.sql import functions as F
+
+    from databricks_end_to_end_lakeflow_project_spark.operators.textops import (
+        doc_token_counts,
+        tokens,
+    )
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_table,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    expr = {
+        (r["doc_id"], r["token"]): r["tf"]
+        for r in docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    }
+    kern = {
+        (r["doc_id"], r["token"]): r["tf"]
+        for r in doc_token_counts(docs).collect()
+    }
+    assert kern == expr

@@ -541,3 +541,26 @@ def test_cohort_ltv_matches_pure_python(spark):
         by_cohort.setdefault(cw, []).append(cum)
     for cums in by_cohort.values():
         assert cums == sorted(cums)
+
+
+def test_events_value_nonnegative_invariant(spark):
+    """Fixture-contract guard (r9 ADVICE): ts_seasonal_hourly_profile's
+    integral half-up mean ((200·Σvc + n) div (2n)) is HALF_UP only for
+    non-negative sums — both engines would still agree on negatives
+    (both truncate toward zero), but the documented 4-dp HALF_UP
+    semantic assumes events.value ≥ 0. Pin the invariant the formula
+    relies on at every oracle SF so a fixture change cannot silently
+    void it."""
+    from pyspark.sql import functions as F
+
+    from databricks_end_to_end_lakeflow_project_spark.sources.readers import (
+        read_table,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        row = (
+            read_table(spark, f"/root/testdata/{sf}", "events")
+            .agg(F.min("value").alias("mn"))
+            .collect()[0]
+        )
+        assert row["mn"] >= 0, (sf, row["mn"])
