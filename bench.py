@@ -1594,13 +1594,28 @@ def main() -> None:
     # dedup/ANN scale curve (candidate pairs + bucket/cell maxima vs
     # corpus size incl. synthetic 10x/100x corpora); disable with
     # SPARK_GRAFT_BENCH_CURVE=0
-    if os.environ.get("SPARK_GRAFT_BENCH_CURVE", "1") != "0":
+    curves_on = os.environ.get("SPARK_GRAFT_BENCH_CURVE", "1") != "0"
+    # the ×10 headline point has its own switch (default: follows the
+    # curve setting) so a low-core run can cut the x10 block without
+    # paying for the full curve suite: SPARK_GRAFT_BENCH_X10=1 forces it
+    # on, =0 off
+    x10_on = os.environ.get(
+        "SPARK_GRAFT_BENCH_X10", "1" if curves_on else "0"
+    ) != "0"
+    if curves_on or x10_on:
         parent = os.path.dirname(sf_dir.rstrip("/"))
         sf01 = os.path.join(parent, "sf0.01")
         sf1 = os.path.join(parent, "sf0.1")
         if os.path.isdir(sf01) and os.path.isdir(sf1):
             spark.catalog.clearCache()
-            full["headline_x10"] = headline_x10(spark, sf1, qs)
+            if x10_on:
+                full["headline_x10"] = headline_x10(spark, sf1, qs)
+    if curves_on:
+        parent = os.path.dirname(sf_dir.rstrip("/"))
+        sf01 = os.path.join(parent, "sf0.01")
+        sf1 = os.path.join(parent, "sf0.1")
+        if os.path.isdir(sf01) and os.path.isdir(sf1):
+            spark.catalog.clearCache()
             full["dedup_curve"] = dedup_scale_curve(spark, sf01, sf1)
             full["rank_curve"] = rank_scale_curve(spark, sf01, sf1)
             full["shuffle_curve"] = shuffle_scale_curve(spark, sf01, sf1)
